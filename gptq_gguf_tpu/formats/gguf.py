@@ -1,0 +1,368 @@
+"""Self-contained GGUF v3 container reader/writer.
+
+Replaces the reference toolkit's dependency on the external ``gguf-py``
+package (used throughout: quant/gptq/src/packing_utils.py:2-6,
+mapper/gguf_splitter.py:17, mapper/gguf_stitcher.py:17-18). Implements the
+on-disk GGUF v3 format: header, typed KV metadata, tensor infos, aligned
+tensor data. Little-endian only (TPU hosts are LE).
+
+Reading is zero-copy via ``numpy.memmap``; writing streams tensor data so
+multi-GB models never need to be resident in memory at once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from enum import IntEnum
+from pathlib import Path
+from typing import Any, BinaryIO, Dict, Iterator, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .ggml import GGML_BLOCK_SIZES, GGMLQuantizationType, dequantize, row_nbytes
+
+GGUF_MAGIC = 0x46554747  # "GGUF" little-endian
+GGUF_VERSION = 3
+GGUF_DEFAULT_ALIGNMENT = 32
+
+
+class GGUFValueType(IntEnum):
+    UINT8 = 0
+    INT8 = 1
+    UINT16 = 2
+    INT16 = 3
+    UINT32 = 4
+    INT32 = 5
+    FLOAT32 = 6
+    BOOL = 7
+    STRING = 8
+    ARRAY = 9
+    UINT64 = 10
+    INT64 = 11
+    FLOAT64 = 12
+
+
+_SCALAR_FMT = {
+    GGUFValueType.UINT8: "<B",
+    GGUFValueType.INT8: "<b",
+    GGUFValueType.UINT16: "<H",
+    GGUFValueType.INT16: "<h",
+    GGUFValueType.UINT32: "<I",
+    GGUFValueType.INT32: "<i",
+    GGUFValueType.FLOAT32: "<f",
+    GGUFValueType.BOOL: "<?",
+    GGUFValueType.UINT64: "<Q",
+    GGUFValueType.INT64: "<q",
+    GGUFValueType.FLOAT64: "<d",
+}
+
+
+def _guess_value_type(value: Any) -> GGUFValueType:
+    if isinstance(value, bool):
+        return GGUFValueType.BOOL
+    if isinstance(value, int):
+        if value < 0:
+            return GGUFValueType.INT64 if value < -(2**31) else GGUFValueType.INT32
+        return GGUFValueType.UINT64 if value >= 2**32 else GGUFValueType.UINT32
+    if isinstance(value, float):
+        return GGUFValueType.FLOAT32
+    if isinstance(value, (str, bytes)):
+        return GGUFValueType.STRING
+    if isinstance(value, (list, tuple, np.ndarray)):
+        return GGUFValueType.ARRAY
+    raise TypeError(f"cannot infer GGUF value type for {type(value)}")
+
+
+@dataclasses.dataclass
+class GGUFValue:
+    """A typed metadata value; preserves exact type through read->write round
+    trips (the reference stitcher goes to similar lengths,
+    mapper/gguf_stitcher.py:676-774)."""
+
+    type: GGUFValueType
+    value: Any
+    elem_type: Optional[GGUFValueType] = None  # for arrays
+
+
+@dataclasses.dataclass
+class GGUFTensorInfo:
+    name: str
+    shape: Tuple[int, ...]  # numpy order (row-major, last axis contiguous)
+    ggml_type: GGMLQuantizationType
+    offset: int  # relative to start of tensor-data section
+    nbytes: int
+
+    @property
+    def n_elements(self) -> int:
+        n = 1
+        for s in self.shape:
+            n *= int(s)
+        return n
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+
+class _Cursor:
+    def __init__(self, buf: np.memmap):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        out = self.buf[self.pos : self.pos + n].tobytes()
+        self.pos += n
+        return out
+
+    def u32(self) -> int:
+        return struct.unpack("<I", self.read(4))[0]
+
+    def u64(self) -> int:
+        return struct.unpack("<Q", self.read(8))[0]
+
+    def string(self) -> str:
+        n = self.u64()
+        return self.read(n).decode("utf-8", errors="replace")
+
+
+class GGUFReader:
+    """Memory-mapped GGUF reader.
+
+    Provides the surface the pipeline needs: ``metadata`` (name -> GGUFValue),
+    ``tensors`` (name -> GGUFTensorInfo), raw byte access, and dequantized
+    float32 access (the capability the reference outsourced to gguf-py /
+    transformers' gguf loader, mapper/gguf_splitter.py:120-146,448-635).
+    """
+
+    def __init__(self, path: Union[str, Path]):
+        self.path = Path(path)
+        self._mm = np.memmap(self.path, mode="r", dtype=np.uint8)
+        cur = _Cursor(self._mm)
+        magic = cur.u32()
+        if magic != GGUF_MAGIC:
+            raise ValueError(f"{path}: not a GGUF file (magic {magic:#x})")
+        self.version = cur.u32()
+        if self.version not in (2, 3):
+            raise ValueError(f"unsupported GGUF version {self.version}")
+        n_tensors = cur.u64()
+        n_kv = cur.u64()
+        self.metadata: Dict[str, GGUFValue] = {}
+        for _ in range(n_kv):
+            key = cur.string()
+            vtype = GGUFValueType(cur.u32())
+            self.metadata[key] = self._read_value(cur, vtype)
+        self.alignment = int(
+            self.metadata.get(
+                "general.alignment", GGUFValue(GGUFValueType.UINT32, GGUF_DEFAULT_ALIGNMENT)
+            ).value
+        )
+        self.tensors: Dict[str, GGUFTensorInfo] = {}
+        order: List[str] = []
+        for _ in range(n_tensors):
+            name = cur.string()
+            n_dims = cur.u32()
+            # GGUF stores dims as ne[0..n) with ne[0] the contiguous axis;
+            # numpy order is the reverse.
+            ne = [cur.u64() for _ in range(n_dims)]
+            ggml_type = GGMLQuantizationType(cur.u32())
+            offset = cur.u64()
+            shape = tuple(reversed(ne))
+            nbytes = self._tensor_nbytes(ggml_type, ne)
+            self.tensors[name] = GGUFTensorInfo(name, shape, ggml_type, offset, nbytes)
+            order.append(name)
+        self.tensor_order = order
+        pad = -cur.pos % self.alignment
+        self.data_start = cur.pos + pad
+
+    @staticmethod
+    def _tensor_nbytes(ggml_type: GGMLQuantizationType, ne: Sequence[int]) -> int:
+        rows = 1
+        for s in ne[1:]:
+            rows *= int(s)
+        return rows * row_nbytes(ggml_type, int(ne[0]) if ne else 1)
+
+    def _read_value(self, cur: _Cursor, vtype: GGUFValueType) -> GGUFValue:
+        if vtype == GGUFValueType.STRING:
+            return GGUFValue(vtype, cur.string())
+        if vtype == GGUFValueType.ARRAY:
+            etype = GGUFValueType(cur.u32())
+            n = cur.u64()
+            if etype == GGUFValueType.STRING:
+                vals = [cur.string() for _ in range(n)]
+            elif etype == GGUFValueType.ARRAY:
+                vals = [self._read_value(cur, GGUFValueType.ARRAY) for _ in range(n)]
+            else:
+                fmt = _SCALAR_FMT[etype]
+                size = struct.calcsize(fmt)
+                raw = cur.read(size * n)
+                vals = [v[0] for v in struct.iter_unpack(fmt, raw)]
+            return GGUFValue(vtype, vals, elem_type=etype)
+        fmt = _SCALAR_FMT[vtype]
+        (val,) = struct.unpack(fmt, cur.read(struct.calcsize(fmt)))
+        return GGUFValue(vtype, val)
+
+    # -- tensor access ------------------------------------------------------
+
+    def get(self, key: str, default: Any = None) -> Any:
+        v = self.metadata.get(key)
+        return default if v is None else v.value
+
+    def tensor_bytes(self, name: str) -> np.ndarray:
+        """Raw GGML bytes of a tensor as a zero-copy uint8 view."""
+        info = self.tensors[name]
+        start = self.data_start + info.offset
+        return self._mm[start : start + info.nbytes]
+
+    def tensor_float(self, name: str) -> np.ndarray:
+        """Dequantized float32 tensor in numpy (row-major) shape."""
+        info = self.tensors[name]
+        return dequantize(self.tensor_bytes(name), info.ggml_type, info.shape)
+
+    def close(self) -> None:
+        del self._mm
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+
+class GGUFWriter:
+    """Streaming GGUF v3 writer.
+
+    Usage: add metadata + tensor declarations, then ``write()`` with a data
+    callback, or add tensors with in-memory data and call ``write()``.
+    """
+
+    def __init__(self, path: Union[str, Path], arch: Optional[str] = None, alignment: int = GGUF_DEFAULT_ALIGNMENT):
+        self.path = Path(path)
+        self.alignment = alignment
+        self._kv: Dict[str, GGUFValue] = {}
+        self._tensors: List[Tuple[str, Tuple[int, ...], GGMLQuantizationType, Any]] = []
+        if arch is not None:
+            self.add_kv("general.architecture", arch)
+
+    # -- metadata -----------------------------------------------------------
+
+    def add_kv(self, key: str, value: Any, vtype: Optional[GGUFValueType] = None,
+               elem_type: Optional[GGUFValueType] = None) -> None:
+        if isinstance(value, GGUFValue):
+            self._kv[key] = value
+            return
+        if vtype is None:
+            vtype = _guess_value_type(value)
+        if vtype == GGUFValueType.ARRAY and elem_type is None:
+            if len(value) == 0:
+                elem_type = GGUFValueType.INT32
+            else:
+                elem_type = _guess_value_type(value[0])
+                if elem_type == GGUFValueType.UINT32 and any(
+                    isinstance(v, int) and v < 0 for v in value
+                ):
+                    elem_type = GGUFValueType.INT32
+        self._kv[key] = GGUFValue(vtype, value, elem_type=elem_type)
+
+    def add_metadata(self, metadata: Dict[str, GGUFValue]) -> None:
+        for k, v in metadata.items():
+            self.add_kv(k, v)
+
+    # -- tensors ------------------------------------------------------------
+
+    def add_tensor(
+        self,
+        name: str,
+        data: np.ndarray,
+        raw_dtype: Optional[GGMLQuantizationType] = None,
+        raw_shape: Optional[Tuple[int, ...]] = None,
+    ) -> None:
+        """Declare a tensor.
+
+        If ``raw_dtype`` is given, ``data`` is pre-quantized GGML bytes and
+        ``raw_shape`` is the logical (numpy-order) shape — mirroring gguf-py's
+        ``add_tensor(raw_dtype=...)`` used by the reference packers
+        (pack_gptq_into_gguf.py:348, gguf_stitcher.py:799-852). Otherwise
+        dtype is inferred from the numpy dtype (f32/f16/bf16 passthrough).
+        """
+        if raw_dtype is not None:
+            shape = tuple(int(s) for s in (raw_shape if raw_shape is not None else data.shape))
+            ggml_type = raw_dtype
+            payload = np.ascontiguousarray(data).view(np.uint8).reshape(-1)
+            expected = GGUFReader._tensor_nbytes(ggml_type, list(reversed(shape)))
+            if payload.nbytes != expected:
+                raise ValueError(
+                    f"tensor {name}: raw bytes {payload.nbytes} != expected {expected} "
+                    f"for {ggml_type.name} shape {shape}"
+                )
+        else:
+            if data.dtype == np.float32:
+                ggml_type = GGMLQuantizationType.F32
+            elif data.dtype == np.float16:
+                ggml_type = GGMLQuantizationType.F16
+            elif data.dtype == np.int32:
+                ggml_type = GGMLQuantizationType.I32
+            elif data.dtype == np.int64:
+                ggml_type = GGMLQuantizationType.I64
+            elif data.dtype == np.uint16 and getattr(data.dtype, "name", "") == "bfloat16":
+                ggml_type = GGMLQuantizationType.BF16
+            else:
+                raise TypeError(f"tensor {name}: unsupported dtype {data.dtype}")
+            shape = tuple(int(s) for s in data.shape)
+            payload = np.ascontiguousarray(data).view(np.uint8).reshape(-1)
+        self._tensors.append((name, shape, ggml_type, payload))
+
+    # -- serialization ------------------------------------------------------
+
+    def _write_string(self, f: BinaryIO, s: Union[str, bytes]) -> None:
+        b = s.encode("utf-8") if isinstance(s, str) else s
+        f.write(struct.pack("<Q", len(b)))
+        f.write(b)
+
+    def _write_value(self, f: BinaryIO, v: GGUFValue, nested: bool = False) -> None:
+        if v.type == GGUFValueType.STRING:
+            self._write_string(f, v.value)
+        elif v.type == GGUFValueType.ARRAY:
+            f.write(struct.pack("<I", int(v.elem_type)))
+            f.write(struct.pack("<Q", len(v.value)))
+            if v.elem_type == GGUFValueType.STRING:
+                for s in v.value:
+                    self._write_string(f, s)
+            elif v.elem_type == GGUFValueType.ARRAY:
+                for sub in v.value:
+                    self._write_value(f, sub, nested=True)
+            else:
+                fmt = _SCALAR_FMT[v.elem_type]
+                f.write(b"".join(struct.pack(fmt, x) for x in v.value))
+        else:
+            f.write(struct.pack(_SCALAR_FMT[v.type], v.value))
+
+    def write(self) -> None:
+        align = self.alignment
+        with open(self.path, "wb") as f:
+            f.write(struct.pack("<IIQQ", GGUF_MAGIC, GGUF_VERSION, len(self._tensors), len(self._kv)))
+            for key, val in self._kv.items():
+                self._write_string(f, key)
+                f.write(struct.pack("<I", int(val.type)))
+                self._write_value(f, val)
+            # tensor infos with aligned offsets
+            offset = 0
+            offsets = []
+            for name, shape, ggml_type, payload in self._tensors:
+                offsets.append(offset)
+                offset += payload.nbytes
+                offset += -offset % align
+            for (name, shape, ggml_type, payload), off in zip(self._tensors, offsets):
+                self._write_string(f, name)
+                ne = tuple(reversed(shape))
+                f.write(struct.pack("<I", len(ne)))
+                for s in ne:
+                    f.write(struct.pack("<Q", s))
+                f.write(struct.pack("<I", int(ggml_type)))
+                f.write(struct.pack("<Q", off))
+            pad = -f.tell() % align
+            f.write(b"\x00" * pad)
+            for i, (name, shape, ggml_type, payload) in enumerate(self._tensors):
+                f.write(payload.tobytes())
+                pad = -payload.nbytes % align
+                f.write(b"\x00" * pad)
