@@ -1,0 +1,174 @@
+"""GPTQ solver tests.
+
+Oracles (SURVEY.md §4): (a) identity Hessian => GPTQ == RTN;
+(b) GPTQ objective tr(dW H dW^T) must beat RTN on correlated data;
+(c) numerical agreement with the reference torch implementation on small
+problems (same data, same hyperparameters).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gptq_gguf_tpu.formats.ggml import GGMLQuantizationType as T
+from gptq_gguf_tpu.ops import gptq, kquant
+
+RNG = np.random.default_rng(3)
+
+
+def make_problem(d_row=16, d_col=512, n=2048, correlated=True):
+    W = (RNG.normal(size=(d_row, d_col)) * 0.08).astype(np.float32)
+    if correlated:
+        A = RNG.normal(size=(d_col, d_col)).astype(np.float32) / np.sqrt(d_col)
+        A += 0.5 * np.eye(d_col, dtype=np.float32)
+        X = RNG.normal(size=(n, d_col)).astype(np.float32) @ A
+    else:
+        X = RNG.normal(size=(n, d_col)).astype(np.float32)
+    H = 2.0 * X.T @ X / n
+    return W, X, H
+
+
+def objective(W, W_hat, H):
+    d = (W - W_hat).astype(np.float64)
+    return float(np.trace(d @ H.astype(np.float64) @ d.T))
+
+
+def test_hessian_accumulation_matches_batched():
+    d = 64
+    H, n = gptq.init_hessian(d)
+    xs = [RNG.normal(size=(2, 8, d)).astype(np.float32) for _ in range(3)]
+    for x in xs:
+        H, n = gptq.accumulate_hessian(H, n, jnp.asarray(x))
+    allx = np.concatenate([x.reshape(-1, d) for x in xs])
+    # reference semantics: EMA weighted by batch counts == 2/N sum x x^T with
+    # N counted in *sequences*
+    expected = 2.0 * allx.T @ allx / 6
+    np.testing.assert_allclose(np.asarray(H), expected, rtol=2e-4, atol=2e-5)
+    assert float(n) == 6
+
+
+@pytest.mark.parametrize("qtype", [T.Q4_K, T.Q3_K])
+def test_identity_hessian_equals_rtn(qtype):
+    W = (RNG.normal(size=(8, 512)) * 0.05).astype(np.float32)
+    H = np.eye(512, dtype=np.float32)
+    res = gptq.gptq_quantize_matrix(jnp.asarray(W), jnp.asarray(H), qtype)
+    q_rtn, p_rtn = kquant.quantize_rtn(jnp.asarray(W), qtype)
+    np.testing.assert_array_equal(
+        np.asarray(res.qweight).astype(np.int16), np.asarray(q_rtn).astype(np.int16)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.params.super_scale), np.asarray(p_rtn.super_scale)
+    )
+    assert not bool(res.issue_non_invertible)
+
+
+@pytest.mark.parametrize("qtype", [T.Q2_K, T.Q4_K, T.Q6_K])
+def test_gptq_beats_rtn_on_correlated_data(qtype):
+    W, X, H = make_problem()
+    res = gptq.gptq_quantize_matrix(jnp.asarray(W), jnp.asarray(H), qtype)
+    W_gptq = np.asarray(kquant.dequantize(res.qweight, res.params, qtype))
+    W_rtn = np.asarray(kquant.dequantize_rtn(jnp.asarray(W), qtype))
+    obj_gptq = objective(W, W_gptq, H)
+    obj_rtn = objective(W, W_rtn, H)
+    assert obj_gptq < obj_rtn, (obj_gptq, obj_rtn)
+
+
+def test_act_order_runs_and_helps_or_matches():
+    W, X, H = make_problem()
+    cfg = gptq.GPTQConfig(act_order=True, static_groups=True)
+    res = gptq.gptq_quantize_matrix(jnp.asarray(W), jnp.asarray(H), T.Q4_K, cfg)
+    W_hat = np.asarray(kquant.dequantize(res.qweight, res.params, T.Q4_K))
+    obj = objective(W, W_hat, H)
+    W_rtn = np.asarray(kquant.dequantize_rtn(jnp.asarray(W), T.Q4_K))
+    assert obj < objective(W, W_rtn, H)
+
+
+def test_q3k_forces_dynamic():
+    """Q3_K ignores act_order/static_groups (gptq.py:204-206) — must not raise."""
+    W, X, H = make_problem(d_row=4)
+    cfg = gptq.GPTQConfig(act_order=True, static_groups=True)
+    res = gptq.gptq_quantize_matrix(jnp.asarray(W), jnp.asarray(H), T.Q3_K, cfg)
+    assert np.asarray(res.qweight).min() >= -4
+    assert np.asarray(res.qweight).max() <= 3
+
+
+def test_singular_hessian_fallback():
+    W = (RNG.normal(size=(4, 256)) * 0.05).astype(np.float32)
+    H = np.zeros((256, 256), np.float32)
+    H[0, 0] = np.nan  # poison -> non-finite factorization
+    res = gptq.gptq_quantize_matrix(jnp.asarray(W), jnp.asarray(H), T.Q4_K)
+    assert np.all(np.isfinite(np.asarray(res.params.super_scale).astype(np.float32)))
+    assert bool(res.issue_non_invertible)
+
+
+# ---------------------------------------------------------------------------
+# Reference oracle
+# ---------------------------------------------------------------------------
+
+
+def _load_reference_gptq():
+    import tests.test_kquant as tk  # installs the gguf stub
+
+    if tk.ref_qu is None:
+        return None
+    if "/root/reference/quant/gptq" not in sys.path:
+        sys.path.insert(0, "/root/reference/quant/gptq")
+    try:
+        from src.gptq import GPTQ  # noqa
+
+        return GPTQ
+    except Exception:
+        return None
+
+
+RefGPTQ = _load_reference_gptq()
+
+
+@pytest.mark.skipif(RefGPTQ is None, reason="reference not importable")
+@pytest.mark.parametrize("qtype_name,act_order", [("Q4_K", False), ("Q4_K", True), ("Q2_K", False)])
+def test_objective_parity_with_reference(qtype_name, act_order):
+    """Our solve must reach an objective within 2% of the reference solve on
+    the same problem (bit parity is impossible across LAPACK/XLA Cholesky)."""
+    import torch
+    import torch.nn as nn
+
+    W, X, H = make_problem(d_row=8, d_col=512, n=1024)
+
+    layer = nn.Linear(512, 8, bias=False)
+    with torch.no_grad():
+        layer.weight.copy_(torch.from_numpy(W))
+    handle = RefGPTQ(
+        layer, rel_damp=1e-2, block_size=128, act_order=act_order,
+        static_groups=act_order,
+    )
+    import tests.test_kquant as tk
+
+    handle.update(torch.from_numpy(X[None]))  # one batch: H = 2 X^T X
+    r_q, r_ss, r_scq, r_sz, r_zq = handle.quantize(
+        tk.ref_qu.GGMLQuantizationType[qtype_name]
+    )
+    r_w = tk.ref_qu.dequantize_linear_weight(
+        tk.ref_qu.GGMLQuantizationType[qtype_name],
+        r_q.float(), r_ss, r_scq.float(), r_sz, r_zq.float(),
+    ).numpy()
+
+    qtype = T[qtype_name]
+    cfg = gptq.GPTQConfig(act_order=act_order, static_groups=act_order)
+    res = gptq.gptq_quantize_matrix(
+        jnp.asarray(W), jnp.asarray(2.0 * X.T @ X), qtype, cfg
+    )
+    j_w = np.asarray(kquant.dequantize(res.qweight, res.params, qtype))
+
+    H_eval = 2.0 * X.T @ X / X.shape[0]
+    obj_ref = objective(W, r_w, H_eval)
+    obj_jax = objective(W, j_w, H_eval)
+    assert obj_jax <= obj_ref * 1.02, (obj_jax, obj_ref)
+    # and the quantized codes should agree almost everywhere
+    agree = (np.asarray(res.qweight).astype(np.int16) == r_q.numpy().astype(np.int16)).mean()
+    # act_order permutations tie-break differently between torch/jnp argsort,
+    # which cascades through the error feedback; the objective (above) is the
+    # meaningful parity criterion.
+    assert agree > (0.90 if act_order else 0.97), agree
