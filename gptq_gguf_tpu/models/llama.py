@@ -1,0 +1,345 @@
+"""Functional JAX decoder model (Llama family).
+
+The reference drives HF transformers modules with forward hooks and in-place
+weight surgery (quant/gptq/src/quantizer.py, evopress/src/model_utils.py).
+The TPU-native design replaces that with a *pure-function* model over a param
+pytree: calibration captures activations by calling the block function
+explicitly (no hooks), weight swaps are functional pytree updates (donated
+buffers under jit), and the same block function is reused by the quantizer
+walk, perplexity eval, EvoPress fitness, and serving.
+
+One parameterized implementation covers the Llama lineage the reference's
+search/eval stack supports (llama/mistral/qwen2/qwen3-style: RMSNorm +
+RoPE GQA attention + SwiGLU, optional attention bias, optional q/k norms,
+tied embeddings). Other architectures register adapters in
+``models/registry.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    num_key_value_heads: int
+    head_dim: Optional[int] = None
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    max_position_embeddings: int = 4096
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    mlp_bias: bool = False
+    qk_norm: bool = False  # qwen3-style per-head q/k RMSNorm
+    rope_scaling: Optional[Dict[str, Any]] = None
+    dtype: Any = jnp.float32
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @staticmethod
+    def from_hf_dict(d: Dict[str, Any], dtype=jnp.float32) -> "LlamaConfig":
+        """Build from a HF transformers config.json dict."""
+        rope_scaling = d.get("rope_scaling")
+        if rope_scaling is not None:
+            rope_scaling = dict(rope_scaling)
+        return LlamaConfig(
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            intermediate_size=d["intermediate_size"],
+            num_hidden_layers=d["num_hidden_layers"],
+            num_attention_heads=d["num_attention_heads"],
+            num_key_value_heads=d.get("num_key_value_heads", d["num_attention_heads"]),
+            head_dim=d.get("head_dim"),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-5),
+            rope_theta=d.get("rope_theta", 10000.0),
+            max_position_embeddings=d.get("max_position_embeddings", 4096),
+            tie_word_embeddings=d.get("tie_word_embeddings", False),
+            attention_bias=d.get("attention_bias", False),
+            mlp_bias=d.get("mlp_bias", False),
+            qk_norm=d.get("model_type") == "qwen3",
+            rope_scaling=rope_scaling,
+            dtype=dtype,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Parameter pytree
+# ---------------------------------------------------------------------------
+
+# Params structure (HF weight names in comments):
+# {
+#   "embed_tokens": (V, H)                  model.embed_tokens.weight
+#   "layers": [ {
+#       "input_layernorm": (H,),
+#       "q_proj": (nH*hd, H), "k_proj": (nKV*hd, H), "v_proj": (nKV*hd, H),
+#       "o_proj": (H, nH*hd),
+#       ["q_bias"/"k_bias"/"v_bias"], ["q_norm"/"k_norm"],
+#       "post_attention_layernorm": (H,),
+#       "gate_proj": (I, H), "up_proj": (I, H), "down_proj": (H, I),
+#   } ... ]
+#   "norm": (H,), "lm_head": (V, H)  (absent if tied)
+# }
+
+
+def init_params(cfg: LlamaConfig, seed: int = 0) -> Dict[str, Any]:
+    """Random init (for tests/benchmarks; real models come from the loader)."""
+    rng = np.random.default_rng(seed)
+    hd = cfg.head_dim_
+    H = cfg.hidden_size
+
+    def mat(rows, cols, scale=None):
+        scale = scale or 1.0 / math.sqrt(cols)
+        return jnp.asarray(
+            (rng.standard_normal((rows, cols)) * scale).astype(np.float32),
+            dtype=cfg.dtype,
+        )
+
+    layers = []
+    for _ in range(cfg.num_hidden_layers):
+        layer = {
+            "input_layernorm": jnp.ones((H,), cfg.dtype),
+            "q_proj": mat(cfg.num_attention_heads * hd, H),
+            "k_proj": mat(cfg.num_key_value_heads * hd, H),
+            "v_proj": mat(cfg.num_key_value_heads * hd, H),
+            "o_proj": mat(H, cfg.num_attention_heads * hd),
+            "post_attention_layernorm": jnp.ones((H,), cfg.dtype),
+            "gate_proj": mat(cfg.intermediate_size, H),
+            "up_proj": mat(cfg.intermediate_size, H),
+            "down_proj": mat(H, cfg.intermediate_size),
+        }
+        if cfg.attention_bias:
+            layer["q_bias"] = jnp.zeros((cfg.num_attention_heads * hd,), cfg.dtype)
+            layer["k_bias"] = jnp.zeros((cfg.num_key_value_heads * hd,), cfg.dtype)
+            layer["v_bias"] = jnp.zeros((cfg.num_key_value_heads * hd,), cfg.dtype)
+        if cfg.qk_norm:
+            layer["q_norm"] = jnp.ones((hd,), cfg.dtype)
+            layer["k_norm"] = jnp.ones((hd,), cfg.dtype)
+        layers.append(layer)
+
+    params = {
+        "embed_tokens": mat(cfg.vocab_size, H, scale=0.02),
+        "layers": layers,
+        "norm": jnp.ones((H,), cfg.dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = mat(cfg.vocab_size, H, scale=0.02)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Core ops
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)).astype(dt) * weight
+
+
+def _rope_inv_freq(cfg: LlamaConfig) -> np.ndarray:
+    hd = cfg.head_dim_
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (np.arange(0, hd, 2, dtype=np.float64) / hd)
+    )
+    rs = cfg.rope_scaling or {}
+    rope_type = rs.get("rope_type", rs.get("type"))
+    if rope_type == "llama3":
+        # HF Llama-3.1 rope scaling (transformers modeling_rope_utils)
+        factor = rs["factor"]
+        low_factor = rs["low_freq_factor"]
+        high_factor = rs["high_freq_factor"]
+        old_len = rs["original_max_position_embeddings"]
+        low_wavelen = old_len / low_factor
+        high_wavelen = old_len / high_factor
+        wavelen = 2 * np.pi / inv_freq
+        scaled = np.where(wavelen > low_wavelen, inv_freq / factor, inv_freq)
+        smooth = (old_len / wavelen - low_factor) / (high_factor - low_factor)
+        smoothed = (1 - smooth) / factor * inv_freq + smooth * inv_freq
+        is_mid = (wavelen >= high_wavelen) & (wavelen <= low_wavelen)
+        inv_freq = np.where(is_mid, smoothed, scaled)
+    elif rope_type in (None, "default"):
+        pass
+    elif rope_type == "linear":
+        inv_freq = inv_freq / rs["factor"]
+    else:
+        raise NotImplementedError(f"rope_type {rope_type!r}")
+    return inv_freq.astype(np.float32)
+
+
+def rope_cos_sin(cfg: LlamaConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables for given positions: (..., seq, head_dim)."""
+    inv_freq = jnp.asarray(_rope_inv_freq(cfg))
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # (..., hd/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    h = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
+
+
+def apply_rope(q, k, cos, sin):
+    """HF-convention RoPE. q/k: (B, n_heads, S, hd); cos/sin: (B, S, hd)."""
+    cos = cos[:, None, :, :]
+    sin = sin[:, None, :, :]
+    q2 = q * cos + _rotate_half(q) * sin
+    k2 = k * cos + _rotate_half(k) * sin
+    return q2.astype(q.dtype), k2.astype(k.dtype)
+
+
+def _linear(x, w, b=None):
+    y = jnp.einsum("...i,oi->...o", x, w, preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def attention_scores(q, k, v, mask):
+    """Plain XLA attention; q (B,nH,S,hd), k/v (B,nKV,S,hd)."""
+    B, nH, S, hd = q.shape
+    nKV = k.shape[1]
+    groups = nH // nKV
+    q = q.reshape(B, nKV, groups, S, hd)
+    scores = jnp.einsum(
+        "bkgsh,bkth->bkgst", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(hd)
+    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bkgst,bkth->bkgsh", probs, v, preferred_element_type=jnp.float32)
+    return out.reshape(B, nH, S, hd)
+
+
+def block_forward(
+    layer: Dict[str, jax.Array],
+    x: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: jax.Array,
+    cfg: LlamaConfig,
+) -> jax.Array:
+    """One transformer block: (B, S, H) -> (B, S, H).
+
+    This is the unit of the calibration walk (the reference's ``block(inp)``
+    at quantizer.py:150-152), exposed as a pure function.
+    """
+    B, S, H = x.shape
+    hd = cfg.head_dim_
+    nH, nKV = cfg.num_attention_heads, cfg.num_key_value_heads
+
+    h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+    q = _linear(h, layer["q_proj"], layer.get("q_bias"))
+    k = _linear(h, layer["k_proj"], layer.get("k_bias"))
+    v = _linear(h, layer["v_proj"], layer.get("v_bias"))
+    q = q.reshape(B, S, nH, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
+    if cfg.qk_norm:
+        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
+    q, k = apply_rope(q, k, cos, sin)
+    attn = attention_scores(q, k, v, mask)
+    attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
+    x = x + _linear(attn, layer["o_proj"])
+
+    h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
+    gate = _linear(h, layer["gate_proj"])
+    up = _linear(h, layer["up_proj"])
+    x = x + _linear(jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up, layer["down_proj"])
+    return x
+
+
+def embed_forward(params, input_ids: jax.Array, cfg: LlamaConfig) -> jax.Array:
+    return params["embed_tokens"][input_ids].astype(cfg.dtype)
+
+
+def head_forward(params, x: jax.Array, cfg: LlamaConfig) -> jax.Array:
+    """Final norm + lm head -> logits (B, S, V) in float32."""
+    h = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    w = params.get("lm_head", params["embed_tokens"])
+    return jnp.einsum("...i,oi->...o", h, w, preferred_element_type=jnp.float32)
+
+
+def causal_mask(B: int, S: int) -> jax.Array:
+    m = jnp.tril(jnp.ones((S, S), bool))
+    return jnp.broadcast_to(m, (B, S, S))
+
+
+def forward(
+    params,
+    input_ids: jax.Array,
+    cfg: LlamaConfig,
+    positions: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Full forward pass -> logits (B, S, V) float32."""
+    B, S = input_ids.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+    cos, sin = rope_cos_sin(cfg, positions)
+    mask = causal_mask(B, S)
+    x = embed_forward(params, input_ids, cfg)
+    for layer in params["layers"]:
+        x = block_forward(layer, x, cos, sin, mask, cfg)
+    return head_forward(params, x, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Quantizable-layer accounting (mirrors the reference's HF module names so
+# artifact directories are drop-in compatible, quantizer.py:267-275)
+# ---------------------------------------------------------------------------
+
+BLOCK_LINEAR_KEYS = (
+    "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj"
+)
+
+
+def linear_layer_names(cfg: LlamaConfig, include_non_block: bool = False) -> List[str]:
+    names = []
+    if include_non_block:
+        names.append("model.embed_tokens")
+    for i in range(cfg.num_hidden_layers):
+        for key in BLOCK_LINEAR_KEYS:
+            mod = "self_attn" if key.endswith("_proj") and key[0] in "qkvo" else "mlp"
+            names.append(f"model.layers.{i}.{mod}.{key}")
+    if include_non_block and not cfg.tie_word_embeddings:
+        names.append("lm_head")
+    return names
+
+
+def get_linear(params, name: str) -> jax.Array:
+    """Fetch a weight matrix by HF module name."""
+    if name == "model.embed_tokens":
+        return params["embed_tokens"]
+    if name == "lm_head":
+        return params.get("lm_head", params["embed_tokens"])
+    parts = name.split(".")
+    idx = int(parts[2])
+    return params["layers"][idx][parts[4]]
+
+
+def set_linear(params, name: str, value: jax.Array):
+    """Functionally replace a weight matrix by HF module name."""
+    if name == "model.embed_tokens":
+        return {**params, "embed_tokens": value}
+    if name == "lm_head":
+        return {**params, "lm_head": value}
+    parts = name.split(".")
+    idx = int(parts[2])
+    layers = list(params["layers"])
+    layers[idx] = {**layers[idx], parts[4]: value}
+    return {**params, "layers": layers}

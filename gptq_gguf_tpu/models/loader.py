@@ -1,0 +1,102 @@
+"""HF checkpoint -> JAX param pytree loader.
+
+Replaces the reference's ``AutoModelForCausalLM.from_pretrained``
+(quant/gptq/quant.py:158-164) for the supported decoder families. Reads
+``config.json`` + ``*.safetensors`` directly (no torch in the load path) and
+produces the pytree consumed by ``models.llama``.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from .llama import LlamaConfig
+
+SUPPORTED_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3")
+
+
+def load_config(model_dir: Union[str, Path], dtype=jnp.float32) -> LlamaConfig:
+    with open(Path(model_dir) / "config.json") as f:
+        d = json.load(f)
+    if d.get("model_type") not in SUPPORTED_MODEL_TYPES:
+        raise NotImplementedError(
+            f"model_type {d.get('model_type')!r}; supported: {SUPPORTED_MODEL_TYPES}"
+        )
+    return LlamaConfig.from_hf_dict(d, dtype=dtype)
+
+
+def _iter_safetensors(model_dir: Path):
+    from safetensors import safe_open
+
+    files = sorted(model_dir.glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files in {model_dir}")
+    for file in files:
+        with safe_open(file, framework="numpy") as f:
+            for name in f.keys():
+                yield name, f.get_tensor(name)
+
+
+def _to_f32(arr: np.ndarray) -> np.ndarray:
+    if arr.dtype == np.uint16 or str(arr.dtype) == "bfloat16":
+        return (arr.view(np.uint16).astype(np.uint32) << 16).view(np.float32)
+    return arr.astype(np.float32)
+
+
+def load_params(
+    model_dir: Union[str, Path],
+    cfg: Optional[LlamaConfig] = None,
+    dtype=jnp.float32,
+) -> Dict[str, Any]:
+    """Load HF safetensors into the models.llama pytree."""
+    model_dir = Path(model_dir)
+    cfg = cfg or load_config(model_dir, dtype=dtype)
+    layers: list = [dict() for _ in range(cfg.num_hidden_layers)]
+    params: Dict[str, Any] = {"layers": layers}
+
+    def put(layer_idx, key, value):
+        layers[layer_idx][key] = value
+
+    for name, arr in _iter_safetensors(model_dir):
+        val = jnp.asarray(_to_f32(arr), dtype=dtype)
+        if name == "model.embed_tokens.weight":
+            params["embed_tokens"] = val
+        elif name == "model.norm.weight":
+            params["norm"] = val
+        elif name == "lm_head.weight":
+            params["lm_head"] = val
+        elif name.startswith("model.layers."):
+            parts = name.split(".")
+            i = int(parts[2])
+            rest = ".".join(parts[3:])
+            mapping = {
+                "input_layernorm.weight": "input_layernorm",
+                "post_attention_layernorm.weight": "post_attention_layernorm",
+                "self_attn.q_proj.weight": "q_proj",
+                "self_attn.k_proj.weight": "k_proj",
+                "self_attn.v_proj.weight": "v_proj",
+                "self_attn.o_proj.weight": "o_proj",
+                "self_attn.q_proj.bias": "q_bias",
+                "self_attn.k_proj.bias": "k_bias",
+                "self_attn.v_proj.bias": "v_bias",
+                "self_attn.q_norm.weight": "q_norm",
+                "self_attn.k_norm.weight": "k_norm",
+                "mlp.gate_proj.weight": "gate_proj",
+                "mlp.up_proj.weight": "up_proj",
+                "mlp.down_proj.weight": "down_proj",
+            }
+            key = mapping.get(rest)
+            if key is None:
+                # rotary inv_freq buffers etc. are derived, skip
+                continue
+            put(i, key, val)
+        # else: skip (e.g. rotary embeddings)
+
+    if cfg.tie_word_embeddings:
+        params.pop("lm_head", None)
+    return params

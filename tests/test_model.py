@@ -1,0 +1,122 @@
+"""Model correctness tests: logits parity with HF transformers on tiny
+random-weight checkpoints (built offline)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gptq_gguf_tpu.models import llama, loader
+
+RNG = np.random.default_rng(4)
+
+TINY_LLAMA_HF = {
+    "architectures": ["LlamaForCausalLM"],
+    "model_type": "llama",
+    "vocab_size": 256,
+    "hidden_size": 256,
+    "intermediate_size": 512,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 10000.0,
+    "max_position_embeddings": 512,
+    "tie_word_embeddings": False,
+    "torch_dtype": "float32",
+}
+
+
+def make_tiny_hf_model(tmp_path, config_dict=TINY_LLAMA_HF, seed=0):
+    """Create a tiny HF model with random weights on disk; returns (dir, hf_model)."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    cfg = AutoConfig.for_model(**config_dict)
+    torch.manual_seed(seed)
+    model = AutoModelForCausalLM.from_config(cfg)
+    model = model.eval().float()
+    out = tmp_path / "tiny_model"
+    model.save_pretrained(out, safe_serialization=True)
+    return out, model
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("m")
+    return make_tiny_hf_model(tmp)
+
+
+def test_logits_match_hf(tiny_model):
+    import torch
+
+    model_dir, hf_model = tiny_model
+    cfg = loader.load_config(model_dir)
+    params = loader.load_params(model_dir, cfg)
+
+    ids = RNG.integers(0, cfg.vocab_size, size=(2, 48))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.from_numpy(ids)).logits.numpy()
+    j_logits = np.asarray(llama.forward(params, jnp.asarray(ids), cfg))
+
+    assert j_logits.shape == hf_logits.shape
+    np.testing.assert_allclose(j_logits, hf_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_logits_match_hf_llama3_rope(tmp_path):
+    import torch
+
+    cfg_dict = dict(TINY_LLAMA_HF)
+    cfg_dict["rope_scaling"] = {
+        "rope_type": "llama3",
+        "factor": 8.0,
+        "low_freq_factor": 1.0,
+        "high_freq_factor": 4.0,
+        "original_max_position_embeddings": 128,
+    }
+    model_dir, hf_model = make_tiny_hf_model(tmp_path, cfg_dict, seed=1)
+    cfg = loader.load_config(model_dir)
+    params = loader.load_params(model_dir, cfg)
+    ids = RNG.integers(0, cfg.vocab_size, size=(1, 160))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.from_numpy(ids)).logits.numpy()
+    j_logits = np.asarray(llama.forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(j_logits, hf_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_logits_match_hf_qwen2_bias(tmp_path):
+    import torch
+
+    cfg_dict = dict(TINY_LLAMA_HF)
+    cfg_dict["architectures"] = ["Qwen2ForCausalLM"]
+    cfg_dict["model_type"] = "qwen2"
+    cfg_dict["attention_bias"] = True
+    model_dir, hf_model = make_tiny_hf_model(tmp_path, cfg_dict, seed=2)
+    cfg = loader.load_config(model_dir)
+    assert cfg.attention_bias
+    params = loader.load_params(model_dir, cfg)
+    ids = RNG.integers(0, cfg.vocab_size, size=(1, 32))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.from_numpy(ids)).logits.numpy()
+    j_logits = np.asarray(llama.forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(j_logits, hf_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_get_set_linear_roundtrip(tiny_model):
+    model_dir, _ = tiny_model
+    cfg = loader.load_config(model_dir)
+    params = loader.load_params(model_dir, cfg)
+    names = llama.linear_layer_names(cfg, include_non_block=True)
+    assert "model.layers.0.self_attn.q_proj" in names
+    assert "model.layers.1.mlp.down_proj" in names
+    w = llama.get_linear(params, "model.layers.0.self_attn.q_proj")
+    params2 = llama.set_linear(params, "model.layers.0.self_attn.q_proj", w * 2)
+    w2 = llama.get_linear(params2, "model.layers.0.self_attn.q_proj")
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w) * 2)
+    # original untouched (functional update)
+    np.testing.assert_allclose(
+        np.asarray(llama.get_linear(params, "model.layers.0.self_attn.q_proj")),
+        np.asarray(w),
+    )
