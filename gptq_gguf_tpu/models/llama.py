@@ -225,27 +225,26 @@ def attention_scores(q, k, v, mask):
     return out.reshape(B, nH, S, hd)
 
 
-def block_forward(
+def block_capture(
     layer: Dict[str, jax.Array],
     x: jax.Array,
     cos: jax.Array,
     sin: jax.Array,
     mask: jax.Array,
     cfg: LlamaConfig,
-) -> jax.Array:
-    """One transformer block: (B, S, H) -> (B, S, H).
-
-    This is the unit of the calibration walk (the reference's ``block(inp)``
-    at quantizer.py:150-152), exposed as a pure function.
-    """
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """One transformer block, also returning the inputs of each quantizable
+    linear (the functional replacement for the reference's forward hooks,
+    quantizer.py:222-240). Returns (out, {"qkv": ..., "o": ..., "gateup":
+    ..., "down": ...}); unused captures are DCE'd under jit."""
     B, S, H = x.shape
     hd = cfg.head_dim_
     nH, nKV = cfg.num_attention_heads, cfg.num_key_value_heads
 
-    h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
-    q = _linear(h, layer["q_proj"], layer.get("q_bias"))
-    k = _linear(h, layer["k_proj"], layer.get("k_bias"))
-    v = _linear(h, layer["v_proj"], layer.get("v_bias"))
+    h1 = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+    q = _linear(h1, layer["q_proj"], layer.get("q_bias"))
+    k = _linear(h1, layer["k_proj"], layer.get("k_bias"))
+    v = _linear(h1, layer["v_proj"], layer.get("v_bias"))
     q = q.reshape(B, S, nH, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
@@ -257,11 +256,26 @@ def block_forward(
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
     x = x + _linear(attn, layer["o_proj"])
 
-    h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate = _linear(h, layer["gate_proj"])
-    up = _linear(h, layer["up_proj"])
-    x = x + _linear(jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up, layer["down_proj"])
-    return x
+    h2 = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
+    gate = _linear(h2, layer["gate_proj"])
+    up = _linear(h2, layer["up_proj"])
+    down_in = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+    x = x + _linear(down_in, layer["down_proj"])
+    captures = {"qkv": h1, "o": attn, "gateup": h2, "down": down_in}
+    return x, captures
+
+
+def block_forward(
+    layer: Dict[str, jax.Array],
+    x: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: jax.Array,
+    cfg: LlamaConfig,
+) -> jax.Array:
+    """One transformer block: (B, S, H) -> (B, S, H)."""
+    out, _ = block_capture(layer, x, cos, sin, mask, cfg)
+    return out
 
 
 def embed_forward(params, input_ids: jax.Array, cfg: LlamaConfig) -> jax.Array:

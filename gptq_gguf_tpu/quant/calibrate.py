@@ -1,0 +1,236 @@
+"""Sequential block-wise GPTQ calibration walk.
+
+Functional re-expression of the reference Quantizer orchestrator
+(quant/gptq/src/quantizer.py:25-330):
+
+* block-0 inputs come from running the embedding explicitly — no
+  InputCollector/ForwardInterrupt hook machinery (quantizer.py:77-89);
+* per block, ONE jitted capture step accumulates the Hessians of all
+  quantizable linears simultaneously (the reference attaches one hook +
+  Hessian per linear, quantizer.py:222-240 — but q/k/v and gate/up share
+  identical inputs, so we keep 4 Hessians instead of 7 with numerics
+  unchanged);
+* each linear is solved with ``ops.gptq.gptq_quantize_matrix`` and its
+  weight functionally replaced by the dequantized result
+  (quantizer.py:242-275), then the block is re-run to propagate quantized
+  activations (quantizer.py:161-172);
+* embeddings / lm_head are RTN-quantized without a Hessian
+  (quantizer.py:278-330) when ``quant_non_block`` is set;
+* per-layer artifacts are written immediately after each solve, keeping the
+  reference's restartability property (SURVEY.md §5.4).
+
+Activations are staged on host between blocks (the reference's
+``cpu_offload_activations``) so calibration memory is bounded by one block.
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+import time
+from pathlib import Path
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.ggml import GGMLQuantizationType, KQUANT_SPECS
+from ..models import llama
+from ..models.llama import LlamaConfig
+from ..ops import gptq as gptq_ops
+from ..ops import kquant
+from ..ops.gptq import GPTQConfig
+from . import artifacts
+
+# which capture feeds each linear, and the HF module-name template
+_LINEAR_SPECS = [
+    ("q_proj", "qkv", "model.layers.{i}.self_attn.q_proj"),
+    ("k_proj", "qkv", "model.layers.{i}.self_attn.k_proj"),
+    ("v_proj", "qkv", "model.layers.{i}.self_attn.v_proj"),
+    ("o_proj", "o", "model.layers.{i}.self_attn.o_proj"),
+    ("gate_proj", "gateup", "model.layers.{i}.mlp.gate_proj"),
+    ("up_proj", "gateup", "model.layers.{i}.mlp.up_proj"),
+    ("down_proj", "down", "model.layers.{i}.mlp.down_proj"),
+]
+
+DEFAULT_BLOCK_QTYPE = GGMLQuantizationType.Q4_K  # quantizer.py:249-250
+DEFAULT_NON_BLOCK_QTYPE = GGMLQuantizationType.Q6_K  # quantizer.py:106-107
+
+
+def resolve_quant_config(
+    quant_config: Optional[Dict[str, Union[str, GGMLQuantizationType]]]
+) -> Dict[str, GGMLQuantizationType]:
+    out = {}
+    for k, v in (quant_config or {}).items():
+        out[k] = GGMLQuantizationType[v] if isinstance(v, str) else GGMLQuantizationType(v)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("hs",))
+def _capture_step(layer, x, cos, sin, mask, hs, counts, cfg: LlamaConfig):
+    """Forward one batch through a block, updating the 4 Hessians."""
+    out, caps = llama.block_capture(layer, x, cos, sin, mask, cfg)
+    new_hs = {}
+    new_counts = {}
+    for key in ("qkv", "o", "gateup", "down"):
+        h, n = gptq_ops.accumulate_hessian(hs[key], counts[key], caps[key])
+        new_hs[key] = h
+        new_counts[key] = n
+    return out, new_hs, new_counts
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _propagate_step(layer, x, cos, sin, mask, cfg: LlamaConfig):
+    return llama.block_forward(layer, x, cos, sin, mask, cfg)
+
+
+class CalibrationResult(Dict[str, Any]):
+    pass
+
+
+def quantize_model(
+    params: Dict[str, Any],
+    cfg: LlamaConfig,
+    calibration_ids: Sequence[np.ndarray],
+    quant_config: Optional[Dict[str, Any]] = None,
+    gptq_cfg: GPTQConfig = GPTQConfig(),
+    save_dir: Optional[Union[str, Path]] = None,
+    *,
+    quant_non_block: bool = False,
+    quantizable_regex: str = ".*",
+    batch_size: int = 1,
+    mesh=None,
+    verbose: bool = False,
+) -> Dict[str, Any]:
+    """Run the GPTQ calibration walk; returns params with quantized weights.
+
+    calibration_ids: list of (B, S) or (S,) int token arrays (equal S).
+    quant_config: {module_suffix: qtype}, e.g. {"q_proj": "Q4_K", ...};
+    unlisted block linears default to Q4_K, non-block modules to Q6_K.
+    mesh: optional Mesh for data-parallel Hessian accumulation (see
+    parallel.dp) — calibration batches are sharded and Hessians psum-reduced,
+    replacing the reference's NCCL all_reduce (gptq.py:131-132).
+    """
+    qcfg = resolve_quant_config(quant_config)
+    pattern = re.compile(quantizable_regex)
+    t_start = time.perf_counter()
+
+    ids = [np.atleast_2d(np.asarray(a)) for a in calibration_ids]
+    S = ids[0].shape[1]
+    batches: List[np.ndarray] = []
+    for i in range(0, len(ids), batch_size):
+        batches.append(np.concatenate(ids[i : i + batch_size], axis=0))
+
+    positions = jnp.arange(S)[None, :]
+    cos1, sin1 = llama.rope_cos_sin(cfg, positions)
+
+    def rope_for(b):
+        return jnp.broadcast_to(cos1, (b, S, cos1.shape[-1])), jnp.broadcast_to(
+            sin1, (b, S, sin1.shape[-1])
+        )
+
+    # ---- non-block pre module: embed_tokens (quantizer.py:94-128) ----
+    if quant_non_block:
+        qtype = qcfg.get("embed_tokens", DEFAULT_NON_BLOCK_QTYPE)
+        params = _quant_non_block(
+            params, "model.embed_tokens", qtype, gptq_cfg, save_dir, verbose
+        )
+
+    # ---- block-0 inputs ----
+    xs: List[np.ndarray] = [
+        np.asarray(llama.embed_forward(params, jnp.asarray(b), cfg)) for b in batches
+    ]
+
+    # ---- sequential block walk ----
+    n_layers = cfg.num_hidden_layers
+    for li in range(n_layers):
+        t0 = time.perf_counter()
+        layer = params["layers"][li]
+        sizes = {
+            "qkv": cfg.hidden_size,
+            "o": cfg.num_attention_heads * cfg.head_dim_,
+            "gateup": cfg.hidden_size,
+            "down": cfg.intermediate_size,
+        }
+        hs = {k: jnp.zeros((d, d), jnp.float32) for k, d in sizes.items()}
+        counts = {k: jnp.zeros((), jnp.float32) for k in sizes}
+
+        for x in xs:
+            b = x.shape[0]
+            cos, sin = rope_for(b)
+            mask = llama.causal_mask(b, S)
+            _, hs, counts = _capture_step(
+                layer, jnp.asarray(x), cos, sin, mask, hs, counts, cfg
+            )
+
+        if mesh is not None:
+            from ..parallel import dp
+
+            hs = {k: dp.allreduce_mean_hessian(h, mesh) for k, h in hs.items()}
+
+        # ---- solve each selected linear (quantizer.py:242-275) ----
+        new_layer = dict(layer)
+        for key, cap, name_tpl in _LINEAR_SPECS:
+            name = name_tpl.format(i=li)
+            if not pattern.search(name):
+                continue
+            qtype = qcfg.get(key, DEFAULT_BLOCK_QTYPE)
+            W = layer[key]
+            res = gptq_ops.gptq_quantize_matrix(
+                W.astype(jnp.float32), hs[cap], qtype, gptq_cfg
+            )
+            w_hat = kquant.dequantize(res.qweight, res.params, qtype)
+            new_layer[key] = w_hat.astype(W.dtype)
+            if save_dir is not None:
+                artifacts.save_layer(
+                    save_dir,
+                    name,
+                    artifacts.LayerArtifact.from_result(qtype, res.qweight, res.params),
+                )
+            if verbose and bool(res.issue_non_invertible):
+                print(f"[calibrate] {name}: non-invertible Hessian, identity fallback")
+
+        layers = list(params["layers"])
+        layers[li] = new_layer
+        params = {**params, "layers": layers}
+
+        # ---- propagate quantized activations (quantizer.py:161-172) ----
+        new_xs = []
+        for x in xs:
+            b = x.shape[0]
+            cos, sin = rope_for(b)
+            mask = llama.causal_mask(b, S)
+            out = _propagate_step(new_layer, jnp.asarray(x), cos, sin, mask, cfg)
+            new_xs.append(np.asarray(out))
+        xs = new_xs
+
+        if verbose:
+            print(
+                f"[calibrate] block {li + 1}/{n_layers} done in "
+                f"{time.perf_counter() - t0:.2f}s"
+            )
+
+    # ---- non-block post module: lm_head (quantizer.py:181-214) ----
+    if quant_non_block and not cfg.tie_word_embeddings:
+        qtype = qcfg.get("lm_head", DEFAULT_NON_BLOCK_QTYPE)
+        params = _quant_non_block(params, "lm_head", qtype, gptq_cfg, save_dir, verbose)
+
+    if verbose:
+        print(f"[calibrate] total {time.perf_counter() - t_start:.2f}s")
+    return params
+
+
+def _quant_non_block(params, name, qtype, gptq_cfg, save_dir, verbose):
+    W = llama.get_linear(params, name)
+    q, p = kquant.quantize_rtn(W.astype(jnp.float32), qtype, gptq_cfg.scale_cfg)
+    spec = KQUANT_SPECS[qtype]
+    q = q.astype(jnp.int8 if spec.signed else jnp.uint8)
+    w_hat = kquant.dequantize(q, p, qtype).astype(W.dtype)
+    if save_dir is not None:
+        artifacts.save_layer(
+            save_dir, name, artifacts.LayerArtifact.from_result(qtype, q, p)
+        )
+    if verbose:
+        print(f"[calibrate] RTN-quantized {name} to {qtype.name}")
+    return llama.set_linear(params, name, w_hat)
