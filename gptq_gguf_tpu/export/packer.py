@@ -1,0 +1,365 @@
+"""Pack a quantized model (HF checkpoint + per-layer artifacts) into GGUF.
+
+TPU-framework equivalent of the reference's adapted llama.cpp converter
+(quant/gptq/pack_gptq_into_gguf.py): walks the HF checkpoint, and for each
+tensor either (a) packs the GPTQ artifact from the layer directory into exact
+GGML blocks (reference prepare_tensors delta, :282-349), or (b) passes the
+float tensor through (F32/F16 rules, :351-432). The critical GQA q/k head
+permutation is applied to the integer codes *and* every per-row scale array
+(reference :320-324) — row-granular metadata permutes with the rows.
+
+Architecture support follows a registry (reference ModelBase.register
+pattern, :513-536): llama / mistral / qwen2 / qwen3 here, extendable.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from ..formats import convert, ggml
+from ..formats.ggml import GGMLQuantizationType
+from ..formats.gguf import GGUFValueType, GGUFWriter
+from ..quant import artifacts
+
+# llama.cpp LLAMA_FTYPE ids for general.file_type
+FILE_TYPE_IDS = {
+    GGMLQuantizationType.Q2_K: 10,
+    GGMLQuantizationType.Q3_K: 12,  # MOSTLY_Q3_K_M
+    GGMLQuantizationType.Q4_K: 15,  # MOSTLY_Q4_K_M
+    GGMLQuantizationType.Q5_K: 17,  # MOSTLY_Q5_K_M
+    GGMLQuantizationType.Q6_K: 18,
+    GGMLQuantizationType.F16: 1,
+    GGMLQuantizationType.F32: 0,
+}
+
+
+# ---------------------------------------------------------------------------
+# HF -> GGUF tensor name mapping (llama-family)
+# ---------------------------------------------------------------------------
+
+
+def hf_to_gguf_name(name: str) -> Optional[str]:
+    """Map an HF module/tensor name to the GGUF tensor name."""
+    fixed = {
+        "model.embed_tokens.weight": "token_embd.weight",
+        "model.norm.weight": "output_norm.weight",
+        "lm_head.weight": "output.weight",
+    }
+    if name in fixed:
+        return fixed[name]
+    if not name.startswith("model.layers."):
+        return None
+    parts = name.split(".")
+    i = parts[2]
+    rest = ".".join(parts[3:])
+    m = {
+        "input_layernorm.weight": "attn_norm.weight",
+        "post_attention_layernorm.weight": "ffn_norm.weight",
+        "self_attn.q_proj.weight": "attn_q.weight",
+        "self_attn.k_proj.weight": "attn_k.weight",
+        "self_attn.v_proj.weight": "attn_v.weight",
+        "self_attn.o_proj.weight": "attn_output.weight",
+        "self_attn.q_proj.bias": "attn_q.bias",
+        "self_attn.k_proj.bias": "attn_k.bias",
+        "self_attn.v_proj.bias": "attn_v.bias",
+        "self_attn.q_norm.weight": "attn_q_norm.weight",
+        "self_attn.k_norm.weight": "attn_k_norm.weight",
+        "mlp.gate_proj.weight": "ffn_gate.weight",
+        "mlp.up_proj.weight": "ffn_up.weight",
+        "mlp.down_proj.weight": "ffn_down.weight",
+    }
+    if rest not in m:
+        return None
+    return f"blk.{i}.{m[rest]}"
+
+
+def gqa_permute_rows(n_rows: int, n_head: int) -> np.ndarray:
+    """Row permutation converting HF rotate-half RoPE layout to GGML's
+    interleaved layout (llama.cpp LlamaModel.permute; reference applies it to
+    qweight and scales alike, pack_gptq_into_gguf.py:320-324).
+
+    Returns an index array ``perm`` such that ``w_gguf = w_hf[perm]``.
+    """
+    idx = np.arange(n_rows)
+    return (
+        idx.reshape(n_head, 2, n_rows // n_head // 2)
+        .swapaxes(1, 2)
+        .reshape(n_rows)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Architecture registry
+# ---------------------------------------------------------------------------
+
+_ARCH_REGISTRY: Dict[str, "ArchSpec"] = {}
+
+
+class ArchSpec:
+    """Per-architecture conversion rules (llama.cpp-compatible)."""
+
+    gguf_arch = "llama"
+    permute_qk = True  # llama/mistral permute q/k; qwen2 does not
+
+    def __init__(self, hf_config: Dict[str, Any]):
+        self.hf = hf_config
+
+    # -- metadata ----------------------------------------------------------
+
+    def metadata(self) -> Dict[str, Any]:
+        c = self.hf
+        a = self.gguf_arch
+        n_head = c["num_attention_heads"]
+        n_kv = c.get("num_key_value_heads", n_head)
+        head_dim = c.get("head_dim") or c["hidden_size"] // n_head
+        md = {
+            "general.architecture": a,
+            "general.name": c.get("_name_or_path", "model"),
+            "general.quantization_version": 2,
+            f"{a}.context_length": c.get("max_position_embeddings", 4096),
+            f"{a}.embedding_length": c["hidden_size"],
+            f"{a}.block_count": c["num_hidden_layers"],
+            f"{a}.feed_forward_length": c["intermediate_size"],
+            f"{a}.attention.head_count": n_head,
+            f"{a}.attention.head_count_kv": n_kv,
+            f"{a}.attention.layer_norm_rms_epsilon": float(c.get("rms_norm_eps", 1e-5)),
+            f"{a}.rope.freq_base": float(c.get("rope_theta", 10000.0)),
+            f"{a}.rope.dimension_count": head_dim,
+            f"{a}.vocab_size": c["vocab_size"],
+        }
+        rs = c.get("rope_scaling") or {}
+        rt = rs.get("rope_type", rs.get("type"))
+        if rt == "linear":
+            md[f"{a}.rope.scaling.type"] = "linear"
+            md[f"{a}.rope.scaling.factor"] = float(rs["factor"])
+        elif rt == "llama3":
+            # llama.cpp computes llama3 scaling from these fields at load time
+            md[f"{a}.rope.scaling.type"] = "linear"
+            md[f"{a}.rope.scaling.factor"] = float(rs.get("factor", 8.0))
+            md[f"{a}.rope.scaling.original_context_length"] = int(
+                rs.get("original_max_position_embeddings", 8192)
+            )
+        return md
+
+    # -- tensor hooks ------------------------------------------------------
+
+    def row_permutation(self, hf_name: str, n_rows: int) -> Optional[np.ndarray]:
+        if not self.permute_qk:
+            return None
+        c = self.hf
+        n_head = c["num_attention_heads"]
+        n_kv = c.get("num_key_value_heads", n_head)
+        if ".self_attn.q_proj." in hf_name:
+            return gqa_permute_rows(n_rows, n_head)
+        if ".self_attn.k_proj." in hf_name:
+            return gqa_permute_rows(n_rows, n_kv)
+        return None
+
+
+class LlamaArch(ArchSpec):
+    gguf_arch = "llama"
+    permute_qk = True
+
+
+class MistralArch(LlamaArch):
+    pass
+
+
+class Qwen2Arch(ArchSpec):
+    gguf_arch = "qwen2"
+    permute_qk = False
+
+
+class Qwen3Arch(ArchSpec):
+    gguf_arch = "qwen3"
+    permute_qk = False
+
+    def metadata(self):
+        md = super().metadata()
+        c = self.hf
+        head_dim = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        md[f"{self.gguf_arch}.attention.key_length"] = head_dim
+        md[f"{self.gguf_arch}.attention.value_length"] = head_dim
+        return md
+
+
+_ARCH_REGISTRY.update(
+    {"llama": LlamaArch, "mistral": MistralArch, "qwen2": Qwen2Arch, "qwen3": Qwen3Arch}
+)
+
+
+def register_arch(model_type: str, spec_cls) -> None:
+    _ARCH_REGISTRY[model_type] = spec_cls
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer metadata
+# ---------------------------------------------------------------------------
+
+
+def tokenizer_metadata(model_dir: Path) -> Dict[str, Any]:
+    """Extract GGUF tokenizer keys from an HF fast-tokenizer checkpoint
+    (BPE path; the reference inherits this from convert_hf_to_gguf)."""
+    tok_path = model_dir / "tokenizer.json"
+    if not tok_path.exists():
+        return {}
+    with open(tok_path) as f:
+        tok = json.load(f)
+    model = tok.get("model", {})
+    if model.get("type") != "BPE":
+        return {}
+    vocab: Dict[str, int] = model["vocab"]
+    merges = model.get("merges", [])
+    merges = [" ".join(m) if isinstance(m, (list, tuple)) else m for m in merges]
+    size = max(vocab.values()) + 1
+    tokens = [""] * size
+    for t, i in vocab.items():
+        tokens[i] = t
+    toktypes = [1] * size  # NORMAL
+    added = {t["id"]: t for t in tok.get("added_tokens", [])}
+    for i, t in added.items():
+        if i >= size:
+            tokens.extend([""] * (i + 1 - size))
+            toktypes.extend([1] * (i + 1 - size))
+            size = i + 1
+        tokens[i] = t["content"]
+        toktypes[i] = 3 if t.get("special") else 4  # CONTROL / USER_DEFINED
+    md: Dict[str, Any] = {
+        "tokenizer.ggml.model": "gpt2",
+        "tokenizer.ggml.pre": "llama-bpe",
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.token_type": toktypes,
+        "tokenizer.ggml.merges": merges,
+    }
+    cfg_path = model_dir / "tokenizer_config.json"
+    gen_path = model_dir / "generation_config.json"
+    ids = {}
+    for p in (gen_path, cfg_path):
+        if p.exists():
+            with open(p) as f:
+                d = json.load(f)
+            for key in ("bos_token_id", "eos_token_id"):
+                v = d.get(key)
+                if isinstance(v, list):
+                    v = v[0]
+                if isinstance(v, int) and key not in ids:
+                    ids[key] = v
+    if "bos_token_id" in ids:
+        md["tokenizer.ggml.bos_token_id"] = ids["bos_token_id"]
+    if "eos_token_id" in ids:
+        md["tokenizer.ggml.eos_token_id"] = ids["eos_token_id"]
+    return md
+
+
+# ---------------------------------------------------------------------------
+# Packing
+# ---------------------------------------------------------------------------
+
+
+def _permute_artifact(art: artifacts.LayerArtifact, perm: np.ndarray) -> artifacts.LayerArtifact:
+    return artifacts.LayerArtifact(
+        q_type=art.q_type,
+        qweight=art.qweight[perm],
+        super_group_scale=art.super_group_scale[perm],
+        super_group_zero=art.super_group_zero[perm],
+        group_scale_quant=art.group_scale_quant[perm],
+        group_zero_quant=art.group_zero_quant[perm],
+    )
+
+
+def pack_model(
+    model_dir: Union[str, Path],
+    quant_dir: Union[str, Path],
+    out_path: Union[str, Path],
+    *,
+    default_float: GGMLQuantizationType = GGMLQuantizationType.F16,
+    extra_metadata: Optional[Dict[str, Any]] = None,
+) -> Path:
+    """Produce a llama.cpp-loadable .gguf from an HF checkpoint + artifacts.
+
+    model_dir: HF checkpoint (config.json + safetensors + tokenizer.json).
+    quant_dir: per-layer artifact tree from the calibration walk.
+    """
+    from ..models.loader import _iter_safetensors, _to_f32
+
+    model_dir = Path(model_dir)
+    quant_dir = Path(quant_dir)
+    with open(model_dir / "config.json") as f:
+        hf_cfg = json.load(f)
+    model_type = hf_cfg.get("model_type", "llama")
+    spec_cls = _ARCH_REGISTRY.get(model_type)
+    if spec_cls is None:
+        raise NotImplementedError(f"unsupported model_type {model_type!r}")
+    spec = spec_cls(hf_cfg)
+
+    quant_layers = artifacts.list_layers(quant_dir)
+
+    writer = GGUFWriter(out_path)
+    for k, v in spec.metadata().items():
+        writer.add_kv(k, v)
+    for k, v in tokenizer_metadata(model_dir).items():
+        writer.add_kv(k, v)
+    for k, v in (extra_metadata or {}).items():
+        writer.add_kv(k, v)
+
+    type_counts: Dict[GGMLQuantizationType, int] = {}
+    seen_embed: Optional[np.ndarray] = None
+    has_lm_head = False
+
+    def add_quantized(gguf_name: str, hf_name: str, art: artifacts.LayerArtifact):
+        perm = spec.row_permutation(hf_name, art.qweight.shape[0])
+        if perm is not None:
+            art = _permute_artifact(art, perm)
+        blocks = convert.pack_layer(
+            art.qweight,
+            art.super_group_scale,
+            art.group_scale_quant,
+            art.super_group_zero,
+            art.group_zero_quant,
+            art.q_type,
+        )
+        writer.add_tensor(
+            gguf_name, blocks, raw_dtype=art.q_type, raw_shape=art.qweight.shape
+        )
+        type_counts[art.q_type] = type_counts.get(art.q_type, 0) + 1
+
+    def add_float(gguf_name: str, hf_name: str, arr: np.ndarray):
+        arr = _to_f32(arr)
+        perm = spec.row_permutation(hf_name, arr.shape[0])
+        if perm is not None:
+            arr = arr[perm]
+        is_norm = gguf_name.endswith("_norm.weight") or arr.ndim == 1
+        if is_norm or default_float == GGMLQuantizationType.F32:
+            writer.add_tensor(gguf_name, arr.astype(np.float32))
+        else:
+            writer.add_tensor(gguf_name, arr.astype(np.float16))
+
+    for name, arr in _iter_safetensors(model_dir):
+        gguf_name = hf_to_gguf_name(name)
+        if gguf_name is None:
+            continue
+        base = name[: -len(".weight")] if name.endswith(".weight") else name
+        if name == "model.embed_tokens.weight":
+            seen_embed = arr
+        if name == "lm_head.weight":
+            has_lm_head = True
+        if name.endswith(".weight") and base in quant_layers:
+            add_quantized(gguf_name, name, artifacts.load_layer(quant_dir, base))
+        else:
+            add_float(gguf_name, name, arr)
+
+    # tied embeddings: llama.cpp needs output.weight; reuse token_embd
+    if not has_lm_head and hf_cfg.get("tie_word_embeddings") and seen_embed is not None:
+        if "lm_head" in quant_layers:
+            add_quantized("output.weight", "lm_head.weight", artifacts.load_layer(quant_dir, "lm_head"))
+        else:
+            add_float("output.weight", "lm_head.weight", seen_embed)
+
+    dominant = max(type_counts, key=type_counts.get) if type_counts else default_float
+    writer.add_kv("general.file_type", FILE_TYPE_IDS.get(dominant, 1))
+    writer.write()
+    return Path(out_path)
