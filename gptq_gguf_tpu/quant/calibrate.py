@@ -160,14 +160,15 @@ def quantize_model(
             b = x.shape[0]
             cos, sin = rope_for(b)
             mask = llama.causal_mask(b, S)
-            _, hs, counts = _capture_step(
-                layer, jnp.asarray(x), cos, sin, mask, hs, counts, cfg
-            )
+            xj = jnp.asarray(x)
+            if mesh is not None:
+                # batch axis sharded over dp: XLA all-reduces X^T X across
+                # devices inside the jitted step (replaces the reference's
+                # NCCL all_reduce, gptq.py:131-132)
+                from ..parallel import dp as dp_mod
 
-        if mesh is not None:
-            from ..parallel import dp
-
-            hs = {k: dp.allreduce_mean_hessian(h, mesh) for k, h in hs.items()}
+                xj = dp_mod.shard_batch(xj, mesh)
+            _, hs, counts = _capture_step(layer, xj, cos, sin, mask, hs, counts, cfg)
 
         # ---- solve each selected linear (quantizer.py:242-275) ----
         new_layer = dict(layer)
