@@ -224,6 +224,7 @@ _MAKE_FN = {
 }
 
 
+@functools.partial(jax.jit, static_argnames=("qtype", "cfg"))
 def fit_supergroups(
     x: jax.Array,
     qtype: GGMLQuantizationType,
@@ -277,6 +278,7 @@ def _expanded_scales(
     return ss * sq, sz * zq
 
 
+@functools.partial(jax.jit, static_argnames=("qtype", "eps"))
 def quantize(
     x: jax.Array,
     params: SuperGroupParams,
@@ -292,6 +294,7 @@ def quantize(
     return q.astype(jnp.int8 if spec.signed else jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("qtype",))
 def dequantize(
     q: jax.Array, params: SuperGroupParams, qtype: GGMLQuantizationType
 ) -> jax.Array:

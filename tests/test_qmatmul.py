@@ -1,0 +1,56 @@
+"""Runtime quantized-matmul tests (XLA path + Pallas kernel in interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gptq_gguf_tpu.formats.ggml import GGMLQuantizationType as T
+from gptq_gguf_tpu.ops import kquant, qmatmul
+
+RNG = np.random.default_rng(14)
+ALL_K = [T.Q2_K, T.Q3_K, T.Q4_K, T.Q5_K, T.Q6_K]
+
+
+@pytest.mark.parametrize("qtype", ALL_K)
+def test_runtime_format_exact(qtype):
+    """dequantize_runtime must equal the canonical dequantize bit-for-bit."""
+    x = RNG.normal(size=(8, 512)).astype(np.float32) * 0.1
+    q, params = kquant.quantize_rtn(jnp.asarray(x), qtype)
+    w_ref = np.asarray(kquant.dequantize(q, params, qtype))
+    rql = qmatmul.pack_runtime(np.asarray(q), params, qtype)
+    w_rt = np.asarray(qmatmul.dequantize_runtime(rql))
+    np.testing.assert_array_equal(w_rt, w_ref)
+
+
+@pytest.mark.parametrize("qtype", [T.Q4_K, T.Q6_K])
+def test_dequant_matmul_xla(qtype):
+    wx = RNG.normal(size=(256, 512)).astype(np.float32) * 0.1
+    q, params = kquant.quantize_rtn(jnp.asarray(wx), qtype)
+    rql = qmatmul.pack_runtime(np.asarray(q), params, qtype)
+    x = RNG.normal(size=(4, 512)).astype(np.float32)
+    y = np.asarray(qmatmul.dequant_matmul_xla(jnp.asarray(x), rql))
+    w = np.asarray(kquant.dequantize(q, params, qtype))
+    np.testing.assert_allclose(y, x @ w.T, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("qtype", [T.Q2_K, T.Q4_K, T.Q6_K])
+def test_pallas_kernel_interpret_matches_xla(qtype):
+    wx = RNG.normal(size=(512, 512)).astype(np.float32) * 0.1
+    q, params = kquant.quantize_rtn(jnp.asarray(wx), qtype)
+    rql = qmatmul.pack_runtime(np.asarray(q), params, qtype)
+    x = jnp.asarray(RNG.normal(size=(8, 512)).astype(np.float32))
+    y_ref = np.asarray(qmatmul.dequant_matmul_xla(x, rql))
+    y_pal = np.asarray(
+        qmatmul.dequant_matmul_pallas(x, rql, tile_out=256, tile_in=256, interpret=True)
+    )
+    np.testing.assert_allclose(y_pal, y_ref, rtol=1e-5, atol=1e-4)
+
+
+def test_packed_size_is_compact():
+    wx = RNG.normal(size=(512, 4096)).astype(np.float32) * 0.1
+    q, params = kquant.quantize_rtn(jnp.asarray(wx), T.Q4_K)
+    rql = qmatmul.pack_runtime(np.asarray(q), params, T.Q4_K)
+    assert rql.packed_bits_per_weight < 6.5  # 4 bits codes + f32 scales/32
+    assert rql.qs.dtype == jnp.uint8
