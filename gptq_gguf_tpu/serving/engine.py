@@ -1,0 +1,214 @@
+"""Generation engine: jitted prefill/decode steps + continuous batching.
+
+New capability relative to the reference (whose deployment target is
+llama.cpp, SURVEY.md §0): a slot-based continuous-batching scheduler over
+the KV-cached quantized model. B fixed slots; finished requests free their
+slot and queued requests are prefilled into it while other slots keep
+decoding — the standard orca-style loop expressed with fully static shapes
+so every step is one cached XLA program.
+
+Round-1 scope: contiguous per-slot KV (max_len per slot); block-paged KV and
+a flash-decode kernel are the planned upgrades.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from collections import deque
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import LlamaConfig
+from . import model as qmodel
+from .model import KVCache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _decode_step(params, cfg: LlamaConfig, tokens: jax.Array, cache: KVCache):
+    """One greedy decode step for all slots. tokens: (B,)."""
+    logits, cache = qmodel.forward_cached(params, cfg, tokens[:, None], cache)
+    next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return next_tokens, logits, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _sample_step(params, cfg: LlamaConfig, tokens, cache, key, temperature):
+    logits, cache = qmodel.forward_cached(params, cfg, tokens[:, None], cache)
+    key, sub = jax.random.split(key)
+    next_tokens = jax.random.categorical(sub, logits / jnp.maximum(temperature, 1e-6))
+    return next_tokens.astype(jnp.int32), logits, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def _prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache: KVCache, slot):
+    """Prefill one slot with a (1, S) prompt; other slots untouched.
+
+    Compiles once per prompt length; callers should bucket prompt lengths
+    if compile churn matters."""
+    sub = KVCache(
+        [jax.lax.dynamic_slice_in_dim(k, slot, 1, axis=0) for k in cache.k],
+        [jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=0) for v in cache.v],
+        jnp.zeros((1,), jnp.int32),
+    )
+    logits, sub = qmodel.forward_cached(params, cfg, prompt, sub)
+    zero = jnp.zeros((), jnp.int32)
+    new_k = [
+        jax.lax.dynamic_update_slice(k, s, (slot, zero, zero, zero))
+        for k, s in zip(cache.k, sub.k)
+    ]
+    new_v = [
+        jax.lax.dynamic_update_slice(v, s, (slot, zero, zero, zero))
+        for v, s in zip(cache.v, sub.v)
+    ]
+    lengths = cache.lengths.at[slot].set(prompt.shape[1])
+    next_token = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+    return next_token, KVCache(new_k, new_v, lengths)
+
+
+def generate(
+    params,
+    cfg: LlamaConfig,
+    prompts: Sequence[np.ndarray],
+    max_new_tokens: int = 32,
+    *,
+    max_len: Optional[int] = None,
+    eos_token_id: Optional[int] = None,
+    temperature: float = 0.0,
+    seed: int = 0,
+) -> List[List[int]]:
+    """Batch generation (greedy or sampled). Prompts may differ in length."""
+    B = len(prompts)
+    prompts = [np.atleast_1d(np.asarray(p)).reshape(-1) for p in prompts]
+    max_prompt = max(len(p) for p in prompts)
+    max_len = max_len or (max_prompt + max_new_tokens)
+    cache = qmodel.init_cache(cfg, B, max_len, dtype=jnp.bfloat16)
+
+    cur_tokens = np.zeros((B,), np.int32)
+    for b, p in enumerate(prompts):
+        tok, cache = _prefill_slot(params, cfg, jnp.asarray(p)[None, :], cache, b)
+        cur_tokens[b] = int(tok)
+
+    outputs: List[List[int]] = [[int(t)] for t in cur_tokens]
+    done = [False] * B
+    key = jax.random.PRNGKey(seed)
+    tokens = jnp.asarray(cur_tokens)
+    for _ in range(max_new_tokens - 1):
+        if all(done):
+            break
+        if temperature > 0:
+            key, sub = jax.random.split(key)
+            tokens, _, cache = _sample_step(params, cfg, tokens, cache, sub, temperature)
+        else:
+            tokens, _, cache = _decode_step(params, cfg, tokens, cache)
+        host = np.asarray(tokens)
+        for b in range(B):
+            if not done[b]:
+                outputs[b].append(int(host[b]))
+                if eos_token_id is not None and host[b] == eos_token_id:
+                    done[b] = True
+    return outputs
+
+
+# ---------------------------------------------------------------------------
+# Continuous batching
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: np.ndarray
+    max_new_tokens: int
+    output: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+    submitted_at: float = dataclasses.field(default_factory=time.time)
+    finished_at: Optional[float] = None
+
+
+class ContinuousBatchingEngine:
+    """Slot-based continuous batching over the quantized model.
+
+    submit() enqueues requests; step() runs one decode step for all active
+    slots, retiring finished requests and prefilling free slots from
+    the queue. All device programs have static shapes (one decode program,
+    one prefill program per prompt-length bucket).
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: LlamaConfig,
+        num_slots: int = 8,
+        max_len: int = 2048,
+        eos_token_id: Optional[int] = None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.num_slots = num_slots
+        self.max_len = max_len
+        self.eos = eos_token_id
+        self.cache = qmodel.init_cache(cfg, num_slots, max_len, dtype=jnp.bfloat16)
+        self.tokens = jnp.zeros((num_slots,), jnp.int32)
+        self.slot_req: List[Optional[Request]] = [None] * num_slots
+        self.queue: deque = deque()
+        self._uid = 0
+        self.completed: List[Request] = []
+
+    def submit(self, prompt: np.ndarray, max_new_tokens: int = 64) -> int:
+        self._uid += 1
+        self.queue.append(Request(self._uid, np.asarray(prompt).reshape(-1), max_new_tokens))
+        return self._uid
+
+    def _admit(self) -> None:
+        for slot in range(self.num_slots):
+            if self.slot_req[slot] is None and self.queue:
+                req = self.queue.popleft()
+                prompt = req.prompt[-(self.max_len - req.max_new_tokens) :]
+                tok, cache = _prefill_slot(
+                    self.params, self.cfg, jnp.asarray(prompt)[None, :],
+                    self.cache, slot,
+                )
+                self.cache = cache
+                self.tokens = self.tokens.at[slot].set(tok)
+                req.output.append(int(tok))
+                self.slot_req[slot] = req
+
+    def step(self) -> int:
+        """Admit + one decode step; returns number of active slots."""
+        self._admit()
+        active = [s for s, r in enumerate(self.slot_req) if r is not None]
+        if not active:
+            return 0
+        self.tokens, _, self.cache = _decode_step(
+            self.params, self.cfg, self.tokens, self.cache
+        )
+        host = np.asarray(self.tokens)
+        lengths = np.asarray(self.cache.lengths)
+        for slot in active:
+            req = self.slot_req[slot]
+            req.output.append(int(host[slot]))
+            hit_eos = self.eos is not None and host[slot] == self.eos
+            out_of_budget = len(req.output) >= req.max_new_tokens
+            out_of_cache = lengths[slot] >= self.max_len - 1
+            if hit_eos or out_of_budget or out_of_cache:
+                req.done = True
+                req.finished_at = time.time()
+                self.completed.append(req)
+                self.slot_req[slot] = None
+                # reset slot length so the next request starts fresh
+                self.cache = KVCache(
+                    self.cache.k, self.cache.v, self.cache.lengths.at[slot].set(0)
+                )
+        return len(active)
+
+    def run_until_done(self, max_steps: int = 100000) -> List[Request]:
+        steps = 0
+        while (self.queue or any(r is not None for r in self.slot_req)) and steps < max_steps:
+            self.step()
+            steps += 1
+        return self.completed

@@ -1,0 +1,289 @@
+"""Quantized serving model: KV-cached decoder over runtime-packed weights.
+
+The reference's serving story is "hand the .gguf to llama.cpp"
+(README.md:325); this module is the TPU-native engine replacing it. Weights
+stay packed (ops/qmatmul.RuntimeQuantLinear) and are dequantized inside the
+fused matmul kernel; the KV cache is a preallocated per-layer ring of
+(B, n_kv, max_len, hd) arrays updated functionally under jit.
+
+A quantized model can be built from three sources:
+  * an HF checkpoint + calibration artifacts dir (our pipeline output)
+  * a .gguf file directly (bit-exact unpack via formats/) — anything
+    llama.cpp can serve, we can serve
+  * float params (debug; packs nothing)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from pathlib import Path
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.ggml import KQUANT_SPECS, GGMLQuantizationType
+from ..models import llama
+from ..models.llama import LlamaConfig
+from ..ops import qmatmul
+from ..ops.kquant import SuperGroupParams
+
+
+def _q_linear(x: jax.Array, w) -> jax.Array:
+    """Apply either a RuntimeQuantLinear or a plain dense matrix."""
+    if isinstance(w, qmatmul.RuntimeQuantLinear):
+        shape = x.shape[:-1]
+        y = qmatmul.dequant_matmul(x.reshape(-1, x.shape[-1]), w)
+        return y.reshape(*shape, w.d_out).astype(x.dtype)
+    return jnp.einsum(
+        "...i,oi->...o", x, w, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+
+class KVCache(NamedTuple):
+    k: List[jax.Array]  # per layer (B, n_kv, max_len, hd)
+    v: List[jax.Array]
+    lengths: jax.Array  # (B,) int32: tokens already cached per slot
+
+
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
+    hd = cfg.head_dim_
+    shape = (batch, cfg.num_key_value_heads, max_len, hd)
+    return KVCache(
+        [jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)],
+        [jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)],
+        jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def _cached_attention(q, k_cache, v_cache, lengths):
+    """q: (B, nH, S, hd); caches (B, nKV, L, hd); slot b's queries sit at
+    positions lengths[b] + [0, S)."""
+    B, nH, S, hd = q.shape
+    nKV = k_cache.shape[1]
+    L = k_cache.shape[2]
+    groups = nH // nKV
+    qg = q.reshape(B, nKV, groups, S, hd)
+    scores = jnp.einsum(
+        "bkgsh,bkth->bkgst", qg, k_cache, preferred_element_type=jnp.float32
+    ) / math.sqrt(hd)
+    pos = jnp.arange(L)[None, None, :]
+    qpos = lengths[:, None, None] + jnp.arange(S)[None, :, None]
+    mask = pos <= qpos  # (B, S, L) causal per slot
+    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+    out = jnp.einsum(
+        "bkgst,bkth->bkgsh", probs, v_cache, preferred_element_type=jnp.float32
+    )
+    return out.reshape(B, nH, S, hd)
+
+
+def forward_cached(
+    params: Dict[str, Any],
+    cfg: LlamaConfig,
+    input_ids: jax.Array,
+    cache: KVCache,
+) -> Tuple[jax.Array, KVCache]:
+    """Run S new tokens through the model with the KV cache.
+
+    input_ids: (B, S) — prefill uses S>1, decode S=1. Slot b's new tokens
+    land at positions cache.lengths[b] + [0, S). Returns (logits of the
+    final position (B, vocab), updated cache).
+    """
+    B, S = input_ids.shape
+    hd = cfg.head_dim_
+    nH, nKV = cfg.num_attention_heads, cfg.num_key_value_heads
+    lengths = cache.lengths
+
+    positions = lengths[:, None] + jnp.arange(S)[None, :]
+    cos, sin = llama.rope_cos_sin(cfg, positions)
+
+    x = params["embed_tokens"]
+    x = (x[input_ids] if not isinstance(x, qmatmul.RuntimeQuantLinear)
+         else qmatmul.dequantize_runtime(x)[input_ids]).astype(cfg.dtype)
+
+    new_k, new_v = [], []
+    for li, layer in enumerate(params["layers"]):
+        h = llama.rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+        q = _q_linear(h, layer["q_proj"])
+        k = _q_linear(h, layer["k_proj"])
+        v = _q_linear(h, layer["v_proj"])
+        if layer.get("q_bias") is not None:
+            q = q + layer["q_bias"]
+            k = k + layer["k_bias"]
+            v = v + layer["v_bias"]
+        q = q.reshape(B, S, nH, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
+        if cfg.qk_norm:
+            q = llama.rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
+            k = llama.rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
+        q, k = llama.apply_rope(q, k, cos, sin)
+
+        bidx = jnp.arange(B)[:, None]
+        k_cache = cache.k[li].at[bidx, :, positions, :].set(
+            k.transpose(0, 2, 1, 3).astype(cache.k[li].dtype), mode="drop"
+        )
+        v_cache = cache.v[li].at[bidx, :, positions, :].set(
+            v.transpose(0, 2, 1, 3).astype(cache.v[li].dtype), mode="drop"
+        )
+        new_k.append(k_cache)
+        new_v.append(v_cache)
+
+        attn = _cached_attention(q, k_cache, v_cache, lengths)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
+        x = x + _q_linear(attn, layer["o_proj"])
+
+        h = llama.rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
+        gate = _q_linear(h, layer["gate_proj"])
+        up = _q_linear(h, layer["up_proj"])
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        x = x + _q_linear(act, layer["down_proj"])
+
+    h = llama.rms_norm(x[:, -1, :], params["norm"], cfg.rms_norm_eps)
+    head = params.get("lm_head", params["embed_tokens"])
+    if isinstance(head, qmatmul.RuntimeQuantLinear):
+        logits = qmatmul.dequant_matmul(h, head)
+    else:
+        logits = jnp.einsum("bi,oi->bo", h, head, preferred_element_type=jnp.float32)
+    return logits, KVCache(new_k, new_v, lengths + S)
+
+
+# ---------------------------------------------------------------------------
+# Builders
+# ---------------------------------------------------------------------------
+
+
+def quantize_params_for_serving(
+    params: Dict[str, Any],
+    cfg: LlamaConfig,
+    artifacts_dir: Union[str, Path],
+) -> Dict[str, Any]:
+    """Replace block linears with RuntimeQuantLinear from a calibration
+    artifacts tree; norms/embeddings stay dense."""
+    from ..quant import artifacts as art_mod
+
+    available = art_mod.list_layers(artifacts_dir)
+    out = dict(params)
+    layers = []
+    for li, layer in enumerate(params["layers"]):
+        new_layer = dict(layer)
+        for key in llama.BLOCK_LINEAR_KEYS:
+            mod = "self_attn" if key[0] in "qkvo" else "mlp"
+            name = f"model.layers.{li}.{mod}.{key}"
+            if name in available:
+                art = art_mod.load_layer(artifacts_dir, name)
+                new_layer[key] = qmatmul.pack_runtime(
+                    art.qweight, art.params(), art.q_type
+                )
+        layers.append(new_layer)
+    out["layers"] = layers
+    return out
+
+
+def load_gguf_for_serving(
+    gguf_path: Union[str, Path], dtype=jnp.bfloat16
+) -> Tuple[Dict[str, Any], LlamaConfig]:
+    """Build a serving model directly from a .gguf file.
+
+    Quantized K-quant tensors are unpacked bit-exactly to codes+params and
+    repacked into the runtime kernel format; everything llama.cpp could load
+    from this file, we serve natively.
+    """
+    from ..export.packer import gqa_permute_rows
+    from ..formats import convert
+    from ..formats.gguf import GGUFReader
+    from ..formats.ggml import K_QUANT_TYPES
+    from ..mapper.splitter import gguf_to_hf_name
+
+    r = GGUFReader(gguf_path)
+    arch = r.get("general.architecture", "llama")
+    n_head = r.get(f"{arch}.attention.head_count")
+    n_kv = r.get(f"{arch}.attention.head_count_kv", n_head)
+    n_layers = r.get(f"{arch}.block_count")
+    hidden = r.get(f"{arch}.embedding_length")
+    head_dim = r.get(f"{arch}.rope.dimension_count", hidden // n_head)
+    vocab = r.get(f"{arch}.vocab_size") or len(r.get("tokenizer.ggml.tokens", []))
+    cfg = LlamaConfig(
+        vocab_size=vocab,
+        hidden_size=hidden,
+        intermediate_size=r.get(f"{arch}.feed_forward_length"),
+        num_hidden_layers=n_layers,
+        num_attention_heads=n_head,
+        num_key_value_heads=n_kv,
+        head_dim=head_dim,
+        rms_norm_eps=r.get(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5),
+        rope_theta=r.get(f"{arch}.rope.freq_base", 10000.0),
+        max_position_embeddings=r.get(f"{arch}.context_length", 4096),
+        qk_norm=f"blk.0.attn_q_norm.weight" in r.tensors,
+        dtype=dtype,
+    )
+    permute_qk = arch in ("llama", "mistral")
+
+    def load_tensor(name: str, hf_name: str):
+        info = r.tensors[name]
+        inv = None
+        if permute_qk and (".attn_q." in name or ".attn_k." in name) and "norm" not in name:
+            heads = n_head if ".attn_q." in name else n_kv
+            inv = np.argsort(gqa_permute_rows(info.shape[0], heads))
+        if info.ggml_type in K_QUANT_TYPES and info.shape[-1] % 256 == 0:
+            q, ss, sc, sz, zq = convert.unpack_layer(
+                np.asarray(r.tensor_bytes(name)), info.ggml_type, info.shape
+            )
+            if inv is not None:
+                q, ss, sc, sz, zq = q[inv], ss[inv], sc[inv], sz[inv], zq[inv]
+            spec = KQUANT_SPECS[info.ggml_type]
+            q = q.astype(np.int8 if spec.signed else np.uint8)
+            params = SuperGroupParams(
+                jnp.asarray(ss), jnp.asarray(sz), jnp.asarray(sc), jnp.asarray(zq)
+            )
+            return qmatmul.pack_runtime(q, params, info.ggml_type)
+        w = r.tensor_float(name)
+        if inv is not None:
+            w = w[inv]
+        return jnp.asarray(w, dtype=dtype if w.ndim > 1 else jnp.float32)
+
+    params: Dict[str, Any] = {"layers": []}
+    name_map = {
+        "attn_norm": "input_layernorm",
+        "ffn_norm": "post_attention_layernorm",
+        "attn_q": "q_proj",
+        "attn_k": "k_proj",
+        "attn_v": "v_proj",
+        "attn_output": "o_proj",
+        "attn_q_norm": "q_norm",
+        "attn_k_norm": "k_norm",
+        "ffn_gate": "gate_proj",
+        "ffn_up": "up_proj",
+        "ffn_down": "down_proj",
+    }
+    layers: List[Dict[str, Any]] = [dict() for _ in range(n_layers)]
+    for name in r.tensor_order:
+        if name == "token_embd.weight":
+            # embeddings are gathered, keep dense
+            params["embed_tokens"] = jnp.asarray(
+                r.tensor_float(name), dtype=dtype
+            )
+        elif name == "output.weight":
+            params["lm_head"] = load_tensor(name, "lm_head")
+        elif name == "output_norm.weight":
+            params["norm"] = jnp.asarray(r.tensor_float(name))
+        elif name.startswith("blk."):
+            parts = name.split(".")
+            li = int(parts[1])
+            comp = parts[2]
+            if comp in name_map:
+                suffix = parts[3] if len(parts) > 3 else "weight"
+                key = name_map[comp]
+                if suffix == "bias":
+                    key = {"q_proj": "q_bias", "k_proj": "k_bias", "v_proj": "v_bias"}.get(key, key)
+                    layers[li][key] = jnp.asarray(r.tensor_float(name))
+                else:
+                    layers[li][key] = load_tensor(name, key)
+    params["layers"] = layers
+    if "lm_head" not in params:
+        cfg = dataclasses.replace(cfg, tie_word_embeddings=True)
+    return params, cfg
