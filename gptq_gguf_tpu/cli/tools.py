@@ -1,0 +1,277 @@
+"""Pipeline-tool subcommands: pack, split, stitch, convert-config, build-db,
+ppl, search, serve. Each mirrors a reference CLI (SURVEY.md §1 L3/L4)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from . import common
+
+
+# -- pack (pack_gptq_into_gguf.py) -----------------------------------------
+
+
+def build_pack(p: argparse.ArgumentParser):
+    p.add_argument("--model_dir", required=True, help="HF checkpoint")
+    p.add_argument("--quant_dir", required=True, help="calibration artifacts")
+    p.add_argument("--outfile", required=True)
+    p.add_argument("--outtype_fallback", default="f16", choices=["f16", "f32"])
+
+
+def run_pack(args):
+    from ..export import packer
+    from ..formats.ggml import GGMLQuantizationType
+
+    fallback = GGMLQuantizationType.F16 if args.outtype_fallback == "f16" else GGMLQuantizationType.F32
+    out = packer.pack_model(args.model_dir, args.quant_dir, args.outfile, default_float=fallback)
+    print(f"wrote {out}")
+
+
+# -- split (gguf_splitter.py) ----------------------------------------------
+
+
+def build_split(p: argparse.ArgumentParser):
+    p.add_argument("--gguf-file", required=True)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--gguf-layers", action="store_true", help="raw GGML layout")
+    p.add_argument("--hf-layers", action="store_true", help="dequantized HF layout")
+    p.add_argument("--exact", action="store_true", default=True)
+    p.add_argument("--bitwidth", default=None, help="overwrite quant type tag")
+    p.add_argument("--list-bitwidths", action="store_true")
+
+
+def run_split(args):
+    from ..mapper import splitter
+
+    if args.list_bitwidths:
+        for layer, bws in splitter.list_bitwidths(args.output_dir).items():
+            print(f"{layer}: {bws}")
+        return
+    if args.hf_layers:
+        splitter.split_hf(args.gguf_file, args.output_dir, exact=args.exact,
+                          overwrite_bitwidth=args.bitwidth)
+    else:
+        splitter.split_gguf(args.gguf_file, args.output_dir, exact=args.exact,
+                            overwrite_bitwidth=args.bitwidth)
+
+
+# -- stitch (gguf_stitcher.py) ---------------------------------------------
+
+
+def build_stitch(p: argparse.ArgumentParser):
+    p.add_argument("--split-dir", required=True)
+    p.add_argument("--config", default=None)
+    p.add_argument("--output", default=None)
+    p.add_argument("--default-bitwidth", type=float, default=4.5)
+    p.add_argument("--default-quant-type", default="Q4_K")
+    p.add_argument("--validate-only", action="store_true")
+    p.add_argument("--list-tensors", action="store_true")
+    p.add_argument("--inspect-metadata", action="store_true")
+
+
+def run_stitch(args):
+    from ..mapper.stitcher import GGUFStitcher
+
+    st = GGUFStitcher(args.split_dir, args.config, args.default_bitwidth, args.default_quant_type)
+    if args.validate_only:
+        problems = st.validate()
+        if problems:
+            print("\n".join(problems))
+            sys.exit(1)
+        print("configuration valid")
+        return
+    if args.list_tensors:
+        for name, info in st.list_tensors().items():
+            print(f"{name}: {info}")
+        return
+    if args.inspect_metadata:
+        print(json.dumps(st.manifest.get("metadata", {}), indent=2, default=str))
+        return
+    if not args.output:
+        sys.exit("--output required")
+    out = st.stitch(args.output)
+    print(f"wrote {out}")
+
+
+# -- convert-config (config_converter.py) ----------------------------------
+
+
+def build_convert_config(p: argparse.ArgumentParser):
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--missing-value", default="32")
+    p.add_argument("--moe", action="store_true", default=None)
+
+
+def run_convert_config(args):
+    from ..mapper import config_converter
+
+    cfg = config_converter.convert_file(args.input, args.output, args.missing_value, args.moe)
+    print(f"wrote {len(cfg)} entries to {args.output}")
+
+
+# -- build-db (build_ep_database.sh) ---------------------------------------
+
+
+def build_build_db(p: argparse.ArgumentParser):
+    p.add_argument("--models", nargs="+", required=True, help=".gguf files")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--copy-models", action="store_true")
+    p.add_argument("--skip-hf", action="store_true")
+
+
+def run_build_db(args):
+    from ..mapper import db_builder
+
+    db_builder.build_ep_database(
+        args.models, args.output_dir, copy_models=args.copy_models, skip_hf=args.skip_hf
+    )
+
+
+# -- ppl (eval/ppleval.py) --------------------------------------------------
+
+
+def build_ppl(p: argparse.ArgumentParser):
+    common.add_model_args(p)
+    p.add_argument("--datasets", nargs="+", default=["synthetic"])
+    p.add_argument("--sequence_length", type=int, default=None)
+    p.add_argument("--eval_tokens", type=int, default=2**17)
+    p.add_argument("--compressed_weights_path", default=None)
+    p.add_argument("--compressed_config_path", default=None)
+    p.add_argument("--default_level", default="0")
+    p.add_argument("--drop_layer_config", default=None)
+    p.add_argument("--memory_efficient", action="store_true",
+                   help="layer-per-layer eval (metrics.py:122-192)")
+    p.add_argument("--output_path", default=None)
+
+
+def run_ppl(args):
+    from ..evals import compress, ppl
+    from ..utils.data import get_data
+
+    cfg, params = common.load_model(args)
+    tokenizer = common.load_tokenizer(args)
+    if args.drop_layer_config:
+        params = compress.apply_layer_drops(
+            params, compress.load_drop_config(args.drop_layer_config)
+        )
+    if args.compressed_weights_path:
+        params = compress.load_compressed_weights(
+            params, args.compressed_weights_path, args.compressed_config_path,
+            args.default_level,
+        )
+    seq = args.sequence_length or min(cfg.max_position_embeddings, 4096)
+    results = {}
+    fn = ppl.compute_perplexity_layer_per_layer if args.memory_efficient else ppl.compute_perplexity
+    for name in args.datasets:
+        data = get_data(name, args.eval_tokens, seq, tokenizer, train=False,
+                        vocab_size=cfg.vocab_size)
+        results[name] = fn(params, cfg, data)
+        print(f"{name} perplexity: {results[name]:.3f}")
+    if args.output_path:
+        with open(args.output_path, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+# -- search (evo_quant_search.py) ------------------------------------------
+
+
+def build_search(p: argparse.ArgumentParser):
+    common.add_model_args(p)
+    common.add_data_args(p)
+    p.add_argument("--quant_weights_path", required=True, help="HF-layout DB")
+    p.add_argument("--target_bitwidth", type=float, required=True)
+    p.add_argument("--generations", type=int, default=50)
+    p.add_argument("--offspring", type=int, default=128)
+    p.add_argument("--survivors_per_selection", type=int, nargs="+", default=[16, 4, 1])
+    p.add_argument("--tokens_per_selection", type=int, nargs="+", default=[2048, 16384, 131072])
+    p.add_argument("--fitness_fn", default="kl", choices=["ppl", "kl", "sparse_kl"])
+    p.add_argument("--group_rule", default="size", choices=["none", "name", "size"])
+    p.add_argument("--initially_generated", type=int, default=64)
+    p.add_argument("--initial_tokens", type=int, default=16384)
+    p.add_argument("--kl_topk", type=int, default=64)
+    p.add_argument("--eval_every", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint_path", default=None)
+
+
+def run_search(args):
+    import os
+
+    from ..search import evopress
+
+    cfg, params = common.load_model(args)
+    tokenizer = common.load_tokenizer(args)
+    calib = common.load_calibration(args, cfg, tokenizer)
+    model = evopress.SearchModel(params, cfg, args.quant_weights_path)
+
+    target_logits = None
+    if args.fitness_fn in ("kl", "sparse_kl"):
+        target_logits = evopress.compute_target_logits(
+            model, calib, args.fitness_fn, topk=args.kl_topk
+        )
+
+    ecfg = evopress.EvoPressConfig(
+        target_bitwidth=args.target_bitwidth,
+        generations=args.generations,
+        offspring=args.offspring,
+        survivors_per_selection=tuple(args.survivors_per_selection),
+        tokens_per_selection=tuple(args.tokens_per_selection),
+        fitness_fn=args.fitness_fn,
+        group_rule=args.group_rule,
+        initially_generated=args.initially_generated,
+        initial_tokens=args.initial_tokens,
+        kl_topk=args.kl_topk,
+        eval_every=args.eval_every,
+        seed=args.seed,
+        checkpoint_path=args.checkpoint_path,
+    )
+    best, groups, available = evopress.evo_press_search(model, calib, ecfg, target_logits=target_logits)
+    out = os.path.join(
+        args.quant_weights_path,
+        f"evo-{args.fitness_fn}-configuration-{args.target_bitwidth}.txt",
+    )
+    evopress.write_config(out, groups, best, available)
+    print(f"wrote {out}")
+
+
+# -- serve ------------------------------------------------------------------
+
+
+def build_serve(p: argparse.ArgumentParser):
+    p.add_argument("--gguf-file", required=True)
+    p.add_argument("--prompt-tokens", type=int, nargs="+", default=None,
+                   help="token ids (no tokenizer needed)")
+    p.add_argument("--max-new-tokens", type=int, default=32)
+    p.add_argument("--benchmark", action="store_true")
+    p.add_argument("--num-slots", type=int, default=8)
+
+
+def run_serve(args):
+    import time
+
+    import numpy as np
+
+    from ..serving import engine, model as qmodel
+
+    params, cfg = qmodel.load_gguf_for_serving(args.gguf_file)
+    prompt = np.asarray(args.prompt_tokens or [1, 2, 3, 4], dtype=np.int64)
+    t0 = time.time()
+    out = engine.generate(params, cfg, [prompt], max_new_tokens=args.max_new_tokens)[0]
+    dt = time.time() - t0
+    print(f"generated {len(out)} tokens in {dt:.2f}s ({len(out) / dt:.1f} tok/s)")
+    print(out)
+
+
+SUBCOMMANDS = {
+    "pack": (build_pack, run_pack),
+    "split": (build_split, run_split),
+    "stitch": (build_stitch, run_stitch),
+    "convert-config": (build_convert_config, run_convert_config),
+    "build-db": (build_build_db, run_build_db),
+    "ppl": (build_ppl, run_ppl),
+    "search": (build_search, run_search),
+    "serve": (build_serve, run_serve),
+}

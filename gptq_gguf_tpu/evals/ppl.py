@@ -111,3 +111,52 @@ def compute_sparse_kl_div(
         total += float(kl.sum())
         count += kl.size
     return total / max(count, 1)
+
+
+def compute_perplexity_layer_per_layer(
+    params,
+    cfg: LlamaConfig,
+    data: Sequence[np.ndarray],
+    batch_size: int = 1,
+) -> float:
+    """Memory-bounded perplexity: activations stream block by block with host
+    offload between blocks (reference metrics.py:122-192). Device memory is
+    bounded by one transformer block + one batch of activations.
+    """
+    from ..quant.calibrate import _propagate_step
+
+    data = [np.atleast_2d(np.asarray(d)) for d in data]
+    batches = [
+        np.concatenate(data[i : i + batch_size], axis=0)
+        for i in range(0, len(data), batch_size)
+    ]
+    S = batches[0].shape[1]
+    positions = jnp.arange(S)[None, :]
+    cos1, sin1 = llama.rope_cos_sin(cfg, positions)
+
+    xs = [np.asarray(llama.embed_forward(params, jnp.asarray(b), cfg)) for b in batches]
+    for layer in params["layers"]:
+        new_xs = []
+        for x in xs:
+            b = x.shape[0]
+            cos = jnp.broadcast_to(cos1, (b, S, cos1.shape[-1]))
+            sin = jnp.broadcast_to(sin1, (b, S, sin1.shape[-1]))
+            mask = llama.causal_mask(b, S)
+            new_xs.append(np.asarray(_propagate_step(layer, jnp.asarray(x), cos, sin, mask, cfg)))
+        xs = new_xs
+
+    nll_running = 0.0
+    tokens_processed = 0
+    for ids, x in zip(batches, xs):
+        logits = llama.head_forward(params, jnp.asarray(x), cfg)
+        shift_logits = logits[:, :-1, :]
+        shift_labels = jnp.asarray(ids[:, 1:])
+        logz = jax.scipy.special.logsumexp(shift_logits, axis=-1)
+        tok = jnp.take_along_axis(shift_logits, shift_labels[..., None], axis=-1)[..., 0]
+        loss = float(jnp.mean(logz - tok))
+        n_new = ids[:, 1:].size
+        a = n_new / (tokens_processed + n_new)
+        b_ = tokens_processed / (tokens_processed + n_new)
+        nll_running = a * loss + b_ * nll_running
+        tokens_processed += n_new
+    return float(np.exp(nll_running))
