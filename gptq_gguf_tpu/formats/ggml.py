@@ -586,5 +586,11 @@ def dequantize(data: np.ndarray, qtype: GGMLQuantizationType, shape: Tuple[int, 
         raise NotImplementedError(f"dequantize not implemented for {qtype!r}")
     be, ts = GGML_BLOCK_SIZES[qtype]
     flat = np.ascontiguousarray(data).view(np.uint8).reshape(-1, ts)
+    if qtype in KQUANT_SPECS:
+        from . import native
+
+        out = native.native_dequant(qtype.name, flat, flat.shape[0])
+        if out is not None:
+            return out.reshape(shape)
     vals = fn(flat)
     return vals.reshape(shape)
