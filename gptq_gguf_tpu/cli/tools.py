@@ -275,3 +275,52 @@ SUBCOMMANDS = {
     "search": (build_search, run_search),
     "serve": (build_serve, run_serve),
 }
+
+
+# -- rtn-quantize (llama-quantize equivalent, quant/gguf/run_quant.sh) ------
+
+
+def build_rtn(p: argparse.ArgumentParser):
+    common.add_model_args(p)
+    common.add_data_args(p)
+    p.add_argument("--quant_type", default="Q4_K",
+                   choices=["Q2_K", "Q3_K", "Q4_K", "Q5_K", "Q6_K"])
+    p.add_argument("--imatrix", action="store_true",
+                   help="importance-weighted scale fitting from a calibration pass")
+    p.add_argument("--pure", action="store_true",
+                   help="quantize embeddings/head at the same type too")
+    p.add_argument("--save_dir", required=True)
+    p.add_argument("--outfile", default=None, help="optionally pack to .gguf")
+    p.add_argument("--summary", default=None, help="quantization_summary.json path")
+    p.add_argument("--batch_size", type=int, default=1)
+
+
+def run_rtn(args):
+    from ..quant import rtn
+
+    cfg, params = common.load_model(args)
+    imatrix = None
+    if args.imatrix:
+        tokenizer = common.load_tokenizer(args)
+        calib = common.load_calibration(args, cfg, tokenizer)
+        imatrix = rtn.compute_imatrix(params, cfg, calib, batch_size=args.batch_size)
+    qt = args.quant_type
+    qmap = {k: qt for k in ("q_proj", "k_proj", "v_proj", "o_proj",
+                            "gate_proj", "up_proj", "down_proj")}
+    if args.pure:
+        qmap["embed_tokens"] = qt
+        qmap["lm_head"] = qt
+    rtn.rtn_quantize_model(
+        params, cfg, qmap, args.save_dir, imatrix=imatrix,
+        quant_non_block=args.pure,
+    )
+    if args.outfile:
+        from ..export import packer
+
+        packer.pack_model(args.model_name_or_path, args.save_dir, args.outfile)
+        if args.summary:
+            rtn.quantization_summary(args.outfile, args.summary)
+        print(f"wrote {args.outfile}")
+
+
+SUBCOMMANDS["rtn-quantize"] = (build_rtn, run_rtn)

@@ -125,19 +125,23 @@ def make_quants(
 
 
 def make_k_quants(
-    x: jax.Array, maxq: int, cfg: ScaleSearchConfig = ScaleSearchConfig()
+    x: jax.Array, maxq: int, cfg: ScaleSearchConfig = ScaleSearchConfig(),
+    weights: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Weighted least-squares scale/min refinement for unsigned K-quants
     (Q2_K / Q4_K / Q5_K) — llama.cpp's ``make_qkx2_quants`` scheme.
 
     Re-expression of reference quant_utils.py:199-274. ``x``: (..., gs);
     returns (scale, zero) of shape (...,) with zero = -best_min >= 0.
+    ``weights``: optional importance weights (importance-matrix path,
+    llama.cpp's quant_weights); defaults to the reference's av_x + |x|.
     """
     eps = cfg.eps
     gs = x.shape[-1]
     sum_x2 = jnp.sum(x * x, axis=-1, keepdims=True)
     av_x = jnp.sqrt(sum_x2 / gs)
-    weights = av_x + jnp.abs(x)  # (..., gs)
+    if weights is None:
+        weights = av_x + jnp.abs(x)  # (..., gs)
 
     x_min = jnp.minimum(x.min(axis=-1, keepdims=True), 0.0)
     x_max = x.max(axis=-1, keepdims=True)
@@ -229,12 +233,18 @@ def fit_supergroups(
     x: jax.Array,
     qtype: GGMLQuantizationType,
     cfg: ScaleSearchConfig = ScaleSearchConfig(),
+    imatrix: Optional[jax.Array] = None,
 ) -> SuperGroupParams:
     """Fit quantization parameters for all supergroups of a weight matrix.
 
     Re-expression of reference quant_utils.py:90-145 (``get_scale_and_zero``),
     batched over every supergroup at once instead of one 256-column slice per
     call. ``x``: (d_row, d_col) float; d_col % 256 == 0.
+
+    ``imatrix``: optional (d_col,) importance weights (mean squared
+    activations, i.e. diag(H)/2) enabling the llama-quantize ``--imatrix``
+    path: group weights become ``im * sqrt(sigma2 + x^2)`` (llama.cpp
+    make_qkx3_quants) for the weighted-LSQ types.
     """
     spec = KQUANT_SPECS[qtype]
     d_row, d_col = x.shape
@@ -243,7 +253,13 @@ def fit_supergroups(
     x = x.astype(jnp.float32).reshape(d_row, n_sg, gpsg, spec.group_size)
 
     maxq = 2**spec.bits - 1
-    scale, zero = _MAKE_FN[qtype](x, maxq, cfg)  # (d_row, n_sg, gpsg)
+    if imatrix is not None and _MAKE_FN[qtype] is make_k_quants:
+        im = imatrix.astype(jnp.float32).reshape(1, n_sg, gpsg, spec.group_size)
+        sigma2 = jnp.mean(x * x, axis=(-2, -1), keepdims=True)
+        w = im * jnp.sqrt(sigma2 + x * x)
+        scale, zero = make_k_quants(x, maxq, cfg, weights=w)
+    else:
+        scale, zero = _MAKE_FN[qtype](x, maxq, cfg)  # (d_row, n_sg, gpsg)
 
     max_scale = scale.max(axis=-1)  # (d_row, n_sg)
     max_zero = zero.max(axis=-1)
@@ -328,14 +344,15 @@ def quantize_rtn(
     x: jax.Array,
     qtype: GGMLQuantizationType,
     cfg: ScaleSearchConfig = ScaleSearchConfig(),
+    imatrix: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, SuperGroupParams]:
-    """Round-to-nearest K-quant of a full matrix (no Hessian).
+    """Round-to-nearest K-quant of a full matrix (no Hessian solve).
 
     Equivalent of the reference's ``_quant_non_block_module``
-    (quantizer.py:278-330), used for embeddings / lm_head and as the RTN
-    baseline in tests.
+    (quantizer.py:278-330) and — with ``imatrix`` — of the llama-quantize
+    path the reference shells out to (quant/gguf/run_quant.sh:130-133).
     """
-    params = fit_supergroups(x, qtype, cfg)
+    params = fit_supergroups(x, qtype, cfg, imatrix)
     q = quantize(x, params, qtype)
     return q, params
 
