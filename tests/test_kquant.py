@@ -101,10 +101,16 @@ def _load_reference_quant_utils():
     import importlib.util
 
     if "gguf" not in sys.modules:
+        import importlib.machinery
+
         gguf_stub = types.ModuleType("gguf")
         constants = types.ModuleType("gguf.constants")
         constants.QK_K = 256
         gguf_stub.constants = constants
+        # a real ModuleSpec so importlib.util.find_spec("gguf") (used by
+        # transformers) doesn't choke on the stub
+        gguf_stub.__spec__ = importlib.machinery.ModuleSpec("gguf", loader=None)
+        constants.__spec__ = importlib.machinery.ModuleSpec("gguf.constants", loader=None)
         sys.modules["gguf"] = gguf_stub
         sys.modules["gguf.constants"] = constants
     spec = importlib.util.spec_from_file_location(
