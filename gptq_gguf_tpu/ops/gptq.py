@@ -25,6 +25,7 @@ rank-0-solve-then-broadcast (gptq.py:278-293).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -87,18 +88,10 @@ def init_hessian(d_col: int) -> Tuple[jax.Array, jax.Array]:
 # ---------------------------------------------------------------------------
 
 
-def prepare_hessian_inverse(
-    H: jax.Array, W: jax.Array, rel_damp: float
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Regularize H, zero dead columns, and return (W_masked, H_inv_cho, issue).
-
-    Mirrors gptq.py:122-143 (quantization_pre_step) + gptq.py:304-324
-    (_prepare): pruned channels (diag==0) and all-zero weight columns are
-    decoupled; damping adds ``rel_damp * mean(diag)``; the result is the
-    upper Cholesky factor U of H^{-1} (H^{-1} = U^T U). If the factorization
-    produces non-finite values the identity is substituted and the issue flag
-    set (reference gptq.py:321-323).
-    """
+@jax.jit
+def _mask_and_damp(H: jax.Array, W: jax.Array, rel_damp: float):
+    """Pruned-channel / dead-column masking + damping (gptq.py:122-143,
+    304-317). Returns (W_masked, H_damped)."""
     d_col = H.shape[0]
     W = W.astype(jnp.float32)
     H = H.astype(jnp.float32)
@@ -114,17 +107,70 @@ def prepare_hessian_inverse(
 
     damp = rel_damp * jnp.mean(jnp.diagonal(H))
     H = H + damp * jnp.eye(d_col, dtype=jnp.float32)
+    return W, H
 
-    # inv_sym (linalg_utils.py:9-13) + upper Cholesky of the inverse
-    L = jnp.linalg.cholesky(H)
+
+@jax.jit
+def _factorize_device(H: jax.Array):
+    """Upper U with H^{-1} = U^T U via the reversed-Cholesky identity.
+
+    With J the exchange (flip) matrix and J H J = Lr Lr^T one Cholesky gives
+    H = Ur Ur^T for Ur = J Lr J (upper); then U = Ur^{-1} (one triangular
+    solve). This replaces the reference's chol -> cholesky_inverse -> chol
+    chain (linalg_utils.py:9-13, gptq.py:318-320): same U (unique SPD
+    factorization with positive diagonal), one factorization instead of two,
+    and no explicit H^{-1} buffer — which keeps XLA:TPU peak memory at O(n^2)
+    where the naive chain OOMs for n=14336.
+    """
+    d_col = H.shape[0]
+    Hr = H[::-1, ::-1]
+    Lr = jnp.linalg.cholesky(Hr)
+    Ur = Lr[::-1, ::-1]
     eye = jnp.eye(d_col, dtype=jnp.float32)
-    H_inv = jax.scipy.linalg.cho_solve((L, True), eye)
-    H_inv = 0.5 * (H_inv + H_inv.T)
-    L_inv = jnp.linalg.cholesky(H_inv)
-    U = L_inv.T  # upper triangular, H_inv = U^T U
+    U = jax.lax.linalg.triangular_solve(Ur, eye, left_side=True, lower=False)
+    return U
 
+
+def _factorize_host(H: jax.Array):
+    """Same factorization via host LAPACK (for very large d_col where the
+    XLA:TPU Cholesky lowering is impractical)."""
+    import scipy.linalg as sla
+
+    Hn = np.asarray(H)
+    n = Hn.shape[0]
+    try:
+        Lr = sla.cholesky(Hn[::-1, ::-1], lower=True, check_finite=False)
+        Ur = np.ascontiguousarray(Lr[::-1, ::-1])
+        U = sla.solve_triangular(
+            Ur, np.eye(n, dtype=np.float32), lower=False, check_finite=False
+        )
+    except Exception:
+        U = np.full((n, n), np.nan, dtype=np.float32)
+    return jnp.asarray(U)
+
+
+# d_col above which factorization runs on host LAPACK
+HOST_FACTORIZE_THRESHOLD = int(os.environ.get("GGT_GPTQ_HOST_FACTORIZE_ABOVE", 16384))
+
+
+def factorize_hinv_cholesky(H: jax.Array, method: str = "auto"):
+    """Returns (U, issue_flag): upper-triangular U with H^{-1} = U^T U, or
+    identity + flag on failure (reference gptq.py:318-324)."""
+    d_col = H.shape[0]
+    if method == "auto":
+        method = "host" if d_col > HOST_FACTORIZE_THRESHOLD else "device"
+    U = _factorize_host(H) if method == "host" else _factorize_device(H)
     bad = ~jnp.all(jnp.isfinite(U))
-    U = jnp.where(bad, eye, U)
+    U = jnp.where(bad, jnp.eye(d_col, dtype=jnp.float32), U)
+    return U, bad
+
+
+def prepare_hessian_inverse(
+    H: jax.Array, W: jax.Array, rel_damp: float, method: str = "auto"
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Regularize H, zero dead columns, factorize: (W_masked, U, issue)."""
+    W, H = _mask_and_damp(H, W, rel_damp)
+    U, bad = factorize_hinv_cholesky(H, method)
     return W, U, bad
 
 
@@ -241,34 +287,19 @@ def _solve_core(
 
 
 @functools.partial(jax.jit, static_argnames=("qtype", "cfg"))
-def gptq_quantize_matrix(
-    W: jax.Array,
-    H: jax.Array,
+def _solve_with_init(
+    W32: jax.Array,
+    U: jax.Array,
+    col_group: jax.Array,
+    col_sg: jax.Array,
     qtype: GGMLQuantizationType,
-    cfg: GPTQConfig = GPTQConfig(),
-) -> GPTQResult:
-    """Quantize one weight matrix with GPTQ error correction.
-
-    Equivalent of reference GPTQ.quantize (gptq.py:146-302) as one XLA
-    program. W: (d_row, d_col) float; H: (d_col, d_col) accumulated Hessian
-    (already averaged across data-parallel shards by the caller).
-    """
+    cfg: GPTQConfig,
+):
+    """Jitted: static group init (when enabled) + blocked solve + output cast."""
     spec = KQUANT_SPECS[qtype]
-    d_row, d_col = W.shape
-    sgs = spec.super_group_size
-    n_sg = d_col // sgs
+    d_row, d_col = W32.shape
+    n_sg = d_col // spec.super_group_size
     ng = d_col // spec.group_size
-    gpsg = spec.num_groups
-
-    # Q3_K: act_order / static_groups forced off (gptq.py:204-206)
-    if qtype == GGMLQuantizationType.Q3_K:
-        cfg = cfg._replace(act_order=False, static_groups=False)
-    if cfg.act_order and not cfg.static_groups:
-        raise ValueError("act_order requires static_groups (gptq.py:45-46)")
-
-    W32, U, issue = prepare_hessian_inverse(H, W, cfg.rel_damp)
-
-    # static group init from the *unpermuted* weights (gptq.py:184-196)
     if cfg.static_groups:
         p0 = kquant.fit_supergroups(W32, qtype, cfg.scale_cfg)
         init_params = _params_f32(p0)
@@ -279,34 +310,79 @@ def gptq_quantize_matrix(
             jnp.zeros((d_row, ng), jnp.float32),
             jnp.zeros((d_row, ng), jnp.float32),
         )
+    qweight, params = _solve_core(W32, U, col_group, col_sg, init_params, qtype, cfg)
+    ss, sz, sq, zq = params
+    int_dtype = jnp.int8 if spec.signed else jnp.uint8
+    return qweight.astype(int_dtype), SuperGroupParams(
+        ss.astype(jnp.float16), sz.astype(jnp.float16),
+        sq.astype(int_dtype), zq.astype(int_dtype),
+    )
+
+
+def gptq_quantize_matrix(
+    W: jax.Array,
+    H: jax.Array,
+    qtype: GGMLQuantizationType,
+    cfg: GPTQConfig = GPTQConfig(),
+    factorize: str = "auto",
+) -> GPTQResult:
+    """Quantize one weight matrix with GPTQ error correction.
+
+    Equivalent of reference GPTQ.quantize (gptq.py:146-302). The Cholesky
+    factorization runs on device or host LAPACK (``factorize``: auto |
+    device | host — auto switches to host above HOST_FACTORIZE_THRESHOLD
+    columns); everything else is one jitted XLA program. W: (d_row, d_col)
+    float; H: (d_col, d_col) accumulated Hessian (already averaged across
+    data-parallel shards by the caller).
+    """
+    spec = KQUANT_SPECS[qtype]
+    d_row, d_col = W.shape
+    sgs = spec.super_group_size
+
+    # Q3_K: act_order / static_groups forced off (gptq.py:204-206)
+    if qtype == GGMLQuantizationType.Q3_K:
+        cfg = cfg._replace(act_order=False, static_groups=False)
+    if cfg.act_order and not cfg.static_groups:
+        raise ValueError("act_order requires static_groups (gptq.py:45-46)")
 
     group_of_col = jnp.arange(d_col, dtype=jnp.int32) // spec.group_size
     sg_of_col = jnp.arange(d_col, dtype=jnp.int32) // sgs
 
     if cfg.act_order:
-        # permute columns by descending Hessian diagonal (gptq.py:211-216)
+        # permute columns by descending Hessian diagonal (gptq.py:211-216);
+        # the static scale init below still sees the permuted weights only
+        # through per-column group ids, matching the reference (which fits
+        # static scales pre-permutation, gptq.py:184-196): we therefore fit
+        # on the unpermuted masked weights first.
+        W_masked, _ = _mask_and_damp(H, W, cfg.rel_damp)
         perm = jnp.argsort(-jnp.diagonal(H), stable=True)
-        W32 = W32[:, perm]
+        Wp = W_masked[:, perm]
         Hp = H[perm][:, perm]
-        _, U, issue = prepare_hessian_inverse(Hp, W32, cfg.rel_damp)
+        W32, Hd = _mask_and_damp(Hp, Wp, cfg.rel_damp)
+        U, issue = factorize_hinv_cholesky(Hd, factorize)
         col_group = group_of_col[perm]
         col_sg = sg_of_col[perm]
-    else:
-        col_group = group_of_col
-        col_sg = sg_of_col
-
-    qweight, params = _solve_core(W32, U, col_group, col_sg, init_params, qtype, cfg)
-
-    if cfg.act_order:
+        if cfg.static_groups:
+            # fit on unpermuted weights, exactly like the reference
+            p0 = kquant.fit_supergroups(W_masked, qtype, cfg.scale_cfg)
+            init_params = _params_f32(p0)
+            qweight, params = _solve_core(W32, U, col_group, col_sg, init_params, qtype, cfg)
+            ss, sz, sq, zq = params
+            int_dtype = jnp.int8 if spec.signed else jnp.uint8
+            qweight = qweight.astype(int_dtype)
+            result_params = SuperGroupParams(
+                ss.astype(jnp.float16), sz.astype(jnp.float16),
+                sq.astype(int_dtype), zq.astype(int_dtype),
+            )
+        else:
+            qweight, result_params = _solve_with_init(W32, U, col_group, col_sg, qtype, cfg)
         invperm = jnp.argsort(perm)
         qweight = qweight[:, invperm]
+        return GPTQResult(qweight, result_params, issue)
 
-    ss, sz, sq, zq = params
-    int_dtype = jnp.int8 if spec.signed else jnp.uint8
-    result_params = SuperGroupParams(
-        ss.astype(jnp.float16),
-        sz.astype(jnp.float16),
-        sq.astype(int_dtype),
-        zq.astype(int_dtype),
+    W32, Hd = _mask_and_damp(H, W, cfg.rel_damp)
+    U, issue = factorize_hinv_cholesky(Hd, factorize)
+    qweight, result_params = _solve_with_init(
+        W32, U, group_of_col, sg_of_col, qtype, cfg
     )
-    return GPTQResult(qweight.astype(int_dtype), result_params, issue)
+    return GPTQResult(qweight, result_params, issue)
