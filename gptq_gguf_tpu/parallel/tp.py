@@ -63,3 +63,60 @@ def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
         specs,
         is_leaf=lambda x: not isinstance(x, (dict, list)),
     )
+
+
+def shard_serving_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """TP-shard a serving param tree that may contain RuntimeQuantLinear
+    leaves: row-parallel linears (q/k/v/gate/up) shard the output dim,
+    column-parallel (o/down) shard the input dim; packed code/scale arrays
+    shard along the matching axis.
+
+    On CPU test meshes the quantized matmuls run through the XLA fallback
+    and XLA inserts the collectives; the Pallas kernel + shard_map serving
+    path is multi-chip follow-up work.
+    """
+    from ..ops.qmatmul import RuntimeQuantLinear
+
+    row_parallel = {"q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"}
+    col_parallel = {"o_proj", "down_proj"}
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def shard_rql(rql: RuntimeQuantLinear, role: str) -> RuntimeQuantLinear:
+        if role in row_parallel:
+            specs = (P(None, "tp"), P(None, "tp"), P(None, "tp"))
+        else:
+            specs = (P("tp", None), P("tp", None), P("tp", None))
+        return RuntimeQuantLinear(
+            put(rql.qs, specs[0]),
+            put(rql.scale_t, specs[1]),
+            put(rql.offset_t, specs[2]),
+            rql.d_in, rql.group_size, rql.per_byte,
+        )
+
+    out = dict(params)
+    layers = []
+    for layer in params["layers"]:
+        new_layer = {}
+        for key, val in layer.items():
+            if isinstance(val, RuntimeQuantLinear):
+                new_layer[key] = shard_rql(val, key)
+            else:
+                spec = _LAYER_SPECS.get(key, P(None))
+                if isinstance(val, jax.Array) and val.ndim < len([a for a in spec if a]):
+                    spec = P(None)
+                new_layer[key] = put(val, spec if val.ndim == 2 or key.endswith("_bias") else P(None))
+        layers.append(new_layer)
+    out["layers"] = layers
+    for key in ("embed_tokens", "lm_head"):
+        if key in out and isinstance(out[key], jax.Array):
+            out[key] = put(out[key], P("tp", None))
+        elif key in out:
+            from ..ops.qmatmul import RuntimeQuantLinear as RQL
+
+            if isinstance(out[key], RQL):
+                out[key] = shard_rql(out[key], "q_proj")
+    if "norm" in out:
+        out["norm"] = put(out["norm"], P(None))
+    return out

@@ -85,3 +85,37 @@ def test_calibration_with_mesh_matches_single(tmp_path):
     w_m = np.asarray(llama.get_linear(q_mesh, "model.layers.0.mlp.down_proj"))
     # same Hessian math (modulo reduction order) -> nearly identical codes
     assert np.mean(np.isclose(w_s, w_m, rtol=1e-4, atol=1e-6)) > 0.99
+
+
+def test_tp_sharded_quantized_serving(tmp_path):
+    """Quantized serving forward under TP shardings matches unsharded."""
+    import jax.numpy as jnp
+    from gptq_gguf_tpu.models.llama import LlamaConfig
+    from gptq_gguf_tpu.ops import kquant, qmatmul
+    from gptq_gguf_tpu.serving import model as qmodel
+    from gptq_gguf_tpu.formats.ggml import GGMLQuantizationType as T
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+    )
+    params = llama.init_params(cfg, seed=5)
+    # quantize block linears into runtime format
+    layer = dict(params["layers"][0])
+    for key in llama.BLOCK_LINEAR_KEYS:
+        w = layer[key]
+        q, p = kquant.quantize_rtn(w.astype(jnp.float32), T.Q4_K)
+        layer[key] = qmatmul.pack_runtime(np.asarray(q), p, T.Q4_K)
+    qparams = {**params, "layers": [layer]}
+
+    ids = jnp.asarray(RNG.integers(0, 128, size=(2, 16)))
+    cache = qmodel.init_cache(cfg, 2, 16, dtype=jnp.float32)
+    ref_logits, _ = qmodel.forward_cached(qparams, cfg, ids, cache)
+
+    m = mesh_mod.make_mesh(dp=2, tp=4)
+    sharded = tp.shard_serving_params(qparams, m)
+    cache2 = qmodel.init_cache(cfg, 2, 16, dtype=jnp.float32)
+    out_logits, _ = qmodel.forward_cached(sharded, cfg, ids, cache2)
+    np.testing.assert_allclose(
+        np.asarray(out_logits), np.asarray(ref_logits), rtol=1e-4, atol=1e-4
+    )
