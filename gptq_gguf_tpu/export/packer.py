@@ -187,8 +187,21 @@ class Qwen3Arch(ArchSpec):
         return md
 
 
+class Phi3Arch(ArchSpec):
+    """phi3: llama.cpp expects fused attn_qkv / ffn_up tensors. Row-concat of
+    per-projection K-quant artifacts is exact (rows are independent)."""
+
+    gguf_arch = "phi3"
+    permute_qk = False
+    fused = {
+        "attn_qkv.weight": ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"),
+        "ffn_up.weight": ("mlp.gate_proj", "mlp.up_proj"),
+    }
+
+
 _ARCH_REGISTRY.update(
-    {"llama": LlamaArch, "mistral": MistralArch, "qwen2": Qwen2Arch, "qwen3": Qwen3Arch}
+    {"llama": LlamaArch, "mistral": MistralArch, "qwen2": Qwen2Arch,
+     "qwen3": Qwen3Arch, "phi3": Phi3Arch}
 )
 
 
@@ -258,6 +271,20 @@ def tokenizer_metadata(model_dir: Path) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 # Packing
 # ---------------------------------------------------------------------------
+
+
+def concat_artifacts(arts) -> artifacts.LayerArtifact:
+    """Row-concatenate split artifacts into one fused tensor (phi3 attn_qkv /
+    ffn_up). Exact: K-quant rows are independent."""
+    assert len({a.q_type for a in arts}) == 1, "fused parts must share a quant type"
+    return artifacts.LayerArtifact(
+        q_type=arts[0].q_type,
+        qweight=np.concatenate([a.qweight for a in arts], axis=0),
+        super_group_scale=np.concatenate([a.super_group_scale for a in arts], axis=0),
+        super_group_zero=np.concatenate([a.super_group_zero for a in arts], axis=0),
+        group_scale_quant=np.concatenate([a.group_scale_quant for a in arts], axis=0),
+        group_zero_quant=np.concatenate([a.group_zero_quant for a in arts], axis=0),
+    )
 
 
 def _permute_artifact(art: artifacts.LayerArtifact, perm: np.ndarray) -> artifacts.LayerArtifact:
@@ -338,8 +365,29 @@ def pack_model(
         else:
             writer.add_tensor(gguf_name, arr.astype(np.float16))
 
+    fused_map = getattr(spec, "fused", {})
+
     for name, arr in _iter_safetensors(model_dir):
         gguf_name = hf_to_gguf_name(name)
+        # fused architectures (phi3): HF holds qkv_proj/gate_up_proj fused,
+        # artifacts hold the split projections; reassemble quantized parts.
+        if gguf_name is None and name.startswith("model.layers.") and fused_map:
+            parts = name.split(".")
+            i = parts[2]
+            rest = ".".join(parts[3:])
+            fused_src = {"self_attn.qkv_proj.weight": "attn_qkv.weight",
+                         "mlp.gate_up_proj.weight": "ffn_up.weight"}
+            if rest in fused_src and fused_src[rest] in fused_map:
+                gguf_fused = f"blk.{i}.{fused_src[rest]}"
+                sub_names = [f"model.layers.{i}.{s}" for s in fused_map[fused_src[rest]]]
+                if all(s in quant_layers for s in sub_names):
+                    art = concat_artifacts(
+                        [artifacts.load_layer(quant_dir, s) for s in sub_names]
+                    )
+                    add_quantized(gguf_fused, name, art)
+                else:
+                    add_float(gguf_fused, name, arr)
+                continue
         if gguf_name is None:
             continue
         base = name[: -len(".weight")] if name.endswith(".weight") else name

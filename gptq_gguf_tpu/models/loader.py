@@ -17,7 +17,7 @@ import numpy as np
 
 from .llama import LlamaConfig
 
-SUPPORTED_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3")
+SUPPORTED_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3", "phi3")
 
 
 def load_config(model_dir: Union[str, Path], dtype=jnp.float32) -> LlamaConfig:
@@ -74,6 +74,20 @@ def load_params(
             parts = name.split(".")
             i = int(parts[2])
             rest = ".".join(parts[3:])
+            # phi3 fuses qkv and gate_up; split them into the canonical tree
+            if rest == "self_attn.qkv_proj.weight":
+                n_head = cfg.num_attention_heads
+                n_kv = cfg.num_key_value_heads
+                hd = cfg.head_dim_
+                put(i, "q_proj", val[: n_head * hd])
+                put(i, "k_proj", val[n_head * hd : (n_head + n_kv) * hd])
+                put(i, "v_proj", val[(n_head + n_kv) * hd :])
+                continue
+            if rest == "mlp.gate_up_proj.weight":
+                inter = cfg.intermediate_size
+                put(i, "gate_proj", val[:inter])
+                put(i, "up_proj", val[inter:])
+                continue
             mapping = {
                 "input_layernorm.weight": "input_layernorm",
                 "post_attention_layernorm.weight": "post_attention_layernorm",

@@ -103,3 +103,65 @@ def test_unpermuted_tensors_match(packed):
 def test_permutation_is_bijection():
     perm = packer.gqa_permute_rows(64, 4)
     assert sorted(perm.tolist()) == list(range(64))
+
+
+def test_phi3_fused_pack(tmp_path):
+    """phi3: split-at-load, quantize, re-fuse at pack; GGUF holds attn_qkv."""
+    import json as _json
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    from gptq_gguf_tpu.quant import calibrate
+
+    cfg_d = {
+        "model_type": "phi3",
+        "architectures": ["Phi3ForCausalLM"],
+        "vocab_size": 256, "hidden_size": 256, "intermediate_size": 512,
+        "num_hidden_layers": 1, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "rms_norm_eps": 1e-5,
+        "max_position_embeddings": 512, "torch_dtype": "float32",
+        "pad_token_id": 0,
+    }
+    hf_cfg = AutoConfig.for_model(**cfg_d)
+    torch.manual_seed(11)
+    model = AutoModelForCausalLM.from_config(hf_cfg).eval().float()
+    model_dir = tmp_path / "phi3"
+    model.save_pretrained(model_dir, safe_serialization=True)
+
+    cfg = loader.load_config(model_dir)
+    params = loader.load_params(model_dir, cfg)
+    # loader split fused projections
+    assert params["layers"][0]["q_proj"].shape == (256, 256)
+    assert params["layers"][0]["k_proj"].shape == (128, 256)
+    assert params["layers"][0]["gate_proj"].shape == (512, 256)
+
+    # logits parity with HF
+    import jax.numpy as jnp
+    from gptq_gguf_tpu.models import llama as llama_mod
+
+    ids = RNG.integers(0, 256, size=(1, 24))
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids)).logits.numpy()
+    got = np.asarray(llama_mod.forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    calib = [RNG.integers(0, 256, size=(1, 32)) for _ in range(2)]
+    qdir = tmp_path / "layers"
+    calibrate.quantize_model(params, cfg, calib, save_dir=qdir)
+    out = tmp_path / "phi3.gguf"
+    packer.pack_model(model_dir, qdir, out)
+
+    r = GGUFReader(out)
+    assert r.get("general.architecture") == "phi3"
+    info = r.tensors["blk.0.attn_qkv.weight"]
+    assert info.ggml_type == T.Q4_K
+    assert info.shape == (512, 256)  # 256 q + 128 k + 128 v rows
+    assert r.tensors["blk.0.ffn_up.weight"].shape == (1024, 256)  # gate+up
+    # fused dequant equals concat of split artifacts
+    q_art = artifacts.load_layer(qdir, "model.layers.0.self_attn.q_proj").dequantize()
+    k_art = artifacts.load_layer(qdir, "model.layers.0.self_attn.k_proj").dequantize()
+    v_art = artifacts.load_layer(qdir, "model.layers.0.self_attn.v_proj").dequantize()
+    np.testing.assert_allclose(
+        r.tensor_float("blk.0.attn_qkv.weight"),
+        np.concatenate([q_art, k_art, v_art], axis=0), rtol=1e-6, atol=1e-7,
+    )
