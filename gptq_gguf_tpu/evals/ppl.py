@@ -135,14 +135,14 @@ def compute_perplexity_layer_per_layer(
     cos1, sin1 = llama.rope_cos_sin(cfg, positions)
 
     xs = [np.asarray(llama.embed_forward(params, jnp.asarray(b), cfg)) for b in batches]
-    for layer in params["layers"]:
+    for li, layer in enumerate(params["layers"]):
         new_xs = []
         for x in xs:
             b = x.shape[0]
             cos = jnp.broadcast_to(cos1, (b, S, cos1.shape[-1]))
             sin = jnp.broadcast_to(sin1, (b, S, sin1.shape[-1]))
             mask = llama.causal_mask(b, S)
-            new_xs.append(np.asarray(_propagate_step(layer, jnp.asarray(x), cos, sin, mask, cfg)))
+            new_xs.append(np.asarray(_propagate_step(layer, jnp.asarray(x), cos, sin, mask, cfg, li)))
         xs = new_xs
 
     nll_running = 0.0

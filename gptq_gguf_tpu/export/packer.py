@@ -59,6 +59,7 @@ def hf_to_gguf_name(name: str) -> Optional[str]:
     m = {
         "input_layernorm.weight": "attn_norm.weight",
         "post_attention_layernorm.weight": "ffn_norm.weight",
+        "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
         "self_attn.q_proj.weight": "attn_q.weight",
         "self_attn.k_proj.weight": "attn_k.weight",
         "self_attn.v_proj.weight": "attn_v.weight",
@@ -147,6 +148,9 @@ class ArchSpec:
 
     # -- tensor hooks ------------------------------------------------------
 
+    def tensor_name(self, hf_name: str) -> Optional[str]:
+        return hf_to_gguf_name(hf_name)
+
     def row_permutation(self, hf_name: str, n_rows: int) -> Optional[np.ndarray]:
         if not self.permute_qk:
             return None
@@ -187,6 +191,36 @@ class Qwen3Arch(ArchSpec):
         return md
 
 
+class Gemma2Arch(ArchSpec):
+    """gemma2: post-attn/post-ffw norms, softcapping, sliding window.
+
+    GGUF name quirk: gemma2's ffn_norm is the *pre-feedforward* norm and
+    post_attention_norm holds HF's post_attention_layernorm."""
+
+    gguf_arch = "gemma2"
+    permute_qk = False
+
+    def tensor_name(self, hf_name: str) -> Optional[str]:
+        if hf_name.startswith("model.layers."):
+            parts = hf_name.split(".")
+            i = parts[2]
+            rest = ".".join(parts[3:])
+            if rest == "post_attention_layernorm.weight":
+                return f"blk.{i}.post_attention_norm.weight"
+            if rest == "pre_feedforward_layernorm.weight":
+                return f"blk.{i}.ffn_norm.weight"
+        return hf_to_gguf_name(hf_name)
+
+    def metadata(self):
+        md = super().metadata()
+        c = self.hf
+        a = self.gguf_arch
+        md[f"{a}.attn_logit_softcapping"] = float(c.get("attn_logit_softcapping", 50.0))
+        md[f"{a}.final_logit_softcapping"] = float(c.get("final_logit_softcapping", 30.0))
+        md[f"{a}.attention.sliding_window"] = int(c.get("sliding_window", 4096))
+        return md
+
+
 class Phi3Arch(ArchSpec):
     """phi3: llama.cpp expects fused attn_qkv / ffn_up tensors. Row-concat of
     per-projection K-quant artifacts is exact (rows are independent)."""
@@ -201,7 +235,7 @@ class Phi3Arch(ArchSpec):
 
 _ARCH_REGISTRY.update(
     {"llama": LlamaArch, "mistral": MistralArch, "qwen2": Qwen2Arch,
-     "qwen3": Qwen3Arch, "phi3": Phi3Arch}
+     "qwen3": Qwen3Arch, "phi3": Phi3Arch, "gemma2": Gemma2Arch}
 )
 
 
@@ -368,7 +402,7 @@ def pack_model(
     fused_map = getattr(spec, "fused", {})
 
     for name, arr in _iter_safetensors(model_dir):
-        gguf_name = hf_to_gguf_name(name)
+        gguf_name = spec.tensor_name(name)
         # fused architectures (phi3): HF holds qkv_proj/gate_up_proj fused,
         # artifacts hold the split projections; reassemble quantized parts.
         if gguf_name is None and name.startswith("model.layers.") and fused_map:

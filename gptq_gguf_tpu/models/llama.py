@@ -43,6 +43,16 @@ class LlamaConfig:
     mlp_bias: bool = False
     qk_norm: bool = False  # qwen3-style per-head q/k RMSNorm
     rope_scaling: Optional[Dict[str, Any]] = None
+    # gemma2-family knobs
+    arch: str = "llama"
+    rms_add_unit: bool = False  # RMSNorm uses (1 + w) (gemma)
+    embed_scale: bool = False  # scale embeddings by sqrt(hidden)
+    act_fn: str = "silu"  # silu | gelu_tanh
+    attn_logit_softcap: Optional[float] = None
+    final_logit_softcap: Optional[float] = None
+    query_pre_attn_scalar: Optional[float] = None
+    sliding_window: Optional[int] = None
+    sliding_pattern: int = 2  # every Nth layer is global (gemma2: odd layers)
     dtype: Any = jnp.float32
 
     @property
@@ -55,7 +65,16 @@ class LlamaConfig:
         rope_scaling = d.get("rope_scaling")
         if rope_scaling is not None:
             rope_scaling = dict(rope_scaling)
+        mt = d.get("model_type", "llama")
         return LlamaConfig(
+            arch="gemma2" if mt == "gemma2" else "llama",
+            rms_add_unit=mt in ("gemma", "gemma2"),
+            embed_scale=mt in ("gemma", "gemma2"),
+            act_fn="gelu_tanh" if mt in ("gemma", "gemma2") else "silu",
+            attn_logit_softcap=d.get("attn_logit_softcapping"),
+            final_logit_softcap=d.get("final_logit_softcapping"),
+            query_pre_attn_scalar=d.get("query_pre_attn_scalar"),
+            sliding_window=d.get("sliding_window") if mt == "gemma2" else None,
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
             intermediate_size=d["intermediate_size"],
@@ -144,11 +163,15 @@ def init_params(cfg: LlamaConfig, seed: int = 0) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
-def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float, add_unit: bool = False) -> jax.Array:
     dt = x.dtype
     x32 = x.astype(jnp.float32)
     var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
-    return (x32 * jax.lax.rsqrt(var + eps)).astype(dt) * weight
+    normed = x32 * jax.lax.rsqrt(var + eps)
+    w = weight.astype(jnp.float32)
+    if add_unit:
+        w = 1.0 + w  # gemma convention
+    return (normed * w).astype(dt)
 
 
 def _rope_inv_freq(cfg: LlamaConfig) -> np.ndarray:
@@ -210,19 +233,38 @@ def _linear(x, w, b=None):
     return y.astype(x.dtype)
 
 
-def attention_scores(q, k, v, mask):
+def attention_scores(q, k, v, mask, scale=None, logit_softcap=None):
     """Plain XLA attention; q (B,nH,S,hd), k/v (B,nKV,S,hd)."""
     B, nH, S, hd = q.shape
     nKV = k.shape[1]
     groups = nH // nKV
     q = q.reshape(B, nKV, groups, S, hd)
+    scale = scale if scale is not None else 1.0 / math.sqrt(hd)
     scores = jnp.einsum(
         "bkgsh,bkth->bkgst", q, k, preferred_element_type=jnp.float32
-    ) / math.sqrt(hd)
+    ) * scale
+    if logit_softcap:
+        scores = logit_softcap * jnp.tanh(scores / logit_softcap)
     scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bkgst,bkth->bkgsh", probs, v, preferred_element_type=jnp.float32)
     return out.reshape(B, nH, S, hd)
+
+
+def _mlp_act(gate: jax.Array, up: jax.Array, cfg: LlamaConfig) -> jax.Array:
+    g32 = gate.astype(jnp.float32)
+    if cfg.act_fn == "gelu_tanh":
+        a = jax.nn.gelu(g32, approximate=True)
+    else:
+        a = jax.nn.silu(g32)
+    return a.astype(up.dtype) * up
+
+
+def _sliding_mask(mask: jax.Array, window: int) -> jax.Array:
+    S = mask.shape[-1]
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    return mask & ((qpos - kpos) < window)[None, :, :]
 
 
 def block_capture(
@@ -232,16 +274,25 @@ def block_capture(
     sin: jax.Array,
     mask: jax.Array,
     cfg: LlamaConfig,
+    layer_idx: int = 0,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """One transformer block, also returning the inputs of each quantizable
     linear (the functional replacement for the reference's forward hooks,
     quantizer.py:222-240). Returns (out, {"qkv": ..., "o": ..., "gateup":
-    ..., "down": ...}); unused captures are DCE'd under jit."""
+    ..., "down": ...}); unused captures are DCE'd under jit.
+
+    Covers llama/mistral/qwen2/qwen3 and gemma2 (extra pre/post norms,
+    logit softcapping, sliding-window attention on even layers)."""
     B, S, H = x.shape
     hd = cfg.head_dim_
     nH, nKV = cfg.num_attention_heads, cfg.num_key_value_heads
+    au = cfg.rms_add_unit
 
-    h1 = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+    attn_mask = mask
+    if cfg.sliding_window and layer_idx % cfg.sliding_pattern == 0:
+        attn_mask = _sliding_mask(mask, cfg.sliding_window)
+
+    h1 = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, au)
     q = _linear(h1, layer["q_proj"], layer.get("q_bias"))
     k = _linear(h1, layer["k_proj"], layer.get("k_bias"))
     v = _linear(h1, layer["v_proj"], layer.get("v_bias"))
@@ -249,18 +300,35 @@ def block_capture(
     k = k.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
     if cfg.qk_norm:
-        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
-        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
+        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
     q, k = apply_rope(q, k, cos, sin)
-    attn = attention_scores(q, k, v, mask)
+    scale = (
+        cfg.query_pre_attn_scalar ** -0.5
+        if cfg.query_pre_attn_scalar is not None
+        else None
+    )
+    attn = attention_scores(q, k, v, attn_mask, scale, cfg.attn_logit_softcap)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
-    x = x + _linear(attn, layer["o_proj"])
+    attn_out = _linear(attn, layer["o_proj"])
+    gemma2_norms = "pre_feedforward_layernorm" in layer
+    if gemma2_norms:
+        # gemma2: HF's post_attention_layernorm normalizes the attention
+        # *output* before the residual add
+        attn_out = rms_norm(attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps, au)
+    x = x + attn_out
 
-    h2 = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
+    if gemma2_norms:
+        h2 = rms_norm(x, layer["pre_feedforward_layernorm"], cfg.rms_norm_eps, au)
+    else:
+        h2 = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps, au)
     gate = _linear(h2, layer["gate_proj"])
     up = _linear(h2, layer["up_proj"])
-    down_in = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
-    x = x + _linear(down_in, layer["down_proj"])
+    down_in = _mlp_act(gate, up, cfg)
+    mlp_out = _linear(down_in, layer["down_proj"])
+    if "post_feedforward_layernorm" in layer:  # gemma2
+        mlp_out = rms_norm(mlp_out, layer["post_feedforward_layernorm"], cfg.rms_norm_eps, au)
+    x = x + mlp_out
     captures = {"qkv": h1, "o": attn, "gateup": h2, "down": down_in}
     return x, captures
 
@@ -272,21 +340,28 @@ def block_forward(
     sin: jax.Array,
     mask: jax.Array,
     cfg: LlamaConfig,
+    layer_idx: int = 0,
 ) -> jax.Array:
     """One transformer block: (B, S, H) -> (B, S, H)."""
-    out, _ = block_capture(layer, x, cos, sin, mask, cfg)
+    out, _ = block_capture(layer, x, cos, sin, mask, cfg, layer_idx)
     return out
 
 
 def embed_forward(params, input_ids: jax.Array, cfg: LlamaConfig) -> jax.Array:
-    return params["embed_tokens"][input_ids].astype(cfg.dtype)
+    x = params["embed_tokens"][input_ids].astype(cfg.dtype)
+    if cfg.embed_scale:
+        x = x * jnp.asarray(math.sqrt(cfg.hidden_size), dtype=cfg.dtype)
+    return x
 
 
 def head_forward(params, x: jax.Array, cfg: LlamaConfig) -> jax.Array:
     """Final norm + lm head -> logits (B, S, V) in float32."""
-    h = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    h = rms_norm(x, params["norm"], cfg.rms_norm_eps, cfg.rms_add_unit)
     w = params.get("lm_head", params["embed_tokens"])
-    return jnp.einsum("...i,oi->...o", h, w, preferred_element_type=jnp.float32)
+    logits = jnp.einsum("...i,oi->...o", h, w, preferred_element_type=jnp.float32)
+    if cfg.final_logit_softcap:
+        logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
+    return logits
 
 
 def causal_mask(B: int, S: int) -> jax.Array:
@@ -307,8 +382,8 @@ def forward(
     cos, sin = rope_cos_sin(cfg, positions)
     mask = causal_mask(B, S)
     x = embed_forward(params, input_ids, cfg)
-    for layer in params["layers"]:
-        x = block_forward(layer, x, cos, sin, mask, cfg)
+    for li, layer in enumerate(params["layers"]):
+        x = block_forward(layer, x, cos, sin, mask, cfg, li)
     return head_forward(params, x, cfg)
 
 

@@ -17,7 +17,7 @@ import numpy as np
 
 from .llama import LlamaConfig
 
-SUPPORTED_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3", "phi3")
+SUPPORTED_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3", "phi3", "gemma2")
 
 
 def load_config(model_dir: Union[str, Path], dtype=jnp.float32) -> LlamaConfig:
@@ -100,6 +100,8 @@ def load_params(
                 "self_attn.v_proj.bias": "v_bias",
                 "self_attn.q_norm.weight": "q_norm",
                 "self_attn.k_norm.weight": "k_norm",
+                "pre_feedforward_layernorm.weight": "pre_feedforward_layernorm",
+                "post_feedforward_layernorm.weight": "post_feedforward_layernorm",
                 "mlp.gate_proj.weight": "gate_proj",
                 "mlp.up_proj.weight": "up_proj",
                 "mlp.down_proj.weight": "down_proj",

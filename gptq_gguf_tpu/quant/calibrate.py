@@ -67,10 +67,10 @@ def resolve_quant_config(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("hs",))
-def _capture_step(layer, x, cos, sin, mask, hs, counts, cfg: LlamaConfig):
+@functools.partial(jax.jit, static_argnames=("cfg", "layer_idx"), donate_argnames=("hs",))
+def _capture_step(layer, x, cos, sin, mask, hs, counts, cfg: LlamaConfig, layer_idx: int = 0):
     """Forward one batch through a block, updating the 4 Hessians."""
-    out, caps = llama.block_capture(layer, x, cos, sin, mask, cfg)
+    out, caps = llama.block_capture(layer, x, cos, sin, mask, cfg, layer_idx)
     new_hs = {}
     new_counts = {}
     for key in ("qkv", "o", "gateup", "down"):
@@ -80,9 +80,9 @@ def _capture_step(layer, x, cos, sin, mask, hs, counts, cfg: LlamaConfig):
     return out, new_hs, new_counts
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _propagate_step(layer, x, cos, sin, mask, cfg: LlamaConfig):
-    return llama.block_forward(layer, x, cos, sin, mask, cfg)
+@functools.partial(jax.jit, static_argnames=("cfg", "layer_idx"))
+def _propagate_step(layer, x, cos, sin, mask, cfg: LlamaConfig, layer_idx: int = 0):
+    return llama.block_forward(layer, x, cos, sin, mask, cfg, layer_idx)
 
 
 class CalibrationResult(Dict[str, Any]):
@@ -168,7 +168,7 @@ def quantize_model(
                 from ..parallel import dp as dp_mod
 
                 xj = dp_mod.shard_batch(xj, mesh)
-            _, hs, counts = _capture_step(layer, xj, cos, sin, mask, hs, counts, cfg)
+            _, hs, counts = _capture_step(layer, xj, cos, sin, mask, hs, counts, cfg, li)
 
         # ---- solve each selected linear (quantizer.py:242-275) ----
         new_layer = dict(layer)
@@ -202,7 +202,7 @@ def quantize_model(
             b = x.shape[0]
             cos, sin = rope_for(b)
             mask = llama.causal_mask(b, S)
-            out = _propagate_step(new_layer, jnp.asarray(x), cos, sin, mask, cfg)
+            out = _propagate_step(new_layer, jnp.asarray(x), cos, sin, mask, cfg, li)
             new_xs.append(np.asarray(out))
         xs = new_xs
 

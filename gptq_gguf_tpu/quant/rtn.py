@@ -64,7 +64,7 @@ def compute_imatrix(
             cos = jnp.broadcast_to(cos1, (b, S, cos1.shape[-1]))
             sin = jnp.broadcast_to(sin1, (b, S, sin1.shape[-1]))
             mask = llama.causal_mask(b, S)
-            o, hs, counts = _capture_step(layer, jnp.asarray(x), cos, sin, mask, hs, counts, cfg)
+            o, hs, counts = _capture_step(layer, jnp.asarray(x), cos, sin, mask, hs, counts, cfg, li)
             outs.append(np.asarray(o))
         diag = {k: np.asarray(jnp.diagonal(h)) / 2.0 for k, h in hs.items()}
         for key, cap, name_tpl in _LINEAR_SPECS:

@@ -59,7 +59,7 @@ def _block_walk(params, cfg: LlamaConfig, calibration_ids, batch_size, solver):
             cos = jnp.broadcast_to(cos1, (b, S, cos1.shape[-1]))
             sin = jnp.broadcast_to(sin1, (b, S, sin1.shape[-1]))
             mask = llama.causal_mask(b, S)
-            _, hs, counts = _capture_step(layer, jnp.asarray(x), cos, sin, mask, hs, counts, cfg)
+            _, hs, counts = _capture_step(layer, jnp.asarray(x), cos, sin, mask, hs, counts, cfg, li)
 
         new_layer = dict(layer)
         for key, cap, name_tpl in _LINEAR_SPECS:
@@ -78,7 +78,7 @@ def _block_walk(params, cfg: LlamaConfig, calibration_ids, batch_size, solver):
             cos = jnp.broadcast_to(cos1, (b, S, cos1.shape[-1]))
             sin = jnp.broadcast_to(sin1, (b, S, sin1.shape[-1]))
             mask = llama.causal_mask(b, S)
-            new_xs.append(np.asarray(_propagate_step(new_layer, jnp.asarray(x), cos, sin, mask, cfg)))
+            new_xs.append(np.asarray(_propagate_step(new_layer, jnp.asarray(x), cos, sin, mask, cfg, li)))
         xs = new_xs
     return params
 

@@ -120,3 +120,40 @@ def test_get_set_linear_roundtrip(tiny_model):
         np.asarray(llama.get_linear(params, "model.layers.0.self_attn.q_proj")),
         np.asarray(w),
     )
+
+
+def test_logits_match_hf_gemma2(tmp_path):
+    import torch
+
+    cfg_dict = {
+        "model_type": "gemma2",
+        "architectures": ["Gemma2ForCausalLM"],
+        "vocab_size": 256,
+        "hidden_size": 256,
+        "intermediate_size": 512,
+        "num_hidden_layers": 2,  # layer 0 sliding, layer 1 global
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "head_dim": 64,
+        "rms_norm_eps": 1e-6,
+        "rope_theta": 10000.0,
+        "max_position_embeddings": 512,
+        "attn_logit_softcapping": 50.0,
+        "final_logit_softcapping": 30.0,
+        "query_pre_attn_scalar": 64,
+        "sliding_window": 16,  # small so the test exercises it
+        "tie_word_embeddings": True,
+        "hidden_activation": "gelu_pytorch_tanh",
+        "torch_dtype": "float32",
+        "pad_token_id": 0,
+    }
+    model_dir, hf_model = make_tiny_hf_model(tmp_path, cfg_dict, seed=6)
+    cfg = loader.load_config(model_dir)
+    assert cfg.arch == "gemma2" and cfg.sliding_window == 16
+    params = loader.load_params(model_dir, cfg)
+    assert "pre_feedforward_layernorm" in params["layers"][0]
+    ids = RNG.integers(0, cfg.vocab_size, size=(1, 48))  # > sliding window
+    with torch.no_grad():
+        hf_logits = hf_model(torch.from_numpy(ids)).logits.numpy()
+    j_logits = np.asarray(llama.forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(j_logits, hf_logits, rtol=2e-4, atol=2e-4)
