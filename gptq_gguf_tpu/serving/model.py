@@ -59,7 +59,8 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -
     )
 
 
-def _cached_attention(q, k_cache, v_cache, lengths):
+def _cached_attention(q, k_cache, v_cache, lengths, scale=None, logit_softcap=None,
+                      sliding_window=None):
     """q: (B, nH, S, hd); caches (B, nKV, L, hd); slot b's queries sit at
     positions lengths[b] + [0, S)."""
     B, nH, S, hd = q.shape
@@ -67,12 +68,17 @@ def _cached_attention(q, k_cache, v_cache, lengths):
     L = k_cache.shape[2]
     groups = nH // nKV
     qg = q.reshape(B, nKV, groups, S, hd)
+    scale = scale if scale is not None else 1.0 / math.sqrt(hd)
     scores = jnp.einsum(
         "bkgsh,bkth->bkgst", qg, k_cache, preferred_element_type=jnp.float32
-    ) / math.sqrt(hd)
+    ) * scale
+    if logit_softcap:
+        scores = logit_softcap * jnp.tanh(scores / logit_softcap)
     pos = jnp.arange(L)[None, None, :]
     qpos = lengths[:, None, None] + jnp.arange(S)[None, :, None]
     mask = pos <= qpos  # (B, S, L) causal per slot
+    if sliding_window:
+        mask = mask & ((qpos - pos) < sliding_window)
     scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
     out = jnp.einsum(
@@ -104,10 +110,18 @@ def forward_cached(
     x = params["embed_tokens"]
     x = (x[input_ids] if not isinstance(x, qmatmul.RuntimeQuantLinear)
          else qmatmul.dequantize_runtime(x)[input_ids]).astype(cfg.dtype)
+    if cfg.embed_scale:
+        x = x * jnp.asarray(math.sqrt(cfg.hidden_size), dtype=cfg.dtype)
+    au = cfg.rms_add_unit
 
     new_k, new_v = [], []
     for li, layer in enumerate(params["layers"]):
-        h = llama.rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+        sliding = (
+            cfg.sliding_window
+            if cfg.sliding_window and li % cfg.sliding_pattern == 0
+            else None
+        )
+        h = llama.rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, au)
         q = _q_linear(h, layer["q_proj"])
         k = _q_linear(h, layer["k_proj"])
         v = _q_linear(h, layer["v_proj"])
@@ -119,8 +133,8 @@ def forward_cached(
         k = k.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
         if cfg.qk_norm:
-            q = llama.rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
-            k = llama.rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
+            q = llama.rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
+            k = llama.rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
         q, k = llama.apply_rope(q, k, cos, sin)
 
         bidx = jnp.arange(B)[:, None]
@@ -133,22 +147,39 @@ def forward_cached(
         new_k.append(k_cache)
         new_v.append(v_cache)
 
-        attn = _cached_attention(q, k_cache, v_cache, lengths)
+        att_scale = (
+            cfg.query_pre_attn_scalar ** -0.5
+            if cfg.query_pre_attn_scalar is not None
+            else None
+        )
+        attn = _cached_attention(
+            q, k_cache, v_cache, lengths, att_scale, cfg.attn_logit_softcap, sliding
+        )
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
-        x = x + _q_linear(attn, layer["o_proj"])
+        attn_out = _q_linear(attn, layer["o_proj"])
+        gemma2_norms = "pre_feedforward_layernorm" in layer
+        if gemma2_norms:
+            attn_out = llama.rms_norm(attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps, au)
+        x = x + attn_out
 
-        h = llama.rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
+        norm_key = "pre_feedforward_layernorm" if gemma2_norms else "post_attention_layernorm"
+        h = llama.rms_norm(x, layer[norm_key], cfg.rms_norm_eps, au)
         gate = _q_linear(h, layer["gate_proj"])
         up = _q_linear(h, layer["up_proj"])
-        act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
-        x = x + _q_linear(act, layer["down_proj"])
+        act = llama._mlp_act(gate, up, cfg)
+        mlp_out = _q_linear(act, layer["down_proj"])
+        if gemma2_norms:
+            mlp_out = llama.rms_norm(mlp_out, layer["post_feedforward_layernorm"], cfg.rms_norm_eps, au)
+        x = x + mlp_out
 
-    h = llama.rms_norm(x[:, -1, :], params["norm"], cfg.rms_norm_eps)
+    h = llama.rms_norm(x[:, -1, :], params["norm"], cfg.rms_norm_eps, au)
     head = params.get("lm_head", params["embed_tokens"])
     if isinstance(head, qmatmul.RuntimeQuantLinear):
         logits = qmatmul.dequant_matmul(h, head)
     else:
         logits = jnp.einsum("bi,oi->bo", h, head, preferred_element_type=jnp.float32)
+    if cfg.final_logit_softcap:
+        logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
     return logits, KVCache(new_k, new_v, lengths + S)
 
 

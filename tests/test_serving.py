@@ -116,3 +116,34 @@ def test_continuous_batching_matches_generate(served):
     by_uid = {r.uid: r for r in done}
     for uid, expected in zip(sorted(by_uid), singles):
         assert by_uid[uid].output == expected
+
+
+def test_serving_gemma2_matches_forward(tmp_path):
+    """Cached serving forward must match the uncached gemma2 forward
+    (softcaps, sliding window, dual norms, embed scaling)."""
+    from tests.test_model import make_tiny_hf_model
+
+    cfg_dict = {
+        "model_type": "gemma2", "architectures": ["Gemma2ForCausalLM"],
+        "vocab_size": 256, "hidden_size": 256, "intermediate_size": 512,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "head_dim": 64, "rms_norm_eps": 1e-6,
+        "max_position_embeddings": 512, "attn_logit_softcapping": 50.0,
+        "final_logit_softcapping": 30.0, "query_pre_attn_scalar": 64,
+        "sliding_window": 8, "tie_word_embeddings": True,
+        "hidden_activation": "gelu_pytorch_tanh", "torch_dtype": "float32",
+        "pad_token_id": 0,
+    }
+    model_dir, _ = make_tiny_hf_model(tmp_path, cfg_dict, seed=7)
+    cfg = loader.load_config(model_dir)
+    params = loader.load_params(model_dir, cfg)
+
+    ids = RNG.integers(0, cfg.vocab_size, size=(1, 20))
+    full = np.asarray(llama.forward(params, jnp.asarray(ids), cfg))
+
+    cache = qmodel.init_cache(cfg, 1, 24, dtype=jnp.float32)
+    logits, cache = qmodel.forward_cached(params, cfg, jnp.asarray(ids[:, :12]), cache)
+    np.testing.assert_allclose(np.asarray(logits), full[:, 11, :], rtol=3e-3, atol=3e-3)
+    for t in range(12, 20):
+        logits, cache = qmodel.forward_cached(params, cfg, jnp.asarray(ids[:, t:t+1]), cache)
+        np.testing.assert_allclose(np.asarray(logits), full[:, t, :], rtol=3e-3, atol=3e-3)
