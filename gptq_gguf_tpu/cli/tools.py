@@ -324,3 +324,70 @@ def run_rtn(args):
 
 
 SUBCOMMANDS["rtn-quantize"] = (build_rtn, run_rtn)
+
+
+# -- lm-eval (eval/lmeval.py) ----------------------------------------------
+
+
+def build_lmeval(p: argparse.ArgumentParser):
+    common.add_model_args(p)
+    p.add_argument("--tasks", nargs="+", required=True)
+    p.add_argument("--num_fewshot", type=int, default=None)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--compressed_weights_path", default=None)
+    p.add_argument("--compressed_config_path", default=None)
+    p.add_argument("--output_path", default=None)
+
+
+def run_lmeval(args):
+    from ..evals import compress, lmeval
+
+    if not lmeval.HAS_LM_EVAL:
+        raise SystemExit("lm_eval is not installed (pip install lm-eval)")
+    cfg, params = common.load_model(args)
+    tokenizer = common.load_tokenizer(args)
+    if args.compressed_weights_path:
+        params = compress.load_compressed_weights(
+            params, args.compressed_weights_path, args.compressed_config_path
+        )
+    results = lmeval.evaluate(
+        params, cfg, tokenizer, args.tasks,
+        num_fewshot=args.num_fewshot, batch_size=args.batch_size, limit=args.limit,
+    )
+    print(json.dumps(results.get("results", results), indent=2, default=str))
+    if args.output_path:
+        with open(args.output_path, "w") as f:
+            json.dump(results, f, indent=2, default=str)
+
+
+SUBCOMMANDS["lm-eval"] = (build_lmeval, run_lmeval)
+
+
+# -- estimate-errors (evopress/src/error_estimator.py) ----------------------
+
+
+def build_estimate_errors(p: argparse.ArgumentParser):
+    common.add_model_args(p)
+    common.add_data_args(p)
+    p.add_argument("--db_path", required=True, help="HF-layout multi-level DB")
+    p.add_argument("--output_path", default=None)
+    p.add_argument("--batch_size", type=int, default=1)
+
+
+def run_estimate_errors(args):
+    from ..search import ladder
+
+    cfg, params = common.load_model(args)
+    tokenizer = common.load_tokenizer(args)
+    calib = common.load_calibration(args, cfg, tokenizer)
+    res = ladder.estimate_layer_errors(
+        params, cfg, calib, args.db_path,
+        batch_size=args.batch_size, out_path=args.output_path,
+    )
+    for name, errs in res.items():
+        best = min(errs, key=errs.get) if errs else None
+        print(f"{name}: {len(errs)} levels, best {best}")
+
+
+SUBCOMMANDS["estimate-errors"] = (build_estimate_errors, run_estimate_errors)

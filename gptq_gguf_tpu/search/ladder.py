@@ -189,3 +189,46 @@ def compute_owl_outlier_ratios(
     for li in sorted(per_block):
         ratios.append(float(np.mean(per_block[li])))
     return ratios
+
+
+def estimate_layer_errors(
+    params,
+    cfg: LlamaConfig,
+    calibration_ids,
+    db_path: Union[str, Path],
+    batch_size: int = 1,
+    out_path: Optional[Union[str, Path]] = None,
+) -> Dict[str, Dict[str, float]]:
+    """Per-layer normalized proxy loss (dW H dW^T)/(W H W^T) against every
+    available database level (reference evopress/src/error_estimator.py:16-262).
+
+    Returns {layer_name: {level_filename: relative_error}}; optionally dumps
+    JSON. Useful for seeding/pruning the EvoPress search space.
+    """
+    import json
+
+    import torch
+
+    from ..ops.sparse_gptq import relative_layer_error
+
+    db_path = Path(db_path)
+    results: Dict[str, Dict[str, float]] = {}
+
+    def solver(li, key, name, W, H):
+        layer_dir = db_path / name
+        if not layer_dir.is_dir():
+            return None
+        errs = {}
+        for f in sorted(layer_dir.glob("*.pth")):
+            w_hat = torch.load(f, map_location="cpu", weights_only=True).float().numpy()
+            errs[f.name] = float(
+                relative_layer_error(W.astype(jnp.float32), jnp.asarray(w_hat), H)
+            )
+        results[name] = errs
+        return None
+
+    _block_walk(params, cfg, calibration_ids, batch_size, solver)
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+    return results

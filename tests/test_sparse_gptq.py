@@ -105,3 +105,38 @@ def test_ladder_walk_end_to_end(tmp_path):
 
     ratios = ladder.compute_owl_outlier_ratios(params, cfg, calib, m=3.0)
     assert len(ratios) == 1 and 0 <= ratios[0] <= 1
+
+
+def test_estimate_layer_errors(tmp_path):
+    import torch
+
+    from gptq_gguf_tpu.models import llama as llama_mod
+    from gptq_gguf_tpu.models.llama import LlamaConfig
+    from gptq_gguf_tpu.ops import kquant
+    from gptq_gguf_tpu.formats.ggml import GGMLQuantizationType as T
+    from gptq_gguf_tpu.search import ladder
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+    )
+    params = llama_mod.init_params(cfg, seed=4)
+    calib = [RNG.integers(0, 128, size=(1, 32)) for _ in range(2)]
+
+    db = tmp_path / "db"
+    import jax.numpy as jnp
+    for name in llama_mod.linear_layer_names(cfg):
+        w = llama_mod.get_linear(params, name)
+        for qt, tag in ((T.Q2_K, "2.5625-Q2_K"), (T.Q6_K, "6.5625-Q6_K")):
+            w_hat = np.asarray(kquant.dequantize_rtn(w.astype(jnp.float32), qt))
+            d = db / name
+            d.mkdir(parents=True, exist_ok=True)
+            torch.save(torch.from_numpy(w_hat), d / f"{tag}.pth")
+
+    res = ladder.estimate_layer_errors(
+        params, cfg, calib, db, out_path=tmp_path / "errs.json"
+    )
+    assert len(res) == 7
+    for name, errs in res.items():
+        assert errs["6.5625-Q6_K.pth"] < errs["2.5625-Q2_K.pth"]
+    assert (tmp_path / "errs.json").exists()
