@@ -171,26 +171,52 @@ def quantize_model(
             _, hs, counts = _capture_step(layer, xj, cos, sin, mask, hs, counts, cfg, li)
 
         # ---- solve each selected linear (quantizer.py:242-275) ----
+        # Linears sharing a Hessian AND a quant type are solved together by
+        # row-concatenation (rows are independent given the shared Cholesky):
+        # q/k/v in one solve, gate/up in another — fewer dispatches and
+        # better row-dim utilization than the reference's per-layer solves.
         new_layer = dict(layer)
+        by_cap: Dict[str, list] = {}
         for key, cap, name_tpl in _LINEAR_SPECS:
             name = name_tpl.format(i=li)
             if not pattern.search(name):
                 continue
             qtype = qcfg.get(key, DEFAULT_BLOCK_QTYPE)
-            W = layer[key]
-            res = gptq_ops.gptq_quantize_matrix(
-                W.astype(jnp.float32), hs[cap], qtype, gptq_cfg
-            )
-            w_hat = kquant.dequantize(res.qweight, res.params, qtype)
-            new_layer[key] = w_hat.astype(W.dtype)
-            if save_dir is not None:
-                artifacts.save_layer(
-                    save_dir,
-                    name,
-                    artifacts.LayerArtifact.from_result(qtype, res.qweight, res.params),
-                )
-            if verbose and bool(res.issue_non_invertible):
-                print(f"[calibrate] {name}: non-invertible Hessian, identity fallback")
+            by_cap.setdefault(cap, []).append((key, name, qtype))
+
+        for cap, members in by_cap.items():
+            groups_by_qtype: Dict[Any, list] = {}
+            for m in members:
+                groups_by_qtype.setdefault(m[2], []).append(m)
+            for qtype, group in groups_by_qtype.items():
+                Ws = [layer[key] for key, _, _ in group]
+                W_cat = jnp.concatenate(
+                    [w.astype(jnp.float32) for w in Ws], axis=0
+                ) if len(group) > 1 else Ws[0].astype(jnp.float32)
+                res = gptq_ops.gptq_quantize_matrix(W_cat, hs[cap], qtype, gptq_cfg)
+                w_hat_cat = kquant.dequantize(res.qweight, res.params, qtype)
+                row = 0
+                for (key, name, _), W in zip(group, Ws):
+                    n = W.shape[0]
+                    sl = slice(row, row + n)
+                    row += n
+                    new_layer[key] = w_hat_cat[sl].astype(W.dtype)
+                    if save_dir is not None:
+                        artifacts.save_layer(
+                            save_dir,
+                            name,
+                            artifacts.LayerArtifact(
+                                q_type=qtype,
+                                qweight=np.asarray(res.qweight[sl]),
+                                super_group_scale=np.asarray(res.params.super_scale[sl]),
+                                super_group_zero=np.asarray(res.params.super_zero[sl]),
+                                group_scale_quant=np.asarray(res.params.scale_q[sl]),
+                                group_zero_quant=np.asarray(res.params.zero_q[sl]),
+                            ),
+                        )
+                if verbose and bool(res.issue_non_invertible):
+                    names = ", ".join(n for _, n, _ in group)
+                    print(f"[calibrate] {names}: non-invertible Hessian, identity fallback")
 
         layers = list(params["layers"])
         layers[li] = new_layer
