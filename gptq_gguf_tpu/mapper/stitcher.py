@@ -173,6 +173,10 @@ class GGUFStitcher:
     def validate(self) -> List[str]:
         """Check that every configured tensor file exists; returns problems."""
         problems = []
+        if not self.available:
+            problems.append(
+                f"no layer directories with <bits>[-QTYPE].pth files found under {self.split_dir}"
+            )
         for name, cfg in self.config.items():
             f = self.split_dir / name / (cfg.filename or f"{cfg.bitwidth}.pth")
             if not f.exists() and not (self.split_dir / name / "32-F32.pth").exists():

@@ -149,3 +149,11 @@ def test_infer_qtype_from_filename():
     assert f("model-IQ2_XS.gguf") == "IQ2_XS"
     assert f("model-F16.gguf") == "F16"
     assert f("model.gguf") is None
+
+
+def test_stitcher_empty_dir_invalid(tmp_path):
+    """validate() must fail on a missing/empty split dir (found by probing:
+    it previously reported 'configuration valid' for a nonexistent path)."""
+    st = stitcher.GGUFStitcher(tmp_path / "nope")
+    problems = st.validate()
+    assert problems and "no layer directories" in problems[0]
