@@ -41,6 +41,8 @@ def build_parser(p: argparse.ArgumentParser) -> None:
     p.add_argument("--eval_perplexity", action="store_true")
     p.add_argument("--eval_sequence_length", type=int, default=4096)
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--profile-dir", dest="profile_dir", default=None,
+                   help="write a jax.profiler trace here (TensorBoard/xprof)")
     p.add_argument("--save_dir", type=str, required=True)
 
 
@@ -50,10 +52,14 @@ def run(args) -> None:
     from ..ops.kquant import ScaleSearchConfig
     from ..quant import calibrate
     from ..utils.data import get_data
+    from ..utils.logging import StageTimer, profile_trace
 
-    cfg, params = common.load_model(args)
-    tokenizer = common.load_tokenizer(args)
-    calib = common.load_calibration(args, cfg, tokenizer)
+    timer = StageTimer()
+    with timer.stage("load_model"):
+        cfg, params = common.load_model(args)
+        tokenizer = common.load_tokenizer(args)
+    with timer.stage("load_calibration"):
+        calib = common.load_calibration(args, cfg, tokenizer)
     mesh = common.make_mesh_from_args(args)
 
     if args.bit_width_configuration:
@@ -80,31 +86,40 @@ def run(args) -> None:
 
     os.makedirs(args.save_dir, exist_ok=True)
     t0 = time.perf_counter()
-    qparams = calibrate.quantize_model(
-        params, cfg, calib,
-        quant_config=quant_config,
-        gptq_cfg=gptq_cfg,
-        save_dir=args.save_dir,
-        quant_non_block=args.quant_non_block_modules,
-        quantizable_regex=args.quantizable_modules,
-        batch_size=args.batch_size,
-        mesh=mesh,
-        verbose=args.verbose,
-    )
+    with profile_trace(args.profile_dir), timer.stage("quantize"):
+        qparams = calibrate.quantize_model(
+            params, cfg, calib,
+            quant_config=quant_config,
+            gptq_cfg=gptq_cfg,
+            save_dir=args.save_dir,
+            quant_non_block=args.quant_non_block_modules,
+            quantizable_regex=args.quantizable_modules,
+            batch_size=args.batch_size,
+            mesh=mesh,
+            verbose=args.verbose,
+        )
     print(f"Quantization took {time.perf_counter() - t0:.1f} s.")
 
     if args.eval_perplexity:
-        eval_data = get_data(
-            "wikitext2" if args.calibration_data in ("wikitext2", "c4", "fineweb_edu")
-            else args.calibration_data,
-            100 * args.eval_sequence_length,
-            args.eval_sequence_length,
-            tokenizer,
-            train=False,
-            vocab_size=cfg.vocab_size,
-        )
-        ppl = compute_perplexity(qparams, cfg, eval_data)
+        with timer.stage("eval_perplexity"):
+            # test split loaders return the full contiguous test set for
+            # wikitext2/c4 (the token count only bounds synthetic/file data)
+            eval_data = get_data(
+                "wikitext2" if args.calibration_data in ("wikitext2", "c4", "fineweb_edu")
+                else args.calibration_data,
+                100 * args.eval_sequence_length,
+                args.eval_sequence_length,
+                tokenizer,
+                train=False,
+                vocab_size=cfg.vocab_size,
+            )
+            ppl = compute_perplexity(qparams, cfg, eval_data)
         print(f"Wikitext-2 perplexity: {ppl:.3f}")
+
+    timer.dump(os.path.join(args.save_dir, "stage_timings.json"))
+    if args.verbose:
+        for stage, secs in timer.times.items():
+            print(f"  {stage}: {secs:.2f}s")
 
 
 def main():

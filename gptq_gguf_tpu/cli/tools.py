@@ -23,9 +23,12 @@ def build_pack(p: argparse.ArgumentParser):
 def run_pack(args):
     from ..export import packer
     from ..formats.ggml import GGMLQuantizationType
+    from ..utils.logging import StageTimer
 
+    timer = StageTimer()
     fallback = GGMLQuantizationType.F16 if args.outtype_fallback == "f16" else GGMLQuantizationType.F32
-    out = packer.pack_model(args.model_dir, args.quant_dir, args.outfile, default_float=fallback)
+    with timer.stage("pack"):
+        out = packer.pack_model(args.model_dir, args.quant_dir, args.outfile, default_float=fallback)
     print(f"wrote {out}")
 
 
@@ -193,6 +196,9 @@ def build_search(p: argparse.ArgumentParser):
     p.add_argument("--initial_tokens", type=int, default=16384)
     p.add_argument("--kl_topk", type=int, default=64)
     p.add_argument("--eval_every", type=int, default=10)
+    p.add_argument("--eval_datasets", nargs="+", default=None,
+                   help="datasets for the periodic ppl eval (evo_quant_search.py:498-505)")
+    p.add_argument("--eval_tokens", type=int, default=2**17)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint_path", default=None)
 
@@ -228,7 +234,20 @@ def run_search(args):
         seed=args.seed,
         checkpoint_path=args.checkpoint_path,
     )
-    best, groups, available = evopress.evo_press_search(model, calib, ecfg, target_logits=target_logits)
+    eval_datasets = None
+    if args.eval_datasets:
+        from ..utils.data import get_data
+
+        seq = calib[0].shape[-1]
+        eval_datasets = {
+            name: get_data(name, args.eval_tokens, seq, tokenizer, train=False,
+                           vocab_size=cfg.vocab_size)
+            for name in args.eval_datasets
+        }
+
+    best, groups, available = evopress.evo_press_search(
+        model, calib, ecfg, target_logits=target_logits, eval_datasets=eval_datasets
+    )
     out = os.path.join(
         args.quant_weights_path,
         f"evo-{args.fitness_fn}-configuration-{args.target_bitwidth}.txt",
@@ -247,6 +266,8 @@ def build_serve(p: argparse.ArgumentParser):
     p.add_argument("--max-new-tokens", type=int, default=32)
     p.add_argument("--benchmark", action="store_true")
     p.add_argument("--num-slots", type=int, default=8)
+    p.add_argument("--profile-dir", dest="profile_dir", default=None,
+                   help="write a jax.profiler trace here (TensorBoard/xprof)")
 
 
 def run_serve(args):
@@ -255,12 +276,16 @@ def run_serve(args):
     import numpy as np
 
     from ..serving import engine, model as qmodel
+    from ..utils.logging import StageTimer, profile_trace
 
-    params, cfg = qmodel.load_gguf_for_serving(args.gguf_file)
+    timer = StageTimer()
+    with timer.stage("load_gguf"):
+        params, cfg = qmodel.load_gguf_for_serving(args.gguf_file)
     prompt = np.asarray(args.prompt_tokens or [1, 2, 3, 4], dtype=np.int64)
-    t0 = time.time()
-    out = engine.generate(params, cfg, [prompt], max_new_tokens=args.max_new_tokens)[0]
-    dt = time.time() - t0
+    with profile_trace(args.profile_dir), timer.stage("generate"):
+        t0 = time.time()
+        out = engine.generate(params, cfg, [prompt], max_new_tokens=args.max_new_tokens)[0]
+        dt = time.time() - t0
     print(f"generated {len(out)} tokens in {dt:.2f}s ({len(out) / dt:.1f} tok/s)")
     print(out)
 
@@ -324,6 +349,67 @@ def run_rtn(args):
 
 
 SUBCOMMANDS["rtn-quantize"] = (build_rtn, run_rtn)
+
+
+# -- pack-compressed (pack_compressed_tensors_into_gguf.py) -----------------
+
+
+def build_pack_compressed(p: argparse.ArgumentParser):
+    p.add_argument("--model_dir", required=True, help="compressed-tensors HF checkpoint")
+    p.add_argument("--quant_dir", default=None,
+                   help="safetensors with *.weight_packed (default: model_dir)")
+    p.add_argument("--outfile", required=True)
+
+
+def run_pack_compressed(args):
+    from ..export import compressed_tensors
+
+    out = compressed_tensors.pack_compressed_tensors_model(
+        args.model_dir, args.outfile, args.quant_dir
+    )
+    print(f"wrote {out}")
+
+
+SUBCOMMANDS["pack-compressed"] = (build_pack_compressed, run_pack_compressed)
+
+
+# -- llama-quantize (GGUF -> GGUF mixed-type recipes, run_quant.sh) ---------
+
+
+def build_llama_quantize(p: argparse.ArgumentParser):
+    from ..quant.recipes import FTYPE_IDS
+
+    p.add_argument("--input", required=True, help="source .gguf (typically F16)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--ftype", required=True, choices=sorted(FTYPE_IDS),
+                   help="recipe, e.g. Q4_K_M / IQ4_XS")
+    p.add_argument("--imatrix", default=None,
+                   help=".npz of per-tensor importance vectors (GGUF tensor names)")
+    p.add_argument("--pure", action="store_true",
+                   help="base type for every tensor (llama-quantize --pure)")
+    p.add_argument("--summary", default=None, help="quantization_summary.json path")
+    p.add_argument("--verbose", action="store_true")
+
+
+def run_llama_quantize(args):
+    import numpy as np
+
+    from ..quant import recipes, rtn
+
+    imatrix = None
+    if args.imatrix:
+        with np.load(args.imatrix) as z:
+            imatrix = {k: z[k] for k in z.files}
+    progress = (lambda name, t: print(f"{name} -> {t}")) if args.verbose else None
+    out = recipes.llama_quantize(
+        args.input, args.output, args.ftype,
+        imatrix=imatrix, pure=args.pure, progress=progress,
+    )
+    summary = rtn.quantization_summary(out, args.summary)
+    print(f"wrote {out} ({summary['bits_per_weight']:.3f} bpw)")
+
+
+SUBCOMMANDS["llama-quantize"] = (build_llama_quantize, run_llama_quantize)
 
 
 # -- lm-eval (eval/lmeval.py) ----------------------------------------------

@@ -6,20 +6,25 @@ The reference wraps lm-eval by monkeypatching
 ``lm_eval.api.model.LM`` subclass instead — no patching, and any param
 pytree (float, dequantized, weight-swapped) can be evaluated directly.
 
-lm_eval is an optional dependency; everything degrades gracefully to an
-ImportError with instructions when it is absent.
+Scoring is batched: requests are grouped into padded length buckets (one
+XLA program per bucket) and scored ``batch_size`` at a time with a
+vectorized log-softmax — round 1 scored one request per forward, which was
+flagged as unusably slow for real tasks.
+
+lm_eval is an optional dependency; scoring helpers below work without it
+(and are unit-tested that way); only the LM adapter class needs it.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from collections import defaultdict
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 try:
     import lm_eval
     from lm_eval.api.model import LM
-    from lm_eval.api.instance import Instance
 
     HAS_LM_EVAL = True
 except Exception:  # pragma: no cover - optional dep
@@ -29,11 +34,96 @@ except Exception:  # pragma: no cover - optional dep
 
 from ..models.llama import LlamaConfig
 
+_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return n
+
+
+def _batch_logits(params, cfg: LlamaConfig, ids: np.ndarray) -> np.ndarray:
+    import jax.numpy as jnp
+
+    from ..models import llama
+
+    return np.asarray(llama.forward(params, jnp.asarray(ids), cfg))
+
+
+def score_continuations(
+    params,
+    cfg: LlamaConfig,
+    pairs: Sequence[Tuple[Sequence[int], Sequence[int]]],
+    max_length: int,
+    batch_size: int = 8,
+) -> List[Tuple[float, bool]]:
+    """Batched (logprob, is_greedy) for (context_ids, continuation_ids) pairs.
+
+    Right-pads within a length bucket — causal attention means padding after
+    a row's true tokens cannot affect its scored positions.
+    """
+    items = []
+    for i, (ctx, cont) in enumerate(pairs):
+        ids = (list(ctx) + list(cont))[-max_length:]
+        n_cont = min(len(cont), len(ids) - 1)
+        items.append((i, ids, n_cont))
+
+    results: List[Optional[Tuple[float, bool]]] = [None] * len(items)
+    groups = defaultdict(list)
+    for it in items:
+        groups[_bucket(len(it[1]))].append(it)
+
+    for L, its in sorted(groups.items()):
+        for j in range(0, len(its), batch_size):
+            chunk = its[j : j + batch_size]
+            B = len(chunk)
+            arr = np.zeros((B, L), np.int64)
+            for b, (_, ids, _) in enumerate(chunk):
+                arr[b, : len(ids)] = ids
+            logits = _batch_logits(params, cfg, arr)  # (B, L, V) f32
+            for b, (i, ids, nc) in enumerate(chunk):
+                rows = logits[b, len(ids) - nc - 1 : len(ids) - 1]
+                rows = rows - rows.max(axis=-1, keepdims=True)
+                logz = np.log(np.exp(rows).sum(axis=-1))
+                toks = np.asarray(ids[len(ids) - nc :])
+                lps = rows[np.arange(nc), toks] - logz
+                greedy = bool((rows.argmax(axis=-1) == toks).all())
+                results[i] = (float(lps.sum()), greedy)
+    return results  # type: ignore[return-value]
+
+
+def score_rolling(
+    params,
+    cfg: LlamaConfig,
+    token_lists: Sequence[Sequence[int]],
+    max_length: int,
+    batch_size: int = 8,
+) -> List[float]:
+    """Batched full-sequence loglikelihood (loglikelihood_rolling)."""
+    pairs = []
+    keep = []
+    for ids in token_lists:
+        ids = list(ids)[:max_length]
+        if len(ids) < 2:
+            pairs.append(None)
+            continue
+        pairs.append((ids[:1], ids[1:]))
+        keep.append(len(pairs) - 1)
+    scored = score_continuations(
+        params, cfg, [pairs[i] for i in keep], max_length, batch_size
+    )
+    out = [0.0] * len(pairs)
+    for i, (lp, _) in zip(keep, scored):
+        out[i] = lp
+    return out
+
 
 class JaxCausalLM(LM):
     """lm-eval adapter over (params, cfg, tokenizer)."""
 
-    def __init__(self, params, cfg: LlamaConfig, tokenizer, batch_size: int = 1, max_length: Optional[int] = None):
+    def __init__(self, params, cfg: LlamaConfig, tokenizer, batch_size: int = 8, max_length: Optional[int] = None):
         if not HAS_LM_EVAL:
             raise ImportError(
                 "lm_eval is not installed; `pip install lm-eval` to use JaxCausalLM"
@@ -50,59 +140,24 @@ class JaxCausalLM(LM):
     def _encode(self, text: str) -> List[int]:
         return self.tokenizer(text, add_special_tokens=False)["input_ids"]
 
-    def _logits(self, ids: np.ndarray) -> np.ndarray:
-        import jax.numpy as jnp
-
-        from ..models import llama
-
-        return np.asarray(llama.forward(self.params, jnp.asarray(ids), self.cfg))
-
-    def _score_continuation(self, context_ids: List[int], cont_ids: List[int]) -> Tuple[float, bool]:
-        ids = (context_ids + cont_ids)[-self.max_length :]
-        n_cont = len(cont_ids)
-        arr = np.asarray(ids, dtype=np.int64)[None, :]
-        logits = self._logits(arr)[0]
-        # logits for cont positions: predictions at positions len-n_cont-1 .. len-2
-        lp = 0.0
-        greedy = True
-        start = arr.shape[1] - n_cont - 1
-        for k, tok in enumerate(cont_ids):
-            row = logits[start + k]
-            row = row - row.max()
-            logz = np.log(np.exp(row).sum())
-            lp += float(row[tok] - logz)
-            if int(np.argmax(row)) != tok:
-                greedy = False
-        return lp, greedy
-
     # -- LM interface ------------------------------------------------------
 
     def loglikelihood(self, requests) -> List[Tuple[float, bool]]:
-        out = []
+        pairs = []
         for req in requests:
             context, continuation = req.args
             ctx_ids = self._encode(context) if context else [self.tokenizer.bos_token_id or 0]
             cont_ids = self._encode(continuation)
-            out.append(self._score_continuation(ctx_ids, cont_ids))
-        return out
+            pairs.append((ctx_ids, cont_ids))
+        return score_continuations(
+            self.params, self.cfg, pairs, self.max_length, self.batch_size
+        )
 
     def loglikelihood_rolling(self, requests) -> List[float]:
-        out = []
-        for req in requests:
-            (text,) = req.args
-            ids = self._encode(text)[: self.max_length]
-            if len(ids) < 2:
-                out.append(0.0)
-                continue
-            arr = np.asarray(ids, dtype=np.int64)[None, :]
-            logits = self._logits(arr)[0]
-            lp = 0.0
-            for k in range(1, len(ids)):
-                row = logits[k - 1]
-                row = row - row.max()
-                lp += float(row[ids[k]] - np.log(np.exp(row).sum()))
-            out.append(lp)
-        return out
+        token_lists = [self._encode(req.args[0]) for req in requests]
+        return score_rolling(
+            self.params, self.cfg, token_lists, self.max_length, self.batch_size
+        )
 
     def generate_until(self, requests) -> List[str]:
         from ..serving import engine
@@ -132,7 +187,7 @@ def evaluate(
     tokenizer,
     tasks: List[str],
     num_fewshot: Optional[int] = None,
-    batch_size: int = 1,
+    batch_size: int = 8,
     limit: Optional[int] = None,
 ) -> Dict[str, Any]:
     """simple_evaluate wrapper (reference eval/lmeval.py:299-407)."""

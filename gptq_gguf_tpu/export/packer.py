@@ -132,13 +132,21 @@ class ArchSpec:
             f"{a}.rope.dimension_count": head_dim,
             f"{a}.vocab_size": c["vocab_size"],
         }
-        rs = c.get("rope_scaling") or {}
+        rs = dict(c.get("rope_scaling") or {})
         rt = rs.get("rope_type", rs.get("type"))
         if rt == "linear":
             md[f"{a}.rope.scaling.type"] = "linear"
             md[f"{a}.rope.scaling.factor"] = float(rs["factor"])
+        elif rt == "yarn":
+            md[f"{a}.rope.scaling.type"] = "yarn"
+            md[f"{a}.rope.scaling.factor"] = float(rs["factor"])
+            md[f"{a}.rope.scaling.original_context_length"] = int(
+                rs.get("original_max_position_embeddings", 4096)
+            )
         elif rt == "llama3":
-            # llama.cpp computes llama3 scaling from these fields at load time
+            # llama.cpp reads these keys AND applies the actual correction via
+            # the rope_freqs.weight tensor (emitted in pack_model; the
+            # converter's LlamaModel.generate_extra_tensors does the same)
             md[f"{a}.rope.scaling.type"] = "linear"
             md[f"{a}.rope.scaling.factor"] = float(rs.get("factor", 8.0))
             md[f"{a}.rope.scaling.original_context_length"] = int(
@@ -218,6 +226,15 @@ class Gemma2Arch(ArchSpec):
         md[f"{a}.attn_logit_softcapping"] = float(c.get("attn_logit_softcapping", 50.0))
         md[f"{a}.final_logit_softcapping"] = float(c.get("final_logit_softcapping", 30.0))
         md[f"{a}.attention.sliding_window"] = int(c.get("sliding_window", 4096))
+        # all gemma2 models have head_dim != hidden/n_head (e.g. 2304/8 heads,
+        # head_dim 256); llama.cpp needs key/value_length to derive it
+        head_dim = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        md[f"{a}.attention.key_length"] = head_dim
+        md[f"{a}.attention.value_length"] = head_dim
+        if c.get("query_pre_attn_scalar") is not None:
+            # non-standard key (llama.cpp infers this from block_count); our
+            # serving loader prefers it, llama.cpp ignores unknown keys
+            md[f"{a}.attention.query_pre_attn_scalar"] = float(c["query_pre_attn_scalar"])
         return md
 
 
@@ -233,9 +250,116 @@ class Phi3Arch(ArchSpec):
     }
 
 
+# -- MoE architectures -------------------------------------------------------
+#
+# GGUF consolidates per-expert HF tensors into stacked 3-D *_exps tensors
+# (reference gguf_splitter.py:148-282 maps them back). expert_tensor()
+# identifies an HF expert tensor; pack_model stacks all experts of one
+# projection into a (n_expert, rows, cols) tensor. K-quant packing stacks
+# exactly (rows are independent across experts).
+
+
+class MoEArchSpec(ArchSpec):
+    n_expert_key = "num_experts"
+    # HF component -> GGUF component for expert/router tensors
+    moe_direct = {
+        "mlp.gate.weight": "ffn_gate_inp.weight",
+        "mlp.shared_expert_gate.weight": "ffn_gate_inp_shexp.weight",
+        "mlp.shared_expert.gate_proj.weight": "ffn_gate_shexp.weight",
+        "mlp.shared_expert.up_proj.weight": "ffn_up_shexp.weight",
+        "mlp.shared_expert.down_proj.weight": "ffn_down_shexp.weight",
+    }
+    expert_prefix = "mlp.experts."
+    expert_proj = {"gate_proj": "ffn_gate_exps", "up_proj": "ffn_up_exps",
+                   "down_proj": "ffn_down_exps"}
+
+    @property
+    def n_expert(self) -> int:
+        return int(self.hf[self.n_expert_key])
+
+    def tensor_name(self, hf_name: str) -> Optional[str]:
+        base = hf_to_gguf_name(hf_name)
+        if base is not None:
+            return base
+        if hf_name.startswith("model.layers."):
+            parts = hf_name.split(".")
+            i = parts[2]
+            rest = ".".join(parts[3:])
+            if rest in self.moe_direct:
+                return f"blk.{i}.{self.moe_direct[rest]}"
+        return None
+
+    def expert_tensor(self, hf_name: str) -> Optional[Tuple[str, int, str]]:
+        """(gguf_name, expert_idx, artifact_name_template) for an HF
+        per-expert tensor, else None."""
+        if not hf_name.startswith("model.layers."):
+            return None
+        parts = hf_name.split(".")
+        i = parts[2]
+        rest = ".".join(parts[3:])
+        if not rest.startswith(self.expert_prefix) or not rest.endswith(".weight"):
+            return None
+        sub = rest[len(self.expert_prefix):-len(".weight")].split(".")
+        if len(sub) != 2:
+            return None
+        e, proj = sub
+        if proj not in self.expert_proj:
+            return None
+        return (f"blk.{i}.{self.expert_proj[proj]}.weight", int(e),
+                f"model.layers.{i}.{self.expert_prefix}{{e}}.{proj}")
+
+    def metadata(self):
+        md = super().metadata()
+        c = self.hf
+        a = self.gguf_arch
+        md[f"{a}.expert_count"] = self.n_expert
+        md[f"{a}.expert_used_count"] = int(
+            c.get("num_experts_per_tok", c.get("experts_per_token", 2))
+        )
+        if c.get("moe_intermediate_size"):
+            md[f"{a}.expert_feed_forward_length"] = int(c["moe_intermediate_size"])
+        if c.get("shared_expert_intermediate_size"):
+            md[f"{a}.expert_shared_feed_forward_length"] = int(
+                c["shared_expert_intermediate_size"]
+            )
+        return md
+
+
+class Qwen2MoeArch(MoEArchSpec):
+    gguf_arch = "qwen2moe"
+    permute_qk = False
+
+
+class Qwen3MoeArch(MoEArchSpec):
+    gguf_arch = "qwen3moe"
+    permute_qk = False
+
+    def metadata(self):
+        md = super().metadata()
+        c = self.hf
+        head_dim = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        md[f"{self.gguf_arch}.attention.key_length"] = head_dim
+        md[f"{self.gguf_arch}.attention.value_length"] = head_dim
+        return md
+
+
+class MixtralArch(MoEArchSpec):
+    """Mixtral maps to GGUF arch 'llama' with expert tensors (llama.cpp
+    LlamaModel handles block_sparse_moe)."""
+
+    gguf_arch = "llama"
+    permute_qk = True
+    n_expert_key = "num_local_experts"
+    expert_prefix = "block_sparse_moe.experts."
+    expert_proj = {"w1": "ffn_gate_exps", "w3": "ffn_up_exps", "w2": "ffn_down_exps"}
+    moe_direct = {"block_sparse_moe.gate.weight": "ffn_gate_inp.weight"}
+
+
 _ARCH_REGISTRY.update(
     {"llama": LlamaArch, "mistral": MistralArch, "qwen2": Qwen2Arch,
-     "qwen3": Qwen3Arch, "phi3": Phi3Arch, "gemma2": Gemma2Arch}
+     "qwen3": Qwen3Arch, "phi3": Phi3Arch, "gemma2": Gemma2Arch,
+     "qwen2_moe": Qwen2MoeArch, "qwen3_moe": Qwen3MoeArch,
+     "mixtral": MixtralArch}
 )
 
 
@@ -248,17 +372,62 @@ def register_arch(model_type: str, spec_cls) -> None:
 # ---------------------------------------------------------------------------
 
 
-def tokenizer_metadata(model_dir: Path) -> Dict[str, Any]:
-    """Extract GGUF tokenizer keys from an HF fast-tokenizer checkpoint
-    (BPE path; the reference inherits this from convert_hf_to_gguf)."""
-    tok_path = model_dir / "tokenizer.json"
-    if not tok_path.exists():
-        return {}
-    with open(tok_path) as f:
-        tok = json.load(f)
-    model = tok.get("model", {})
-    if model.get("type") != "BPE":
-        return {}
+# llama.cpp selects its pretokenizer regex from tokenizer.ggml.pre
+# (convert_hf_to_gguf.get_vocab_base_pre keys). Derived from model_type here
+# since the checksum-of-tokenizer trick needs the real tokenizer at hand.
+PRE_TOKENIZER_BY_MODEL_TYPE = {
+    "llama": "llama-bpe",
+    "mistral": "llama-bpe",
+    "mixtral": "llama-bpe",
+    "qwen2": "qwen2",
+    "qwen2_moe": "qwen2",
+    "qwen3": "qwen2",
+    "qwen3_moe": "qwen2",
+    "phi3": "llama-bpe",
+    "gpt2": "gpt-2",
+    "starcoder2": "starcoder",
+    "olmo2": "olmo",
+    "deepseek_v2": "deepseek-llm",
+    "deepseek_v3": "deepseek-v3",
+    "exaone": "exaone",
+    "glm4": "chatglm-bpe",
+    "smollm3": "llama-bpe",
+}
+
+_BYTE_PIECE = 6  # GGUF token types (== sentencepiece piece types)
+_NORMAL, _UNKNOWN, _CONTROL, _USER_DEFINED, _UNUSED = 1, 2, 3, 4, 5
+
+
+def _special_token_ids(model_dir: Path) -> Dict[str, Any]:
+    """bos/eos ids + add_bos/add_eos flags from the HF config files."""
+    md: Dict[str, Any] = {}
+    ids: Dict[str, int] = {}
+    for p in (model_dir / "generation_config.json", model_dir / "config.json",
+              model_dir / "tokenizer_config.json"):
+        if p.exists():
+            with open(p) as f:
+                d = json.load(f)
+            for key in ("bos_token_id", "eos_token_id", "pad_token_id"):
+                v = d.get(key)
+                if isinstance(v, list):
+                    v = v[0]
+                if isinstance(v, int) and key not in ids:
+                    ids[key] = v
+            for key in ("add_bos_token", "add_eos_token"):
+                flag = d.get(key)
+                gk = f"tokenizer.ggml.{key}"
+                if isinstance(flag, bool) and gk not in md:
+                    md[gk] = flag
+    for key, gk in (("bos_token_id", "tokenizer.ggml.bos_token_id"),
+                    ("eos_token_id", "tokenizer.ggml.eos_token_id"),
+                    ("pad_token_id", "tokenizer.ggml.padding_token_id")):
+        if key in ids:
+            md[gk] = ids[key]
+    return md
+
+
+def _bpe_tokenizer_metadata(tok: Dict[str, Any], model_type: str) -> Dict[str, Any]:
+    model = tok["model"]
     vocab: Dict[str, int] = model["vocab"]
     merges = model.get("merges", [])
     merges = [" ".join(m) if isinstance(m, (list, tuple)) else m for m in merges]
@@ -266,39 +435,132 @@ def tokenizer_metadata(model_dir: Path) -> Dict[str, Any]:
     tokens = [""] * size
     for t, i in vocab.items():
         tokens[i] = t
-    toktypes = [1] * size  # NORMAL
+    toktypes = [_NORMAL] * size
     added = {t["id"]: t for t in tok.get("added_tokens", [])}
     for i, t in added.items():
         if i >= size:
             tokens.extend([""] * (i + 1 - size))
-            toktypes.extend([1] * (i + 1 - size))
+            toktypes.extend([_NORMAL] * (i + 1 - size))
             size = i + 1
         tokens[i] = t["content"]
-        toktypes[i] = 3 if t.get("special") else 4  # CONTROL / USER_DEFINED
-    md: Dict[str, Any] = {
+        toktypes[i] = _CONTROL if t.get("special") else _USER_DEFINED
+    return {
         "tokenizer.ggml.model": "gpt2",
-        "tokenizer.ggml.pre": "llama-bpe",
+        "tokenizer.ggml.pre": PRE_TOKENIZER_BY_MODEL_TYPE.get(model_type, "llama-bpe"),
         "tokenizer.ggml.tokens": tokens,
         "tokenizer.ggml.token_type": toktypes,
         "tokenizer.ggml.merges": merges,
     }
+
+
+def _unigram_tokenizer_metadata(tok: Dict[str, Any]) -> Dict[str, Any]:
+    """Fast-tokenizer Unigram model (SPM re-export): [piece, score] pairs."""
+    model = tok["model"]
+    entries = model["vocab"]
+    unk_id = model.get("unk_id")
+    tokens = [e[0] for e in entries]
+    scores = [float(e[1]) for e in entries]
+    toktypes = []
+    for i, t in enumerate(tokens):
+        if i == unk_id:
+            toktypes.append(_UNKNOWN)
+        elif len(t) == 6 and t.startswith("<0x") and t.endswith(">"):
+            toktypes.append(_BYTE_PIECE)
+        else:
+            toktypes.append(_NORMAL)
+    for t in tok.get("added_tokens", []):
+        i = t["id"]
+        if i >= len(tokens):
+            tokens.extend([""] * (i + 1 - len(tokens)))
+            scores.extend([-1000.0] * (i + 1 - len(scores)))
+            toktypes.extend([_UNUSED] * (i + 1 - len(toktypes)))
+        tokens[i] = t["content"]
+        scores[i] = -1000.0
+        toktypes[i] = _CONTROL if t.get("special") else _USER_DEFINED
+    return {
+        "tokenizer.ggml.model": "llama",
+        "tokenizer.ggml.pre": "default",
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.scores": scores,
+        "tokenizer.ggml.token_type": toktypes,
+    }
+
+
+def _spm_tokenizer_metadata(model_dir: Path) -> Dict[str, Any]:
+    """SentencePiece tokenizer.model → GGUF llama-vocab keys (reference:
+    SentencePieceVocab in pack_gptq_into_gguf.py; parsed without the
+    sentencepiece package via export/spm.py)."""
+    from . import spm
+
+    model = spm.parse_model((model_dir / "tokenizer.model").read_bytes())
+    tokens = [p.piece for p in model.pieces]
+    scores = [p.score for p in model.pieces]
+    toktypes = [p.type for p in model.pieces]
+    # added tokens beyond the SPM vocab (added_tokens.json / tokenizer_config)
+    added: Dict[int, Tuple[str, bool]] = {}
+    at_path = model_dir / "added_tokens.json"
+    if at_path.exists():
+        with open(at_path) as f:
+            for content, i in json.load(f).items():
+                added[int(i)] = (content, True)
     cfg_path = model_dir / "tokenizer_config.json"
-    gen_path = model_dir / "generation_config.json"
-    ids = {}
-    for p in (gen_path, cfg_path):
-        if p.exists():
-            with open(p) as f:
-                d = json.load(f)
-            for key in ("bos_token_id", "eos_token_id"):
-                v = d.get(key)
-                if isinstance(v, list):
-                    v = v[0]
-                if isinstance(v, int) and key not in ids:
-                    ids[key] = v
-    if "bos_token_id" in ids:
-        md["tokenizer.ggml.bos_token_id"] = ids["bos_token_id"]
-    if "eos_token_id" in ids:
-        md["tokenizer.ggml.eos_token_id"] = ids["eos_token_id"]
+    if cfg_path.exists():
+        with open(cfg_path) as f:
+            dec = json.load(f).get("added_tokens_decoder", {})
+        for i, t in dec.items():
+            added.setdefault(int(i), (t["content"], bool(t.get("special", True))))
+    for i, (content, special) in sorted(added.items()):
+        if i >= len(tokens):
+            tokens.extend([f"[PAD{j}]" for j in range(len(tokens), i + 1)])
+            scores.extend([-1000.0] * (i + 1 - len(scores)))
+            toktypes.extend([_UNUSED] * (i + 1 - len(toktypes)))
+        if tokens[i] != content:
+            tokens[i] = content
+            scores[i] = -1000.0
+            toktypes[i] = _CONTROL if special else _USER_DEFINED
+    md: Dict[str, Any] = {
+        "tokenizer.ggml.model": "llama",
+        "tokenizer.ggml.pre": "default",
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.scores": scores,
+        "tokenizer.ggml.token_type": toktypes,
+    }
+    for attr, key in (("unk_id", "tokenizer.ggml.unknown_token_id"),
+                      ("bos_id", "tokenizer.ggml.bos_token_id"),
+                      ("eos_id", "tokenizer.ggml.eos_token_id"),
+                      ("pad_id", "tokenizer.ggml.padding_token_id")):
+        v = getattr(model, attr)
+        if v is not None and v >= 0:
+            md[key] = v
+    return md
+
+
+def tokenizer_metadata(model_dir: Path, model_type: str = "llama") -> Dict[str, Any]:
+    """Extract GGUF tokenizer keys from an HF checkpoint.
+
+    Handles SentencePiece (`tokenizer.model`: gemma/phi3/mistral lineage) and
+    fast tokenizers (`tokenizer.json`, BPE or Unigram). Raises on a tokenizer
+    that cannot be represented — a GGUF without vocab is unloadable by
+    llama.cpp, so silence would mis-serve downstream.
+    """
+    md: Dict[str, Any] = {}
+    if (model_dir / "tokenizer.model").exists():
+        md = _spm_tokenizer_metadata(model_dir)
+    elif (model_dir / "tokenizer.json").exists():
+        with open(model_dir / "tokenizer.json") as f:
+            tok = json.load(f)
+        mtype = tok.get("model", {}).get("type")
+        if mtype == "BPE":
+            md = _bpe_tokenizer_metadata(tok, model_type)
+        elif mtype == "Unigram":
+            md = _unigram_tokenizer_metadata(tok)
+        else:
+            raise NotImplementedError(
+                f"tokenizer.json model type {mtype!r} cannot be packed into GGUF"
+            )
+    else:
+        return {}  # no tokenizer shipped (synthetic test checkpoints)
+    md.update(_special_token_ids(model_dir))
     return md
 
 
@@ -362,10 +624,23 @@ def pack_model(
     writer = GGUFWriter(out_path)
     for k, v in spec.metadata().items():
         writer.add_kv(k, v)
-    for k, v in tokenizer_metadata(model_dir).items():
+    for k, v in tokenizer_metadata(model_dir, model_type).items():
         writer.add_kv(k, v)
     for k, v in (extra_metadata or {}).items():
         writer.add_kv(k, v)
+
+    # llama3-rope models need the per-dim frequency-factor tensor
+    rs = dict(hf_cfg.get("rope_scaling") or {})
+    if rs.get("rope_type", rs.get("type")) == "llama3":
+        from ..models import llama as llama_mod
+
+        cfg_ = llama_mod.LlamaConfig.from_hf_dict(hf_cfg)
+        hd = cfg_.head_dim_
+        base_inv = 1.0 / (cfg_.rope_theta ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
+        corrected, _ = llama_mod._rope_params(cfg_)
+        writer.add_tensor(
+            "rope_freqs.weight", (base_inv / corrected).astype(np.float32)
+        )
 
     type_counts: Dict[GGMLQuantizationType, int] = {}
     seen_embed: Optional[np.ndarray] = None
@@ -401,7 +676,40 @@ def pack_model(
 
     fused_map = getattr(spec, "fused", {})
 
+    # MoE expert stacking: collect per-expert HF tensors, emit one stacked
+    # (n_expert, rows, cols) GGUF tensor once all experts arrived.
+    expert_acc: Dict[str, Dict[int, np.ndarray]] = {}
+
+    def flush_experts(gguf_name: str, art_tpl: str) -> None:
+        n_e = spec.n_expert
+        acc = expert_acc.pop(gguf_name)
+        assert len(acc) == n_e, f"{gguf_name}: {len(acc)}/{n_e} experts seen"
+        art_names = [art_tpl.format(e=e) for e in range(n_e)]
+        if all(a in quant_layers for a in art_names):
+            arts = [artifacts.load_layer(quant_dir, a) for a in art_names]
+            art = concat_artifacts(arts)
+            rows, cols = arts[0].qweight.shape
+            blocks = convert.pack_layer(
+                art.qweight, art.super_group_scale, art.group_scale_quant,
+                art.super_group_zero, art.group_zero_quant, art.q_type,
+            )
+            writer.add_tensor(gguf_name, blocks, raw_dtype=art.q_type,
+                              raw_shape=(n_e, rows, cols))
+            type_counts[art.q_type] = type_counts.get(art.q_type, 0) + 1
+        else:
+            stacked = np.stack([_to_f32(acc[e]) for e in range(n_e)])
+            dt = np.float32 if default_float == GGMLQuantizationType.F32 else np.float16
+            writer.add_tensor(gguf_name, stacked.astype(dt))
+
     for name, arr in _iter_safetensors(model_dir):
+        exp = spec.expert_tensor(name) if isinstance(spec, MoEArchSpec) else None
+        if exp is not None:
+            gguf_exps, e_idx, art_tpl = exp
+            acc = expert_acc.setdefault(gguf_exps, {})
+            acc[e_idx] = arr
+            if len(acc) == spec.n_expert:
+                flush_experts(gguf_exps, art_tpl)
+            continue
         gguf_name = spec.tensor_name(name)
         # fused architectures (phi3): HF holds qkv_proj/gate_up_proj fused,
         # artifacts hold the split projections; reassemble quantized parts.
@@ -433,6 +741,10 @@ def pack_model(
             add_quantized(gguf_name, name, artifacts.load_layer(quant_dir, base))
         else:
             add_float(gguf_name, name, arr)
+
+    if expert_acc:
+        missing = {k: len(v) for k, v in expert_acc.items()}
+        raise ValueError(f"incomplete MoE expert sets at end of checkpoint: {missing}")
 
     # tied embeddings: llama.cpp needs output.weight; reuse token_embd
     if not has_lm_head and hf_cfg.get("tie_word_embeddings") and seen_embed is not None:

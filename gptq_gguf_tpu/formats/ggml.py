@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 from enum import IntEnum
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -50,6 +50,8 @@ class GGMLQuantizationType(IntEnum):
     Q5_K = 13
     Q6_K = 14
     Q8_K = 15
+    IQ4_NL = 20
+    IQ4_XS = 23
     I8 = 24
     I16 = 25
     I32 = 26
@@ -80,6 +82,8 @@ GGML_BLOCK_SIZES: Dict[GGMLQuantizationType, Tuple[int, int]] = {
     GGMLQuantizationType.Q5_K: (QK_K, 176),
     GGMLQuantizationType.Q6_K: (QK_K, 210),
     GGMLQuantizationType.Q8_K: (QK_K, 292),
+    GGMLQuantizationType.IQ4_NL: (32, 18),
+    GGMLQuantizationType.IQ4_XS: (QK_K, 136),
 }
 
 
@@ -554,6 +558,205 @@ def quantize_q4_0(x: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Q8_K (activation-quantization format of the K-quant dot kernels; also the
+# prerequisite of the int8-MXU serving path)
+# Layout 292B: d f32 | qs i8[256] | bsums i16[16]
+# ---------------------------------------------------------------------------
+
+
+def pack_q8_k(q: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """q: (n, 256) int8, d: (n,) f32 -> (n, 292) bytes. bsums are derived."""
+    n = q.shape[0]
+    qi = q.astype(np.int8)
+    bsums = qi.reshape(n, 16, 16).astype(np.int32).sum(axis=2).astype(np.int16)
+    return np.concatenate(
+        [
+            np.ascontiguousarray(d.astype(np.float32)).view(np.uint8).reshape(n, 4),
+            qi.view(np.uint8),
+            np.ascontiguousarray(bsums).view(np.uint8).reshape(n, 32),
+        ],
+        axis=1,
+    )
+
+
+def unpack_q8_k(blocks: np.ndarray):
+    b = blocks.reshape(-1, 292)
+    d = np.ascontiguousarray(b[:, 0:4]).view(np.float32).reshape(-1)
+    q = np.ascontiguousarray(b[:, 4:260]).view(np.int8)
+    bsums = np.ascontiguousarray(b[:, 260:292]).view(np.int16).reshape(-1, 16)
+    return q, d, bsums
+
+
+def dequant_q8_k(blocks: np.ndarray) -> np.ndarray:
+    q, d, _ = unpack_q8_k(blocks)
+    return (d[:, None] * q.astype(np.float32)).astype(np.float32)
+
+
+def quantize_q8_k(x: np.ndarray) -> np.ndarray:
+    """llama.cpp quantize_row_q8_K_ref: iscale = -127/x[argmax|x|]."""
+    x = x.reshape(-1, QK_K).astype(np.float32)
+    idx = np.abs(x).argmax(axis=1)
+    mx = x[np.arange(x.shape[0]), idx]
+    zero = mx == 0.0
+    iscale = np.where(zero, 0.0, -127.0 / np.where(zero, 1.0, mx))
+    q = np.minimum(np.rint(iscale[:, None] * x), 127).astype(np.int8)
+    q[zero] = 0
+    d = np.where(zero, 0.0, 1.0 / np.where(zero, 1.0, iscale)).astype(np.float32)
+    return pack_q8_k(q, d)
+
+
+# ---------------------------------------------------------------------------
+# IQ4_NL / IQ4_XS (non-linear 4-bit; llama.cpp kvalues_iq4nl codebook)
+# ---------------------------------------------------------------------------
+
+IQ4NL_VALUES = np.array(
+    [-127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69, 89, 113],
+    dtype=np.int8,
+)
+_IQ4NL_MIDS = (IQ4NL_VALUES[:-1].astype(np.float32) + IQ4NL_VALUES[1:]) / 2.0
+_GROUP_MAX_EPS = 1e-15
+
+
+def _best_iq4_index(x: np.ndarray) -> np.ndarray:
+    """Vectorized llama.cpp best_index_int8: nearest codebook entry, ties to
+    the higher index."""
+    return np.searchsorted(_IQ4NL_MIDS, x, side="right").astype(np.uint8)
+
+
+def _iq4_fit_scales(xb: np.ndarray, w: np.ndarray, ntry: int = 7) -> np.ndarray:
+    """Weighted scale search of quantize_row_iq4_nl_impl (per 32-block).
+
+    xb, w: (n, 32). Returns the chosen float scale per block (n,).
+    Candidate inverse-scales: the refit of the initial grid fit, then
+    (itry + values[0])/max for itry in [-ntry, ntry]; winner maximizes
+    sumqx^2/sumq2 (strict improvement, iteration order preserved).
+    """
+    n = xb.shape[0]
+    vals = IQ4NL_VALUES.astype(np.float32)
+    amax_i = np.abs(xb).argmax(axis=1)
+    mx = xb[np.arange(n), amax_i]
+    dead = np.abs(mx) < _GROUP_MAX_EPS
+    safe_mx = np.where(dead, 1.0, mx)
+
+    d0 = -safe_mx / vals[0]
+    id0 = 1.0 / d0
+    cand_ids = [id0]
+    for itry in range(-ntry, ntry + 1):
+        cand_ids.append((itry + vals[0]) / safe_mx)
+    ids = np.stack(cand_ids, axis=1)  # (n, C)
+
+    ql = _best_iq4_index(ids[:, :, None] * xb[:, None, :])  # (n, C, 32)
+    qv = vals[ql]
+    sumqx = (w[:, None, :] * qv * xb[:, None, :]).sum(axis=2)
+    sumq2 = (w[:, None, :] * qv * qv).sum(axis=2)
+    ok = sumq2 > 0
+    metric = np.where(ok, sumqx * sumqx / np.where(ok, sumq2, 1.0), -np.inf)
+    # candidate 0 is the refit of the grid fit: its d is sumqx/sumq2 (or d0
+    # if degenerate); itry candidates replace it only on strict improvement
+    base = metric[:, 0].copy()
+    d = np.where(ok[:, 0], sumqx[:, 0] / np.where(ok[:, 0], sumq2[:, 0], 1.0), d0)
+    best = base
+    for c in range(1, ids.shape[1]):
+        better = metric[:, c] > best
+        d = np.where(better, sumqx[:, c] / np.where(ok[:, c], sumq2[:, c], 1.0), d)
+        best = np.where(better, metric[:, c], best)
+    return np.where(dead, 0.0, d)
+
+
+def _iq4_weights(x: np.ndarray, qw: Optional[np.ndarray], sbs: int) -> np.ndarray:
+    """Per-element LSQ weights: qw*sqrt(sigma2 + x^2) with imatrix, else x^2."""
+    if qw is None:
+        return x * x
+    sigma2 = 2.0 * (x * x).reshape(-1, sbs).sum(axis=1) / sbs
+    return qw * np.sqrt(sigma2.repeat(sbs).reshape(x.shape) + x * x)
+
+
+def quantize_iq4_nl(x: np.ndarray, quant_weights: Optional[np.ndarray] = None) -> np.ndarray:
+    """(n, 32) floats -> (n, 18) IQ4_NL bytes (llama.cpp quantize_iq4_nl)."""
+    x = x.reshape(-1, 32).astype(np.float32)
+    w = _iq4_weights(x, quant_weights, 32).reshape(-1, 32)
+    d = _iq4_fit_scales(x, w)
+    idv = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
+    L = _best_iq4_index(idv[:, None] * x)
+    qs = (L[:, 0:16] | (L[:, 16:32] << 4)).astype(np.uint8)
+    return np.concatenate([_f16_bytes(d), qs], axis=1)
+
+
+def unpack_iq4_nl(blocks: np.ndarray):
+    b = blocks.reshape(-1, 18)
+    d = _f16_from_bytes(b[:, 0:2])
+    qs = b[:, 2:18]
+    L = np.concatenate([qs & 0x0F, qs >> 4], axis=1)
+    return L, d
+
+
+def dequant_iq4_nl(blocks: np.ndarray) -> np.ndarray:
+    L, d = unpack_iq4_nl(blocks)
+    return (d[:, None] * IQ4NL_VALUES[L].astype(np.float32)).astype(np.float32)
+
+
+def quantize_iq4_xs(x: np.ndarray, quant_weights: Optional[np.ndarray] = None) -> np.ndarray:
+    """(n, 256) floats -> (n, 136) IQ4_XS bytes.
+
+    Layout: d f16 | scales_h u16 | scales_l u8[4] | qs u8[128]; per-32-block
+    6-bit scales (stored +32), codebook indices via kvalues_iq4nl.
+    """
+    x = x.reshape(-1, QK_K).astype(np.float32)
+    n = x.shape[0]
+    w = _iq4_weights(x, quant_weights, QK_K)
+    xb = x.reshape(-1, 32)  # (n*8, 32)
+    scales = _iq4_fit_scales(xb, w.reshape(-1, 32)).reshape(n, 8)
+
+    amax_i = np.abs(scales).argmax(axis=1)
+    max_scale = scales[np.arange(n), amax_i]
+    d = -max_scale / 32.0
+    idv = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
+    ls = np.clip(np.rint(idv[:, None] * scales), -32, 31)
+    dl = d[:, None] * ls
+    idl = np.where(dl != 0.0, 1.0 / np.where(dl == 0.0, 1.0, dl), 0.0)
+    L = _best_iq4_index(idl.repeat(32, axis=1).reshape(n, 8, 32) * x.reshape(n, 8, 32))
+    L = L.reshape(n, 8, 2, 16)
+    qs = (L[:, :, 0, :] | (L[:, :, 1, :] << 4)).reshape(n, 128).astype(np.uint8)
+    lq = (ls + 32).astype(np.uint16)
+    scales_l = ((lq & 0x0F)[:, 0::2] | ((lq & 0x0F)[:, 1::2] << 4)).astype(np.uint8)
+    sh = np.zeros(n, np.uint16)
+    for ib in range(8):
+        sh |= ((lq[:, ib] >> 4) & 3).astype(np.uint16) << np.uint16(2 * ib)
+    return np.concatenate(
+        [
+            _f16_bytes(d),
+            np.ascontiguousarray(sh).view(np.uint8).reshape(n, 2),
+            scales_l,
+            qs,
+        ],
+        axis=1,
+    )
+
+
+def unpack_iq4_xs(blocks: np.ndarray):
+    b = blocks.reshape(-1, 136)
+    n = b.shape[0]
+    d = _f16_from_bytes(b[:, 0:2])
+    sh = np.ascontiguousarray(b[:, 2:4]).view(np.uint16).reshape(-1)
+    sl = b[:, 4:8]
+    lo = np.empty((n, 8), np.uint8)
+    lo[:, 0::2] = sl & 0x0F
+    lo[:, 1::2] = sl >> 4
+    hi = np.stack([(sh >> (2 * ib)) & 3 for ib in range(8)], axis=1).astype(np.uint8)
+    ls = (lo | (hi << 4)).astype(np.int16) - 32  # (n, 8)
+    qs = b[:, 8:136].reshape(n, 8, 16)
+    L = np.concatenate([qs & 0x0F, qs >> 4], axis=2).reshape(n, 256)
+    return L, d, ls
+
+
+def dequant_iq4_xs(blocks: np.ndarray) -> np.ndarray:
+    L, d, ls = unpack_iq4_xs(blocks)
+    dl = d[:, None] * ls.astype(np.float32)  # (n, 8)
+    v = IQ4NL_VALUES[L].astype(np.float32).reshape(-1, 8, 32)
+    return (dl[:, :, None] * v).reshape(-1, QK_K).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
 # Generic dispatch
 # ---------------------------------------------------------------------------
 
@@ -565,6 +768,9 @@ _DEQUANT = {
     GGMLQuantizationType.Q6_K: dequant_q6_k,
     GGMLQuantizationType.Q4_0: dequant_q4_0,
     GGMLQuantizationType.Q8_0: dequant_q8_0,
+    GGMLQuantizationType.Q8_K: dequant_q8_k,
+    GGMLQuantizationType.IQ4_NL: dequant_iq4_nl,
+    GGMLQuantizationType.IQ4_XS: dequant_iq4_xs,
 }
 
 

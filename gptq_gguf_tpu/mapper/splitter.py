@@ -56,6 +56,20 @@ _GGUF_TO_HF = {
     "ffn_down": "mlp.down_proj",
 }
 
+# MoE consolidated tensors (gguf_splitter.py:167-178). *_exps are stacked
+# (n_expert, rows, cols); the HF side addresses experts individually with a
+# {e} placeholder.
+_GGUF_TO_HF_MOE = {
+    "ffn_gate_exps": "mlp.experts.{e}.gate_proj",
+    "ffn_up_exps": "mlp.experts.{e}.up_proj",
+    "ffn_down_exps": "mlp.experts.{e}.down_proj",
+    "ffn_gate_shexp": "mlp.shared_expert.gate_proj",
+    "ffn_up_shexp": "mlp.shared_expert.up_proj",
+    "ffn_down_shexp": "mlp.shared_expert.down_proj",
+    "ffn_gate_inp": "mlp.gate",
+    "ffn_gate_inp_shexp": "mlp.shared_expert_gate",
+}
+
 
 def gguf_to_hf_name(name: str) -> Optional[str]:
     if name == "token_embd.weight":
@@ -70,6 +84,8 @@ def gguf_to_hf_name(name: str) -> Optional[str]:
         comp = parts[2]
         if comp in _GGUF_TO_HF:
             return f"model.layers.{i}.{_GGUF_TO_HF[comp]}.weight"
+        if comp in _GGUF_TO_HF_MOE:
+            return f"model.layers.{i}.{_GGUF_TO_HF_MOE[comp]}.weight"
     return None
 
 
@@ -215,13 +231,17 @@ def split_hf(
     mapping: Dict[str, Optional[str]] = {}
     np_dtype = np.float16 if dtype == "float16" else np.float32
 
+    linear_markers = tuple(_GGUF_TO_HF.values()) + tuple(
+        v for v in _GGUF_TO_HF_MOE.values() if "proj" in v
+    )
+
     count = 0
     for name in reader.tensor_order:
         hf_name = gguf_to_hf_name(name)
-        if hf_name is None or not any(s in (hf_name or "") for s in _GGUF_TO_HF.values()):
+        if hf_name is None or not any(
+            s.split("{e}")[-1] in (hf_name or "") for s in linear_markers
+        ):
             continue
-        count += 1
-        mapping[hf_name] = name
         info = reader.tensors[name]
         qname = QTYPE_NAMES.get(int(info.ggml_type), f"UNKNOWN_{int(info.ggml_type)}")
         bits = nominal_bits(qname)
@@ -236,39 +256,48 @@ def split_hf(
             inv = np.argsort(perm)
             w = w[inv]
 
-        layer_dir_name = hf_name.replace(".weight", "")
-        layer_dir = out_dir / layer_dir_name
-        layer_dir.mkdir(parents=True, exist_ok=True)
-        t = torch.from_numpy(np.ascontiguousarray(w.astype(np_dtype)))
-        torch.save(t, layer_dir / f"{prefix}.pth")
+        # stacked MoE expert tensors fan out to one HF tensor per expert
+        if "{e}" in hf_name and w.ndim == 3:
+            emit = [(hf_name.format(e=e), w[e]) for e in range(w.shape[0])]
+        else:
+            emit = [(hf_name, w)]
 
-        meta = {
-            "tensor_info": {
-                "name": hf_name,
-                "gguf_mapped_name": name,
-                "bitwidth": bits,
-                "dtype": str(t.dtype),
-                "shape": list(w.shape),
-                "n_elements": int(w.size),
-                "n_bytes": int(w.size * t.element_size()),
-                "data_filename": f"{prefix}.pth",
+        for out_name, w2 in emit:
+            count += 1
+            mapping[out_name] = name
+            layer_dir_name = out_name.replace(".weight", "")
+            layer_dir = out_dir / layer_dir_name
+            layer_dir.mkdir(parents=True, exist_ok=True)
+            t = torch.from_numpy(np.ascontiguousarray(w2.astype(np_dtype)))
+            torch.save(t, layer_dir / f"{prefix}.pth")
+
+            meta = {
+                "tensor_info": {
+                    "name": out_name,
+                    "gguf_mapped_name": name,
+                    "bitwidth": bits,
+                    "dtype": str(t.dtype),
+                    "shape": list(w2.shape),
+                    "n_elements": int(w2.size),
+                    "n_bytes": int(w2.size * t.element_size()),
+                    "data_filename": f"{prefix}.pth",
+                }
             }
-        }
-        with open(layer_dir / f"{prefix}-metadata.json", "w") as f:
-            json.dump(meta, f, indent=2)
+            with open(layer_dir / f"{prefix}-metadata.json", "w") as f:
+                json.dump(meta, f, indent=2)
 
-        hf_manifest["layers"][hf_name] = {
-            "original_name": hf_name,
-            "gguf_mapped_name": name,
-            "layer_directory": layer_dir_name,
-            "dims": list(w.shape),
-            "bitwidth": bits,
-            "filename": f"{prefix}.pth",
-            "metadata_filename": f"{prefix}-metadata.json",
-            "dtype": str(t.dtype),
-            "shape": list(w.shape),
-            "n_elements": int(w.size),
-        }
+            hf_manifest["layers"][out_name] = {
+                "original_name": out_name,
+                "gguf_mapped_name": name,
+                "layer_directory": layer_dir_name,
+                "dims": list(w2.shape),
+                "bitwidth": bits,
+                "filename": f"{prefix}.pth",
+                "metadata_filename": f"{prefix}-metadata.json",
+                "dtype": str(t.dtype),
+                "shape": list(w2.shape),
+                "n_elements": int(w2.size),
+            }
 
     hf_manifest["mapping_stats"]["total_layers"] = count
     hf_manifest["mapping_stats"]["mapped_layers"] = count

@@ -9,10 +9,11 @@ buffers under jit), and the same block function is reused by the quantizer
 walk, perplexity eval, EvoPress fitness, and serving.
 
 One parameterized implementation covers the Llama lineage the reference's
-search/eval stack supports (llama/mistral/qwen2/qwen3-style: RMSNorm +
+search/eval stack supports (llama/mistral/qwen2/qwen3/phi3-style: RMSNorm +
 RoPE GQA attention + SwiGLU, optional attention bias, optional q/k norms,
-tied embeddings). Other architectures register adapters in
-``models/registry.py``.
+tied embeddings) plus the gemma2 family (dual norms, softcaps, sliding
+window). GGUF-export name mapping per architecture lives in the
+``export/packer.py`` ArchSpec registry.
 """
 
 from __future__ import annotations
@@ -24,6 +25,16 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _freeze_value(v):
+    """Nested dict/list -> hashable item-tuples (LlamaConfig is a jit static
+    argument, so every field must hash)."""
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze_value(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze_value(x) for x in v)
+    return v
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,9 +73,13 @@ class LlamaConfig:
     @staticmethod
     def from_hf_dict(d: Dict[str, Any], dtype=jnp.float32) -> "LlamaConfig":
         """Build from a HF transformers config.json dict."""
-        rope_scaling = d.get("rope_scaling")
-        if rope_scaling is not None:
-            rope_scaling = dict(rope_scaling)
+        rs_raw = d.get("rope_scaling")
+        if rs_raw and "original_max_position_embeddings" not in rs_raw and \
+                d.get("original_max_position_embeddings"):
+            # phi3 keeps the pre-extension length at config top level
+            rs_raw = {**rs_raw,
+                      "original_max_position_embeddings": d["original_max_position_embeddings"]}
+        rope_scaling = _freeze_value(rs_raw)
         mt = d.get("model_type", "llama")
         return LlamaConfig(
             arch="gemma2" if mt == "gemma2" else "llama",
@@ -174,13 +189,21 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float, add_unit: bool = False
     return (normed * w).astype(dt)
 
 
-def _rope_inv_freq(cfg: LlamaConfig) -> np.ndarray:
+def _rope_params(cfg: LlamaConfig, seq_len: Optional[int] = None) -> Tuple[np.ndarray, float]:
+    """(inv_freq, attention_scaling) following HF transformers'
+    modeling_rope_utils for default/linear/llama3/yarn/longrope.
+
+    seq_len selects longrope short vs long factors (HF switches at
+    original_max_position_embeddings based on the live sequence length)."""
     hd = cfg.head_dim_
-    inv_freq = 1.0 / (
-        cfg.rope_theta ** (np.arange(0, hd, 2, dtype=np.float64) / hd)
-    )
-    rs = cfg.rope_scaling or {}
+    base = cfg.rope_theta
+    inv_freq = 1.0 / (base ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
+    rs = cfg.rope_scaling
+    # configs store rope_scaling as a frozen item-tuple so LlamaConfig stays
+    # hashable (jit static arg); accept plain dicts too
+    rs = dict(rs) if rs is not None and not isinstance(rs, dict) else (rs or {})
     rope_type = rs.get("rope_type", rs.get("type"))
+    scaling = 1.0
     if rope_type == "llama3":
         # HF Llama-3.1 rope scaling (transformers modeling_rope_utils)
         factor = rs["factor"]
@@ -199,17 +222,68 @@ def _rope_inv_freq(cfg: LlamaConfig) -> np.ndarray:
         pass
     elif rope_type == "linear":
         inv_freq = inv_freq / rs["factor"]
+    elif rope_type == "yarn":
+        # HF _compute_yarn_parameters
+        factor = rs["factor"]
+        old_len = rs.get("original_max_position_embeddings",
+                         cfg.max_position_embeddings)
+        beta_fast = rs.get("beta_fast", 32.0)
+        beta_slow = rs.get("beta_slow", 1.0)
+        scaling = rs.get("attention_factor")
+        if scaling is None:
+            scaling = 0.1 * math.log(factor) + 1.0
+
+        def corr_dim(num_rot):
+            return (hd * math.log(old_len / (num_rot * 2 * math.pi))) / (
+                2 * math.log(base)
+            )
+
+        low = max(math.floor(corr_dim(beta_fast)), 0)
+        high = min(math.ceil(corr_dim(beta_slow)), hd - 1)
+        if low == high:
+            high += 0.001
+        ramp = np.clip((np.arange(hd // 2, dtype=np.float64) - low) / (high - low), 0, 1)
+        mask = 1.0 - ramp
+        inv_freq = (inv_freq / factor) * (1 - mask) + inv_freq * mask
+    elif rope_type == "longrope":
+        # HF _compute_longrope_parameters (phi3 long/short factors)
+        old_len = rs.get("original_max_position_embeddings",
+                         cfg.max_position_embeddings)
+        use_long = seq_len is not None and seq_len > old_len
+        ext = np.asarray(
+            rs["long_factor"] if use_long else rs["short_factor"], dtype=np.float64
+        )
+        factor = cfg.max_position_embeddings / old_len
+        if rs.get("attention_factor") is not None:
+            scaling = rs["attention_factor"]
+        elif factor <= 1.0:
+            scaling = 1.0
+        else:
+            scaling = math.sqrt(1 + math.log(factor) / math.log(old_len))
+        inv_freq = 1.0 / (ext * base ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
+    elif rope_type == "gguf_factors":
+        # frequency-factor tensor from a GGUF (rope_freqs.weight — llama.cpp
+        # applies theta/freq_factor; the llama3 converter stores the
+        # correction there, LlamaModel.generate_extra_tensors)
+        inv_freq = inv_freq / np.asarray(rs["factors"], dtype=np.float64)
     else:
         raise NotImplementedError(f"rope_type {rope_type!r}")
-    return inv_freq.astype(np.float32)
+    return inv_freq.astype(np.float32), float(scaling)
 
 
-def rope_cos_sin(cfg: LlamaConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def _rope_inv_freq(cfg: LlamaConfig) -> np.ndarray:
+    return _rope_params(cfg)[0]
+
+
+def rope_cos_sin(
+    cfg: LlamaConfig, positions: jax.Array, seq_len: Optional[int] = None
+) -> Tuple[jax.Array, jax.Array]:
     """cos/sin tables for given positions: (..., seq, head_dim)."""
-    inv_freq = jnp.asarray(_rope_inv_freq(cfg))
+    inv_freq_np, scaling = _rope_params(cfg, seq_len)
+    inv_freq = jnp.asarray(inv_freq_np)
     freqs = positions[..., None].astype(jnp.float32) * inv_freq  # (..., hd/2)
     emb = jnp.concatenate([freqs, freqs], axis=-1)
-    return jnp.cos(emb), jnp.sin(emb)
+    return jnp.cos(emb) * scaling, jnp.sin(emb) * scaling
 
 
 def _rotate_half(x: jax.Array) -> jax.Array:
@@ -379,7 +453,7 @@ def forward(
     B, S = input_ids.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(S), (B, S))
-    cos, sin = rope_cos_sin(cfg, positions)
+    cos, sin = rope_cos_sin(cfg, positions, seq_len=S)
     mask = causal_mask(B, S)
     x = embed_forward(params, input_ids, cfg)
     for li, layer in enumerate(params["layers"]):

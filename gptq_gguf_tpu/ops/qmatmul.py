@@ -238,10 +238,31 @@ def dequant_matmul_pallas(
     )(x, rql.qs, rql.scale_t, rql.offset_t)
 
 
+@functools.lru_cache(maxsize=None)
+def _best_tile(dim: int, cap: int, quantum: int) -> Optional[int]:
+    """Largest divisor of ``dim`` that is a multiple of ``quantum`` and <= cap."""
+    start = (min(cap, dim) // quantum) * quantum
+    for t in range(start, quantum - 1, -quantum):
+        if dim % t == 0:
+            return t
+    return None
+
+
+def select_tiles(d_in: int, d_out: int) -> Optional[Tuple[int, int]]:
+    """Pick (tile_in, tile_out) for the Pallas kernel, or None if the shape
+    cannot be tiled (tile_in must be a QK_K multiple, tile_out a lane-width
+    multiple). Handles non-power-of-two shapes like 3584/11008."""
+    tile_in = _best_tile(d_in, 1024, QK_K)
+    tile_out = _best_tile(d_out, 512, 256)
+    if tile_in is None or tile_out is None:
+        return None
+    return tile_in, tile_out
+
+
 def dequant_matmul(x: jax.Array, rql: RuntimeQuantLinear, force_xla: bool = False) -> jax.Array:
     """Dispatch: Pallas on TPU when shapes tile cleanly, XLA otherwise."""
     on_tpu = jax.devices()[0].platform == "tpu"
-    tileable = rql.d_out % 256 == 0 and rql.d_in % QK_K == 0
-    if force_xla or not on_tpu or not tileable:
+    tiles = select_tiles(rql.d_in, rql.d_out)
+    if force_xla or not on_tpu or tiles is None:
         return dequant_matmul_xla(x, rql)
-    return dequant_matmul_pallas(x, rql)
+    return dequant_matmul_pallas(x, rql, tile_in=tiles[0], tile_out=tiles[1])

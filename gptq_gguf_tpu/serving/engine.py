@@ -161,6 +161,8 @@ class ContinuousBatchingEngine:
 
     def submit(self, prompt: np.ndarray, max_new_tokens: int = 64) -> int:
         self._uid += 1
+        # the cache must hold at least one prompt token plus the new tokens
+        max_new_tokens = min(max_new_tokens, self.max_len - 1)
         self.queue.append(Request(self._uid, np.asarray(prompt).reshape(-1), max_new_tokens))
         return self._uid
 
@@ -168,7 +170,8 @@ class ContinuousBatchingEngine:
         for slot in range(self.num_slots):
             if self.slot_req[slot] is None and self.queue:
                 req = self.queue.popleft()
-                prompt = req.prompt[-(self.max_len - req.max_new_tokens) :]
+                keep = max(1, self.max_len - req.max_new_tokens)
+                prompt = req.prompt[-keep:]
                 tok, cache = _prefill_slot(
                     self.params, self.cfg, jnp.asarray(prompt)[None, :],
                     self.cache, slot,

@@ -105,7 +105,9 @@ def forward_cached(
     lengths = cache.lengths
 
     positions = lengths[:, None] + jnp.arange(S)[None, :]
-    cos, sin = llama.rope_cos_sin(cfg, positions)
+    # longrope models switch factors on the live context length; the cache
+    # capacity is the static upper bound of any position used here
+    cos, sin = llama.rope_cos_sin(cfg, positions, seq_len=cache.k[0].shape[2])
 
     x = params["embed_tokens"]
     x = (x[input_ids] if not isinstance(x, qmatmul.RuntimeQuantLinear)
@@ -215,30 +217,81 @@ def quantize_params_for_serving(
     return out
 
 
-def load_gguf_for_serving(
-    gguf_path: Union[str, Path], dtype=jnp.bfloat16
-) -> Tuple[Dict[str, Any], LlamaConfig]:
-    """Build a serving model directly from a .gguf file.
+# arch families the GGUF-direct loader understands; anything else errors
+# loudly instead of silently running with llama semantics (round-1 bug).
+_GGUF_SERVING_ARCHES = (
+    "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "phi3",
+)
 
-    Quantized K-quant tensors are unpacked bit-exactly to codes+params and
-    repacked into the runtime kernel format; everything llama.cpp could load
-    from this file, we serve natively.
-    """
-    from ..export.packer import gqa_permute_rows
-    from ..formats import convert
-    from ..formats.gguf import GGUFReader
-    from ..formats.ggml import K_QUANT_TYPES
-    from ..mapper.splitter import gguf_to_hf_name
+# GGUF blk.* component -> param key, per family. gemma2's GGUF names are
+# shifted relative to HF: ffn_norm is the *pre*-feedforward norm and
+# post_attention_norm is HF's post_attention_layernorm (export/packer.py
+# Gemma2Arch mirrors this on the write side).
+_BASE_NAME_MAP = {
+    "attn_norm": "input_layernorm",
+    "ffn_norm": "post_attention_layernorm",
+    "attn_q": "q_proj",
+    "attn_k": "k_proj",
+    "attn_v": "v_proj",
+    "attn_output": "o_proj",
+    "attn_q_norm": "q_norm",
+    "attn_k_norm": "k_norm",
+    "ffn_gate": "gate_proj",
+    "ffn_up": "up_proj",
+    "ffn_down": "down_proj",
+}
+_GEMMA2_NAME_MAP = {
+    **_BASE_NAME_MAP,
+    "ffn_norm": "pre_feedforward_layernorm",
+    "post_attention_norm": "post_attention_layernorm",
+    "post_ffw_norm": "post_feedforward_layernorm",
+}
 
-    r = GGUFReader(gguf_path)
-    arch = r.get("general.architecture", "llama")
+
+def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
+    """Arch-aware LlamaConfig from GGUF metadata keys."""
     n_head = r.get(f"{arch}.attention.head_count")
     n_kv = r.get(f"{arch}.attention.head_count_kv", n_head)
-    n_layers = r.get(f"{arch}.block_count")
     hidden = r.get(f"{arch}.embedding_length")
-    head_dim = r.get(f"{arch}.rope.dimension_count", hidden // n_head)
+    n_layers = r.get(f"{arch}.block_count")
+    head_dim = r.get(
+        f"{arch}.attention.key_length",
+        r.get(f"{arch}.rope.dimension_count", hidden // n_head),
+    )
     vocab = r.get(f"{arch}.vocab_size") or len(r.get("tokenizer.ggml.tokens", []))
-    cfg = LlamaConfig(
+    gemma = arch in ("gemma", "gemma2")
+    qpas = None
+    if arch == "gemma2":
+        # llama.cpp keys attention scale off the model size (27B = 46 blocks
+        # uses hidden/n_head); honor an explicit key when present (our packer
+        # writes one).
+        qpas = r.get(
+            f"{arch}.attention.query_pre_attn_scalar",
+            hidden / n_head if n_layers == 46 else head_dim,
+        )
+    rope_scaling = None
+    if "rope_freqs.weight" in r.tensors:
+        # llama.cpp stores per-dim frequency factors (e.g. the llama3 rope
+        # correction) as a tensor; theta_i = base_theta_i / factor_i
+        rope_scaling = (
+            ("factors", tuple(float(x) for x in r.tensor_float("rope_freqs.weight"))),
+            ("rope_type", "gguf_factors"),
+        )
+    elif r.get(f"{arch}.rope.scaling.type") == "linear":
+        rope_scaling = (
+            ("factor", float(r.get(f"{arch}.rope.scaling.factor", 1.0))),
+            ("rope_type", "linear"),
+        )
+    elif r.get(f"{arch}.rope.scaling.type") == "yarn":
+        rope_scaling = (
+            ("factor", float(r.get(f"{arch}.rope.scaling.factor", 1.0))),
+            ("original_max_position_embeddings",
+             int(r.get(f"{arch}.rope.scaling.original_context_length", 4096))),
+            ("rope_type", "yarn"),
+        )
+    return LlamaConfig(
+        arch="gemma2" if arch == "gemma2" else "llama",
+        rope_scaling=rope_scaling,
         vocab_size=vocab,
         hidden_size=hidden,
         intermediate_size=r.get(f"{arch}.feed_forward_length"),
@@ -249,17 +302,50 @@ def load_gguf_for_serving(
         rms_norm_eps=r.get(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5),
         rope_theta=r.get(f"{arch}.rope.freq_base", 10000.0),
         max_position_embeddings=r.get(f"{arch}.context_length", 4096),
-        qk_norm=f"blk.0.attn_q_norm.weight" in r.tensors,
+        qk_norm="blk.0.attn_q_norm.weight" in r.tensors,
+        rms_add_unit=gemma,
+        embed_scale=gemma,
+        act_fn="gelu_tanh" if gemma else "silu",
+        attn_logit_softcap=r.get(f"{arch}.attn_logit_softcapping") if arch == "gemma2" else None,
+        final_logit_softcap=r.get(f"{arch}.final_logit_softcapping") if arch == "gemma2" else None,
+        sliding_window=r.get(f"{arch}.attention.sliding_window") if arch == "gemma2" else None,
+        query_pre_attn_scalar=qpas,
         dtype=dtype,
     )
-    permute_qk = arch in ("llama", "mistral")
 
-    def load_tensor(name: str, hf_name: str):
+
+def load_gguf_for_serving(
+    gguf_path: Union[str, Path], dtype=jnp.bfloat16
+) -> Tuple[Dict[str, Any], LlamaConfig]:
+    """Build a serving model directly from a .gguf file.
+
+    Quantized K-quant tensors are unpacked bit-exactly to codes+params and
+    repacked into the runtime kernel format; everything llama.cpp could load
+    from this file, we serve natively. Raises on architectures or tensor
+    names this loader does not understand — a silently dropped tensor means
+    silently wrong logits.
+    """
+    from ..export.packer import gqa_permute_rows
+    from ..formats import convert
+    from ..formats.gguf import GGUFReader
+    from ..formats.ggml import K_QUANT_TYPES
+
+    r = GGUFReader(gguf_path)
+    arch = r.get("general.architecture", "llama")
+    if arch not in _GGUF_SERVING_ARCHES:
+        raise NotImplementedError(
+            f"GGUF architecture {arch!r} is not supported by the serving "
+            f"loader (supported: {', '.join(_GGUF_SERVING_ARCHES)})"
+        )
+    cfg = _config_from_gguf(r, arch, dtype)
+    n_head, n_kv = cfg.num_attention_heads, cfg.num_key_value_heads
+    hd = cfg.head_dim_
+    permute_qk = arch in ("llama", "mistral")
+    name_map = _GEMMA2_NAME_MAP if arch == "gemma2" else _BASE_NAME_MAP
+
+    def unpack(name: str, inv: Optional[np.ndarray]):
+        """Returns ('quant', codes, np-params, qtype) or ('float', array)."""
         info = r.tensors[name]
-        inv = None
-        if permute_qk and (".attn_q." in name or ".attn_k." in name) and "norm" not in name:
-            heads = n_head if ".attn_q." in name else n_kv
-            inv = np.argsort(gqa_permute_rows(info.shape[0], heads))
         if info.ggml_type in K_QUANT_TYPES and info.shape[-1] % 256 == 0:
             q, ss, sc, sz, zq = convert.unpack_layer(
                 np.asarray(r.tensor_bytes(name)), info.ggml_type, info.shape
@@ -268,52 +354,86 @@ def load_gguf_for_serving(
                 q, ss, sc, sz, zq = q[inv], ss[inv], sc[inv], sz[inv], zq[inv]
             spec = KQUANT_SPECS[info.ggml_type]
             q = q.astype(np.int8 if spec.signed else np.uint8)
-            params = SuperGroupParams(
-                jnp.asarray(ss), jnp.asarray(sz), jnp.asarray(sc), jnp.asarray(zq)
-            )
-            return qmatmul.pack_runtime(q, params, info.ggml_type)
+            return ("quant", q, (ss, sz, sc, zq), info.ggml_type)
         w = r.tensor_float(name)
         if inv is not None:
             w = w[inv]
+        return ("float", w)
+
+    def to_param(t):
+        if t[0] == "quant":
+            _, q, (ss, sz, sc, zq), qtype = t
+            params_ = SuperGroupParams(
+                jnp.asarray(ss), jnp.asarray(sz), jnp.asarray(sc), jnp.asarray(zq)
+            )
+            return qmatmul.pack_runtime(q, params_, qtype)
+        w = t[1]
         return jnp.asarray(w, dtype=dtype if w.ndim > 1 else jnp.float32)
 
+    def row_split(t, row_counts):
+        """Split a loaded tensor along output rows (phi3 fused qkv/gate_up);
+        exact for K-quants since rows are independent."""
+        offs = np.cumsum([0] + list(row_counts))
+        out = []
+        for a, b in zip(offs[:-1], offs[1:]):
+            if t[0] == "quant":
+                _, q, (ss, sz, sc, zq), qtype = t
+                out.append(("quant", q[a:b], (ss[a:b], sz[a:b], sc[a:b], zq[a:b]), qtype))
+            else:
+                out.append(("float", t[1][a:b]))
+        return out
+
+    def load_tensor(name: str):
+        info = r.tensors[name]
+        inv = None
+        if permute_qk and (".attn_q." in name or ".attn_k." in name) and "norm" not in name:
+            heads = n_head if ".attn_q." in name else n_kv
+            inv = np.argsort(gqa_permute_rows(info.shape[0], heads))
+        return unpack(name, inv)
+
     params: Dict[str, Any] = {"layers": []}
-    name_map = {
-        "attn_norm": "input_layernorm",
-        "ffn_norm": "post_attention_layernorm",
-        "attn_q": "q_proj",
-        "attn_k": "k_proj",
-        "attn_v": "v_proj",
-        "attn_output": "o_proj",
-        "attn_q_norm": "q_norm",
-        "attn_k_norm": "k_norm",
-        "ffn_gate": "gate_proj",
-        "ffn_up": "up_proj",
-        "ffn_down": "down_proj",
-    }
-    layers: List[Dict[str, Any]] = [dict() for _ in range(n_layers)]
+    layers: List[Dict[str, Any]] = [dict() for _ in range(cfg.num_hidden_layers)]
+    bias_keys = {"q_proj": "q_bias", "k_proj": "k_bias", "v_proj": "v_bias"}
     for name in r.tensor_order:
         if name == "token_embd.weight":
             # embeddings are gathered, keep dense
-            params["embed_tokens"] = jnp.asarray(
-                r.tensor_float(name), dtype=dtype
-            )
+            params["embed_tokens"] = jnp.asarray(r.tensor_float(name), dtype=dtype)
         elif name == "output.weight":
-            params["lm_head"] = load_tensor(name, "lm_head")
+            params["lm_head"] = to_param(load_tensor(name))
         elif name == "output_norm.weight":
             params["norm"] = jnp.asarray(r.tensor_float(name))
+        elif name == "rope_freqs.weight":
+            continue  # recomputed analytically
         elif name.startswith("blk."):
             parts = name.split(".")
             li = int(parts[1])
             comp = parts[2]
-            if comp in name_map:
-                suffix = parts[3] if len(parts) > 3 else "weight"
+            suffix = parts[3] if len(parts) > 3 else "weight"
+            if comp == "attn_qkv":  # phi3 fused
+                qkv = row_split(load_tensor(name), [n_head * hd, n_kv * hd, n_kv * hd])
+                for key, t in zip(("q_proj", "k_proj", "v_proj"), qkv):
+                    layers[li][bias_keys[key] if suffix == "bias" else key] = to_param(t)
+            elif comp == "ffn_up" and f"blk.{li}.ffn_gate.weight" not in r.tensors \
+                    and r.tensors[name].shape[0] == 2 * cfg.intermediate_size:
+                gate, up = row_split(load_tensor(name), [cfg.intermediate_size] * 2)
+                layers[li]["gate_proj"] = to_param(gate)
+                layers[li]["up_proj"] = to_param(up)
+            elif comp in name_map:
                 key = name_map[comp]
                 if suffix == "bias":
-                    key = {"q_proj": "q_bias", "k_proj": "k_bias", "v_proj": "v_bias"}.get(key, key)
+                    key = bias_keys.get(key, key)
                     layers[li][key] = jnp.asarray(r.tensor_float(name))
                 else:
-                    layers[li][key] = load_tensor(name, key)
+                    layers[li][key] = to_param(load_tensor(name))
+            else:
+                raise NotImplementedError(
+                    f"GGUF tensor {name!r} has no mapping for arch {arch!r}; "
+                    "refusing to drop it silently"
+                )
+        else:
+            raise NotImplementedError(
+                f"unrecognized GGUF tensor {name!r}; refusing to drop it silently"
+            )
     params["layers"] = layers
     if "lm_head" not in params:
         cfg = dataclasses.replace(cfg, tie_word_embeddings=True)

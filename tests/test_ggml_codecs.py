@@ -297,3 +297,85 @@ def test_f16_f32_bf16_dequantize():
         ggml.dequantize(bf_bits.view(np.uint8).reshape(-1), T.BF16, (4, 8)),
         (bf_bits.astype(np.uint32) << 16).view(np.float32).reshape(4, 8),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8_K / IQ4_NL / IQ4_XS (round 2)
+# ---------------------------------------------------------------------------
+
+
+def test_q8_k_roundtrip_and_bsums():
+    x = RNG.normal(size=(6, 256)).astype(np.float32)
+    blocks = ggml.quantize_q8_k(x)
+    assert blocks.shape == (6, 292)
+    q, d, bsums = ggml.unpack_q8_k(blocks)
+    # bsums must equal group-of-16 sums of the quants
+    np.testing.assert_array_equal(
+        bsums, q.reshape(6, 16, 16).astype(np.int32).sum(axis=2).astype(np.int16)
+    )
+    # the max-|x| element quantizes to exactly -127 * sign convention
+    y = ggml.dequant_q8_k(blocks)
+    assert np.abs(y - x).max() <= np.abs(x).max() / 127 * 0.51 + 1e-7
+    # zero block
+    z = ggml.quantize_q8_k(np.zeros((1, 256), np.float32))
+    qz, dz, _ = ggml.unpack_q8_k(z)
+    assert dz[0] == 0.0 and not qz.any()
+
+
+def test_iq4_nl_roundtrip():
+    x = RNG.normal(size=(16, 32)).astype(np.float32) * 0.3
+    blocks = ggml.quantize_iq4_nl(x)
+    assert blocks.shape == (16, 18)
+    y = ggml.dequant_iq4_nl(blocks)
+    # nonlinear grid: error bounded by half the widest codebook gap * scale
+    scale = np.abs(x).max(axis=1, keepdims=True)
+    assert np.abs(y - x).max() < 0.15 * scale.max()
+    # must beat or track Q4_0 on gaussian data (that's the point of the grid)
+    y40 = ggml.dequant_q4_0(ggml.quantize_q4_0(x))
+    assert np.square(y - x).mean() < np.square(y40 - x).mean() * 1.1
+
+
+def test_iq4_nl_exact_codebook_recovery():
+    """Data lying exactly on d * codebook must round-trip losslessly."""
+    d = 0.125
+    idx = RNG.integers(0, 16, size=(2, 32))
+    idx[:, 0] = 0  # anchor each block's extremum on the -127 codepoint so the
+    # scale search can land exactly (llama.cpp's grid anchors d on values[0])
+    x = d * ggml.IQ4NL_VALUES[idx].astype(np.float32)
+    y = ggml.dequant_iq4_nl(ggml.quantize_iq4_nl(x))
+    np.testing.assert_allclose(y, x, rtol=1e-3, atol=1e-3)
+
+
+def test_iq4_xs_roundtrip():
+    x = RNG.normal(size=(4, 256)).astype(np.float32) * 0.2
+    blocks = ggml.quantize_iq4_xs(x)
+    assert blocks.shape == (4, 136)
+    L, d, ls = ggml.unpack_iq4_xs(blocks)
+    assert L.max() <= 15 and ls.min() >= -32 and ls.max() <= 31
+    y = ggml.dequant_iq4_xs(blocks)
+    scale = np.abs(x).max()
+    assert np.abs(y - x).max() < 0.2 * scale
+    # generic dispatch path
+    out = ggml.dequantize(blocks.reshape(-1), T.IQ4_XS, (2, 512))
+    np.testing.assert_allclose(out.reshape(4, 256), y)
+
+
+def test_iq4_xs_scale_packing_roundtrip():
+    """6-bit block scales survive the scales_h/scales_l packing."""
+    x = (RNG.normal(size=(8, 256)) * np.exp(RNG.normal(size=(8, 1)))).astype(np.float32)
+    blocks = ggml.quantize_iq4_xs(x)
+    _, d, ls = ggml.unpack_iq4_xs(blocks)
+    # reconstruct what the quantizer stored and check consistency: the
+    # largest-|scale| block must be near -32 or the clamp boundary
+    assert (np.abs(ls) == np.abs(ls).max(axis=1, keepdims=True)).any(axis=1).all()
+
+
+def test_iq4_with_imatrix_changes_fit():
+    x = RNG.normal(size=(2, 256)).astype(np.float32)
+    qw = np.ones((2, 256), np.float32)
+    qw[:, :32] = 100.0  # heavily weight the first block's elements
+    b0 = ggml.quantize_iq4_xs(x)
+    b1 = ggml.quantize_iq4_xs(x, qw)
+    assert b0.shape == b1.shape
+    # weighting must actually influence the fit
+    assert (b0 != b1).any()

@@ -157,3 +157,84 @@ def test_logits_match_hf_gemma2(tmp_path):
         hf_logits = hf_model(torch.from_numpy(ids)).logits.numpy()
     j_logits = np.asarray(llama.forward(params, jnp.asarray(ids), cfg))
     np.testing.assert_allclose(j_logits, hf_logits, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# RoPE breadth (round 2): yarn / longrope vs HF transformers rope utils
+# ---------------------------------------------------------------------------
+
+
+def test_yarn_rope_matches_transformers():
+    import torch
+    from transformers import AutoConfig
+    from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+
+    from gptq_gguf_tpu.models.llama import LlamaConfig, _rope_params
+
+    d = {
+        "model_type": "llama", "vocab_size": 128, "hidden_size": 256,
+        "intermediate_size": 512, "num_hidden_layers": 1,
+        "num_attention_heads": 4, "num_key_value_heads": 4,
+        "rope_theta": 10000.0, "max_position_embeddings": 32768,
+        "rope_scaling": {
+            "rope_type": "yarn", "factor": 4.0,
+            "original_max_position_embeddings": 8192,
+        },
+    }
+    hf_cfg = AutoConfig.for_model(**d)
+    inv_hf, att_hf = ROPE_INIT_FUNCTIONS["yarn"](hf_cfg, device="cpu")
+    cfg = LlamaConfig.from_hf_dict(d)
+    inv, att = _rope_params(cfg)
+    np.testing.assert_allclose(inv, inv_hf.float().numpy(), rtol=1e-6)
+    assert abs(att - att_hf) < 1e-6
+
+
+def test_longrope_matches_transformers():
+    import torch
+    from transformers import AutoConfig
+    from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+
+    from gptq_gguf_tpu.models.llama import LlamaConfig, _rope_params
+
+    hd = 64
+    short = (1.0 + np.abs(np.random.default_rng(5).normal(size=hd // 2)) * 0.2).tolist()
+    long = (2.0 + np.abs(np.random.default_rng(6).normal(size=hd // 2)) * 2.0).tolist()
+    d = {
+        "model_type": "phi3", "vocab_size": 128, "hidden_size": 256,
+        "intermediate_size": 512, "num_hidden_layers": 1,
+        "num_attention_heads": 4, "num_key_value_heads": 4,
+        "rope_theta": 10000.0, "max_position_embeddings": 131072,
+        "original_max_position_embeddings": 4096,
+        "rope_scaling": {
+            "type": "longrope", "short_factor": short, "long_factor": long,
+        },
+    }
+    hf_cfg = AutoConfig.for_model(**d)
+    cfg = LlamaConfig.from_hf_dict(d)
+
+    # short path (seq <= original)
+    inv_hf, att_hf = ROPE_INIT_FUNCTIONS["longrope"](hf_cfg, device="cpu", seq_len=2048)
+    inv, att = _rope_params(cfg, seq_len=2048)
+    np.testing.assert_allclose(inv, inv_hf.float().numpy(), rtol=1e-6)
+    assert abs(att - att_hf) < 1e-6
+
+    # long path
+    inv_hf, att_hf = ROPE_INIT_FUNCTIONS["longrope"](hf_cfg, device="cpu", seq_len=32768)
+    inv, att = _rope_params(cfg, seq_len=32768)
+    np.testing.assert_allclose(inv, inv_hf.float().numpy(), rtol=1e-6)
+    assert abs(att - att_hf) < 1e-6
+
+
+def test_llama_config_hashable_with_rope_scaling():
+    from gptq_gguf_tpu.models.llama import LlamaConfig
+
+    d = {
+        "model_type": "llama", "vocab_size": 64, "hidden_size": 64,
+        "intermediate_size": 128, "num_hidden_layers": 1,
+        "num_attention_heads": 2, "num_key_value_heads": 2,
+        "rope_scaling": {"rope_type": "llama3", "factor": 8.0,
+                         "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                         "original_max_position_embeddings": 8192},
+    }
+    cfg = LlamaConfig.from_hf_dict(d)
+    hash(cfg)  # must not raise (jit static arg)

@@ -165,3 +165,77 @@ def test_phi3_fused_pack(tmp_path):
         r.tensor_float("blk.0.attn_qkv.weight"),
         np.concatenate([q_art, k_art, v_art], axis=0), rtol=1e-6, atol=1e-7,
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer metadata (SPM / BPE / Unigram)
+# ---------------------------------------------------------------------------
+
+
+def test_spm_tokenizer_metadata(tmp_path):
+    from gptq_gguf_tpu.export import spm
+
+    pieces = [("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3)]
+    pieces += [(f"tok{i}", -float(i), 1) for i in range(10)]
+    pieces += [("<0x0A>", 0.0, 6)]
+    (tmp_path / "tokenizer.model").write_bytes(
+        spm.build_model(pieces, unk_id=0, bos_id=1, eos_id=2, pad_id=-1)
+    )
+    with open(tmp_path / "added_tokens.json", "w") as f:
+        json.dump({"<extra>": 14}, f)
+    md = packer.tokenizer_metadata(tmp_path, "gemma2")
+    assert md["tokenizer.ggml.model"] == "llama"
+    assert md["tokenizer.ggml.tokens"][:3] == ["<unk>", "<s>", "</s>"]
+    assert md["tokenizer.ggml.token_type"][0] == 2  # UNKNOWN
+    assert md["tokenizer.ggml.token_type"][13] == 6  # BYTE
+    assert md["tokenizer.ggml.tokens"][14] == "<extra>"
+    assert md["tokenizer.ggml.token_type"][14] == 3  # CONTROL
+    assert md["tokenizer.ggml.scores"][5] == -2.0
+    assert md["tokenizer.ggml.bos_token_id"] == 1
+    assert md["tokenizer.ggml.eos_token_id"] == 2
+    assert md["tokenizer.ggml.unknown_token_id"] == 0
+    assert "tokenizer.ggml.padding_token_id" not in md
+
+
+def test_unigram_tokenizer_metadata(tmp_path):
+    tok = {
+        "model": {
+            "type": "Unigram",
+            "unk_id": 0,
+            "vocab": [["<unk>", 0.0], ["a", -1.5], ["b", -2.5], ["<0xFF>", 0.0]],
+        },
+        "added_tokens": [{"id": 4, "content": "<sp>", "special": True}],
+    }
+    with open(tmp_path / "tokenizer.json", "w") as f:
+        json.dump(tok, f)
+    md = packer.tokenizer_metadata(tmp_path, "llama")
+    assert md["tokenizer.ggml.model"] == "llama"
+    assert md["tokenizer.ggml.token_type"] == [2, 1, 1, 6, 3]
+    assert md["tokenizer.ggml.scores"][1] == -1.5
+
+
+def test_bpe_pre_tokenizer_tag(tmp_path):
+    tok = {"model": {"type": "BPE", "vocab": {"a": 0, "b": 1}, "merges": []}}
+    with open(tmp_path / "tokenizer.json", "w") as f:
+        json.dump(tok, f)
+    assert packer.tokenizer_metadata(tmp_path, "qwen2")["tokenizer.ggml.pre"] == "qwen2"
+    assert packer.tokenizer_metadata(tmp_path, "llama")["tokenizer.ggml.pre"] == "llama-bpe"
+
+
+def test_unsupported_tokenizer_raises(tmp_path):
+    with open(tmp_path / "tokenizer.json", "w") as f:
+        json.dump({"model": {"type": "WordPiece", "vocab": {}}}, f)
+    with pytest.raises(NotImplementedError):
+        packer.tokenizer_metadata(tmp_path, "llama")
+
+
+def test_gemma2_metadata_key_length():
+    cfg = {
+        "model_type": "gemma2", "vocab_size": 1024, "hidden_size": 2304,
+        "intermediate_size": 9216, "num_hidden_layers": 26,
+        "num_attention_heads": 8, "num_key_value_heads": 4, "head_dim": 256,
+    }
+    md = packer.Gemma2Arch(cfg).metadata()
+    assert md["gemma2.attention.key_length"] == 256
+    assert md["gemma2.attention.value_length"] == 256
+    assert md["gemma2.attn_logit_softcapping"] == 50.0

@@ -54,3 +54,39 @@ def test_packed_size_is_compact():
     rql = qmatmul.pack_runtime(np.asarray(q), params, T.Q4_K)
     assert rql.packed_bits_per_weight < 6.5  # 4 bits codes + f32 scales/32
     assert rql.qs.dtype == jnp.uint8
+
+
+@pytest.mark.parametrize(
+    "d_in,d_out,expect",
+    [
+        (4096, 4096, (1024, 512)),
+        (3584, 3584, (512, 512)),   # qwen2-7b/gemma2-9b hidden
+        (11008, 4096, (256, 512)),  # 11008 = 256*43, 43 prime
+        (4096, 11008, (1024, 256)),
+        (2304, 2304, (768, 256)),   # gemma2-2b hidden: 2304 = 256*9
+        (512, 512, (512, 512)),
+        (300, 512, None),           # not a QK_K multiple
+        (512, 100, None),
+    ],
+)
+def test_select_tiles(d_in, d_out, expect):
+    got = qmatmul.select_tiles(d_in, d_out)
+    assert got == expect
+    if got is not None:
+        ti, to = got
+        assert d_in % ti == 0 and ti % 256 == 0 and ti <= 1024
+        assert d_out % to == 0 and to % 256 == 0 and to <= 512
+
+
+def test_pallas_interpret_odd_shapes():
+    """Shapes that previously crashed the dispatch (ADVICE: 3584 etc.)."""
+    wx = RNG.normal(size=(768, 1280)).astype(np.float32) * 0.1
+    q, params = kquant.quantize_rtn(jnp.asarray(wx), T.Q4_K)
+    rql = qmatmul.pack_runtime(np.asarray(q), params, T.Q4_K)
+    ti, to = qmatmul.select_tiles(1280, 768)
+    x = jnp.asarray(RNG.normal(size=(4, 1280)).astype(np.float32))
+    y_ref = np.asarray(qmatmul.dequant_matmul_xla(x, rql))
+    y_pal = np.asarray(
+        qmatmul.dequant_matmul_pallas(x, rql, tile_in=ti, tile_out=to, interpret=True)
+    )
+    np.testing.assert_allclose(y_pal, y_ref, rtol=1e-5, atol=1e-4)

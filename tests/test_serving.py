@@ -147,3 +147,118 @@ def test_serving_gemma2_matches_forward(tmp_path):
     for t in range(12, 20):
         logits, cache = qmodel.forward_cached(params, cfg, jnp.asarray(ids[:, t:t+1]), cache)
         np.testing.assert_allclose(np.asarray(logits), full[:, t, :], rtol=3e-3, atol=3e-3)
+
+
+def _pack_tiny(tmp_path, cfg_dict, seed=9):
+    """quantize + pack a tiny HF model; returns (cfg, deq_params, gguf_path)."""
+    from tests.test_model import make_tiny_hf_model
+    from gptq_gguf_tpu.export import packer
+
+    model_dir, _ = make_tiny_hf_model(tmp_path, cfg_dict, seed=seed)
+    cfg = loader.load_config(model_dir)
+    params = loader.load_params(model_dir, cfg)
+    calib = [RNG.integers(0, cfg.vocab_size, size=(1, 32)) for _ in range(2)]
+    quant_dir = tmp_path / "layers"
+    deq_params = calibrate.quantize_model(params, cfg, calib, save_dir=quant_dir)
+    gguf_path = tmp_path / "m.gguf"
+    packer.pack_model(model_dir, quant_dir, gguf_path)
+    return cfg, deq_params, gguf_path
+
+
+def test_load_gguf_gemma2_matches_forward(tmp_path):
+    """Round-1 bug (VERDICT #3 / ADVICE high): a gemma2 GGUF silently loaded
+    with llama semantics. Packed gemma2 .gguf must now serve with logits
+    matching llama.forward on the dequantized params."""
+    cfg_dict = {
+        "model_type": "gemma2", "architectures": ["Gemma2ForCausalLM"],
+        "vocab_size": 256, "hidden_size": 256, "intermediate_size": 512,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "head_dim": 64, "rms_norm_eps": 1e-6,
+        "max_position_embeddings": 512, "attn_logit_softcapping": 50.0,
+        "final_logit_softcapping": 30.0, "query_pre_attn_scalar": 64,
+        "sliding_window": 8, "tie_word_embeddings": True,
+        "hidden_activation": "gelu_pytorch_tanh", "torch_dtype": "float32",
+        "pad_token_id": 0,
+    }
+    cfg, deq_params, gguf_path = _pack_tiny(tmp_path, cfg_dict, seed=13)
+    qparams, gcfg = qmodel.load_gguf_for_serving(gguf_path, dtype=jnp.float32)
+    assert gcfg.attn_logit_softcap == 50.0
+    assert gcfg.final_logit_softcap == 30.0
+    assert gcfg.sliding_window == 8
+    assert gcfg.head_dim_ == 64
+    assert gcfg.query_pre_attn_scalar == 64.0
+    assert gcfg.rms_add_unit and gcfg.embed_scale and gcfg.act_fn == "gelu_tanh"
+    assert "post_feedforward_layernorm" in qparams["layers"][0]
+
+    ids = RNG.integers(0, cfg.vocab_size, size=(1, 16))
+    cache = qmodel.init_cache(gcfg, 1, 20, dtype=jnp.float32)
+    logits, _ = qmodel.forward_cached(qparams, gcfg, jnp.asarray(ids), cache)
+    ref = np.asarray(llama.forward(deq_params, jnp.asarray(ids), cfg))[:, -1, :]
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=5e-2, atol=5e-2)
+
+
+def test_load_gguf_phi3_fused_split(tmp_path):
+    """phi3 GGUFs hold fused attn_qkv / ffn_up; the loader must split them."""
+    cfg_dict = {
+        "model_type": "phi3", "architectures": ["Phi3ForCausalLM"],
+        "vocab_size": 256, "hidden_size": 256, "intermediate_size": 512,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "rms_norm_eps": 1e-5,
+        "max_position_embeddings": 512, "torch_dtype": "float32",
+        "pad_token_id": 0,
+    }
+    cfg, deq_params, gguf_path = _pack_tiny(tmp_path, cfg_dict, seed=29)
+    qparams, gcfg = qmodel.load_gguf_for_serving(gguf_path, dtype=jnp.float32)
+    layer0 = qparams["layers"][0]
+    assert layer0["q_proj"].d_out == 256
+    assert layer0["k_proj"].d_out == 128
+    assert layer0["gate_proj"].d_out == 512
+    ids = RNG.integers(0, cfg.vocab_size, size=(1, 12))
+    cache = qmodel.init_cache(gcfg, 1, 16, dtype=jnp.float32)
+    logits, _ = qmodel.forward_cached(qparams, gcfg, jnp.asarray(ids), cache)
+    ref = np.asarray(llama.forward(deq_params, jnp.asarray(ids), cfg))[:, -1, :]
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=5e-2, atol=5e-2)
+
+
+def test_load_gguf_unknown_arch_raises(tmp_path):
+    from gptq_gguf_tpu.formats.gguf import GGUFWriter
+
+    w = GGUFWriter(tmp_path / "x.gguf")
+    w.add_kv("general.architecture", "mamba")
+    w.add_tensor("token_embd.weight", np.zeros((4, 8), np.float32))
+    w.write()
+    with pytest.raises(NotImplementedError, match="mamba"):
+        qmodel.load_gguf_for_serving(tmp_path / "x.gguf")
+
+
+def test_load_gguf_unmapped_tensor_raises(tmp_path):
+    from gptq_gguf_tpu.formats.gguf import GGUFWriter
+
+    w = GGUFWriter(tmp_path / "x.gguf")
+    for k, v in {
+        "general.architecture": "llama", "llama.attention.head_count": 2,
+        "llama.block_count": 1, "llama.embedding_length": 8,
+        "llama.feed_forward_length": 16, "llama.vocab_size": 4,
+    }.items():
+        w.add_kv(k, v)
+    w.add_tensor("blk.0.ssm_conv1d.weight", np.zeros((8, 8), np.float32))
+    w.write()
+    with pytest.raises(NotImplementedError, match="ssm_conv1d"):
+        qmodel.load_gguf_for_serving(tmp_path / "x.gguf")
+
+
+def test_engine_clamps_oversized_requests():
+    """ADVICE low: max_new_tokens >= max_len kept the wrong prompt slice."""
+    cfg = llama.LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+    )
+    params = llama.init_params(cfg, seed=3)
+    eng = engine.ContinuousBatchingEngine(params, cfg, num_slots=1, max_len=16)
+    prompt = RNG.integers(0, 64, size=(12,))
+    eng.submit(prompt, max_new_tokens=100)
+    done = eng.run_until_done(max_steps=50)
+    assert len(done) == 1
+    assert len(done[0].output) <= 15
+    # prefill never exceeded the cache
+    assert int(np.asarray(eng.cache.lengths)[0]) <= 16
