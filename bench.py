@@ -1,16 +1,20 @@
 """Benchmark driver: one JSON line on stdout.
 
-Measures decode-step throughput of the fused Q4_K dequant-matmul serving
-path over the Llama-3-8B layer shapes (BASELINE.json headline: "tokens/s/chip
-at Q4_K Llama-3-8B"). One benchmark step chains all seven matmuls of a
-transformer layer (q/k/v/o/gate/up/down) exactly as a decode step does, so
-per-kernel pipeline bubbles amortize as they do in the real model; the result
-is scaled to the 32-layer stack. vs_baseline is the fraction of the
-weight-bound speed of light at this chip's *measured* streaming bandwidth.
+Primary metric (round 2, honest end-to-end): decode tokens/s through the
+serving engine's jitted decode step at Llama-3-8B shapes with synthetic
+Q4_K-packed weights — attention scores, KV-cache reads/writes, norms and the
+(Q6_K) lm_head all included, exactly the program `engine.generate` runs.
+``vs_baseline`` is the fraction of the weight+KV-bound speed of light at the
+chip's *measured* streaming bandwidth (weights read once per step, the full
+KV ring read once per step at the benchmarked fill level).
+
+detail also carries the matmul-path microbench for the v1 (f32-scale) and
+v2 (compact-scale, bf16-MXU) kernels so kernel-level regressions stay
+visible.
 
 Timing notes: this environment's relay makes isolated dispatch wall-times
-unreliable, so measurements chain N iterations inside one jitted scan and
-force a dependent scalar readback.
+unreliable; every measured loop carries a host readback data dependency
+(argmax token fed back in), which forces real execution.
 """
 
 import json
@@ -44,7 +48,41 @@ def measure_stream_bw_gbs(n_mb=128, steps=20):
     return 3 * n_mb / 1024 / dt
 
 
-def main():
+def synth_v2(rng, d_out, d_in, qtype=None):
+    """Random weights directly in the v2 runtime format (no fitting; codes
+    and scales are arbitrary — identical HBM traffic to a real model)."""
+    import jax.numpy as jnp
+
+    from gptq_gguf_tpu.formats.ggml import GGMLQuantizationType as T, KQUANT_SPECS
+    from gptq_gguf_tpu.ops.qmatmul import RuntimeQuantLinearV2
+
+    qtype = qtype or T.Q4_K
+    spec = KQUANT_SPECS[qtype]
+    gs = spec.group_size
+    per_byte = 2 if spec.bits <= 4 else 1
+    n_sg = d_in // 256
+    ng = d_in // gs
+    qs = jnp.asarray(rng.integers(0, 256, (d_in // per_byte, d_out), dtype=np.uint8))
+    d_sg = jnp.asarray((rng.random((n_sg, d_out), np.float32) * 1e-3 + 1e-5))
+    if spec.signed:
+        sc = jnp.asarray(rng.integers(-32, 32, (ng, d_out)).astype(np.int8))
+        dmin = mn = None
+    else:
+        sc = jnp.asarray(rng.integers(0, 64, (ng, d_out), dtype=np.uint8))
+        dmin = jnp.asarray(rng.random((n_sg, d_out), np.float32) * 1e-4)
+        mn = jnp.asarray(rng.integers(0, 64, (ng, d_out), dtype=np.uint8))
+    return RuntimeQuantLinearV2(qs, d_sg, dmin, sc, mn, d_in, gs, per_byte, -spec.qmin)
+
+
+def rql_bytes(r) -> int:
+    n = int(r.qs.size) + 4 * int(r.d_sg.size) + int(r.sc_q.size)
+    if r.dmin_sg is not None:
+        n += 4 * int(r.dmin_sg.size) + int(r.mn_q.size)
+    return n
+
+
+def bench_matmul_path(B=8, N=20):
+    """Layer-chained matmul microbench: v1 (f32-scale) vs v2 kernels."""
     import jax
     import jax.numpy as jnp
 
@@ -52,63 +90,161 @@ def main():
     from gptq_gguf_tpu.ops import kquant, qmatmul
 
     rng = np.random.default_rng(0)
-    B = 8  # decode batch
-    N = 20
+    H, I, KV = 4096, 14336, 1024
     n_layers = 32
-    H, I, KV = 4096, 14336, 1024  # Llama-3-8B
 
-    def mk(d_out, d_in):
+    def mk_v1(d_out, d_in):
         wx = (rng.normal(size=(d_out, d_in)) * 0.04).astype(np.float32)
         q, p = kquant.quantize_rtn(jnp.asarray(wx), T.Q4_K)
         return qmatmul.pack_runtime(np.asarray(q), p, T.Q4_K)
 
-    qp, kp, vp, op = mk(H, H), mk(KV, H), mk(KV, H), mk(H, H)
-    gp, up, dp = mk(I, H), mk(I, H), mk(H, I)
-    weights = (qp, kp, vp, op, gp, up, dp)
-    bytes_layer = sum(int(r.qs.size) + 8 * int(r.scale_t.size) for r in weights)
-    x0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    results = {}
+    for name in ("v1", "v2"):
+        if name == "v1":
+            qp, kp, vp, op = mk_v1(H, H), mk_v1(KV, H), mk_v1(KV, H), mk_v1(H, H)
+            gp, up, dp = mk_v1(I, H), mk_v1(I, H), mk_v1(H, I)
+            bytes_layer = sum(
+                int(r.qs.size) + 8 * int(r.scale_t.size)
+                for r in (qp, kp, vp, op, gp, up, dp)
+            )
+        else:
+            qp, kp, vp, op = (synth_v2(rng, H, H), synth_v2(rng, KV, H),
+                              synth_v2(rng, KV, H), synth_v2(rng, H, H))
+            gp, up, dp = synth_v2(rng, I, H), synth_v2(rng, I, H), synth_v2(rng, H, I)
+            bytes_layer = sum(rql_bytes(r) for r in (qp, kp, vp, op, gp, up, dp))
 
-    mm = qmatmul.dequant_matmul
+        x0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+        mm = qmatmul.dequant_matmul
 
-    def layer_step(x):
-        q = mm(x, qp)
-        k = mm(x, kp)
-        v = mm(x, vp)
-        a = mm(q, op)
-        g = mm(a, gp)
-        u = mm(a, up)
-        d = mm(jax.nn.silu(g) * u, dp)
-        return d + jnp.sum(k) * 1e-9 + jnp.sum(v) * 1e-9
+        def layer_step(x):
+            q = mm(x, qp)
+            k = mm(x, kp)
+            v = mm(x, vp)
+            a = mm(q, op)
+            g = mm(a, gp)
+            u = mm(a, up)
+            d = mm(jax.nn.silu(g) * u, dp)
+            return d + jnp.sum(k) * 1e-9 + jnp.sum(v) * 1e-9
 
-    @jax.jit
-    def run(x):
-        def body(x, _):
-            return layer_step(x) * 1e-3 + x, None
+        @jax.jit
+        def run(x):
+            def body(x, _):
+                return layer_step(x) * 1e-3 + x, None
 
-        x, _ = jax.lax.scan(body, x, None, length=N)
-        return jnp.sum(x)
+            x, _ = jax.lax.scan(body, x, None, length=N)
+            return jnp.sum(x)
 
-    float(run(x0))  # compile
-    t0 = time.time()
-    float(run(x0))
-    dt_layer = (time.time() - t0) / N
-
-    tokens_per_s = B / (dt_layer * n_layers)
-    bw = measure_stream_bw_gbs()
-    total_bytes = bytes_layer * n_layers
-    sol_tokens_per_s = B * bw * 1e9 / total_bytes
-
-    result = {
-        "metric": "decode_tokens_per_s_q4k_llama8b_shapes",
-        "value": round(tokens_per_s, 2),
-        "unit": "tokens/s/chip (B=8 decode, 32-layer matmul path)",
-        "vs_baseline": round(tokens_per_s / max(sol_tokens_per_s, 1e-9), 4),
-        "detail": {
+        float(run(x0))
+        t0 = time.time()
+        float(run(x0))
+        dt_layer = (time.time() - t0) / N
+        results[name] = {
+            "tokens_per_s": round(B / (dt_layer * n_layers), 2),
             "ms_per_layer": round(dt_layer * 1e3, 3),
             "eff_bw_gbs": round(bytes_layer / dt_layer / 1e9, 1),
-            "stream_bw_gbs": round(bw, 1),
-            "weight_bytes_per_token_gb": round(total_bytes / 1e9, 3),
+            "bytes_per_layer": bytes_layer,
+        }
+    return results
+
+
+def bench_engine(B=8, max_len=2048, prompt_len=128, steps=32):
+    """End-to-end decode through engine's jitted step at Llama-3-8B shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from gptq_gguf_tpu.formats.ggml import GGMLQuantizationType as T
+    from gptq_gguf_tpu.models.llama import LlamaConfig
+    from gptq_gguf_tpu.serving import engine, model as qmodel
+
+    rng = np.random.default_rng(1)
+    V, H, I, L = 128256, 4096, 14336, 32
+    cfg = LlamaConfig(
+        vocab_size=V, hidden_size=H, intermediate_size=I, num_hidden_layers=L,
+        num_attention_heads=32, num_key_value_heads=8, head_dim=128,
+        max_position_embeddings=max_len, rope_theta=500000.0, dtype=jnp.bfloat16,
+    )
+    # 4 distinct weight sets cycled over 32 layers: full per-step HBM traffic
+    # without 4.8 GB of host-side generation
+    sets = []
+    for _ in range(4):
+        sets.append({
+            "input_layernorm": jnp.ones((H,), jnp.bfloat16),
+            "post_attention_layernorm": jnp.ones((H,), jnp.bfloat16),
+            "q_proj": synth_v2(rng, H, H),
+            "k_proj": synth_v2(rng, 1024, H),
+            "v_proj": synth_v2(rng, 1024, H),
+            "o_proj": synth_v2(rng, H, H),
+            "gate_proj": synth_v2(rng, I, H),
+            "up_proj": synth_v2(rng, I, H),
+            "down_proj": synth_v2(rng, H, I),
+        })
+    layers = [sets[i % 4] for i in range(L)]
+    embed = jax.random.normal(jax.random.PRNGKey(2), (V, H), jnp.bfloat16) * 0.02
+    lm_head = synth_v2(rng, V, H, T.Q6_K)
+    params = {"embed_tokens": embed, "layers": layers, "norm": jnp.ones((H,), jnp.bfloat16),
+              "lm_head": lm_head}
+
+    weight_bytes_layer = sum(
+        rql_bytes(layers[0][k])
+        for k in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
+    )
+    weight_bytes = weight_bytes_layer * L + rql_bytes(lm_head)
+    kv_bytes = 2 * L * B * 8 * max_len * 128 * 2  # full ring read per step (bf16)
+    bytes_per_step = weight_bytes + kv_bytes
+
+    cache = qmodel.init_cache(cfg, B, max_len, dtype=jnp.bfloat16)
+    prompt = jnp.asarray(rng.integers(0, V, (1, prompt_len)).astype(np.int32))
+
+    t_prefill = []
+    for slot in range(B):
+        t0 = time.time()
+        tok, cache = engine._prefill_slot(params, cfg, prompt, cache, slot)
+        tok.block_until_ready()
+        t_prefill.append(time.time() - t0)
+
+    tokens = jnp.asarray(rng.integers(0, V, (B,)).astype(np.int32))
+    for _ in range(4):  # warmup + compile
+        tokens, _, cache = engine._decode_step(params, cfg, tokens, cache)
+        np.asarray(tokens)
+    t0 = time.time()
+    for _ in range(steps):
+        tokens, _, cache = engine._decode_step(params, cfg, tokens, cache)
+        np.asarray(tokens)  # host readback: forces execution, feeds next step
+    dt_step = (time.time() - t0) / steps
+
+    return {
+        "tokens_per_s": round(B / dt_step, 2),
+        "ms_per_step": round(dt_step * 1e3, 2),
+        "weight_gb_per_step": round(weight_bytes / 1e9, 3),
+        "kv_gb_per_step": round(kv_bytes / 1e9, 3),
+        "bytes_per_step": bytes_per_step,
+        "prefill_ms_steady": round(float(np.median(t_prefill[2:])) * 1e3, 1)
+        if len(t_prefill) > 2 else None,
+        "prompt_len": prompt_len,
+        "max_len": max_len,
+        "batch": B,
+    }
+
+
+def main():
+    import jax
+
+    bw = measure_stream_bw_gbs()
+    matmul = bench_matmul_path()
+    eng = bench_engine()
+
+    sol_tokens_per_s = eng["batch"] * bw * 1e9 / eng["bytes_per_step"]
+    result = {
+        "metric": "engine_decode_tokens_per_s_q4k_llama8b_shapes",
+        "value": eng["tokens_per_s"],
+        "unit": "tokens/s/chip (B=8 decode via engine step: matmuls+attention+KV+lm_head)",
+        "vs_baseline": round(eng["tokens_per_s"] / max(sol_tokens_per_s, 1e-9), 4),
+        "detail": {
+            "engine": eng,
+            "engine_tokens_per_s": eng["tokens_per_s"],
             "sol_tokens_per_s": round(sol_tokens_per_s, 2),
+            "stream_bw_gbs": round(bw, 1),
+            "matmul_path": matmul,
             "platform": jax.devices()[0].platform,
         },
     }

@@ -450,6 +450,62 @@ def run_lmeval(args):
 SUBCOMMANDS["lm-eval"] = (build_lmeval, run_lmeval)
 
 
+# -- parity (BASELINE.md acceptance harness) --------------------------------
+
+
+def build_parity(p: argparse.ArgumentParser):
+    p.add_argument("--model_name_or_path", default=None,
+                   help="local HF checkpoint; omit with --synthetic-shapes")
+    p.add_argument("--synthetic-shapes", dest="synthetic_shapes", default=None,
+                   choices=["llama-3.2-1b", "llama-3.1-8b", "tiny"],
+                   help="fabricate a random checkpoint at real shapes (offline dry run)")
+    p.add_argument("--bit_widths", nargs="+", default=["Q4_K"],
+                   choices=["Q2_K", "Q3_K", "Q4_K", "Q5_K", "Q6_K"])
+    p.add_argument("--calibration_data", default=None,
+                   help="default: wikitext2 (synthetic under --synthetic-shapes)")
+    p.add_argument("--calibration_tokens", type=int, default=2**19)
+    p.add_argument("--sequence_length", type=int, default=None)
+    p.add_argument("--eval_tokens", type=int, default=2**19)
+    p.add_argument("--reference_name", default=None,
+                   help="override reference-table row matching (e.g. llama-3.2-1b)")
+    p.add_argument("--no-pack", dest="pack", action="store_false")
+    p.add_argument("--out_dir", required=True)
+
+
+def run_parity_cmd(args):
+    from pathlib import Path
+
+    from ..evals import parity
+
+    model_dir = args.model_name_or_path
+    if args.synthetic_shapes:
+        model_dir = parity.make_synthetic_checkpoint(
+            Path(args.out_dir) / "synthetic-checkpoint", args.synthetic_shapes
+        )
+        print(f"synthetic {args.synthetic_shapes} checkpoint at {model_dir}")
+    if model_dir is None:
+        raise SystemExit("need --model_name_or_path or --synthetic-shapes")
+    calib = args.calibration_data or (
+        "synthetic" if args.synthetic_shapes else "wikitext2"
+    )
+    results = parity.run_parity(
+        model_dir, args.out_dir, args.bit_widths,
+        calibration_data=calib,
+        calibration_tokens=args.calibration_tokens,
+        sequence_length=args.sequence_length,
+        eval_tokens=args.eval_tokens,
+        reference_name=args.reference_name or args.synthetic_shapes,
+        pack=args.pack,
+    )
+    failed = [r for r in results if r.passed is False]
+    if failed:
+        raise SystemExit(f"{len(failed)} bit-width(s) exceed the "
+                         f"{parity.PPL_TOLERANCE} ppl tolerance")
+
+
+SUBCOMMANDS["parity"] = (build_parity, run_parity_cmd)
+
+
 # -- estimate-errors (evopress/src/error_estimator.py) ----------------------
 
 

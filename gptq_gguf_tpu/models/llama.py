@@ -307,6 +307,66 @@ def _linear(x, w, b=None):
     return y.astype(x.dtype)
 
 
+# KV-chunk size for the online-softmax attention; attention over contexts
+# >= this length streams chunks instead of materializing (S, L) scores
+FLASH_CHUNK = 512
+
+
+def flash_attention(q, k, v, qpos, scale=None, logit_softcap=None,
+                    sliding_window=None, chunk: int = FLASH_CHUNK):
+    """Online-softmax (flash) attention over KV chunks.
+
+    q: (B, nH, S, hd); k/v: (B, nKV, L, hd); qpos: (B, S) absolute position
+    of each query (keys live at positions 0..L). Causal + optional sliding
+    window masking; GQA via head grouping. Never materializes an (S, L)
+    score tensor — peak memory is (S, chunk).
+    """
+    B, nH, S, hd = q.shape
+    nKV, L = k.shape[1], k.shape[2]
+    G = nH // nKV
+    scale = scale if scale is not None else 1.0 / math.sqrt(hd)
+    qg = (q.reshape(B, nKV, G, S, hd).astype(jnp.float32)) * scale
+
+    n_chunks = -(-L // chunk)
+    pad = n_chunks * chunk - L
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    ks = k.reshape(B, nKV, n_chunks, chunk, hd).transpose(2, 0, 1, 3, 4)
+    vs = v.reshape(B, nKV, n_chunks, chunk, hd).transpose(2, 0, 1, 3, 4)
+    kpos = jnp.arange(n_chunks * chunk).reshape(n_chunks, chunk)
+
+    m0 = jnp.full((B, nKV, G, S), -1e30, jnp.float32)
+    l0 = jnp.zeros((B, nKV, G, S), jnp.float32)
+    a0 = jnp.zeros((B, nKV, G, S, hd), jnp.float32)
+
+    def body(carry, inp):
+        m, l, acc = carry
+        kc, vc, kp = inp
+        s = jnp.einsum("bkgsh,bkth->bkgst", qg, kc.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        if logit_softcap:
+            s = logit_softcap * jnp.tanh(s / logit_softcap)
+        valid = (kp[None, None, :] <= qpos[:, :, None]) & (kp[None, None, :] < L)
+        if sliding_window:
+            valid = valid & ((qpos[:, :, None] - kp[None, None, :]) < sliding_window)
+        vmask = valid[:, None, None, :, :]  # (B,1,1,S,chunk)
+        s = jnp.where(vmask, s, -1e30)
+        m2 = jnp.maximum(m, s.max(axis=-1))
+        corr = jnp.exp(m - m2)
+        p = jnp.where(vmask, jnp.exp(s - m2[..., None]), 0.0)
+        l = l * corr + p.sum(axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bkgst,bkth->bkgsh", p, vc.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        return (m2, l, acc), None
+
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0), (ks, vs, kpos))
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return out.reshape(B, nH, S, hd).astype(v.dtype)
+
+
 def attention_scores(q, k, v, mask, scale=None, logit_softcap=None):
     """Plain XLA attention; q (B,nH,S,hd), k/v (B,nKV,S,hd)."""
     B, nH, S, hd = q.shape
@@ -382,7 +442,19 @@ def block_capture(
         if cfg.query_pre_attn_scalar is not None
         else None
     )
-    attn = attention_scores(q, k, v, attn_mask, scale, cfg.attn_logit_softcap)
+    if S >= 2 * FLASH_CHUNK:
+        # long-sequence path: stream KV chunks (standard causal semantics —
+        # the explicit mask argument always encodes exactly this for the
+        # calibration/eval callers)
+        win = (
+            cfg.sliding_window
+            if cfg.sliding_window and layer_idx % cfg.sliding_pattern == 0
+            else None
+        )
+        qpos = jnp.broadcast_to(jnp.arange(S), (B, S))
+        attn = flash_attention(q, k, v, qpos, scale, cfg.attn_logit_softcap, win)
+    else:
+        attn = attention_scores(q, k, v, attn_mask, scale, cfg.attn_logit_softcap)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
     attn_out = _linear(attn, layer["o_proj"])
     gemma2_norms = "pre_feedforward_layernorm" in layer

@@ -62,6 +62,12 @@ class RuntimeQuantLinear:
         return self.qs.shape[1]
 
     @property
+    def d_in_local(self) -> int:
+        """Input dim of the *materialized* planes — differs from the static
+        d_in inside shard_map, where planes are per-device shards."""
+        return self.qs.shape[0] * self.per_byte
+
+    @property
     def packed_bits_per_weight(self) -> float:
         return (self.qs.shape[0] + 8 * self.scale_t.shape[0]) * 8 / self.d_in
 
@@ -127,11 +133,12 @@ def _unpack_codes_jnp(qs: jax.Array, per_byte: int, d_in: int) -> jax.Array:
 
 def dequantize_runtime(rql: RuntimeQuantLinear) -> jax.Array:
     """Reference dequantization (XLA): returns (d_out, d_in) f32."""
-    q = _unpack_codes_jnp(rql.qs, rql.per_byte, rql.d_in).astype(jnp.float32)
+    d_in = rql.d_in_local
+    q = _unpack_codes_jnp(rql.qs, rql.per_byte, d_in).astype(jnp.float32)
     ng = rql.scale_t.shape[0]
     q = q.reshape(ng, rql.group_size, rql.d_out)
     w_t = q * rql.scale_t[:, None, :] - rql.offset_t[:, None, :]
-    return w_t.reshape(rql.d_in, rql.d_out).T
+    return w_t.reshape(d_in, rql.d_out).T
 
 
 @jax.jit
@@ -238,6 +245,307 @@ def dequant_matmul_pallas(
     )(x, rql.qs, rql.scale_t, rql.offset_t)
 
 
+# ---------------------------------------------------------------------------
+# V2 runtime format: compact two-level scales (round 2, VERDICT #1)
+#
+# V1 carries one f32 (scale, offset) pair per group of 32 = 2.0 extra
+# bits/weight at Q4_K. V2 keeps GGML's two-level structure in HBM instead:
+# per-supergroup f32 super-scale/min (0.125 b/w each) + per-group uint8
+# quantized scale/min codes (0.25 b/w each at gs=32) — 4.75 b/w total for
+# Q4_K vs 6.0 in V1, and the fixup math inside the kernel reproduces the
+# canonical dequantization bit-for-bit (same f32 op order as ops.kquant).
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+class RuntimeQuantLinearV2:
+    """Packed quantized weight, compact-scale layout (input-dim-major)."""
+
+    def __init__(self, qs, d_sg, dmin_sg, sc_q, mn_q, d_in: int, group_size: int,
+                 per_byte: int, shift: int):
+        self.qs = qs            # (d_in // per_byte, d_out) uint8
+        self.d_sg = d_sg        # (n_sg, d_out) f32 super-scale
+        self.dmin_sg = dmin_sg  # (n_sg, d_out) f32 super-min (None if signed)
+        self.sc_q = sc_q        # (n_groups, d_out) uint8 quantized scales
+        self.mn_q = mn_q        # (n_groups, d_out) uint8 mins (None if signed)
+        self.d_in = int(d_in)
+        self.group_size = int(group_size)
+        self.per_byte = int(per_byte)
+        self.shift = int(shift)
+
+    @property
+    def d_out(self) -> int:
+        return self.qs.shape[1]
+
+    @property
+    def d_in_local(self) -> int:
+        return self.qs.shape[0] * self.per_byte
+
+    @property
+    def has_min(self) -> bool:
+        return self.dmin_sg is not None
+
+    @property
+    def packed_bits_per_weight(self) -> float:
+        n = self.qs.shape[0] + 4 * self.d_sg.shape[0] + self.sc_q.shape[0]
+        if self.has_min:
+            n += 4 * self.dmin_sg.shape[0] + self.mn_q.shape[0]
+        return n * 8 / self.d_in
+
+    def tree_flatten(self):
+        return (self.qs, self.d_sg, self.dmin_sg, self.sc_q, self.mn_q), (
+            self.d_in, self.group_size, self.per_byte, self.shift,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def pack_runtime_v2(
+    qweight: np.ndarray,
+    params: SuperGroupParams,
+    qtype: GGMLQuantizationType,
+) -> RuntimeQuantLinearV2:
+    """Build the compact-scale runtime format from a layer artifact."""
+    spec = KQUANT_SPECS[qtype]
+    d_out, d_in = qweight.shape
+    gs = spec.group_size
+    shift = -spec.qmin
+
+    ss = np.asarray(params.super_scale, np.float16).astype(np.float32)  # (d_out, n_sg)
+    sq = np.asarray(params.scale_q)
+    codes = np.asarray(qweight).astype(np.int16) + shift
+    assert codes.min() >= 0
+    codes_t = np.ascontiguousarray(codes.T).astype(np.uint8)
+    if spec.bits <= 4:
+        per_byte = 2
+        c = codes_t.reshape(d_in // QK_K, QK_K, d_out)
+        qs = (c[:, :_HALF, :] | (c[:, _HALF:, :] << 4)).reshape(d_in // 2, d_out)
+    else:
+        per_byte = 1
+        qs = codes_t
+
+    d_sg = jnp.asarray(np.ascontiguousarray(ss.T))
+    sc_dtype = np.int8 if spec.signed else np.uint8
+    sc_q = jnp.asarray(np.ascontiguousarray(sq.astype(sc_dtype).T))
+    if spec.signed:
+        dmin_sg = mn_q = None
+    else:
+        sz = np.asarray(params.super_zero, np.float16).astype(np.float32)
+        zq = np.asarray(params.zero_q)
+        dmin_sg = jnp.asarray(np.ascontiguousarray(sz.T))
+        mn_q = jnp.asarray(np.ascontiguousarray(zq.astype(np.uint8).T))
+    return RuntimeQuantLinearV2(
+        jnp.asarray(qs), d_sg, dmin_sg, sc_q, mn_q, d_in, gs, per_byte, shift
+    )
+
+
+def _group_scales_v2(rql: RuntimeQuantLinearV2):
+    """(scale, off) per (n_groups, d_out) in the canonical f32 op order."""
+    gpsg = QK_K // rql.group_size
+    ng, T = rql.sc_q.shape
+    n_sg = ng // gpsg
+    d = jnp.repeat(rql.d_sg, gpsg, axis=0)
+    scale = d * rql.sc_q.astype(jnp.float32)  # exact: 17-bit product
+    if rql.has_min:
+        off = jnp.repeat(rql.dmin_sg, gpsg, axis=0) * rql.mn_q.astype(jnp.float32)
+    else:
+        off = jnp.zeros_like(scale)
+    return scale, off
+
+
+def dequantize_runtime_v2(rql: RuntimeQuantLinearV2) -> jax.Array:
+    """Bit-exact reference dequantization (XLA): (d_out, d_in) f32."""
+    d_in = rql.d_in_local
+    q = _unpack_codes_jnp(rql.qs, rql.per_byte, d_in).astype(jnp.int32) - rql.shift
+    scale, off = _group_scales_v2(rql)
+    ng = scale.shape[0]
+    qf = q.reshape(ng, rql.group_size, rql.d_out).astype(jnp.float32)
+    w_t = scale[:, None, :] * qf - off[:, None, :]
+    return w_t.reshape(d_in, rql.d_out).T
+
+
+@jax.jit
+def dequant_matmul_xla_v2(x: jax.Array, rql: RuntimeQuantLinearV2):
+    w = dequantize_runtime_v2(rql)
+    return jnp.dot(x.astype(jnp.float32), w.T, preferred_element_type=jnp.float32)
+
+
+def _kernel_v2(refs, *, gs, per_byte, tile_in, shift, has_min, mxu_dtype):
+    """Dequantize a W^T chunk in VMEM from compact scales, accumulate."""
+    import jax.experimental.pallas as pl
+
+    if has_min:
+        x_ref, qs_ref, d_ref, sc_ref, dmin_ref, mn_ref, out_ref = refs
+    else:
+        x_ref, qs_ref, d_ref, sc_ref, out_ref = refs
+    j = pl.program_id(1)
+
+    qs = qs_ref[:].astype(jnp.int32)
+    T = qs.shape[1]
+    if per_byte == 2:
+        b = qs.reshape(tile_in // QK_K, _HALF, T)
+        q = jnp.concatenate([b & 0x0F, b >> 4], axis=1).reshape(tile_in, T)
+    else:
+        q = qs
+    ng = tile_in // gs
+    sg_t = tile_in // QK_K
+    gpsg = QK_K // gs
+
+    d = d_ref[:].reshape(sg_t, 1, T)
+    # Mosaic has no u8->f32 cast: widen through int32 first
+    sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)
+    scale = jnp.broadcast_to(d, (sg_t, gpsg, T)).reshape(ng, T) * sc
+    qf = (q - shift).astype(jnp.float32).reshape(ng, gs, T)
+    w = scale.reshape(ng, 1, T) * qf
+    if has_min:
+        dmin = dmin_ref[:].reshape(sg_t, 1, T)
+        mn = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
+        off = jnp.broadcast_to(dmin, (sg_t, gpsg, T)).reshape(ng, T) * mn
+        w = w - off.reshape(ng, 1, T)
+    w = w.reshape(tile_in, T).astype(mxu_dtype)
+
+    acc = jnp.dot(
+        x_ref[:].astype(mxu_dtype), w, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_out", "tile_in", "interpret", "mxu_dtype")
+)
+def dequant_matmul_pallas_v2(
+    x: jax.Array,
+    rql: RuntimeQuantLinearV2,
+    *,
+    tile_out: int = 512,
+    tile_in: int = 1024,
+    interpret: bool = False,
+    mxu_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Fused y = x @ dequant(W)^T over the compact-scale format.
+
+    mxu_dtype=bfloat16 feeds the MXU at full rate (the dequantized operand's
+    4-6 significant bits survive bf16's 8-bit mantissa; accumulation stays
+    f32); pass float32 for the bit-matched slow path.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, d_in = x.shape
+    d_out = rql.d_out
+    gs = rql.group_size
+    per_byte = rql.per_byte
+    tile_in = min(tile_in, d_in)
+    tile_out = min(tile_out, d_out)
+    assert d_in % tile_in == 0 and d_out % tile_out == 0
+    assert tile_in % QK_K == 0
+    n_i = d_out // tile_out
+    n_j = d_in // tile_in
+    ng_t = tile_in // gs
+    sg_t = tile_in // QK_K
+    has_min = rql.has_min
+
+    kernel = functools.partial(
+        _kernel_v2, gs=gs, per_byte=per_byte, tile_in=tile_in,
+        shift=rql.shift, has_min=has_min, mxu_dtype=mxu_dtype,
+    )
+
+    def wrapped(*refs):
+        kernel(refs)
+
+    in_specs = [
+        pl.BlockSpec((B, tile_in), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_in // per_byte, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((sg_t, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ng_t, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+    ]
+    operands = [x, rql.qs, rql.d_sg, rql.sc_q]
+    if has_min:
+        in_specs += [
+            pl.BlockSpec((sg_t, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng_t, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        ]
+        operands += [rql.dmin_sg, rql.mn_q]
+
+    bytes_scales = 4 * d_out * (d_in // QK_K) + d_out * (d_in // gs)
+    if has_min:
+        bytes_scales *= 2
+    return pl.pallas_call(
+        wrapped,
+        out_shape=jax.ShapeDtypeStruct((B, d_out), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(n_i, n_j),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((B, tile_out), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * d_in * d_out,
+            bytes_accessed=d_out * d_in // per_byte + bytes_scales + 4 * B * (d_in + d_out),
+            transcendentals=0,
+        ),
+    )(*operands)
+
+
+# ---------------------------------------------------------------------------
+# Q8 activation-quantized path (llama.cpp vec_dot_q4_K_q8_K semantics)
+# ---------------------------------------------------------------------------
+
+
+def quantize_activations_q8(x: jax.Array, sg: int = QK_K):
+    """Symmetric int8 per-supergroup activation quantization.
+
+    Returns (q (B, d_in) int8, d (B, n_sg) f32) with q = round(x/d),
+    d = amax/127 — the Q8_K scheme llama.cpp quantizes activations with
+    before its integer dot kernels.
+    """
+    B, d_in = x.shape
+    xr = x.reshape(B, d_in // sg, sg).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xr), axis=-1)
+    d = amax / 127.0
+    inv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+    q = jnp.clip(jnp.round(xr * inv[:, :, None]), -127, 127).astype(jnp.int8)
+    return q.reshape(B, d_in), d
+
+
+@jax.jit
+def q8_matmul_xla(x: jax.Array, rql: RuntimeQuantLinearV2) -> jax.Array:
+    """Integer-dot reference: quantize activations to Q8 per supergroup, do
+    int32 group dots, apply two-level scale fixups (mirrors llama.cpp's
+    vec_dot_q4_K_q8_K: sumf += d*d8*Σ(sc*idot) - dmin*d8*Σ(mn*bsum))."""
+    B, d_in = x.shape
+    gs = rql.group_size
+    ng = d_in // gs
+    n_sg = d_in // QK_K
+    gpsg = QK_K // gs
+    xq, d_x = quantize_activations_q8(x)
+
+    codes = _unpack_codes_jnp(rql.qs, rql.per_byte, rql.d_in_local).astype(jnp.int32) - rql.shift
+    wg = codes.reshape(ng, gs, rql.d_out)
+    xg = xq.reshape(B, ng, gs).astype(jnp.int32)
+    idot = jnp.einsum(
+        "bgc,gct->bgt", xg, wg, preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+
+    scale, off = _group_scales_v2(rql)  # (ng, T)
+    dx_g = jnp.repeat(d_x, gpsg, axis=1)  # (B, ng)
+    main = jnp.einsum("bgt,gt,bg->bt", idot, scale, dx_g)
+    if rql.has_min:
+        bsums = xg.sum(axis=2).astype(jnp.float32)  # (B, ng)
+        sx = bsums * dx_g
+        main = main - jnp.einsum("bg,gt->bt", sx, off)
+    return main
+
+
 @functools.lru_cache(maxsize=None)
 def _best_tile(dim: int, cap: int, quantum: int) -> Optional[int]:
     """Largest divisor of ``dim`` that is a multiple of ``quantum`` and <= cap."""
@@ -259,10 +567,54 @@ def select_tiles(d_in: int, d_out: int) -> Optional[Tuple[int, int]]:
     return tile_in, tile_out
 
 
-def dequant_matmul(x: jax.Array, rql: RuntimeQuantLinear, force_xla: bool = False) -> jax.Array:
-    """Dispatch: Pallas on TPU when shapes tile cleanly, XLA otherwise."""
+def select_tiles_v2(d_in: int, d_out: int) -> Optional[Tuple[int, int]]:
+    """Tiles for the compact-scale kernel. The per-supergroup scale planes
+    have one sublane row per 256 inputs, and Mosaic requires block sublane
+    counts divisible by 8 *or* equal to the full array dim — so tile_in is
+    either a multiple of 2048 (8 supergroups) or the whole input dim."""
+    tile_out = _best_tile(d_out, 512, 256)
+    if tile_out is None or d_in % QK_K != 0:
+        return None
+    tile_in = _best_tile(d_in, 2048, 2048)
+    if tile_in is not None:
+        return tile_in, tile_out
+    if d_in <= 16384:
+        # full-depth tile: block dims equal the whole array (allowed by
+        # Mosaic); shrink the out tile to bound VMEM for the f32 dequant
+        return d_in, (min(tile_out, 256) if d_in > 4096 else tile_out)
+    return None
+
+
+# Test/dryrun hook: when True, dispatch runs the Pallas kernels in interpret
+# mode on CPU instead of the XLA fallback — this is how the multichip dryrun
+# exercises Pallas-under-shard_map without TPU hardware.
+FORCE_PALLAS_INTERPRET = False
+
+
+def dequant_matmul(x: jax.Array, rql, force_xla: bool = False) -> jax.Array:
+    """Dispatch (v1 or v2 format): Pallas on TPU when shapes tile cleanly,
+    XLA otherwise."""
     on_tpu = jax.devices()[0].platform == "tpu"
-    tiles = select_tiles(rql.d_in, rql.d_out)
-    if force_xla or not on_tpu or tiles is None:
-        return dequant_matmul_xla(x, rql)
-    return dequant_matmul_pallas(x, rql, tile_in=tiles[0], tile_out=tiles[1])
+    v2 = isinstance(rql, RuntimeQuantLinearV2)
+    tiles = (select_tiles_v2 if v2 else select_tiles)(rql.d_in_local, rql.d_out)
+    interpret = FORCE_PALLAS_INTERPRET and not on_tpu
+    if force_xla or tiles is None or (not on_tpu and not interpret):
+        return dequant_matmul_xla_v2(x, rql) if v2 else dequant_matmul_xla(x, rql)
+    if v2:
+        return dequant_matmul_pallas_v2(
+            x, rql, tile_in=tiles[0], tile_out=tiles[1], interpret=interpret
+        )
+    return dequant_matmul_pallas(
+        x, rql, tile_in=tiles[0], tile_out=tiles[1], interpret=interpret
+    )
+
+
+# default runtime weight format for new packs ("v2" = compact scales)
+RUNTIME_FORMAT = "v2"
+
+
+def pack_runtime_auto(qweight, params, qtype, fmt: Optional[str] = None):
+    fmt = fmt or RUNTIME_FORMAT
+    if fmt == "v2":
+        return pack_runtime_v2(qweight, params, qtype)
+    return pack_runtime(qweight, params, qtype)

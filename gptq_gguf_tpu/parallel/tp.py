@@ -75,7 +75,7 @@ def shard_serving_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     and XLA inserts the collectives; the Pallas kernel + shard_map serving
     path is multi-chip follow-up work.
     """
-    from ..ops.qmatmul import RuntimeQuantLinear
+    from ..ops.qmatmul import RuntimeQuantLinear, RuntimeQuantLinearV2
 
     row_parallel = {"q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"}
     col_parallel = {"o_proj", "down_proj"}
@@ -83,15 +83,23 @@ def shard_serving_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    def shard_rql(rql: RuntimeQuantLinear, role: str) -> RuntimeQuantLinear:
-        if role in row_parallel:
-            specs = (P(None, "tp"), P(None, "tp"), P(None, "tp"))
-        else:
-            specs = (P("tp", None), P("tp", None), P("tp", None))
+    def shard_rql(rql, role: str):
+        # row-parallel shards the output dim = axis 1 of every plane
+        # (input-dim-major layout); column-parallel shards the input dim
+        spec = P(None, "tp") if role in row_parallel else P("tp", None)
+        if isinstance(rql, RuntimeQuantLinearV2):
+            return RuntimeQuantLinearV2(
+                put(rql.qs, spec),
+                put(rql.d_sg, spec),
+                put(rql.dmin_sg, spec) if rql.dmin_sg is not None else None,
+                put(rql.sc_q, spec),
+                put(rql.mn_q, spec) if rql.mn_q is not None else None,
+                rql.d_in, rql.group_size, rql.per_byte, rql.shift,
+            )
         return RuntimeQuantLinear(
-            put(rql.qs, specs[0]),
-            put(rql.scale_t, specs[1]),
-            put(rql.offset_t, specs[2]),
+            put(rql.qs, spec),
+            put(rql.scale_t, spec),
+            put(rql.offset_t, spec),
             rql.d_in, rql.group_size, rql.per_byte,
         )
 
@@ -100,7 +108,7 @@ def shard_serving_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     for layer in params["layers"]:
         new_layer = {}
         for key, val in layer.items():
-            if isinstance(val, RuntimeQuantLinear):
+            if isinstance(val, (RuntimeQuantLinear, RuntimeQuantLinearV2)):
                 new_layer[key] = shard_rql(val, key)
             else:
                 spec = _LAYER_SPECS.get(key, P(None))

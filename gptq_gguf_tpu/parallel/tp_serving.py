@@ -1,0 +1,168 @@
+"""Tensor-parallel serving: the quantized decode/prefill step under shard_map.
+
+Round-1 TP serving relied on GSPMD propagating shardings through the XLA
+fallback matmul (parallel/tp.py); the Pallas kernel never ran sharded. Here
+the whole cached forward runs inside ``shard_map`` over the ``tp`` mesh
+axis, so every device executes the fused dequant-matmul kernel on its local
+weight shard and the only cross-device traffic is:
+
+  * one psum after o_proj and one after down_proj per layer (Megatron),
+  * one psum for the vocab-sharded embedding gather,
+  * one tiled all_gather of the vocab-sharded logits.
+
+KV caches are sharded over the head axis; lengths/tokens are replicated.
+New design territory relative to the reference (SURVEY.md §2.3: it has no
+TP at all).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.llama import LlamaConfig
+from ..ops.qmatmul import RuntimeQuantLinear, RuntimeQuantLinearV2
+from ..serving import model as qmodel
+from ..serving.model import KVCache
+
+_ROW_PARALLEL = {"q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"}
+_COL_PARALLEL = {"o_proj", "down_proj"}
+
+# packed planes are input-dim-major: axis 0 = input dim, axis 1 = output dim
+_OUT_SHARDED = P(None, "tp")
+_IN_SHARDED = P("tp", None)
+
+
+def _rql_spec(role: str):
+    return _OUT_SHARDED if role in _ROW_PARALLEL else _IN_SHARDED
+
+
+def serving_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpec pytree (leaf-aligned) for a serving param tree that may
+    contain RuntimeQuantLinear(V2) leaves."""
+
+    def rql_specs(rql, role: str):
+        s = _rql_spec(role)
+        if isinstance(rql, RuntimeQuantLinearV2):
+            return RuntimeQuantLinearV2(
+                s, s, s if rql.dmin_sg is not None else None,
+                s, s if rql.mn_q is not None else None,
+                rql.d_in, rql.group_size, rql.per_byte, rql.shift,
+            )
+        return RuntimeQuantLinear(s, s, s, rql.d_in, rql.group_size, rql.per_byte)
+
+    specs: Dict[str, Any] = {}
+    for key, val in params.items():
+        if key == "layers":
+            out_layers = []
+            for layer in val:
+                ls = {}
+                for k, v in layer.items():
+                    if isinstance(v, (RuntimeQuantLinear, RuntimeQuantLinearV2)):
+                        ls[k] = rql_specs(v, k)
+                    elif k.endswith("_bias"):
+                        ls[k] = P("tp")
+                    elif k in ("q_norm", "k_norm") or v.ndim == 1:
+                        ls[k] = P(None)
+                    else:
+                        ls[k] = P(None)
+                out_layers.append(ls)
+            specs["layers"] = out_layers
+        elif key in ("embed_tokens", "lm_head"):
+            v = params[key]
+            if isinstance(v, (RuntimeQuantLinear, RuntimeQuantLinearV2)):
+                specs[key] = rql_specs(v, "q_proj")  # vocab rows = out dim
+            else:
+                specs[key] = P("tp", None)
+        else:
+            specs[key] = P(None)
+    return specs
+
+
+def cache_specs(cache: KVCache) -> KVCache:
+    """KV sharded over the kv-head axis; lengths replicated."""
+    return KVCache(
+        [P(None, "tp", None, None) for _ in cache.k],
+        [P(None, "tp", None, None) for _ in cache.v],
+        P(None),
+    )
+
+
+def shard_serving_tree(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """device_put the serving tree with the TP shardings used by the
+    shard_map step (global-view arrays)."""
+    specs = serving_param_specs(params)
+
+    def put(x, s):
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    # RQL leaves are registered pytrees, so default flattening pairs each
+    # packed plane with its PartitionSpec
+    return jax.tree.map(put, params, specs)
+
+
+def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
+    specs = cache_specs(cache)
+    return KVCache(
+        [jax.device_put(k, NamedSharding(mesh, s)) for k, s in zip(cache.k, specs.k)],
+        [jax.device_put(v, NamedSharding(mesh, s)) for v, s in zip(cache.v, specs.v)],
+        jax.device_put(cache.lengths, NamedSharding(mesh, specs.lengths)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def tp_decode_step(params, cfg: LlamaConfig, tokens: jax.Array, cache: KVCache,
+                   mesh: Mesh):
+    """One greedy decode step for all slots, sharded over the tp axis.
+
+    Inside shard_map every _q_linear call sees only the local weight shard,
+    so the Pallas kernel runs per-shard (the round-1 gap: TP silently used
+    the XLA fallback, parallel/tp.py:74-77)."""
+    pspecs = serving_param_specs(params)
+    cspecs = cache_specs(cache)
+
+    def step(params_l, tokens_l, cache_l):
+        logits, new_cache = qmodel.forward_cached(
+            params_l, cfg, tokens_l[:, None], cache_l, psum_axis="tp"
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return nxt, logits, new_cache
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(pspecs, P(None), cspecs),
+        out_specs=(P(None), P(None), cspecs),
+        check_vma=False,
+    )
+    return fn(params, tokens, cache)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def tp_prefill(params, cfg: LlamaConfig, prompts: jax.Array, cache: KVCache,
+               n_valid: jax.Array, mesh: Mesh):
+    """Prefill all B slots at once (B, S), sharded over tp."""
+    pspecs = serving_param_specs(params)
+    cspecs = cache_specs(cache)
+
+    def step(params_l, prompts_l, cache_l, n_valid_l):
+        logits, new_cache = qmodel.forward_cached(
+            params_l, cfg, prompts_l, cache_l, n_valid=n_valid_l, psum_axis="tp"
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return nxt, new_cache
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(pspecs, P(None), cspecs, P(None)),
+        out_specs=(P(None), cspecs),
+        check_vma=False,
+    )
+    return fn(params, prompts, cache, n_valid)

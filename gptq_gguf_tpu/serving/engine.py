@@ -44,18 +44,47 @@ def _sample_step(params, cfg: LlamaConfig, tokens, cache, key, temperature):
     return next_tokens.astype(jnp.int32), logits, cache
 
 
+_PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def _bucket_len(n: int, max_len: Optional[int] = None) -> int:
+    for b in _PREFILL_BUCKETS:
+        if n <= b and (max_len is None or b <= max_len):
+            return b
+    return n
+
+
+def _pad_prompt(prompt: np.ndarray, max_len: Optional[int] = None) -> Tuple[np.ndarray, int]:
+    """Right-pad to the next length bucket so prefill compiles once per
+    bucket, not once per prompt length (round-1 weak spot: per-length
+    compiles are unusable on slow-compile targets)."""
+    n = len(prompt)
+    b = max(_bucket_len(n, max_len), n)
+    if b == n:
+        return prompt, n
+    out = np.zeros((b,), prompt.dtype)
+    out[:n] = prompt
+    return out, n
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
-def _prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache: KVCache, slot):
+def _prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache: KVCache, slot,
+                  n_valid=None):
     """Prefill one slot with a (1, S) prompt; other slots untouched.
 
-    Compiles once per prompt length; callers should bucket prompt lengths
-    if compile churn matters."""
+    prompt may be right-padded; n_valid is the true token count (defaults
+    to S). Compiles once per padded bucket length."""
+    S = prompt.shape[1]
+    if n_valid is None:
+        n_valid = jnp.full((1,), S, jnp.int32)
+    else:
+        n_valid = jnp.asarray(n_valid, jnp.int32).reshape(1)
     sub = KVCache(
         [jax.lax.dynamic_slice_in_dim(k, slot, 1, axis=0) for k in cache.k],
         [jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=0) for v in cache.v],
         jnp.zeros((1,), jnp.int32),
     )
-    logits, sub = qmodel.forward_cached(params, cfg, prompt, sub)
+    logits, sub = qmodel.forward_cached(params, cfg, prompt, sub, n_valid=n_valid)
     zero = jnp.zeros((), jnp.int32)
     new_k = [
         jax.lax.dynamic_update_slice(k, s, (slot, zero, zero, zero))
@@ -65,7 +94,7 @@ def _prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache: KVCache, s
         jax.lax.dynamic_update_slice(v, s, (slot, zero, zero, zero))
         for v, s in zip(cache.v, sub.v)
     ]
-    lengths = cache.lengths.at[slot].set(prompt.shape[1])
+    lengths = cache.lengths.at[slot].set(n_valid[0])
     next_token = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
     return next_token, KVCache(new_k, new_v, lengths)
 
@@ -90,7 +119,8 @@ def generate(
 
     cur_tokens = np.zeros((B,), np.int32)
     for b, p in enumerate(prompts):
-        tok, cache = _prefill_slot(params, cfg, jnp.asarray(p)[None, :], cache, b)
+        padded, n = _pad_prompt(p, max_len)
+        tok, cache = _prefill_slot(params, cfg, jnp.asarray(padded)[None, :], cache, b, n)
         cur_tokens[b] = int(tok)
 
     outputs: List[List[int]] = [[int(t)] for t in cur_tokens]
@@ -172,9 +202,10 @@ class ContinuousBatchingEngine:
                 req = self.queue.popleft()
                 keep = max(1, self.max_len - req.max_new_tokens)
                 prompt = req.prompt[-keep:]
+                padded, n = _pad_prompt(prompt, self.max_len)
                 tok, cache = _prefill_slot(
-                    self.params, self.cfg, jnp.asarray(prompt)[None, :],
-                    self.cache, slot,
+                    self.params, self.cfg, jnp.asarray(padded)[None, :],
+                    self.cache, slot, n,
                 )
                 self.cache = cache
                 self.tokens = self.tokens.at[slot].set(tok)
@@ -213,5 +244,165 @@ class ContinuousBatchingEngine:
         steps = 0
         while (self.queue or any(r is not None for r in self.slot_req)) and steps < max_steps:
             self.step()
+            steps += 1
+        return self.completed
+
+
+# ---------------------------------------------------------------------------
+# Paged continuous batching (block-table KV, vLLM-style)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def _paged_decode_step(params, cfg: LlamaConfig, tokens: jax.Array, cache):
+    from . import paged
+
+    logits, cache = paged.forward_paged(params, cfg, tokens[:, None], cache)
+    next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return next_tokens, logits, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def _paged_prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache, slot,
+                        n_valid):
+    """Prefill one slot of a paged cache (pages must be pre-assigned)."""
+    from . import paged
+
+    B = cache.lengths.shape[0]
+    n_valid = jnp.asarray(n_valid, jnp.int32)
+    mask = (jnp.arange(B) == slot)
+    prompts = jnp.where(mask[:, None], jnp.broadcast_to(prompt, (B, prompt.shape[1])), 0)
+    # zero out lengths advance + writes for the other slots by masking their
+    # page tables to -1 (writes drop) and keeping their lengths
+    table = jnp.where(mask[:, None], cache.page_table, -1)
+    sub = paged.PagedKVCache(cache.k_pages, cache.v_pages, table,
+                             jnp.where(mask, 0, cache.lengths))
+    nv = jnp.where(mask, n_valid, 1)
+    logits, sub = paged.forward_paged(params, cfg, prompts, sub, n_valid=nv)
+    lengths = jnp.where(mask, n_valid, cache.lengths)
+    next_token = jnp.argmax(
+        jnp.take(logits, slot, axis=0), axis=-1
+    ).astype(jnp.int32)
+    return next_token, paged.PagedKVCache(sub.k_pages, sub.v_pages,
+                                          cache.page_table, lengths)
+
+
+class PagedContinuousBatchingEngine:
+    """Continuous batching over the paged KV cache.
+
+    Pages come from a shared pool (possibly oversubscribed: fewer pages than
+    slots x max_len/page); requests are admitted only when their worst-case
+    page need fits, and decode grows a slot's table one page at a time.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: LlamaConfig,
+        num_slots: int = 8,
+        max_len: int = 2048,
+        page_size: int = 64,
+        n_pages: Optional[int] = None,
+        eos_token_id: Optional[int] = None,
+    ):
+        from . import paged
+
+        self.params = params
+        self.cfg = cfg
+        self.num_slots = num_slots
+        self.max_len = max_len
+        self.page_size = page_size
+        self.eos = eos_token_id
+        self.cache = paged.init_paged_cache(cfg, num_slots, max_len, page_size, n_pages)
+        self.alloc = paged.PageAllocator(self.cache.k_pages[0].shape[0])
+        self.slot_pages: List[List[int]] = [[] for _ in range(num_slots)]
+        self.tokens = jnp.zeros((num_slots,), jnp.int32)
+        self.slot_req: List[Optional[Request]] = [None] * num_slots
+        self.queue: deque = deque()
+        self._uid = 0
+        self.completed: List[Request] = []
+
+    def submit(self, prompt: np.ndarray, max_new_tokens: int = 64) -> int:
+        self._uid += 1
+        max_new_tokens = min(max_new_tokens, self.max_len - 1)
+        self.queue.append(Request(self._uid, np.asarray(prompt).reshape(-1), max_new_tokens))
+        return self._uid
+
+    def _set_table_row(self, slot: int, pages: List[int]) -> None:
+        pps = self.cache.page_table.shape[1]
+        row = np.full((pps,), -1, np.int32)
+        row[: len(pages)] = pages
+        self.cache = self.cache._replace(
+            page_table=self.cache.page_table.at[slot].set(jnp.asarray(row))
+        )
+
+    def _admit(self) -> None:
+        from . import paged
+
+        for slot in range(self.num_slots):
+            if self.slot_req[slot] is None and self.queue:
+                req = self.queue[0]
+                keep = max(1, self.max_len - req.max_new_tokens)
+                prompt = req.prompt[-keep:]
+                need = -(-(len(prompt) + req.max_new_tokens) // self.page_size)
+                need = min(need, self.cache.page_table.shape[1])
+                pages = self.alloc.alloc(need)
+                if pages is None:
+                    return  # pool exhausted; wait for retirements
+                self.queue.popleft()
+                self.slot_pages[slot] = pages
+                self._set_table_row(slot, pages)
+                padded, n = _pad_prompt(prompt, self.max_len)
+                tok, cache = _paged_prefill_slot(
+                    self.params, self.cfg, jnp.asarray(padded)[None, :],
+                    self.cache, slot, n,
+                )
+                self.cache = cache
+                self.tokens = self.tokens.at[slot].set(tok)
+                req.output.append(int(tok))
+                self.slot_req[slot] = req
+
+    def step(self) -> int:
+        self._admit()
+        active = [s for s, r in enumerate(self.slot_req) if r is not None]
+        if not active:
+            return 0
+        self.tokens, _, self.cache = _paged_decode_step(
+            self.params, self.cfg, self.tokens, self.cache
+        )
+        host = np.asarray(self.tokens)
+        lengths = np.asarray(self.cache.lengths)
+        for slot in active:
+            req = self.slot_req[slot]
+            req.output.append(int(host[slot]))
+            hit_eos = self.eos is not None and host[slot] == self.eos
+            out_of_budget = len(req.output) >= req.max_new_tokens
+            out_of_cache = lengths[slot] >= self.max_len - 1
+            if hit_eos or out_of_budget or out_of_cache:
+                req.done = True
+                req.finished_at = time.time()
+                self.completed.append(req)
+                self.slot_req[slot] = None
+                self.alloc.release(self.slot_pages[slot])
+                self.slot_pages[slot] = []
+                self._set_table_row(slot, [])
+                self.cache = self.cache._replace(
+                    lengths=self.cache.lengths.at[slot].set(0)
+                )
+            elif (lengths[slot] + 1) // self.page_size >= len(self.slot_pages[slot]) \
+                    and len(self.slot_pages[slot]) < self.cache.page_table.shape[1]:
+                extra = self.alloc.alloc(1)
+                if extra is not None:
+                    self.slot_pages[slot].extend(extra)
+                    self._set_table_row(slot, self.slot_pages[slot])
+        return len(active)
+
+    def run_until_done(self, max_steps: int = 100000) -> List[Request]:
+        steps = 0
+        while (self.queue or any(r is not None for r in self.slot_req)) and steps < max_steps:
+            if self.step() == 0 and self.queue:
+                raise RuntimeError(
+                    "page pool too small to admit any queued request"
+                )
             steps += 1
         return self.completed

@@ -32,9 +32,18 @@ from ..ops import qmatmul
 from ..ops.kquant import SuperGroupParams
 
 
+_QUANT_TYPES = (qmatmul.RuntimeQuantLinear, qmatmul.RuntimeQuantLinearV2)
+
+
+def _dequant_any(w) -> jax.Array:
+    if isinstance(w, qmatmul.RuntimeQuantLinearV2):
+        return qmatmul.dequantize_runtime_v2(w)
+    return qmatmul.dequantize_runtime(w)
+
+
 def _q_linear(x: jax.Array, w) -> jax.Array:
-    """Apply either a RuntimeQuantLinear or a plain dense matrix."""
-    if isinstance(w, qmatmul.RuntimeQuantLinear):
+    """Apply either a packed quantized weight (v1/v2) or a dense matrix."""
+    if isinstance(w, _QUANT_TYPES):
         shape = x.shape[:-1]
         y = qmatmul.dequant_matmul(x.reshape(-1, x.shape[-1]), w)
         return y.reshape(*shape, w.d_out).astype(x.dtype)
@@ -62,10 +71,18 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -
 def _cached_attention(q, k_cache, v_cache, lengths, scale=None, logit_softcap=None,
                       sliding_window=None):
     """q: (B, nH, S, hd); caches (B, nKV, L, hd); slot b's queries sit at
-    positions lengths[b] + [0, S)."""
+    positions lengths[b] + [0, S).
+
+    Long contexts stream through the online-softmax (flash) path instead of
+    materializing (B, nKV, G, S, L) scores (round-1 weak spot #5)."""
     B, nH, S, hd = q.shape
     nKV = k_cache.shape[1]
     L = k_cache.shape[2]
+    if L >= 2 * llama.FLASH_CHUNK:
+        qpos = lengths[:, None] + jnp.arange(S)[None, :]
+        return llama.flash_attention(
+            q, k_cache, v_cache, qpos, scale, logit_softcap, sliding_window
+        )
     groups = nH // nKV
     qg = q.reshape(B, nKV, groups, S, hd)
     scale = scale if scale is not None else 1.0 / math.sqrt(hd)
@@ -92,16 +109,28 @@ def forward_cached(
     cfg: LlamaConfig,
     input_ids: jax.Array,
     cache: KVCache,
+    n_valid: Optional[jax.Array] = None,
+    psum_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Run S new tokens through the model with the KV cache.
 
     input_ids: (B, S) — prefill uses S>1, decode S=1. Slot b's new tokens
     land at positions cache.lengths[b] + [0, S). Returns (logits of the
     final position (B, vocab), updated cache).
+
+    n_valid (B,) supports right-padded prefill buckets: only the first
+    n_valid[b] tokens are real — logits come from position n_valid[b]-1 and
+    lengths advance by n_valid. K/V written at padded positions sit beyond
+    the causal mask and are overwritten by subsequent decode steps.
+
+    psum_axis: set inside a shard_map over a tensor-parallel mesh axis; head
+    counts are then derived from the *local* projection shapes, partial
+    o_proj/down_proj outputs are psum-reduced, and vocab-sharded
+    embeddings/lm_head are handled with offset gathers + collectives
+    (parallel/tp_serving.py drives this).
     """
     B, S = input_ids.shape
     hd = cfg.head_dim_
-    nH, nKV = cfg.num_attention_heads, cfg.num_key_value_heads
     lengths = cache.lengths
 
     positions = lengths[:, None] + jnp.arange(S)[None, :]
@@ -110,8 +139,16 @@ def forward_cached(
     cos, sin = llama.rope_cos_sin(cfg, positions, seq_len=cache.k[0].shape[2])
 
     x = params["embed_tokens"]
-    x = (x[input_ids] if not isinstance(x, qmatmul.RuntimeQuantLinear)
-         else qmatmul.dequantize_runtime(x)[input_ids]).astype(cfg.dtype)
+    if psum_axis is not None and not isinstance(x, _QUANT_TYPES):
+        # vocab-row-sharded table: offset gather + psum
+        v_local = x.shape[0]
+        idx = input_ids - jax.lax.axis_index(psum_axis) * v_local
+        valid = (idx >= 0) & (idx < v_local)
+        x = jnp.where(valid[..., None], x[jnp.clip(idx, 0, v_local - 1)], 0)
+        x = jax.lax.psum(x, psum_axis).astype(cfg.dtype)
+    else:
+        x = (x[input_ids] if not isinstance(x, _QUANT_TYPES)
+             else _dequant_any(x)[input_ids]).astype(cfg.dtype)
     if cfg.embed_scale:
         x = x * jnp.asarray(math.sqrt(cfg.hidden_size), dtype=cfg.dtype)
     au = cfg.rms_add_unit
@@ -131,6 +168,9 @@ def forward_cached(
             q = q + layer["q_bias"]
             k = k + layer["k_bias"]
             v = v + layer["v_bias"]
+        # head counts from local shapes (== cfg counts unless TP-sharded)
+        nH = q.shape[-1] // hd
+        nKV = k.shape[-1] // hd
         q = q.reshape(B, S, nH, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
@@ -159,6 +199,8 @@ def forward_cached(
         )
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
         attn_out = _q_linear(attn, layer["o_proj"])
+        if psum_axis is not None:
+            attn_out = jax.lax.psum(attn_out, psum_axis)
         gemma2_norms = "pre_feedforward_layernorm" in layer
         if gemma2_norms:
             attn_out = llama.rms_norm(attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps, au)
@@ -170,19 +212,30 @@ def forward_cached(
         up = _q_linear(h, layer["up_proj"])
         act = llama._mlp_act(gate, up, cfg)
         mlp_out = _q_linear(act, layer["down_proj"])
+        if psum_axis is not None:
+            mlp_out = jax.lax.psum(mlp_out, psum_axis)
         if gemma2_norms:
             mlp_out = llama.rms_norm(mlp_out, layer["post_feedforward_layernorm"], cfg.rms_norm_eps, au)
         x = x + mlp_out
 
-    h = llama.rms_norm(x[:, -1, :], params["norm"], cfg.rms_norm_eps, au)
+    if n_valid is None:
+        last = x[:, -1, :]
+        advance = S
+    else:
+        last = x[jnp.arange(B), n_valid - 1, :]
+        advance = n_valid
+    h = llama.rms_norm(last, params["norm"], cfg.rms_norm_eps, au)
     head = params.get("lm_head", params["embed_tokens"])
-    if isinstance(head, qmatmul.RuntimeQuantLinear):
+    if isinstance(head, _QUANT_TYPES):
         logits = qmatmul.dequant_matmul(h, head)
     else:
         logits = jnp.einsum("bi,oi->bo", h, head, preferred_element_type=jnp.float32)
+    if psum_axis is not None:
+        # vocab-sharded head: concatenate shard logits in device order
+        logits = jax.lax.all_gather(logits, psum_axis, axis=1, tiled=True)
     if cfg.final_logit_softcap:
         logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
-    return logits, KVCache(new_k, new_v, lengths + S)
+    return logits, KVCache(new_k, new_v, lengths + advance)
 
 
 # ---------------------------------------------------------------------------
@@ -209,7 +262,7 @@ def quantize_params_for_serving(
             name = f"model.layers.{li}.{mod}.{key}"
             if name in available:
                 art = art_mod.load_layer(artifacts_dir, name)
-                new_layer[key] = qmatmul.pack_runtime(
+                new_layer[key] = qmatmul.pack_runtime_auto(
                     art.qweight, art.params(), art.q_type
                 )
         layers.append(new_layer)
@@ -366,7 +419,7 @@ def load_gguf_for_serving(
             params_ = SuperGroupParams(
                 jnp.asarray(ss), jnp.asarray(sz), jnp.asarray(sc), jnp.asarray(zq)
             )
-            return qmatmul.pack_runtime(q, params_, qtype)
+            return qmatmul.pack_runtime_auto(q, params_, qtype)
         w = t[1]
         return jnp.asarray(w, dtype=dtype if w.ndim > 1 else jnp.float32)
 

@@ -1,0 +1,212 @@
+"""Paged KV cache: block-table attention for long-context serving.
+
+Round-1 served from a contiguous per-slot ring (B, nKV, max_len, hd), which
+preallocates worst-case memory for every slot. Here K/V live in shared page
+pools and each slot owns a list of pages (vLLM-style block tables), so
+memory scales with *actual* context and freed pages recycle across requests
+— the serving north star the reference outsources to llama.cpp.
+
+Functional core (this module) + a host-side page allocator
+(engine.PagedContinuousBatchingEngine). The attention itself gathers the
+slot's pages into the same masked-softmax primitive the contiguous path
+uses, so numerics are identical; a Pallas flash-decode kernel over pages is
+the perf follow-up.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama
+from ..models.llama import LlamaConfig
+from . import model as qmodel
+from .model import _q_linear, _QUANT_TYPES, _dequant_any
+
+
+class PagedKVCache(NamedTuple):
+    k_pages: List[jax.Array]  # per layer (n_pages, page_size, nKV, hd)
+    v_pages: List[jax.Array]
+    page_table: jax.Array     # (B, pages_per_slot) int32, -1 = unassigned
+    lengths: jax.Array        # (B,) int32
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages[0].shape[1]
+
+    @property
+    def max_len(self) -> int:
+        return self.page_table.shape[1] * self.page_size
+
+
+def init_paged_cache(
+    cfg: LlamaConfig,
+    batch: int,
+    max_len: int,
+    page_size: int = 64,
+    n_pages: Optional[int] = None,
+    dtype=jnp.bfloat16,
+) -> PagedKVCache:
+    """n_pages defaults to full provisioning (batch * max_len / page_size);
+    pass less to oversubscribe — the engine then admits only what fits."""
+    assert max_len % page_size == 0
+    pages_per_slot = max_len // page_size
+    if n_pages is None:
+        n_pages = batch * pages_per_slot
+    hd = cfg.head_dim_
+    shape = (n_pages, page_size, cfg.num_key_value_heads, hd)
+    return PagedKVCache(
+        [jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)],
+        [jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)],
+        jnp.full((batch, pages_per_slot), -1, jnp.int32),
+        jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def _write_paged(pool: jax.Array, table: jax.Array, positions: jax.Array,
+                 vals: jax.Array) -> jax.Array:
+    """Scatter (B, S, nKV, hd) vals at absolute positions into the pools.
+
+    positions: (B, S). Unassigned pages (-1) scatter to a dropped index.
+    """
+    page_size = pool.shape[1]
+    page_idx = positions // page_size                      # (B, S)
+    page_ids = jnp.take_along_axis(table, page_idx, axis=1)  # (B, S)
+    offs = positions % page_size
+    page_ids = jnp.where(page_ids < 0, pool.shape[0], page_ids)  # drop
+    return pool.at[page_ids, offs, :, :].set(
+        vals.astype(pool.dtype), mode="drop"
+    )
+
+
+def _gather_slot_kv(pool: jax.Array, table: jax.Array) -> jax.Array:
+    """(n_pages, page, nKV, hd) + (B, pps) -> (B, nKV, pps*page, hd)."""
+    safe = jnp.maximum(table, 0)
+    g = pool[safe]  # (B, pps, page, nKV, hd)
+    B, pps, page, nKV, hd = g.shape
+    return g.transpose(0, 3, 1, 2, 4).reshape(B, nKV, pps * page, hd)
+
+
+def forward_paged(
+    params: Dict[str, Any],
+    cfg: LlamaConfig,
+    input_ids: jax.Array,
+    cache: PagedKVCache,
+    n_valid: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, PagedKVCache]:
+    """forward_cached over a paged cache — same numerics, block-table K/V.
+
+    Mirrors serving/model.forward_cached; see that docstring for n_valid
+    semantics.
+    """
+    B, S = input_ids.shape
+    hd = cfg.head_dim_
+    lengths = cache.lengths
+    positions = lengths[:, None] + jnp.arange(S)[None, :]
+    cos, sin = llama.rope_cos_sin(cfg, positions, seq_len=cache.max_len)
+
+    x = params["embed_tokens"]
+    x = (x[input_ids] if not isinstance(x, _QUANT_TYPES)
+         else _dequant_any(x)[input_ids]).astype(cfg.dtype)
+    if cfg.embed_scale:
+        x = x * jnp.asarray(math.sqrt(cfg.hidden_size), dtype=cfg.dtype)
+    au = cfg.rms_add_unit
+
+    new_k, new_v = [], []
+    for li, layer in enumerate(params["layers"]):
+        sliding = (
+            cfg.sliding_window
+            if cfg.sliding_window and li % cfg.sliding_pattern == 0
+            else None
+        )
+        h = llama.rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, au)
+        q = _q_linear(h, layer["q_proj"])
+        k = _q_linear(h, layer["k_proj"])
+        v = _q_linear(h, layer["v_proj"])
+        if layer.get("q_bias") is not None:
+            q = q + layer["q_bias"]
+            k = k + layer["k_bias"]
+            v = v + layer["v_bias"]
+        nH = q.shape[-1] // hd
+        nKV = k.shape[-1] // hd
+        q = q.reshape(B, S, nH, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, nKV, hd)
+        v = v.reshape(B, S, nKV, hd)
+        if cfg.qk_norm:
+            q = llama.rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
+            k = llama.rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
+        qr, kr = llama.apply_rope(q, k.transpose(0, 2, 1, 3), cos, sin)
+        k = kr.transpose(0, 2, 1, 3)
+
+        k_pool = _write_paged(cache.k_pages[li], cache.page_table, positions, k)
+        v_pool = _write_paged(cache.v_pages[li], cache.page_table, positions, v)
+        new_k.append(k_pool)
+        new_v.append(v_pool)
+
+        k_all = _gather_slot_kv(k_pool, cache.page_table)
+        v_all = _gather_slot_kv(v_pool, cache.page_table)
+        att_scale = (
+            cfg.query_pre_attn_scalar ** -0.5
+            if cfg.query_pre_attn_scalar is not None
+            else None
+        )
+        attn = qmodel._cached_attention(
+            qr, k_all, v_all, lengths, att_scale, cfg.attn_logit_softcap, sliding
+        )
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
+        attn_out = _q_linear(attn, layer["o_proj"])
+        gemma2_norms = "pre_feedforward_layernorm" in layer
+        if gemma2_norms:
+            attn_out = llama.rms_norm(attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps, au)
+        x = x + attn_out
+
+        norm_key = "pre_feedforward_layernorm" if gemma2_norms else "post_attention_layernorm"
+        h = llama.rms_norm(x, layer[norm_key], cfg.rms_norm_eps, au)
+        gate = _q_linear(h, layer["gate_proj"])
+        up = _q_linear(h, layer["up_proj"])
+        act = llama._mlp_act(gate, up, cfg)
+        mlp_out = _q_linear(act, layer["down_proj"])
+        if gemma2_norms:
+            mlp_out = llama.rms_norm(mlp_out, layer["post_feedforward_layernorm"], cfg.rms_norm_eps, au)
+        x = x + mlp_out
+
+    if n_valid is None:
+        last = x[:, -1, :]
+        advance = S
+    else:
+        last = x[jnp.arange(B), n_valid - 1, :]
+        advance = n_valid
+    h = llama.rms_norm(last, params["norm"], cfg.rms_norm_eps, au)
+    head = params.get("lm_head", params["embed_tokens"])
+    if isinstance(head, _QUANT_TYPES):
+        logits = qmodel.qmatmul.dequant_matmul(h, head)
+    else:
+        logits = jnp.einsum("bi,oi->bo", h, head, preferred_element_type=jnp.float32)
+    if cfg.final_logit_softcap:
+        logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
+    return logits, PagedKVCache(new_k, new_v, cache.page_table, lengths + advance)
+
+
+class PageAllocator:
+    """Host-side free-list over the shared page pools."""
+
+    def __init__(self, n_pages: int):
+        self.free: List[int] = list(range(n_pages - 1, -1, -1))
+
+    def alloc(self, n: int) -> Optional[List[int]]:
+        if len(self.free) < n:
+            return None
+        return [self.free.pop() for _ in range(n)]
+
+    def release(self, pages) -> None:
+        for p in pages:
+            if p >= 0:
+                self.free.append(int(p))
+
+    @property
+    def available(self) -> int:
+        return len(self.free)

@@ -90,3 +90,93 @@ def test_pallas_interpret_odd_shapes():
         qmatmul.dequant_matmul_pallas(x, rql, tile_in=ti, tile_out=to, interpret=True)
     )
     np.testing.assert_allclose(y_pal, y_ref, rtol=1e-5, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# V2 compact-scale format + Q8 integer path (round 2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("qtype", ALL_K)
+def test_runtime_v2_format_exact(qtype):
+    """dequantize_runtime_v2 must equal the canonical dequantize bit-for-bit."""
+    x = RNG.normal(size=(8, 512)).astype(np.float32) * 0.1
+    q, params = kquant.quantize_rtn(jnp.asarray(x), qtype)
+    w_ref = np.asarray(kquant.dequantize(q, params, qtype))
+    rql = qmatmul.pack_runtime_v2(np.asarray(q), params, qtype)
+    w_rt = np.asarray(qmatmul.dequantize_runtime_v2(rql))
+    np.testing.assert_array_equal(w_rt, w_ref)
+
+
+@pytest.mark.parametrize("qtype", [T.Q2_K, T.Q3_K, T.Q4_K, T.Q6_K])
+def test_pallas_v2_interpret_matches_xla(qtype):
+    wx = RNG.normal(size=(512, 512)).astype(np.float32) * 0.1
+    q, params = kquant.quantize_rtn(jnp.asarray(wx), qtype)
+    rql = qmatmul.pack_runtime_v2(np.asarray(q), params, qtype)
+    x = jnp.asarray(RNG.normal(size=(8, 512)).astype(np.float32))
+    y_ref = np.asarray(qmatmul.dequant_matmul_xla_v2(x, rql))
+    y_pal = np.asarray(qmatmul.dequant_matmul_pallas_v2(
+        x, rql, tile_out=256, tile_in=256, interpret=True, mxu_dtype=jnp.float32
+    ))
+    np.testing.assert_allclose(y_pal, y_ref, rtol=1e-5, atol=1e-4)
+    # bf16 MXU operands: small relative error vs f32 path
+    y_bf = np.asarray(qmatmul.dequant_matmul_pallas_v2(
+        x, rql, tile_out=256, tile_in=256, interpret=True, mxu_dtype=jnp.bfloat16
+    ))
+    ref_scale = np.abs(y_ref).max()
+    assert np.abs(y_bf - y_ref).max() < 0.02 * ref_scale
+
+
+def test_v2_bits_per_weight_compact():
+    wx = RNG.normal(size=(512, 4096)).astype(np.float32) * 0.1
+    q, params = kquant.quantize_rtn(jnp.asarray(wx), T.Q4_K)
+    v1 = qmatmul.pack_runtime(np.asarray(q), params, T.Q4_K)
+    v2 = qmatmul.pack_runtime_v2(np.asarray(q), params, T.Q4_K)
+    assert abs(v1.packed_bits_per_weight - 6.0) < 0.01
+    assert abs(v2.packed_bits_per_weight - 4.75) < 0.01
+    # signed type: no min planes at all
+    q6, p6 = kquant.quantize_rtn(jnp.asarray(wx), T.Q6_K)
+    v26 = qmatmul.pack_runtime_v2(np.asarray(q6), p6, T.Q6_K)
+    assert not v26.has_min
+    assert abs(v26.packed_bits_per_weight - 8.625) < 0.01
+
+
+@pytest.mark.parametrize("qtype", [T.Q4_K, T.Q6_K])
+def test_q8_matmul_semantics(qtype):
+    """Integer-dot path must track the float path within Q8 activation error
+    (llama.cpp vec_dot_q4_K_q8_K semantics)."""
+    wx = RNG.normal(size=(256, 512)).astype(np.float32) * 0.1
+    q, params = kquant.quantize_rtn(jnp.asarray(wx), qtype)
+    rql = qmatmul.pack_runtime_v2(np.asarray(q), params, qtype)
+    x = jnp.asarray(RNG.normal(size=(4, 512)).astype(np.float32))
+    y_f = np.asarray(qmatmul.dequant_matmul_xla_v2(x, rql))
+    y_i = np.asarray(qmatmul.q8_matmul_xla(x, rql))
+    scale = np.abs(y_f).max()
+    assert np.abs(y_i - y_f).max() < 0.02 * scale
+
+
+def test_q8_activation_quantization():
+    x = jnp.asarray(RNG.normal(size=(2, 512)).astype(np.float32))
+    q, d = qmatmul.quantize_activations_q8(x)
+    assert q.dtype == jnp.int8 and d.shape == (2, 2)
+    xr = np.asarray(x).reshape(2, 2, 256)
+    np.testing.assert_allclose(np.asarray(d), np.abs(xr).max(-1) / 127.0, rtol=1e-6)
+    recon = np.asarray(q, np.float32).reshape(2, 2, 256) * np.asarray(d)[:, :, None]
+    assert np.abs(recon - xr).max() <= np.asarray(d).max() * 0.51
+
+
+@pytest.mark.parametrize(
+    "d_in,d_out,expect",
+    [
+        (4096, 4096, (2048, 512)),
+        (14336, 4096, (2048, 512)),   # 14336 = 2048*7
+        (4096, 14336, (2048, 512)),
+        (11008, 4096, (11008, 256)),  # no 2048 divisor -> full-depth tile
+        (2304, 2304, (2304, 256)),
+        (512, 512, (512, 512)),
+        (300, 512, None),
+        (20480, 512, (2048, 512)),
+    ],
+)
+def test_select_tiles_v2(d_in, d_out, expect):
+    assert qmatmul.select_tiles_v2(d_in, d_out) == expect

@@ -75,9 +75,11 @@ def test_generate_greedy_matches_rollout(served):
 def test_quantized_serving_params(served):
     cfg, params, deq_params, quant_dir, _ = served
     qparams = qmodel.quantize_params_for_serving(params, cfg, quant_dir)
-    from gptq_gguf_tpu.ops.qmatmul import RuntimeQuantLinear
+    from gptq_gguf_tpu.ops.qmatmul import RuntimeQuantLinear, RuntimeQuantLinearV2
 
-    assert isinstance(qparams["layers"][0]["q_proj"], RuntimeQuantLinear)
+    assert isinstance(
+        qparams["layers"][0]["q_proj"], (RuntimeQuantLinear, RuntimeQuantLinearV2)
+    )
 
     ids = RNG.integers(0, cfg.vocab_size, size=(1, 10))
     cache = qmodel.init_cache(cfg, 1, 16, dtype=jnp.float32)
@@ -262,3 +264,34 @@ def test_engine_clamps_oversized_requests():
     assert len(done[0].output) <= 15
     # prefill never exceeded the cache
     assert int(np.asarray(eng.cache.lengths)[0]) <= 16
+
+
+def test_prefill_bucketing_matches_exact(served):
+    """Right-padded bucket prefill must produce identical generations to
+    exact-length prefill (and only compile once per bucket)."""
+    cfg, params, *_ = served
+    # lengths 5 and 7 both bucket to 16: outputs must equal the unbucketed
+    # reference rollout computed with the full forward
+    for n in (5, 7, 16):
+        prompt = RNG.integers(0, cfg.vocab_size, size=(n,))
+        out = engine.generate(params, cfg, [prompt], max_new_tokens=4, max_len=64)[0]
+        seq = list(prompt)
+        expected = []
+        for _ in range(4):
+            logits = np.asarray(llama.forward(params, jnp.asarray([seq]), cfg))
+            nxt = int(np.argmax(logits[0, -1]))
+            expected.append(nxt)
+            seq.append(nxt)
+        assert out == expected, f"n={n}"
+
+
+def test_pad_prompt_buckets():
+    p = np.arange(5, dtype=np.int64)
+    padded, n = engine._pad_prompt(p, 2048)
+    assert n == 5 and len(padded) == 16 and padded[:5].tolist() == p.tolist()
+    p2 = np.arange(100, dtype=np.int64)
+    padded2, n2 = engine._pad_prompt(p2, 64)
+    assert n2 == 100 and len(padded2) == 100  # no bucket fits under max_len
+    p3 = np.arange(1500, dtype=np.int64)
+    padded3, _ = engine._pad_prompt(p3, 2048)
+    assert len(padded3) == 2048
