@@ -62,16 +62,20 @@ def synth_v2(rng, d_out, d_in, qtype=None):
     per_byte = 2 if spec.bits <= 4 else 1
     n_sg = d_in // 256
     ng = d_in // gs
+    d_rep = 2
     qs = jnp.asarray(rng.integers(0, 256, (d_in // per_byte, d_out), dtype=np.uint8))
-    d_sg = jnp.asarray((rng.random((n_sg, d_out), np.float32) * 1e-3 + 1e-5))
+    d_sg = jnp.asarray(
+        np.repeat(rng.random((n_sg, d_out), np.float32) * 1e-3 + 1e-5, d_rep, axis=0)
+    )
     if spec.signed:
         sc = jnp.asarray(rng.integers(-32, 32, (ng, d_out)).astype(np.int8))
         dmin = mn = None
     else:
         sc = jnp.asarray(rng.integers(0, 64, (ng, d_out), dtype=np.uint8))
-        dmin = jnp.asarray(rng.random((n_sg, d_out), np.float32) * 1e-4)
+        dmin = jnp.asarray(np.repeat(rng.random((n_sg, d_out), np.float32) * 1e-4, d_rep, axis=0))
         mn = jnp.asarray(rng.integers(0, 64, (ng, d_out), dtype=np.uint8))
-    return RuntimeQuantLinearV2(qs, d_sg, dmin, sc, mn, d_in, gs, per_byte, -spec.qmin)
+    return RuntimeQuantLinearV2(qs, d_sg, dmin, sc, mn, d_in, gs, per_byte,
+                                -spec.qmin, d_rep)
 
 
 def rql_bytes(r) -> int:

@@ -305,8 +305,12 @@ class MoEArchSpec(ArchSpec):
         e, proj = sub
         if proj not in self.expert_proj:
             return None
+        # calibration artifacts use the canonical per-expert names
+        # (mlp.experts.N.gate_proj) regardless of the HF naming scheme
+        canon = {"ffn_gate_exps": "gate_proj", "ffn_up_exps": "up_proj",
+                 "ffn_down_exps": "down_proj"}[self.expert_proj[proj]]
         return (f"blk.{i}.{self.expert_proj[proj]}.weight", int(e),
-                f"model.layers.{i}.{self.expert_prefix}{{e}}.{proj}")
+                f"model.layers.{i}.mlp.experts.{{e}}.{canon}")
 
     def metadata(self):
         md = super().metadata()

@@ -64,6 +64,12 @@ class LlamaConfig:
     query_pre_attn_scalar: Optional[float] = None
     sliding_window: Optional[int] = None
     sliding_pattern: int = 2  # every Nth layer is global (gemma2: odd layers)
+    # MoE (qwen2moe/qwen3moe/mixtral); a layer is sparse iff its param dict
+    # has "gate_inp" (mixed dense/sparse stacks are shape-driven)
+    moe_num_experts: Optional[int] = None
+    moe_top_k: int = 2
+    moe_norm_topk: bool = True
+    moe_intermediate_size: Optional[int] = None
     dtype: Any = jnp.float32
 
     @property
@@ -81,7 +87,14 @@ class LlamaConfig:
                       "original_max_position_embeddings": d["original_max_position_embeddings"]}
         rope_scaling = _freeze_value(rs_raw)
         mt = d.get("model_type", "llama")
+        moe_experts = d.get("num_experts", d.get("num_local_experts"))
         return LlamaConfig(
+            moe_num_experts=moe_experts,
+            moe_top_k=d.get("num_experts_per_tok", 2),
+            # HF qwen2moe/qwen3moe expose norm_topk_prob; mixtral always
+            # renormalizes the top-k routing weights
+            moe_norm_topk=bool(d.get("norm_topk_prob", mt == "mixtral")),
+            moe_intermediate_size=d.get("moe_intermediate_size"),
             arch="gemma2" if mt == "gemma2" else "llama",
             rms_add_unit=mt in ("gemma", "gemma2"),
             embed_scale=mt in ("gemma", "gemma2"),
@@ -103,7 +116,7 @@ class LlamaConfig:
             tie_word_embeddings=d.get("tie_word_embeddings", False),
             attention_bias=d.get("attention_bias", False),
             mlp_bias=d.get("mlp_bias", False),
-            qk_norm=d.get("model_type") == "qwen3",
+            qk_norm=mt in ("qwen3", "qwen3_moe"),
             rope_scaling=rope_scaling,
             dtype=dtype,
         )
@@ -394,6 +407,86 @@ def _mlp_act(gate: jax.Array, up: jax.Array, cfg: LlamaConfig) -> jax.Array:
     return a.astype(up.dtype) * up
 
 
+def moe_ffn(
+    h: jax.Array,
+    layer: Dict[str, jax.Array],
+    cfg: LlamaConfig,
+    with_capture: bool = False,
+) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
+    """Sparse-MoE FFN (qwen2moe/qwen3moe/mixtral routing semantics).
+
+    h: (B, S, H). Router: softmax over all experts, top-k, optional
+    renormalization (all three HF implementations share this order). Experts
+    are evaluated with a lax.scan (dense math, sparse weighting) — exact and
+    compiler-friendly; token-dropping dispatch is a serving optimization,
+    not a numerics choice.
+
+    with_capture additionally returns per-expert GPTQ Hessian contributions
+    (the functional equivalent of the reference's per-expert forward hooks,
+    quantizer.py:222-240 on an HF MoE model): Σ m_e h h^T over tokens routed
+    to expert e, for the gate/up inputs and for the down inputs.
+    """
+    B, S, H = h.shape
+    wg, wu, wd = layer["experts_gate"], layer["experts_up"], layer["experts_down"]
+    E = wg.shape[0]
+    logits = jnp.einsum(
+        "bsh,eh->bse", h.astype(jnp.float32), layer["gate_inp"].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    probs = jax.nn.softmax(logits, axis=-1)
+    topw, topi = jax.lax.top_k(probs, cfg.moe_top_k)
+    if cfg.moe_norm_topk:
+        topw = topw / topw.sum(-1, keepdims=True)
+    wmap = (jax.nn.one_hot(topi, E, dtype=jnp.float32) * topw[..., None]).sum(-2)
+
+    def body(acc, inputs):
+        we_g, we_u, we_d, we_w = inputs
+        g = _linear(h, we_g)
+        u = _linear(h, we_u)
+        act = _mlp_act(g, u, cfg)
+        d = _linear(act, we_d)
+        acc = acc + we_w[..., None].astype(d.dtype) * d
+        if with_capture:
+            m = (we_w > 0).astype(jnp.float32)  # routed mask (hook semantics)
+            hm = h.astype(jnp.float32) * m[..., None]
+            am = act.astype(jnp.float32) * m[..., None]
+            xtx_in = jnp.einsum("bsh,bsi->hi", hm, hm,
+                                preferred_element_type=jnp.float32)
+            xtx_dn = jnp.einsum("bsh,bsi->hi", am, am,
+                                preferred_element_type=jnp.float32)
+            return acc, (xtx_in, xtx_dn, m.sum())
+        return acc, None
+
+    acc0 = jnp.zeros_like(h)
+    out, ys = jax.lax.scan(
+        body, acc0, (wg, wu, wd, wmap.transpose(2, 0, 1))
+    )
+
+    caps: Optional[Dict[str, jax.Array]] = None
+    if with_capture:
+        caps = {
+            "experts_in_xtx": ys[0],   # (E, H, H)
+            "experts_down_xtx": ys[1],  # (E, I_e, I_e)
+            "experts_tokens": ys[2],    # (E,)
+        }
+
+    if "shared_gate" in layer:
+        g = _linear(h, layer["shared_gate"])
+        u = _linear(h, layer["shared_up"])
+        act = _mlp_act(g, u, cfg)
+        shared = _linear(act, layer["shared_down"])
+        if "shared_gate_inp" in layer:
+            gate = jax.nn.sigmoid(
+                jnp.einsum("bsh,oh->bso", h.astype(jnp.float32),
+                           layer["shared_gate_inp"].astype(jnp.float32))
+            )
+            shared = shared * gate.astype(shared.dtype)
+        out = out + shared
+        if with_capture:
+            caps["shared_down_in"] = act
+    return out, caps
+
+
 def _sliding_mask(mask: jax.Array, window: int) -> jax.Array:
     S = mask.shape[-1]
     qpos = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
@@ -468,6 +561,12 @@ def block_capture(
         h2 = rms_norm(x, layer["pre_feedforward_layernorm"], cfg.rms_norm_eps, au)
     else:
         h2 = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps, au)
+    if "gate_inp" in layer:  # sparse MoE FFN
+        mlp_out, moe_caps = moe_ffn(h2, layer, cfg, with_capture=True)
+        x = x + mlp_out
+        captures = {"qkv": h1, "o": attn, "moe_router": h2}
+        captures.update(moe_caps or {})
+        return x, captures
     gate = _linear(h2, layer["gate_proj"])
     up = _linear(h2, layer["up_proj"])
     down_in = _mlp_act(gate, up, cfg)

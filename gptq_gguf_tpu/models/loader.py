@@ -17,7 +17,8 @@ import numpy as np
 
 from .llama import LlamaConfig
 
-SUPPORTED_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3", "phi3", "gemma2")
+SUPPORTED_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3", "phi3", "gemma2",
+                         "qwen2_moe", "qwen3_moe", "mixtral")
 
 
 def load_config(model_dir: Union[str, Path], dtype=jnp.float32) -> LlamaConfig:
@@ -58,6 +59,9 @@ def load_params(
     cfg = cfg or load_config(model_dir, dtype=dtype)
     layers: list = [dict() for _ in range(cfg.num_hidden_layers)]
     params: Dict[str, Any] = {"layers": layers}
+    # per-layer {canonical_proj: {expert_idx: array}} accumulators, stacked
+    # into (E, out, in) tensors at the end
+    expert_acc: Dict[int, Dict[str, Dict[int, Any]]] = {}
 
     def put(layer_idx, key, value):
         layers[layer_idx][key] = value
@@ -88,6 +92,37 @@ def load_params(
                 put(i, "gate_proj", val[:inter])
                 put(i, "up_proj", val[inter:])
                 continue
+            # MoE: per-expert tensors (qwen2moe/qwen3moe "mlp.experts.N",
+            # mixtral "block_sparse_moe.experts.N" with w1/w3/w2)
+            moe_prefixes = (
+                ("mlp.experts.", {"gate_proj": "experts_gate", "up_proj": "experts_up",
+                                  "down_proj": "experts_down"}),
+                ("block_sparse_moe.experts.", {"w1": "experts_gate", "w3": "experts_up",
+                                               "w2": "experts_down"}),
+            )
+            handled = False
+            for prefix, proj_map in moe_prefixes:
+                if rest.startswith(prefix) and rest.endswith(".weight"):
+                    sub = rest[len(prefix):-len(".weight")].split(".")
+                    if len(sub) == 2 and sub[1] in proj_map:
+                        expert_acc.setdefault(i, {}).setdefault(
+                            proj_map[sub[1]], {}
+                        )[int(sub[0])] = val
+                        handled = True
+                    break
+            if handled:
+                continue
+            moe_direct = {
+                "mlp.gate.weight": "gate_inp",
+                "block_sparse_moe.gate.weight": "gate_inp",
+                "mlp.shared_expert_gate.weight": "shared_gate_inp",
+                "mlp.shared_expert.gate_proj.weight": "shared_gate",
+                "mlp.shared_expert.up_proj.weight": "shared_up",
+                "mlp.shared_expert.down_proj.weight": "shared_down",
+            }
+            if rest in moe_direct:
+                put(i, moe_direct[rest], val)
+                continue
             mapping = {
                 "input_layernorm.weight": "input_layernorm",
                 "post_attention_layernorm.weight": "post_attention_layernorm",
@@ -112,6 +147,11 @@ def load_params(
                 continue
             put(i, key, val)
         # else: skip (e.g. rotary embeddings)
+
+    for i, projs in expert_acc.items():
+        for key, by_e in projs.items():
+            n_e = max(by_e) + 1
+            layers[i][key] = jnp.stack([by_e[e] for e in range(n_e)])
 
     if cfg.tie_word_embeddings:
         params.pop("lm_head", None)

@@ -262,16 +262,19 @@ class RuntimeQuantLinearV2:
     """Packed quantized weight, compact-scale layout (input-dim-major)."""
 
     def __init__(self, qs, d_sg, dmin_sg, sc_q, mn_q, d_in: int, group_size: int,
-                 per_byte: int, shift: int):
+                 per_byte: int, shift: int, d_rep: int = 1):
         self.qs = qs            # (d_in // per_byte, d_out) uint8
-        self.d_sg = d_sg        # (n_sg, d_out) f32 super-scale
-        self.dmin_sg = dmin_sg  # (n_sg, d_out) f32 super-min (None if signed)
+        self.d_sg = d_sg        # (d_rep * n_sg, d_out) f32 super-scale
+        self.dmin_sg = dmin_sg  # (d_rep * n_sg, d_out) f32 super-min (None if signed)
         self.sc_q = sc_q        # (n_groups, d_out) uint8 quantized scales
         self.mn_q = mn_q        # (n_groups, d_out) uint8 mins (None if signed)
         self.d_in = int(d_in)
         self.group_size = int(group_size)
         self.per_byte = int(per_byte)
         self.shift = int(shift)
+        # super-scale rows are replicated d_rep x so kernel tiles keep >= 8
+        # sublanes (Mosaic tiling rule) at tile_in = 1024
+        self.d_rep = int(d_rep)
 
     @property
     def d_out(self) -> int:
@@ -294,7 +297,7 @@ class RuntimeQuantLinearV2:
 
     def tree_flatten(self):
         return (self.qs, self.d_sg, self.dmin_sg, self.sc_q, self.mn_q), (
-            self.d_in, self.group_size, self.per_byte, self.shift,
+            self.d_in, self.group_size, self.per_byte, self.shift, self.d_rep,
         )
 
     @classmethod
@@ -326,7 +329,8 @@ def pack_runtime_v2(
         per_byte = 1
         qs = codes_t
 
-    d_sg = jnp.asarray(np.ascontiguousarray(ss.T))
+    d_rep = 2
+    d_sg = jnp.asarray(np.repeat(np.ascontiguousarray(ss.T), d_rep, axis=0))
     sc_dtype = np.int8 if spec.signed else np.uint8
     sc_q = jnp.asarray(np.ascontiguousarray(sq.astype(sc_dtype).T))
     if spec.signed:
@@ -334,22 +338,21 @@ def pack_runtime_v2(
     else:
         sz = np.asarray(params.super_zero, np.float16).astype(np.float32)
         zq = np.asarray(params.zero_q)
-        dmin_sg = jnp.asarray(np.ascontiguousarray(sz.T))
+        dmin_sg = jnp.asarray(np.repeat(np.ascontiguousarray(sz.T), d_rep, axis=0))
         mn_q = jnp.asarray(np.ascontiguousarray(zq.astype(np.uint8).T))
     return RuntimeQuantLinearV2(
-        jnp.asarray(qs), d_sg, dmin_sg, sc_q, mn_q, d_in, gs, per_byte, shift
+        jnp.asarray(qs), d_sg, dmin_sg, sc_q, mn_q, d_in, gs, per_byte, shift,
+        d_rep,
     )
 
 
 def _group_scales_v2(rql: RuntimeQuantLinearV2):
     """(scale, off) per (n_groups, d_out) in the canonical f32 op order."""
     gpsg = QK_K // rql.group_size
-    ng, T = rql.sc_q.shape
-    n_sg = ng // gpsg
-    d = jnp.repeat(rql.d_sg, gpsg, axis=0)
+    d = jnp.repeat(rql.d_sg[:: rql.d_rep], gpsg, axis=0)
     scale = d * rql.sc_q.astype(jnp.float32)  # exact: 17-bit product
     if rql.has_min:
-        off = jnp.repeat(rql.dmin_sg, gpsg, axis=0) * rql.mn_q.astype(jnp.float32)
+        off = jnp.repeat(rql.dmin_sg[:: rql.d_rep], gpsg, axis=0) * rql.mn_q.astype(jnp.float32)
     else:
         off = jnp.zeros_like(scale)
     return scale, off
@@ -372,8 +375,13 @@ def dequant_matmul_xla_v2(x: jax.Array, rql: RuntimeQuantLinearV2):
     return jnp.dot(x.astype(jnp.float32), w.T, preferred_element_type=jnp.float32)
 
 
-def _kernel_v2(refs, *, gs, per_byte, tile_in, shift, has_min, mxu_dtype):
-    """Dequantize a W^T chunk in VMEM from compact scales, accumulate."""
+def _kernel_v2(refs, *, gs, per_byte, tile_in, shift, has_min, mxu_dtype, d_rep):
+    """Dequantize a W^T chunk in VMEM from compact two-level scales.
+
+    The super-scale planes are stored with rows replicated d_rep x so every
+    operand tiles regularly per input chunk (Mosaic needs block sublane
+    counts divisible by 8); de-replication is a static leading-dim slice.
+    """
     import jax.experimental.pallas as pl
 
     if has_min:
@@ -393,14 +401,14 @@ def _kernel_v2(refs, *, gs, per_byte, tile_in, shift, has_min, mxu_dtype):
     sg_t = tile_in // QK_K
     gpsg = QK_K // gs
 
-    d = d_ref[:].reshape(sg_t, 1, T)
+    d = d_ref[:].reshape(sg_t, d_rep, T)[:, 0].reshape(sg_t, 1, T)
     # Mosaic has no u8->f32 cast: widen through int32 first
     sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)
     scale = jnp.broadcast_to(d, (sg_t, gpsg, T)).reshape(ng, T) * sc
     qf = (q - shift).astype(jnp.float32).reshape(ng, gs, T)
     w = scale.reshape(ng, 1, T) * qf
     if has_min:
-        dmin = dmin_ref[:].reshape(sg_t, 1, T)
+        dmin = dmin_ref[:].reshape(sg_t, d_rep, T)[:, 0].reshape(sg_t, 1, T)
         mn = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
         off = jnp.broadcast_to(dmin, (sg_t, gpsg, T)).reshape(ng, T) * mn
         w = w - off.reshape(ng, 1, T)
@@ -444,6 +452,7 @@ def dequant_matmul_pallas_v2(
     d_out = rql.d_out
     gs = rql.group_size
     per_byte = rql.per_byte
+    d_rep = rql.d_rep
     tile_in = min(tile_in, d_in)
     tile_out = min(tile_out, d_out)
     assert d_in % tile_in == 0 and d_out % tile_out == 0
@@ -456,7 +465,7 @@ def dequant_matmul_pallas_v2(
 
     kernel = functools.partial(
         _kernel_v2, gs=gs, per_byte=per_byte, tile_in=tile_in,
-        shift=rql.shift, has_min=has_min, mxu_dtype=mxu_dtype,
+        shift=rql.shift, has_min=has_min, mxu_dtype=mxu_dtype, d_rep=d_rep,
     )
 
     def wrapped(*refs):
@@ -465,28 +474,26 @@ def dequant_matmul_pallas_v2(
     in_specs = [
         pl.BlockSpec((B, tile_in), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_in // per_byte, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((sg_t, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d_rep * sg_t, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((ng_t, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
     ]
     operands = [x, rql.qs, rql.d_sg, rql.sc_q]
     if has_min:
         in_specs += [
-            pl.BlockSpec((sg_t, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_rep * sg_t, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((ng_t, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         ]
         operands += [rql.dmin_sg, rql.mn_q]
 
-    bytes_scales = 4 * d_out * (d_in // QK_K) + d_out * (d_in // gs)
+    bytes_scales = 4 * d_rep * d_out * (d_in // QK_K) + d_out * (d_in // gs)
     if has_min:
         bytes_scales *= 2
     return pl.pallas_call(
         wrapped,
         out_shape=jax.ShapeDtypeStruct((B, d_out), jnp.float32),
-        grid_spec=pl.GridSpec(
-            grid=(n_i, n_j),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((B, tile_out), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        ),
+        grid=(n_i, n_j),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((B, tile_out), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * d_in * d_out,
@@ -568,19 +575,16 @@ def select_tiles(d_in: int, d_out: int) -> Optional[Tuple[int, int]]:
 
 
 def select_tiles_v2(d_in: int, d_out: int) -> Optional[Tuple[int, int]]:
-    """Tiles for the compact-scale kernel. The per-supergroup scale planes
-    have one sublane row per 256 inputs, and Mosaic requires block sublane
-    counts divisible by 8 *or* equal to the full array dim — so tile_in is
-    either a multiple of 2048 (8 supergroups) or the whole input dim."""
+    """Tiles for the compact-scale kernel: tile_in must be a multiple of
+    1024 (so the x2-replicated super-scale rows give >= 8 sublanes per
+    block), or the whole input dim (full-dim blocks are always legal)."""
     tile_out = _best_tile(d_out, 512, 256)
     if tile_out is None or d_in % QK_K != 0:
         return None
-    tile_in = _best_tile(d_in, 2048, 2048)
+    tile_in = _best_tile(d_in, 1024, 1024)
     if tile_in is not None:
         return tile_in, tile_out
     if d_in <= 16384:
-        # full-depth tile: block dims equal the whole array (allowed by
-        # Mosaic); shrink the out tile to bound VMEM for the f32 dequant
         return d_in, (min(tile_out, 256) if d_in > 4096 else tile_out)
     return None
 

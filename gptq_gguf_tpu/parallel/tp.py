@@ -94,7 +94,7 @@ def shard_serving_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
                 put(rql.dmin_sg, spec) if rql.dmin_sg is not None else None,
                 put(rql.sc_q, spec),
                 put(rql.mn_q, spec) if rql.mn_q is not None else None,
-                rql.d_in, rql.group_size, rql.per_byte, rql.shift,
+                rql.d_in, rql.group_size, rql.per_byte, rql.shift, rql.d_rep,
             )
         return RuntimeQuantLinear(
             put(rql.qs, spec),

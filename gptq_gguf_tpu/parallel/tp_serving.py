@@ -55,7 +55,7 @@ def serving_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
             return RuntimeQuantLinearV2(
                 s, s, s if rql.dmin_sg is not None else None,
                 s, s if rql.mn_q is not None else None,
-                rql.d_in, rql.group_size, rql.per_byte, rql.shift,
+                rql.d_in, rql.group_size, rql.per_byte, rql.shift, rql.d_rep,
             )
         return RuntimeQuantLinear(s, s, s, rql.d_in, rql.group_size, rql.per_byte)
 

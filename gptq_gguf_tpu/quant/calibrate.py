@@ -85,6 +85,30 @@ def _propagate_step(layer, x, cos, sin, mask, cfg: LlamaConfig, layer_idx: int =
     return llama.block_forward(layer, x, cos, sin, mask, cfg, layer_idx)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "layer_idx"), donate_argnames=("hs", "moe_sums")
+)
+def _capture_step_moe(layer, x, cos, sin, mask, hs, counts, moe_sums,
+                      cfg: LlamaConfig, layer_idx: int = 0):
+    """Capture step for sparse-MoE blocks: dense Hessians for qkv/o/router
+    (+ shared expert) plus per-expert raw X^T X sums over routed tokens
+    (GPTQ is invariant to Hessian scaling, so raw sums suffice)."""
+    out, caps = llama.block_capture(layer, x, cos, sin, mask, cfg, layer_idx)
+    new_hs, new_counts = {}, {}
+    cap_src = {"qkv": "qkv", "o": "o", "moe_router": "moe_router",
+               "shared_down": "shared_down_in"}
+    for key in hs:
+        h, n = gptq_ops.accumulate_hessian(hs[key], counts[key], caps[cap_src[key]])
+        new_hs[key] = h
+        new_counts[key] = n
+    new_moe = {
+        "in": moe_sums["in"] + caps["experts_in_xtx"],
+        "down": moe_sums["down"] + caps["experts_down_xtx"],
+        "n": moe_sums["n"] + caps["experts_tokens"],
+    }
+    return out, new_hs, new_counts, new_moe
+
+
 class CalibrationResult(Dict[str, Any]):
     pass
 
@@ -147,12 +171,28 @@ def quantize_model(
     for li in range(n_layers):
         t0 = time.perf_counter()
         layer = params["layers"][li]
-        sizes = {
-            "qkv": cfg.hidden_size,
-            "o": cfg.num_attention_heads * cfg.head_dim_,
-            "gateup": cfg.hidden_size,
-            "down": cfg.intermediate_size,
-        }
+        is_moe = "gate_inp" in layer
+        if is_moe:
+            E, I_e = layer["experts_gate"].shape[0], layer["experts_gate"].shape[1]
+            sizes = {
+                "qkv": cfg.hidden_size,
+                "o": cfg.num_attention_heads * cfg.head_dim_,
+                "moe_router": cfg.hidden_size,
+            }
+            if "shared_down" in layer:
+                sizes["shared_down"] = layer["shared_down"].shape[1]
+            moe_sums = {
+                "in": jnp.zeros((E, cfg.hidden_size, cfg.hidden_size), jnp.float32),
+                "down": jnp.zeros((E, I_e, I_e), jnp.float32),
+                "n": jnp.zeros((E,), jnp.float32),
+            }
+        else:
+            sizes = {
+                "qkv": cfg.hidden_size,
+                "o": cfg.num_attention_heads * cfg.head_dim_,
+                "gateup": cfg.hidden_size,
+                "down": cfg.intermediate_size,
+            }
         hs = {k: jnp.zeros((d, d), jnp.float32) for k, d in sizes.items()}
         counts = {k: jnp.zeros((), jnp.float32) for k in sizes}
 
@@ -168,7 +208,36 @@ def quantize_model(
                 from ..parallel import dp as dp_mod
 
                 xj = dp_mod.shard_batch(xj, mesh)
-            _, hs, counts = _capture_step(layer, xj, cos, sin, mask, hs, counts, cfg, li)
+            if is_moe:
+                _, hs, counts, moe_sums = _capture_step_moe(
+                    layer, xj, cos, sin, mask, hs, counts, moe_sums, cfg, li
+                )
+            else:
+                _, hs, counts = _capture_step(layer, xj, cos, sin, mask, hs, counts, cfg, li)
+
+        if is_moe:
+            params = _solve_moe_block(
+                params, li, hs, moe_sums, qcfg, gptq_cfg, pattern, save_dir, verbose
+            )
+            new_layer = params["layers"][li]
+            # fall through to propagation below
+            layers = list(params["layers"])
+            layers[li] = new_layer
+            params = {**params, "layers": layers}
+            new_xs = []
+            for x in xs:
+                b = x.shape[0]
+                cos, sin = rope_for(b)
+                mask = llama.causal_mask(b, S)
+                out = _propagate_step(new_layer, jnp.asarray(x), cos, sin, mask, cfg, li)
+                new_xs.append(np.asarray(out))
+            xs = new_xs
+            if verbose:
+                print(
+                    f"[calibrate] block {li + 1}/{n_layers} (moe, {E} experts) "
+                    f"done in {time.perf_counter() - t0:.2f}s"
+                )
+            continue
 
         # ---- solve each selected linear (quantizer.py:242-275) ----
         # Linears sharing a Hessian AND a quant type are solved together by
@@ -246,6 +315,114 @@ def quantize_model(
     if verbose:
         print(f"[calibrate] total {time.perf_counter() - t_start:.2f}s")
     return params
+
+
+def _solve_moe_block(params, li, hs, moe_sums, qcfg, gptq_cfg, pattern, save_dir,
+                     verbose):
+    """GPTQ solves for one sparse-MoE block: attention linears with their
+    shared Hessians, shared expert from the router-input Hessian, and each
+    expert's gate/up (+down) from its routed-token Hessian. The router
+    (gate_inp) stays float, matching llama.cpp's f32 ffn_gate_inp."""
+    layer = params["layers"][li]
+    new_layer = dict(layer)
+
+    def solve_rows(Ws, H, qtype, names, dtypes):
+        W_cat = jnp.concatenate([w.astype(jnp.float32) for w in Ws], axis=0) \
+            if len(Ws) > 1 else Ws[0].astype(jnp.float32)
+        res = gptq_ops.gptq_quantize_matrix(W_cat, H, qtype, gptq_cfg)
+        w_hat = kquant.dequantize(res.qweight, res.params, qtype)
+        out = []
+        row = 0
+        for W, name, dt in zip(Ws, names, dtypes):
+            n = W.shape[0]
+            sl = slice(row, row + n)
+            row += n
+            out.append(w_hat[sl].astype(dt))
+            if save_dir is not None and name is not None:
+                artifacts.save_layer(
+                    save_dir, name,
+                    artifacts.LayerArtifact(
+                        q_type=qtype,
+                        qweight=np.asarray(res.qweight[sl]),
+                        super_group_scale=np.asarray(res.params.super_scale[sl]),
+                        super_group_zero=np.asarray(res.params.super_zero[sl]),
+                        group_scale_quant=np.asarray(res.params.scale_q[sl]),
+                        group_zero_quant=np.asarray(res.params.zero_q[sl]),
+                    ),
+                )
+        return out
+
+    # attention linears
+    attn_specs = [
+        (("q_proj", "k_proj", "v_proj"), "qkv"),
+        (("o_proj",), "o"),
+    ]
+    for keys, cap in attn_specs:
+        keys = [k for k in keys
+                if pattern.search(f"model.layers.{li}.self_attn.{k}")]
+        if not keys:
+            continue
+        by_qtype = {}
+        for k in keys:
+            by_qtype.setdefault(qcfg.get(k, DEFAULT_BLOCK_QTYPE), []).append(k)
+        for qtype, group in by_qtype.items():
+            Ws = [layer[k] for k in group]
+            names = [f"model.layers.{li}.self_attn.{k}" for k in group]
+            outs = solve_rows(Ws, hs[cap], qtype, names, [w.dtype for w in Ws])
+            for k, w in zip(group, outs):
+                new_layer[k] = w
+
+    # shared expert (qwen2moe): gate/up from the router-input Hessian
+    if "shared_gate" in layer and pattern.search(f"model.layers.{li}.mlp.shared_expert"):
+        qt_g = qcfg.get("gate_proj", DEFAULT_BLOCK_QTYPE)
+        qt_u = qcfg.get("up_proj", DEFAULT_BLOCK_QTYPE)
+        qt_d = qcfg.get("down_proj", DEFAULT_BLOCK_QTYPE)
+        base = f"model.layers.{li}.mlp.shared_expert"
+        if qt_g == qt_u:
+            g, u = solve_rows(
+                [layer["shared_gate"], layer["shared_up"]], hs["moe_router"], qt_g,
+                [f"{base}.gate_proj", f"{base}.up_proj"],
+                [layer["shared_gate"].dtype, layer["shared_up"].dtype],
+            )
+        else:
+            (g,) = solve_rows([layer["shared_gate"]], hs["moe_router"], qt_g,
+                              [f"{base}.gate_proj"], [layer["shared_gate"].dtype])
+            (u,) = solve_rows([layer["shared_up"]], hs["moe_router"], qt_u,
+                              [f"{base}.up_proj"], [layer["shared_up"].dtype])
+        (d,) = solve_rows([layer["shared_down"]], hs["shared_down"], qt_d,
+                          [f"{base}.down_proj"], [layer["shared_down"].dtype])
+        new_layer["shared_gate"], new_layer["shared_up"], new_layer["shared_down"] = g, u, d
+
+    # per-expert solves
+    E = layer["experts_gate"].shape[0]
+    eg, eu, ed = layer["experts_gate"], layer["experts_up"], layer["experts_down"]
+    new_g, new_u, new_d = [], [], []
+    qt_g = qcfg.get("gate_proj", DEFAULT_BLOCK_QTYPE)
+    qt_u = qcfg.get("up_proj", DEFAULT_BLOCK_QTYPE)
+    qt_d = qcfg.get("down_proj", DEFAULT_BLOCK_QTYPE)
+    for e in range(E):
+        base = f"model.layers.{li}.mlp.experts.{e}"
+        if not pattern.search(base):
+            new_g.append(eg[e]); new_u.append(eu[e]); new_d.append(ed[e])
+            continue
+        H_in = moe_sums["in"][e]
+        if qt_g == qt_u:
+            g, u = solve_rows([eg[e], eu[e]], H_in, qt_g,
+                              [f"{base}.gate_proj", f"{base}.up_proj"],
+                              [eg.dtype, eu.dtype])
+        else:
+            (g,) = solve_rows([eg[e]], H_in, qt_g, [f"{base}.gate_proj"], [eg.dtype])
+            (u,) = solve_rows([eu[e]], H_in, qt_u, [f"{base}.up_proj"], [eu.dtype])
+        (d,) = solve_rows([ed[e]], moe_sums["down"][e], qt_d,
+                          [f"{base}.down_proj"], [ed.dtype])
+        new_g.append(g); new_u.append(u); new_d.append(d)
+    new_layer["experts_gate"] = jnp.stack(new_g)
+    new_layer["experts_up"] = jnp.stack(new_u)
+    new_layer["experts_down"] = jnp.stack(new_d)
+
+    layers = list(params["layers"])
+    layers[li] = new_layer
+    return {**params, "layers": layers}
 
 
 def _quant_non_block(params, name, qtype, gptq_cfg, save_dir, verbose):

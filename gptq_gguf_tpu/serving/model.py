@@ -208,10 +208,13 @@ def forward_cached(
 
         norm_key = "pre_feedforward_layernorm" if gemma2_norms else "post_attention_layernorm"
         h = llama.rms_norm(x, layer[norm_key], cfg.rms_norm_eps, au)
-        gate = _q_linear(h, layer["gate_proj"])
-        up = _q_linear(h, layer["up_proj"])
-        act = llama._mlp_act(gate, up, cfg)
-        mlp_out = _q_linear(act, layer["down_proj"])
+        if "gate_inp" in layer:  # sparse MoE FFN (dense float experts)
+            mlp_out, _ = llama.moe_ffn(h, layer, cfg)
+        else:
+            gate = _q_linear(h, layer["gate_proj"])
+            up = _q_linear(h, layer["up_proj"])
+            act = llama._mlp_act(gate, up, cfg)
+            mlp_out = _q_linear(act, layer["down_proj"])
         if psum_axis is not None:
             mlp_out = jax.lax.psum(mlp_out, psum_axis)
         if gemma2_norms:
@@ -274,7 +277,21 @@ def quantize_params_for_serving(
 # loudly instead of silently running with llama semantics (round-1 bug).
 _GGUF_SERVING_ARCHES = (
     "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "phi3",
+    "qwen2moe", "qwen3moe",
 )
+
+# stacked MoE tensors load as dense float params (llama.moe_ffn evaluates
+# them densely; quantized expert serving is follow-up work)
+_MOE_NAME_MAP = {
+    "ffn_gate_inp": "gate_inp",
+    "ffn_gate_exps": "experts_gate",
+    "ffn_up_exps": "experts_up",
+    "ffn_down_exps": "experts_down",
+    "ffn_gate_inp_shexp": "shared_gate_inp",
+    "ffn_gate_shexp": "shared_gate",
+    "ffn_up_shexp": "shared_up",
+    "ffn_down_shexp": "shared_down",
+}
 
 # GGUF blk.* component -> param key, per family. gemma2's GGUF names are
 # shifted relative to HF: ffn_norm is the *pre*-feedforward norm and
@@ -342,9 +359,14 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
              int(r.get(f"{arch}.rope.scaling.original_context_length", 4096))),
             ("rope_type", "yarn"),
         )
+    moe_experts = r.get(f"{arch}.expert_count")
     return LlamaConfig(
         arch="gemma2" if arch == "gemma2" else "llama",
         rope_scaling=rope_scaling,
+        moe_num_experts=moe_experts,
+        moe_top_k=r.get(f"{arch}.expert_used_count", 2),
+        moe_norm_topk=True,  # qwen2moe/qwen3moe/mixtral all renormalize
+        moe_intermediate_size=r.get(f"{arch}.expert_feed_forward_length"),
         vocab_size=vocab,
         hidden_size=hidden,
         intermediate_size=r.get(f"{arch}.feed_forward_length"),
@@ -471,6 +493,10 @@ def load_gguf_for_serving(
                 gate, up = row_split(load_tensor(name), [cfg.intermediate_size] * 2)
                 layers[li]["gate_proj"] = to_param(gate)
                 layers[li]["up_proj"] = to_param(up)
+            elif comp in _MOE_NAME_MAP:
+                layers[li][_MOE_NAME_MAP[comp]] = jnp.asarray(
+                    r.tensor_float(name), dtype=dtype
+                )
             elif comp in name_map:
                 key = name_map[comp]
                 if suffix == "bias":

@@ -166,10 +166,13 @@ def forward_paged(
 
         norm_key = "pre_feedforward_layernorm" if gemma2_norms else "post_attention_layernorm"
         h = llama.rms_norm(x, layer[norm_key], cfg.rms_norm_eps, au)
-        gate = _q_linear(h, layer["gate_proj"])
-        up = _q_linear(h, layer["up_proj"])
-        act = llama._mlp_act(gate, up, cfg)
-        mlp_out = _q_linear(act, layer["down_proj"])
+        if "gate_inp" in layer:  # sparse MoE FFN (dense float experts)
+            mlp_out, _ = llama.moe_ffn(h, layer, cfg)
+        else:
+            gate = _q_linear(h, layer["gate_proj"])
+            up = _q_linear(h, layer["up_proj"])
+            act = llama._mlp_act(gate, up, cfg)
+            mlp_out = _q_linear(act, layer["down_proj"])
         if gemma2_norms:
             mlp_out = llama.rms_norm(mlp_out, layer["post_feedforward_layernorm"], cfg.rms_norm_eps, au)
         x = x + mlp_out

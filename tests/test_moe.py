@@ -121,3 +121,202 @@ def test_gguf_to_hf_name_moe():
         "model.layers.3.mlp.experts.{e}.down_proj.weight"
     assert splitter.gguf_to_hf_name("blk.0.ffn_gate_inp.weight") == \
         "model.layers.0.mlp.gate.weight"
+
+
+# ---------------------------------------------------------------------------
+# MoE model forward + calibration (round 2: full pipeline entry for MoE)
+# ---------------------------------------------------------------------------
+
+
+def test_moe_forward_matches_hf(moe_model):
+    """Functional JAX MoE forward must match transformers' Qwen3Moe logits."""
+    import jax.numpy as jnp
+    import torch
+
+    from gptq_gguf_tpu.models import llama, loader
+
+    tmp, model_dir, m = moe_model
+    cfg = loader.load_config(model_dir)
+    assert cfg.moe_num_experts == 4 and cfg.moe_top_k == 2
+    params = loader.load_params(model_dir, cfg)
+    assert params["layers"][0]["experts_gate"].shape == (4, 256, 256)
+    assert params["layers"][0]["gate_inp"].shape == (4, 256)
+
+    ids = RNG.integers(0, 128, size=(1, 24))
+    with torch.no_grad():
+        ref = m(torch.from_numpy(ids)).logits.numpy()
+    got = np.asarray(llama.forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_moe_calibration_and_pack(moe_model, tmp_path):
+    """GPTQ calibration walk over a MoE model: per-expert Hessians, expert
+    artifacts, quantized stacked exps in the packed GGUF."""
+    import jax.numpy as jnp
+
+    from gptq_gguf_tpu.models import llama, loader
+    from gptq_gguf_tpu.quant import artifacts, calibrate
+
+    tmp, model_dir, m = moe_model
+    cfg = loader.load_config(model_dir)
+    params = loader.load_params(model_dir, cfg)
+    calib = [RNG.integers(0, 128, size=(1, 32)) for _ in range(2)]
+    qdir = tmp_path / "layers"
+    qparams = calibrate.quantize_model(params, cfg, calib, save_dir=qdir)
+
+    # expert artifacts exist and dequantize to the new weights
+    art = artifacts.load_layer(qdir, "model.layers.0.mlp.experts.1.gate_proj")
+    np.testing.assert_allclose(
+        np.asarray(qparams["layers"][0]["experts_gate"][1]), art.dequantize(),
+        rtol=1e-6, atol=1e-6,
+    )
+    # attention linears also quantized
+    assert (qdir / "model.layers.0.self_attn.q_proj").is_dir()
+
+    # quantized model still runs and correlates with the float model
+    ids = RNG.integers(0, 128, size=(1, 16))
+    lq = np.asarray(llama.forward(qparams, jnp.asarray(ids), cfg))
+    lf = np.asarray(llama.forward(params, jnp.asarray(ids), cfg))
+    cc = np.corrcoef(lq.reshape(-1), lf.reshape(-1))[0, 1]
+    assert cc > 0.95, cc
+
+    # pack picks up the per-expert artifacts -> quantized stacked tensor
+    out = tmp_path / "moe-cal.gguf"
+    packer.pack_model(model_dir, qdir, out)
+    r = GGUFReader(out)
+    assert r.tensors["blk.0.ffn_gate_exps.weight"].ggml_type == T.Q4_K
+    w = r.tensor_float("blk.0.ffn_gate_exps.weight")
+    np.testing.assert_allclose(
+        w[1], np.asarray(qparams["layers"][0]["experts_gate"][1]), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_moe_serving_forward(moe_model):
+    """Serving cached forward handles MoE layers (dense experts)."""
+    import jax.numpy as jnp
+
+    from gptq_gguf_tpu.models import llama, loader
+    from gptq_gguf_tpu.serving import model as qmodel
+
+    tmp, model_dir, m = moe_model
+    cfg = loader.load_config(model_dir)
+    params = loader.load_params(model_dir, cfg)
+    ids = RNG.integers(0, 128, size=(1, 12))
+    full = np.asarray(llama.forward(params, jnp.asarray(ids), cfg))
+    cache = qmodel.init_cache(cfg, 1, 16, dtype=jnp.float32)
+    logits, cache = qmodel.forward_cached(params, cfg, jnp.asarray(ids), cache)
+    np.testing.assert_allclose(np.asarray(logits), full[:, -1, :], rtol=2e-3, atol=2e-3)
+
+
+def test_mixtral_forward_and_pack(tmp_path):
+    """Mixtral lineage: block_sparse_moe names load, forward matches HF,
+    packer maps to GGUF arch 'llama' with expert tensors."""
+    import jax.numpy as jnp
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    from gptq_gguf_tpu.models import llama, loader
+
+    cfg_d = {
+        "model_type": "mixtral", "architectures": ["MixtralForCausalLM"],
+        "vocab_size": 128, "hidden_size": 256, "intermediate_size": 256,
+        "num_local_experts": 4, "num_experts_per_tok": 2,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "rms_norm_eps": 1e-5,
+        "max_position_embeddings": 256, "torch_dtype": "float32",
+        "pad_token_id": 0, "tie_word_embeddings": False,
+    }
+    hf_cfg = AutoConfig.for_model(**cfg_d)
+    torch.manual_seed(9)
+    m = AutoModelForCausalLM.from_config(hf_cfg).eval().float()
+    model_dir = tmp_path / "mix"
+    m.save_pretrained(model_dir, safe_serialization=True)
+
+    cfg = loader.load_config(model_dir)
+    assert cfg.moe_num_experts == 4 and cfg.moe_norm_topk  # mixtral renormalizes
+    params = loader.load_params(model_dir, cfg)
+    assert params["layers"][0]["experts_gate"].shape == (4, 256, 256)
+
+    ids = RNG.integers(0, 128, size=(1, 16))
+    with torch.no_grad():
+        ref = m(torch.from_numpy(ids)).logits.numpy()
+    got = np.asarray(llama.forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+    out = tmp_path / "mix.gguf"
+    packer.pack_model(model_dir, tmp_path / "no-artifacts", out)
+    r = GGUFReader(out)
+    assert r.get("general.architecture") == "llama"
+    assert r.get("llama.expert_count") == 4
+    assert r.tensors["blk.0.ffn_gate_exps.weight"].shape == (4, 256, 256)
+
+
+def test_moe_gguf_serving_roundtrip(moe_model, tmp_path):
+    """Packed qwen3moe GGUF serves: stacked experts load dense, logits match
+    the float forward."""
+    import jax.numpy as jnp
+
+    from gptq_gguf_tpu.models import llama, loader
+    from gptq_gguf_tpu.serving import model as qmodel
+
+    tmp, model_dir, m = moe_model
+    gguf = tmp / "moe-f16.gguf"
+    if not gguf.exists():
+        packer.pack_model(model_dir, tmp / "no-artifacts", gguf)
+    qparams, gcfg = qmodel.load_gguf_for_serving(gguf, dtype=jnp.float32)
+    assert gcfg.moe_num_experts == 4 and gcfg.moe_top_k == 2
+    assert qparams["layers"][0]["experts_gate"].shape == (4, 256, 256)
+
+    cfg = loader.load_config(model_dir)
+    params = loader.load_params(model_dir, cfg)
+    ids = RNG.integers(0, 128, size=(1, 12))
+    ref = np.asarray(llama.forward(params, jnp.asarray(ids), cfg))[:, -1, :]
+    cache = qmodel.init_cache(gcfg, 1, 16, dtype=jnp.float32)
+    logits, _ = qmodel.forward_cached(qparams, gcfg, jnp.asarray(ids), cache)
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=5e-2, atol=5e-2)
+
+
+def test_qwen2moe_shared_expert(tmp_path):
+    """qwen2moe adds a shared expert with a sigmoid gate; forward must match
+    HF and calibration must quantize the shared projections too."""
+    import jax.numpy as jnp
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    from gptq_gguf_tpu.models import llama, loader
+    from gptq_gguf_tpu.quant import artifacts, calibrate
+
+    cfg_d = {
+        "model_type": "qwen2_moe", "architectures": ["Qwen2MoeForCausalLM"],
+        "vocab_size": 128, "hidden_size": 256, "intermediate_size": 256,
+        "moe_intermediate_size": 256, "shared_expert_intermediate_size": 256,
+        "num_experts": 4, "num_experts_per_tok": 2, "norm_topk_prob": False,
+        "num_hidden_layers": 1, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "rms_norm_eps": 1e-6,
+        "max_position_embeddings": 256, "decoder_sparse_step": 1,
+        "mlp_only_layers": [], "torch_dtype": "float32", "pad_token_id": 0,
+        "tie_word_embeddings": False,
+    }
+    hf_cfg = AutoConfig.for_model(**cfg_d)
+    torch.manual_seed(21)
+    m = AutoModelForCausalLM.from_config(hf_cfg).eval().float()
+    model_dir = tmp_path / "q2moe"
+    m.save_pretrained(model_dir, safe_serialization=True)
+
+    cfg = loader.load_config(model_dir)
+    assert not cfg.moe_norm_topk
+    params = loader.load_params(model_dir, cfg)
+    l0 = params["layers"][0]
+    assert "shared_gate" in l0 and "shared_gate_inp" in l0
+
+    ids = RNG.integers(0, 128, size=(1, 16))
+    with torch.no_grad():
+        ref = m(torch.from_numpy(ids)).logits.numpy()
+    got = np.asarray(llama.forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+    calib = [RNG.integers(0, 128, size=(1, 24)) for _ in range(2)]
+    qdir = tmp_path / "layers"
+    calibrate.quantize_model(params, cfg, calib, save_dir=qdir)
+    assert (qdir / "model.layers.0.mlp.shared_expert.gate_proj").is_dir()
+    assert (qdir / "model.layers.0.mlp.shared_expert.down_proj").is_dir()

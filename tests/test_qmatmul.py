@@ -133,12 +133,12 @@ def test_v2_bits_per_weight_compact():
     v1 = qmatmul.pack_runtime(np.asarray(q), params, T.Q4_K)
     v2 = qmatmul.pack_runtime_v2(np.asarray(q), params, T.Q4_K)
     assert abs(v1.packed_bits_per_weight - 6.0) < 0.01
-    assert abs(v2.packed_bits_per_weight - 4.75) < 0.01
+    assert abs(v2.packed_bits_per_weight - 5.0) < 0.01  # x2-replicated super-scales
     # signed type: no min planes at all
     q6, p6 = kquant.quantize_rtn(jnp.asarray(wx), T.Q6_K)
     v26 = qmatmul.pack_runtime_v2(np.asarray(q6), p6, T.Q6_K)
     assert not v26.has_min
-    assert abs(v26.packed_bits_per_weight - 8.625) < 0.01
+    assert abs(v26.packed_bits_per_weight - 8.75) < 0.01
 
 
 @pytest.mark.parametrize("qtype", [T.Q4_K, T.Q6_K])
@@ -165,18 +165,13 @@ def test_q8_activation_quantization():
     assert np.abs(recon - xr).max() <= np.asarray(d).max() * 0.51
 
 
-@pytest.mark.parametrize(
-    "d_in,d_out,expect",
-    [
-        (4096, 4096, (2048, 512)),
-        (14336, 4096, (2048, 512)),   # 14336 = 2048*7
-        (4096, 14336, (2048, 512)),
-        (11008, 4096, (11008, 256)),  # no 2048 divisor -> full-depth tile
-        (2304, 2304, (2304, 256)),
-        (512, 512, (512, 512)),
-        (300, 512, None),
-        (20480, 512, (2048, 512)),
-    ],
-)
+@pytest.mark.parametrize("d_in,d_out,expect", [
+    (4096, 4096, (1024, 512)),
+    (14336, 4096, (1024, 512)),
+    (11008, 4096, (11008, 256)),  # 256*43: no 1024 divisor -> full depth
+    (2304, 2304, (2304, 256)),
+    (512, 512, (512, 512)),       # full depth (d_in <= 16384)
+    (300, 512, None),
+])
 def test_select_tiles_v2(d_in, d_out, expect):
     assert qmatmul.select_tiles_v2(d_in, d_out) == expect
