@@ -182,6 +182,7 @@ def bench_engine(B=8, max_len=2048, prompt_len=128, steps=32):
             "up_proj": synth_v2(rng, I, H),
             "down_proj": synth_v2(rng, H, I),
         })
+    sets = [qmodel.fuse_layer_projections(l) for l in sets]  # qkv/gateup fusion
     layers = [sets[i % 4] for i in range(L)]
     embed = jax.random.normal(jax.random.PRNGKey(2), (V, H), jnp.bfloat16) * 0.02
     lm_head = synth_v2(rng, V, H, T.Q6_K)
@@ -190,10 +191,16 @@ def bench_engine(B=8, max_len=2048, prompt_len=128, steps=32):
 
     weight_bytes_layer = sum(
         rql_bytes(layers[0][k])
-        for k in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
+        for k in ("qkv_proj", "o_proj", "gateup_proj", "down_proj")
     )
     weight_bytes = weight_bytes_layer * L + rql_bytes(lm_head)
-    kv_bytes = 2 * L * B * 8 * max_len * 128 * 2  # full ring read per step (bf16)
+    # decode attention is length-aware: it reads ceil(fill/chunk) KV chunks,
+    # not the whole ring; account the average fill over the measured steps
+    from gptq_gguf_tpu.models.llama import FLASH_CHUNK
+
+    fills = [prompt_len + 4 + t for t in range(steps)]
+    avg_chunks = float(np.mean([-(-f // FLASH_CHUNK) for f in fills]))
+    kv_bytes = int(2 * L * B * 8 * FLASH_CHUNK * avg_chunks * 128 * 2)
     bytes_per_step = weight_bytes + kv_bytes
 
     cache = qmodel.init_cache(cfg, B, max_len, dtype=jnp.bfloat16)

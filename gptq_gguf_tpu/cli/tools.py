@@ -184,6 +184,7 @@ def run_ppl(args):
 def build_search(p: argparse.ArgumentParser):
     common.add_model_args(p)
     common.add_data_args(p)
+    common.add_mesh_args(p)
     p.add_argument("--quant_weights_path", required=True, help="HF-layout DB")
     p.add_argument("--target_bitwidth", type=float, required=True)
     p.add_argument("--generations", type=int, default=50)
@@ -245,8 +246,10 @@ def run_search(args):
             for name in args.eval_datasets
         }
 
+    mesh = common.make_mesh_from_args(args)
     best, groups, available = evopress.evo_press_search(
-        model, calib, ecfg, target_logits=target_logits, eval_datasets=eval_datasets
+        model, calib, ecfg, target_logits=target_logits,
+        eval_datasets=eval_datasets, mesh=mesh,
     )
     out = os.path.join(
         args.quant_weights_path,
@@ -281,6 +284,7 @@ def run_serve(args):
     timer = StageTimer()
     with timer.stage("load_gguf"):
         params, cfg = qmodel.load_gguf_for_serving(args.gguf_file)
+        params = qmodel.fuse_params_for_serving(params, cfg)
     prompt = np.asarray(args.prompt_tokens or [1, 2, 3, 4], dtype=np.int64)
     with profile_trace(args.profile_dir), timer.stage("generate"):
         t0 = time.time()

@@ -199,6 +199,22 @@ class Qwen3Arch(ArchSpec):
         return md
 
 
+class GemmaArch(ArchSpec):
+    """gemma (v1): llama structure + (1+w) norms, embed scaling, gelu; all
+    models have head_dim 256 so key/value_length must be explicit."""
+
+    gguf_arch = "gemma"
+    permute_qk = False
+
+    def metadata(self):
+        md = super().metadata()
+        c = self.hf
+        head_dim = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        md[f"{self.gguf_arch}.attention.key_length"] = head_dim
+        md[f"{self.gguf_arch}.attention.value_length"] = head_dim
+        return md
+
+
 class Gemma2Arch(ArchSpec):
     """gemma2: post-attn/post-ffw norms, softcapping, sliding window.
 
@@ -361,9 +377,9 @@ class MixtralArch(MoEArchSpec):
 
 _ARCH_REGISTRY.update(
     {"llama": LlamaArch, "mistral": MistralArch, "qwen2": Qwen2Arch,
-     "qwen3": Qwen3Arch, "phi3": Phi3Arch, "gemma2": Gemma2Arch,
-     "qwen2_moe": Qwen2MoeArch, "qwen3_moe": Qwen3MoeArch,
-     "mixtral": MixtralArch}
+     "qwen3": Qwen3Arch, "phi3": Phi3Arch, "gemma": GemmaArch,
+     "gemma2": Gemma2Arch, "qwen2_moe": Qwen2MoeArch,
+     "qwen3_moe": Qwen3MoeArch, "mixtral": MixtralArch}
 )
 
 

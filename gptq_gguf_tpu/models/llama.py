@@ -326,13 +326,23 @@ FLASH_CHUNK = 512
 
 
 def flash_attention(q, k, v, qpos, scale=None, logit_softcap=None,
-                    sliding_window=None, chunk: int = FLASH_CHUNK):
+                    sliding_window=None, chunk: int = FLASH_CHUNK,
+                    dynamic_length: bool = False,
+                    k_scale=None, v_scale=None):
     """Online-softmax (flash) attention over KV chunks.
 
     q: (B, nH, S, hd); k/v: (B, nKV, L, hd); qpos: (B, S) absolute position
     of each query (keys live at positions 0..L). Causal + optional sliding
     window masking; GQA via head grouping. Never materializes an (S, L)
     score tensor — peak memory is (S, chunk).
+
+    dynamic_length=True iterates a while_loop up to the *live* maximum
+    position instead of scanning the whole ring: HBM reads only the valid
+    KV chunks (decode at fill f pays f, not capacity — the dominant KV
+    saving for partially full caches).
+
+    k_scale/v_scale: (B, nKV, L) per-entry dequantization scales for int8
+    KV caches; chunks are dequantized in-register.
     """
     B, nH, S, hd = q.shape
     nKV, L = k.shape[1], k.shape[2]
@@ -345,18 +355,22 @@ def flash_attention(q, k, v, qpos, scale=None, logit_softcap=None,
     if pad:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    ks = k.reshape(B, nKV, n_chunks, chunk, hd).transpose(2, 0, 1, 3, 4)
-    vs = v.reshape(B, nKV, n_chunks, chunk, hd).transpose(2, 0, 1, 3, 4)
-    kpos = jnp.arange(n_chunks * chunk).reshape(n_chunks, chunk)
+        if k_scale is not None:
+            k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, pad)))
+            v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, pad)))
 
     m0 = jnp.full((B, nKV, G, S), -1e30, jnp.float32)
     l0 = jnp.zeros((B, nKV, G, S), jnp.float32)
     a0 = jnp.zeros((B, nKV, G, S, hd), jnp.float32)
 
-    def body(carry, inp):
-        m, l, acc = carry
-        kc, vc, kp = inp
-        s = jnp.einsum("bkgsh,bkth->bkgst", qg, kc.astype(jnp.float32),
+    def step(carry_mla, kc, vc, kp, ksc=None, vsc=None):
+        m, l, acc = carry_mla
+        kc = kc.astype(jnp.float32)
+        vc = vc.astype(jnp.float32)
+        if ksc is not None:
+            kc = kc * ksc[..., None]
+            vc = vc * vsc[..., None]
+        s = jnp.einsum("bkgsh,bkth->bkgst", qg, kc,
                        preferred_element_type=jnp.float32)
         if logit_softcap:
             s = logit_softcap * jnp.tanh(s / logit_softcap)
@@ -370,14 +384,49 @@ def flash_attention(q, k, v, qpos, scale=None, logit_softcap=None,
         p = jnp.where(vmask, jnp.exp(s - m2[..., None]), 0.0)
         l = l * corr + p.sum(axis=-1)
         acc = acc * corr[..., None] + jnp.einsum(
-            "bkgst,bkth->bkgsh", p, vc.astype(jnp.float32),
+            "bkgst,bkth->bkgsh", p, vc,
             preferred_element_type=jnp.float32,
         )
-        return (m2, l, acc), None
+        return m2, l, acc
 
-    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0), (ks, vs, kpos))
+    if dynamic_length:
+        # read only chunks that hold a position <= max live qpos
+        n_live = jnp.max(qpos) // chunk + 1
+
+        def cond(state):
+            return state[0] < n_live
+
+        def body(state):
+            c, m, l, acc = state
+            kc = jax.lax.dynamic_slice_in_dim(k, c * chunk, chunk, axis=2)
+            vc = jax.lax.dynamic_slice_in_dim(v, c * chunk, chunk, axis=2)
+            kp = c * chunk + jnp.arange(chunk)
+            ksc = vsc = None
+            if k_scale is not None:
+                ksc = jax.lax.dynamic_slice_in_dim(k_scale, c * chunk, chunk, axis=2)
+                vsc = jax.lax.dynamic_slice_in_dim(v_scale, c * chunk, chunk, axis=2)
+            m, l, acc = step((m, l, acc), kc, vc, kp, ksc, vsc)
+            return c + 1, m, l, acc
+
+        _, m, l, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), m0, l0, a0))
+    else:
+        ks = k.reshape(B, nKV, n_chunks, chunk, hd).transpose(2, 0, 1, 3, 4)
+        vs = v.reshape(B, nKV, n_chunks, chunk, hd).transpose(2, 0, 1, 3, 4)
+        kpos = jnp.arange(n_chunks * chunk).reshape(n_chunks, chunk)
+        xs = (ks, vs, kpos)
+        if k_scale is not None:
+            xs = xs + (
+                k_scale.reshape(B, nKV, n_chunks, chunk).transpose(2, 0, 1, 3),
+                v_scale.reshape(B, nKV, n_chunks, chunk).transpose(2, 0, 1, 3),
+            )
+
+        def body(carry, inp):
+            return step(carry, *inp), None
+
+        (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0), xs)
     out = acc / jnp.maximum(l, 1e-30)[..., None]
-    return out.reshape(B, nH, S, hd).astype(v.dtype)
+    out_dtype = v.dtype if k_scale is None else jnp.float32
+    return out.reshape(B, nH, S, hd).astype(out_dtype)
 
 
 def attention_scores(q, k, v, mask, scale=None, logit_softcap=None):

@@ -613,6 +613,29 @@ def dequant_matmul(x: jax.Array, rql, force_xla: bool = False) -> jax.Array:
     )
 
 
+def fuse_rql_v2(parts) -> Optional[RuntimeQuantLinearV2]:
+    """Concatenate v2 packed weights along the output dim (same d_in): one
+    kernel launch for q/k/v or gate/up instead of three/two. Exact — every
+    plane is per-output-column. Returns None if the parts don't share a
+    layout (mixed qtypes/group sizes or non-v2)."""
+    if not all(isinstance(p, RuntimeQuantLinearV2) for p in parts):
+        return None
+    p0 = parts[0]
+    if not all(
+        (p.group_size, p.per_byte, p.shift, p.d_rep, p.has_min, p.d_in)
+        == (p0.group_size, p0.per_byte, p0.shift, p0.d_rep, p0.has_min, p0.d_in)
+        for p in parts
+    ):
+        return None
+    cat = lambda attr: jnp.concatenate([getattr(p, attr) for p in parts], axis=1)
+    return RuntimeQuantLinearV2(
+        cat("qs"), cat("d_sg"),
+        cat("dmin_sg") if p0.has_min else None,
+        cat("sc_q"), cat("mn_q") if p0.has_min else None,
+        p0.d_in, p0.group_size, p0.per_byte, p0.shift, p0.d_rep,
+    )
+
+
 # default runtime weight format for new packs ("v2" = compact scales)
 RUNTIME_FORMAT = "v2"
 

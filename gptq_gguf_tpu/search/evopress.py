@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import copy
 import dataclasses
+import functools
 import json
 import math
 import os
@@ -25,6 +26,8 @@ import random
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..evals import ppl as ppl_mod
@@ -232,14 +235,100 @@ def selection(
     num_tokens: int,
     fitness_fn: str = "ppl",
     target_logits=None,
+    mesh=None,
 ):
     minibatch, tl = sample_minibatch(calibration_data, num_tokens, target_logits, fitness_fn)
-    fitnesses = []
-    for cand in candidates:
-        model.load_layers(groups, cand, available)
-        fitnesses.append(compute_fitness(model, minibatch, fitness_fn, tl))
+    if mesh is not None and fitness_fn == "ppl":
+        fitnesses = _parallel_candidate_fitness(
+            model, groups, available, candidates, minibatch, mesh
+        )
+    else:
+        fitnesses = []
+        for cand in candidates:
+            model.load_layers(groups, cand, available)
+            fitnesses.append(compute_fitness(model, minibatch, fitness_fn, tl))
     best = np.argsort(fitnesses)[:num_survive]
     return [candidates[i] for i in best], [fitnesses[i] for i in best]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "names"))
+def _stacked_candidate_nll(base_params, stacked, ids, mask, cfg: LlamaConfig,
+                           names: Tuple[str, ...]):
+    """vmapped masked token-mean NLL over a leading candidate axis.
+
+    stacked: tuple of (C, out, in) weight stacks aligned with ``names``; the
+    candidate axis is sharded over the mesh's dp devices, so each device
+    evaluates its own candidate (SURVEY §7.13: the reference leaves every
+    non-main rank idle here)."""
+
+    def one(swaps):
+        p = base_params
+        for name, w in zip(names, swaps):
+            p = llama.set_linear(p, name, w)
+        logits = llama.forward(p, ids, cfg)
+        shift_logits = logits[:, :-1, :]
+        shift_labels = ids[:, 1:]
+        logz = jax.scipy.special.logsumexp(shift_logits, axis=-1)
+        tok = jnp.take_along_axis(shift_logits, shift_labels[..., None], axis=-1)[..., 0]
+        m = mask[:, 1:].astype(jnp.float32)
+        return jnp.sum((logz - tok) * m) / jnp.sum(m)
+
+    return jax.vmap(one)(stacked)
+
+
+def _parallel_candidate_fitness(
+    model: SearchModel, groups, available, candidates: List[State], minibatch, mesh
+) -> List[float]:
+    """Device-parallel candidate evaluation: stack each candidate's layer
+    choices along a dp-sharded axis and evaluate all of them in one program.
+
+    Token-mean NLL over the padded minibatch orders candidates identically to
+    the sequential running-mean perplexity (exp is monotonic; equal-length
+    weighting matches batch_size=1 token-count weighting)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    names = tuple(n for g in groups for n in g)
+    S = max(m.shape[1] for m in minibatch)
+    ids = np.zeros((len(minibatch), S), np.int64)
+    mask = np.zeros((len(minibatch), S), np.bool_)
+    for i, m in enumerate(minibatch):
+        m = np.atleast_2d(np.asarray(m))
+        ids[i, : m.shape[1]] = m[0]
+        mask[i, : m.shape[1]] = True
+    ids_j = jnp.asarray(ids)
+    mask_j = jnp.asarray(mask)
+
+    n_dev = int(mesh.shape.get("dp", 1))
+    bw_index = {
+        name: {round(bw, 6): fn for bw, fn in available[name]} for name in names
+    }
+
+    def file_for(name, bw):
+        return bw_index[name][round(bw, 6)]
+
+    fitnesses: List[float] = []
+    for start in range(0, len(candidates), n_dev):
+        chunk = list(candidates[start : start + n_dev])
+        real = len(chunk)
+        while len(chunk) < n_dev:
+            chunk.append(chunk[-1])
+        stacked = []
+        for gi, g in enumerate(groups):
+            for li, name in enumerate(g):
+                ws = [
+                    model._load_file(name, file_for(name, cand[gi][li]))
+                    for cand in chunk
+                ]
+                arr = jnp.asarray(np.stack(ws), dtype=jnp.float32)
+                stacked.append(
+                    jax.device_put(arr, NamedSharding(mesh, P("dp", None, None)))
+                )
+        fits = _stacked_candidate_nll(
+            model.params, tuple(stacked), ids_j, mask_j, model.cfg, names
+        )
+        fitnesses.extend(np.asarray(fits)[:real].tolist())
+    return fitnesses
 
 
 # ---------------------------------------------------------------------------
@@ -404,6 +493,7 @@ def evo_press_search(
     *,
     eval_datasets: Optional[Dict[str, Any]] = None,
     target_logits=None,
+    mesh=None,
     log: Callable[[str], None] = print,
 ) -> Tuple[State, List[List[str]], Dict[str, List[Tuple[float, str]]]]:
     """Run the generational search; returns (best_state, groups, available)."""
@@ -451,6 +541,7 @@ def evo_press_search(
         candidates, fits = selection(
             model, groups, available, candidates, 1,
             calibration_data, cfg.initial_tokens, cfg.fitness_fn, target_logits,
+            mesh=mesh,
         )
         parent, train_fitness = candidates[0], fits[0]
 
@@ -497,6 +588,7 @@ def evo_press_search(
             offspring_list, fits = selection(
                 model, groups, available, offspring_list, num_survive,
                 calibration_data, num_tokens, cfg.fitness_fn, target_logits,
+                mesh=mesh,
             )
         train_fitness = fits[0]
         parent = offspring_list[0]

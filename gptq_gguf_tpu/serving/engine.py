@@ -68,35 +68,47 @@ def _pad_prompt(prompt: np.ndarray, max_len: Optional[int] = None) -> Tuple[np.n
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
-def _prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache: KVCache, slot,
+def _prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache, slot,
                   n_valid=None):
     """Prefill one slot with a (1, S) prompt; other slots untouched.
 
     prompt may be right-padded; n_valid is the true token count (defaults
-    to S). Compiles once per padded bucket length."""
+    to S). Compiles once per padded bucket length. Works for both the bf16
+    and the int8-quantized cache."""
     S = prompt.shape[1]
     if n_valid is None:
         n_valid = jnp.full((1,), S, jnp.int32)
     else:
         n_valid = jnp.asarray(n_valid, jnp.int32).reshape(1)
-    sub = KVCache(
-        [jax.lax.dynamic_slice_in_dim(k, slot, 1, axis=0) for k in cache.k],
-        [jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=0) for v in cache.v],
-        jnp.zeros((1,), jnp.int32),
-    )
+
+    def take(arrs):
+        return [jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0) for a in arrs]
+
+    is_q8 = isinstance(cache, qmodel.KVCacheQ8)
+    if is_q8:
+        sub = qmodel.KVCacheQ8(take(cache.k), take(cache.v),
+                               take(cache.k_s), take(cache.v_s),
+                               jnp.zeros((1,), jnp.int32))
+    else:
+        sub = KVCache(take(cache.k), take(cache.v), jnp.zeros((1,), jnp.int32))
     logits, sub = qmodel.forward_cached(params, cfg, prompt, sub, n_valid=n_valid)
-    zero = jnp.zeros((), jnp.int32)
-    new_k = [
-        jax.lax.dynamic_update_slice(k, s, (slot, zero, zero, zero))
-        for k, s in zip(cache.k, sub.k)
-    ]
-    new_v = [
-        jax.lax.dynamic_update_slice(v, s, (slot, zero, zero, zero))
-        for v, s in zip(cache.v, sub.v)
-    ]
+
+    def put(full, subs):
+        zero = jnp.zeros((), jnp.int32)
+        return [
+            jax.lax.dynamic_update_slice(f, sl, (slot,) + (zero,) * (f.ndim - 1))
+            for f, sl in zip(full, subs)
+        ]
+
     lengths = cache.lengths.at[slot].set(n_valid[0])
     next_token = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
-    return next_token, KVCache(new_k, new_v, lengths)
+    if is_q8:
+        out = qmodel.KVCacheQ8(put(cache.k, sub.k), put(cache.v, sub.v),
+                               put(cache.k_s, sub.k_s), put(cache.v_s, sub.v_s),
+                               lengths)
+    else:
+        out = KVCache(put(cache.k, sub.k), put(cache.v, sub.v), lengths)
+    return next_token, out
 
 
 def generate(
@@ -109,13 +121,15 @@ def generate(
     eos_token_id: Optional[int] = None,
     temperature: float = 0.0,
     seed: int = 0,
+    kv_quantized: bool = False,
 ) -> List[List[int]]:
     """Batch generation (greedy or sampled). Prompts may differ in length."""
     B = len(prompts)
     prompts = [np.atleast_1d(np.asarray(p)).reshape(-1) for p in prompts]
     max_prompt = max(len(p) for p in prompts)
     max_len = max_len or (max_prompt + max_new_tokens)
-    cache = qmodel.init_cache(cfg, B, max_len, dtype=jnp.bfloat16)
+    cache = qmodel.init_cache(cfg, B, max_len, dtype=jnp.bfloat16,
+                              quantized=kv_quantized)
 
     cur_tokens = np.zeros((B,), np.int32)
     for b, p in enumerate(prompts):
@@ -176,13 +190,15 @@ class ContinuousBatchingEngine:
         num_slots: int = 8,
         max_len: int = 2048,
         eos_token_id: Optional[int] = None,
+        kv_quantized: bool = False,
     ):
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
         self.max_len = max_len
         self.eos = eos_token_id
-        self.cache = qmodel.init_cache(cfg, num_slots, max_len, dtype=jnp.bfloat16)
+        self.cache = qmodel.init_cache(cfg, num_slots, max_len, dtype=jnp.bfloat16,
+                                       quantized=kv_quantized)
         self.tokens = jnp.zeros((num_slots,), jnp.int32)
         self.slot_req: List[Optional[Request]] = [None] * num_slots
         self.queue: deque = deque()
@@ -235,8 +251,8 @@ class ContinuousBatchingEngine:
                 self.completed.append(req)
                 self.slot_req[slot] = None
                 # reset slot length so the next request starts fresh
-                self.cache = KVCache(
-                    self.cache.k, self.cache.v, self.cache.lengths.at[slot].set(0)
+                self.cache = self.cache._replace(
+                    lengths=self.cache.lengths.at[slot].set(0)
                 )
         return len(active)
 

@@ -58,31 +58,69 @@ class KVCache(NamedTuple):
     lengths: jax.Array  # (B,) int32: tokens already cached per slot
 
 
-def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
+class KVCacheQ8(NamedTuple):
+    """int8 KV cache: per-(slot, head, position) symmetric scales.
+
+    Halves KV memory and HBM decode traffic vs bf16 (hd + 4 bytes per entry
+    instead of 2*hd); the llama.cpp analogue is --cache-type-k/v q8_0."""
+
+    k: List[jax.Array]    # per layer (B, n_kv, max_len, hd) int8
+    v: List[jax.Array]
+    k_s: List[jax.Array]  # per layer (B, n_kv, max_len) f32
+    v_s: List[jax.Array]
+    lengths: jax.Array
+
+
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
+               quantized: bool = False):
     hd = cfg.head_dim_
     shape = (batch, cfg.num_key_value_heads, max_len, hd)
+    n = cfg.num_hidden_layers
+    if quantized:
+        return KVCacheQ8(
+            [jnp.zeros(shape, jnp.int8) for _ in range(n)],
+            [jnp.zeros(shape, jnp.int8) for _ in range(n)],
+            [jnp.zeros(shape[:3], jnp.float32) for _ in range(n)],
+            [jnp.zeros(shape[:3], jnp.float32) for _ in range(n)],
+            jnp.zeros((batch,), jnp.int32),
+        )
     return KVCache(
-        [jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)],
-        [jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)],
+        [jnp.zeros(shape, dtype) for _ in range(n)],
+        [jnp.zeros(shape, dtype) for _ in range(n)],
         jnp.zeros((batch,), jnp.int32),
     )
 
 
+def _quantize_kv(x: jax.Array):
+    """(B, S, nKV, hd) -> (int8 codes, (B, S, nKV) f32 scales), symmetric."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    s = amax / 127.0
+    inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv[..., None]), -127, 127)
+    return q.astype(jnp.int8), s
+
+
 def _cached_attention(q, k_cache, v_cache, lengths, scale=None, logit_softcap=None,
-                      sliding_window=None):
+                      sliding_window=None, k_scale=None, v_scale=None):
     """q: (B, nH, S, hd); caches (B, nKV, L, hd); slot b's queries sit at
     positions lengths[b] + [0, S).
 
     Long contexts stream through the online-softmax (flash) path instead of
-    materializing (B, nKV, G, S, L) scores (round-1 weak spot #5)."""
+    materializing (B, nKV, G, S, L) scores (round-1 weak spot #5).
+    k_scale/v_scale: per-entry scales of an int8 KV cache."""
     B, nH, S, hd = q.shape
     nKV = k_cache.shape[1]
     L = k_cache.shape[2]
     if L >= 2 * llama.FLASH_CHUNK:
         qpos = lengths[:, None] + jnp.arange(S)[None, :]
+        # decode (S == 1): only read KV chunks up to the live fill level
         return llama.flash_attention(
-            q, k_cache, v_cache, qpos, scale, logit_softcap, sliding_window
-        )
+            q, k_cache, v_cache, qpos, scale, logit_softcap, sliding_window,
+            dynamic_length=(S == 1), k_scale=k_scale, v_scale=v_scale,
+        ).astype(q.dtype)
+    if k_scale is not None:
+        k_cache = k_cache.astype(jnp.float32) * k_scale[..., None]
+        v_cache = v_cache.astype(jnp.float32) * v_scale[..., None]
     groups = nH // nKV
     qg = q.reshape(B, nKV, groups, S, hd)
     scale = scale if scale is not None else 1.0 / math.sqrt(hd)
@@ -153,7 +191,8 @@ def forward_cached(
         x = x * jnp.asarray(math.sqrt(cfg.hidden_size), dtype=cfg.dtype)
     au = cfg.rms_add_unit
 
-    new_k, new_v = [], []
+    is_q8 = isinstance(cache, KVCacheQ8)
+    new_k, new_v, new_ks, new_vs = [], [], [], []
     for li, layer in enumerate(params["layers"]):
         sliding = (
             cfg.sliding_window
@@ -161,9 +200,18 @@ def forward_cached(
             else None
         )
         h = llama.rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, au)
-        q = _q_linear(h, layer["q_proj"])
-        k = _q_linear(h, layer["k_proj"])
-        v = _q_linear(h, layer["v_proj"])
+        if "qkv_proj" in layer:
+            # fused q/k/v: one kernel launch (serving-time fusion)
+            qkv = _q_linear(h, layer["qkv_proj"])
+            kv_dim = cfg.num_key_value_heads * hd
+            d_q = qkv.shape[-1] - 2 * kv_dim
+            q = qkv[..., :d_q]
+            k = qkv[..., d_q : d_q + kv_dim]
+            v = qkv[..., d_q + kv_dim :]
+        else:
+            q = _q_linear(h, layer["q_proj"])
+            k = _q_linear(h, layer["k_proj"])
+            v = _q_linear(h, layer["v_proj"])
         if layer.get("q_bias") is not None:
             q = q + layer["q_bias"]
             k = k + layer["k_bias"]
@@ -180,12 +228,23 @@ def forward_cached(
         q, k = llama.apply_rope(q, k, cos, sin)
 
         bidx = jnp.arange(B)[:, None]
-        k_cache = cache.k[li].at[bidx, :, positions, :].set(
-            k.transpose(0, 2, 1, 3).astype(cache.k[li].dtype), mode="drop"
-        )
-        v_cache = cache.v[li].at[bidx, :, positions, :].set(
-            v.transpose(0, 2, 1, 3).astype(cache.v[li].dtype), mode="drop"
-        )
+        ks_cache = vs_cache = None
+        if is_q8:
+            kq, ks = _quantize_kv(k.transpose(0, 2, 1, 3))
+            vq, vs = _quantize_kv(v.transpose(0, 2, 1, 3))
+            k_cache = cache.k[li].at[bidx, :, positions, :].set(kq, mode="drop")
+            v_cache = cache.v[li].at[bidx, :, positions, :].set(vq, mode="drop")
+            ks_cache = cache.k_s[li].at[bidx, :, positions].set(ks, mode="drop")
+            vs_cache = cache.v_s[li].at[bidx, :, positions].set(vs, mode="drop")
+            new_ks.append(ks_cache)
+            new_vs.append(vs_cache)
+        else:
+            k_cache = cache.k[li].at[bidx, :, positions, :].set(
+                k.transpose(0, 2, 1, 3).astype(cache.k[li].dtype), mode="drop"
+            )
+            v_cache = cache.v[li].at[bidx, :, positions, :].set(
+                v.transpose(0, 2, 1, 3).astype(cache.v[li].dtype), mode="drop"
+            )
         new_k.append(k_cache)
         new_v.append(v_cache)
 
@@ -195,7 +254,8 @@ def forward_cached(
             else None
         )
         attn = _cached_attention(
-            q, k_cache, v_cache, lengths, att_scale, cfg.attn_logit_softcap, sliding
+            q, k_cache, v_cache, lengths, att_scale, cfg.attn_logit_softcap, sliding,
+            k_scale=ks_cache, v_scale=vs_cache,
         )
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
         attn_out = _q_linear(attn, layer["o_proj"])
@@ -211,8 +271,12 @@ def forward_cached(
         if "gate_inp" in layer:  # sparse MoE FFN (dense float experts)
             mlp_out, _ = llama.moe_ffn(h, layer, cfg)
         else:
-            gate = _q_linear(h, layer["gate_proj"])
-            up = _q_linear(h, layer["up_proj"])
+            if "gateup_proj" in layer:
+                gu = _q_linear(h, layer["gateup_proj"])
+                gate, up = jnp.split(gu, 2, axis=-1)
+            else:
+                gate = _q_linear(h, layer["gate_proj"])
+                up = _q_linear(h, layer["up_proj"])
             act = llama._mlp_act(gate, up, cfg)
             mlp_out = _q_linear(act, layer["down_proj"])
         if psum_axis is not None:
@@ -238,12 +302,42 @@ def forward_cached(
         logits = jax.lax.all_gather(logits, psum_axis, axis=1, tiled=True)
     if cfg.final_logit_softcap:
         logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
+    if is_q8:
+        return logits, KVCacheQ8(new_k, new_v, new_ks, new_vs, lengths + advance)
     return logits, KVCache(new_k, new_v, lengths + advance)
 
 
 # ---------------------------------------------------------------------------
 # Builders
 # ---------------------------------------------------------------------------
+
+
+def fuse_layer_projections(layer: Dict[str, Any]) -> Dict[str, Any]:
+    """Fuse q/k/v and gate/up packed weights into single kernel launches
+    (exact: concatenation along output columns). No-op when the parts are
+    not uniformly v2-packed or biases are present (bias split ambiguity)."""
+    out = dict(layer)
+    if ("q_proj" in out and out.get("q_bias") is None
+            and "qkv_proj" not in out):
+        fused = qmatmul.fuse_rql_v2(
+            [out.get("q_proj"), out.get("k_proj"), out.get("v_proj")]
+        )
+        if fused is not None:
+            out["qkv_proj"] = fused
+            for k in ("q_proj", "k_proj", "v_proj"):
+                del out[k]
+    if "gate_proj" in out and "gateup_proj" not in out:
+        fused = qmatmul.fuse_rql_v2([out.get("gate_proj"), out.get("up_proj")])
+        if fused is not None:
+            out["gateup_proj"] = fused
+            del out["gate_proj"]
+            del out["up_proj"]
+    return out
+
+
+def fuse_params_for_serving(params: Dict[str, Any], cfg: LlamaConfig) -> Dict[str, Any]:
+    return {**params,
+            "layers": [fuse_layer_projections(l) for l in params["layers"]]}
 
 
 def quantize_params_for_serving(

@@ -139,3 +139,44 @@ def test_sparse_kl_fitness(search_setup):
     kl_full = evopress.compute_target_logits(model, calib[:2], "kl")
     val2 = ppl_mod.compute_kl_div(model.params, model.cfg, calib[:2], kl_full)
     assert abs(val2) < 1e-5
+
+
+def test_parallel_candidate_selection_matches_sequential(search_setup):
+    """Device-parallel candidate fitness (dp-sharded candidate axis) must
+    pick the same survivors as the sequential loop (SURVEY §7.13)."""
+    import random
+
+    import jax
+
+    from gptq_gguf_tpu.parallel import mesh as mesh_mod
+
+    cfg, params, calib, db = search_setup
+    model = evopress.SearchModel(dict(params), cfg, db)
+    available = evopress.scan_available_bitwidths(db)
+    names = sorted(available.keys(), key=evopress.layer_order_fn)
+    groups = evopress.group_layers(names, "name", model.numel)
+    rng = np.random.default_rng(3)
+    base = [[4.5 for _ in g] for g in groups]
+    candidates = []
+    for _ in range(5):
+        cand = [list(g) for g in base]
+        gi = rng.integers(0, len(groups))
+        li = rng.integers(0, len(groups[gi]))
+        opts = [bw for bw, _ in available[groups[gi][li]]]
+        cand[gi][li] = float(rng.choice(opts))
+        candidates.append(cand)
+
+    random.seed(11)
+    seq_model = evopress.SearchModel(dict(params), cfg, db)
+    seq_best, seq_fits = evopress.selection(
+        seq_model, groups, available, candidates, 2, calib, 64, "ppl"
+    )
+    mesh = mesh_mod.make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+    random.seed(11)  # same minibatch sampling
+    par_best, par_fits = evopress.selection(
+        model, groups, available, candidates, 2, calib, 64, "ppl", mesh=mesh
+    )
+    assert par_best == seq_best
+    # fitness values agree up to padding/averaging arithmetic
+    ref = [np.log(f) for f in seq_fits]  # sequential returns ppl = exp(nll)
+    np.testing.assert_allclose(par_fits, ref, rtol=1e-4, atol=1e-4)

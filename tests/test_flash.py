@@ -94,3 +94,17 @@ def test_long_forward_uses_flash_and_matches_short_blocks():
         lg, cache = qmodel.forward_cached(params, cfg, jnp.asarray(ids[:, i:i+512]), cache)
         logits.append(np.asarray(lg))
     np.testing.assert_allclose(full[0, -1], logits[-1][0], rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("lens", [[100, 999], [5, 5], [1023, 7]])
+def test_flash_dynamic_length_matches_full_scan(lens):
+    """while_loop length-aware decode must equal the full-ring scan."""
+    B, nH, nKV, S, hd, L = 2, 4, 2, 1, 16, 2048
+    q = jnp.asarray(RNG.normal(size=(B, nH, S, hd)).astype(np.float32))
+    k = jnp.asarray(RNG.normal(size=(B, nKV, L, hd)).astype(np.float32))
+    v = jnp.asarray(RNG.normal(size=(B, nKV, L, hd)).astype(np.float32))
+    qpos = jnp.asarray(np.asarray(lens)[:, None], jnp.int32)
+    full = np.asarray(llama.flash_attention(q, k, v, qpos, chunk=256))
+    dyn = np.asarray(llama.flash_attention(q, k, v, qpos, chunk=256,
+                                           dynamic_length=True))
+    np.testing.assert_allclose(dyn, full, rtol=1e-6, atol=1e-6)

@@ -238,3 +238,31 @@ def test_llama_config_hashable_with_rope_scaling():
     }
     cfg = LlamaConfig.from_hf_dict(d)
     hash(cfg)  # must not raise (jit static arg)
+
+
+def test_gemma1_forward_matches_hf(tmp_path):
+    """gemma v1: (1+w) RMSNorm, sqrt(H) embed scale, gelu MLP, head_dim 256-style."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from gptq_gguf_tpu.models import llama as llama_mod, loader
+
+    cfg_d = {
+        "model_type": "gemma", "architectures": ["GemmaForCausalLM"],
+        "vocab_size": 256, "hidden_size": 128, "intermediate_size": 256,
+        "num_hidden_layers": 2, "num_attention_heads": 2,
+        "num_key_value_heads": 1, "head_dim": 64, "rms_norm_eps": 1e-6,
+        "max_position_embeddings": 512, "hidden_act": "gelu_pytorch_tanh",
+        "hidden_activation": "gelu_pytorch_tanh",
+        "tie_word_embeddings": True, "torch_dtype": "float32", "pad_token_id": 0,
+    }
+    model_dir, m = make_tiny_hf_model(tmp_path, cfg_d, seed=15)
+    cfg = loader.load_config(model_dir)
+    assert cfg.rms_add_unit and cfg.embed_scale and cfg.act_fn == "gelu_tanh"
+    params = loader.load_params(model_dir, cfg)
+    ids = np.random.default_rng(2).integers(0, 256, size=(1, 20))
+    with torch.no_grad():
+        ref = m(torch.from_numpy(ids)).logits.numpy()
+    got = np.asarray(llama_mod.forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)

@@ -295,3 +295,83 @@ def test_pad_prompt_buckets():
     p3 = np.arange(1500, dtype=np.int64)
     padded3, _ = engine._pad_prompt(p3, 2048)
     assert len(padded3) == 2048
+
+
+def test_fused_projection_serving_matches(served):
+    """qkv/gateup runtime fusion (one kernel launch) must be numerically
+    identical to the split projections."""
+    cfg, params, deq_params, quant_dir, _ = served
+    qparams = qmodel.quantize_params_for_serving(params, cfg, quant_dir)
+    fused = qmodel.fuse_params_for_serving(qparams, cfg)
+    l0 = fused["layers"][0]
+    assert "qkv_proj" in l0 and "gateup_proj" in l0
+    assert "q_proj" not in l0
+
+    ids = RNG.integers(0, cfg.vocab_size, size=(1, 10))
+    c1 = qmodel.init_cache(cfg, 1, 16, dtype=jnp.float32)
+    c2 = qmodel.init_cache(cfg, 1, 16, dtype=jnp.float32)
+    l_split, _ = qmodel.forward_cached(qparams, cfg, jnp.asarray(ids), c1)
+    l_fused, _ = qmodel.forward_cached(fused, cfg, jnp.asarray(ids), c2)
+    np.testing.assert_allclose(np.asarray(l_fused), np.asarray(l_split),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_int8_kv_cache_matches_float(served):
+    """Quantized (int8 + per-entry scale) KV cache must track the float
+    cache closely through prefill + decode."""
+    cfg, params, *_ = served
+    ids = RNG.integers(0, cfg.vocab_size, size=(2, 12))
+    cache_f = qmodel.init_cache(cfg, 2, 16, dtype=jnp.float32)
+    cache_q = qmodel.init_cache(cfg, 2, 16, quantized=True)
+    assert cache_q.k[0].dtype == jnp.int8
+
+    lf, cache_f = qmodel.forward_cached(params, cfg, jnp.asarray(ids[:, :8]), cache_f)
+    lq, cache_q = qmodel.forward_cached(params, cfg, jnp.asarray(ids[:, :8]), cache_q)
+    scale = float(np.abs(np.asarray(lf)).max())
+    assert np.abs(np.asarray(lq) - np.asarray(lf)).max() < 0.02 * scale
+    for t in range(8, 12):
+        lf, cache_f = qmodel.forward_cached(params, cfg, jnp.asarray(ids[:, t:t+1]), cache_f)
+        lq, cache_q = qmodel.forward_cached(params, cfg, jnp.asarray(ids[:, t:t+1]), cache_q)
+        assert np.abs(np.asarray(lq) - np.asarray(lf)).max() < 0.02 * scale
+    assert np.asarray(cache_q.lengths).tolist() == [12, 12]
+    # memory: int8 codes + f32/entry scale ~= (hd+4)/(2*hd) of the bf16 cache
+    hd = cfg.head_dim_
+    q8_bytes = cache_q.k[0].nbytes + cache_q.k_s[0].nbytes
+    bf16_bytes = 2 * cache_q.k[0].size
+    assert q8_bytes / bf16_bytes == (hd + 4) / (2 * hd)
+
+
+def test_int8_kv_cache_flash_path():
+    """Long-context (flash) attention path with the quantized cache."""
+    cfg = llama.LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=4096,
+    )
+    params = llama.init_params(cfg, seed=23)
+    L = 2 * llama.FLASH_CHUNK
+    ids = RNG.integers(0, 64, size=(1, 32))
+    cache_f = qmodel.init_cache(cfg, 1, L, dtype=jnp.float32)
+    cache_q = qmodel.init_cache(cfg, 1, L, quantized=True)
+    lf, cache_f = qmodel.forward_cached(params, cfg, jnp.asarray(ids), cache_f)
+    lq, cache_q = qmodel.forward_cached(params, cfg, jnp.asarray(ids), cache_q)
+    scale = float(np.abs(np.asarray(lf)).max())
+    assert np.abs(np.asarray(lq) - np.asarray(lf)).max() < 0.02 * scale
+    # decode step (dynamic-length while_loop with scales)
+    tok = jnp.argmax(lf, -1).astype(jnp.int32)[:, None]
+    lf2, _ = qmodel.forward_cached(params, cfg, tok, cache_f)
+    lq2, _ = qmodel.forward_cached(params, cfg, tok, cache_q)
+    assert np.abs(np.asarray(lq2) - np.asarray(lf2)).max() < 0.02 * scale
+
+
+def test_generate_with_quantized_kv(served):
+    """generate(kv_quantized=True) runs end to end; outputs correlate with
+    the float-cache generation (int8 KV can flip near-tie argmaxes on a
+    random tiny model, so just require a mostly-equal prefix)."""
+    cfg, params, *_ = served
+    prompt = RNG.integers(0, cfg.vocab_size, size=(6,))
+    out_f = engine.generate(params, cfg, [prompt], max_new_tokens=5)[0]
+    out_q = engine.generate(params, cfg, [prompt], max_new_tokens=5,
+                            kv_quantized=True)[0]
+    assert len(out_q) == len(out_f)
+    assert out_q[0] == out_f[0]  # first token: prefill parity
