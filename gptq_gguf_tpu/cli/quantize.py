@@ -41,6 +41,8 @@ def build_parser(p: argparse.ArgumentParser) -> None:
     p.add_argument("--eval_perplexity", action="store_true")
     p.add_argument("--eval_sequence_length", type=int, default=4096)
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--wandb", action="store_true",
+                   help="log stage timings/ppl to wandb (reference quant.py:113)")
     p.add_argument("--profile-dir", dest="profile_dir", default=None,
                    help="write a jax.profiler trace here (TensorBoard/xprof)")
     p.add_argument("--save_dir", type=str, required=True)
@@ -52,8 +54,10 @@ def run(args) -> None:
     from ..ops.kquant import ScaleSearchConfig
     from ..quant import calibrate
     from ..utils.data import get_data
-    from ..utils.logging import StageTimer, profile_trace
+    from ..utils.logging import StageTimer, WandbLogger, profile_trace
 
+    wandb_log = WandbLogger(enabled=args.wandb, project="gptq_gguf_tpu",
+                            config=vars(args))
     timer = StageTimer()
     with timer.stage("load_model"):
         cfg, params = common.load_model(args)
@@ -115,8 +119,10 @@ def run(args) -> None:
             )
             ppl = compute_perplexity(qparams, cfg, eval_data)
         print(f"Wikitext-2 perplexity: {ppl:.3f}")
+        wandb_log.log({"eval/perplexity": ppl})
 
     timer.dump(os.path.join(args.save_dir, "stage_timings.json"))
+    wandb_log.log({f"time/{k}": v for k, v in timer.times.items()})
     if args.verbose:
         for stage, secs in timer.times.items():
             print(f"  {stage}: {secs:.2f}s")

@@ -201,6 +201,8 @@ def build_search(p: argparse.ArgumentParser):
                    help="datasets for the periodic ppl eval (evo_quant_search.py:498-505)")
     p.add_argument("--eval_tokens", type=int, default=2**17)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--wandb", action="store_true",
+                   help="log per-generation fitness to wandb (reference evo_quant_search.py:321)")
     p.add_argument("--checkpoint_path", default=None)
 
 
@@ -247,9 +249,19 @@ def run_search(args):
         }
 
     mesh = common.make_mesh_from_args(args)
+    from ..utils.logging import WandbLogger
+
+    wandb_log = WandbLogger(enabled=args.wandb, project="gptq_gguf_tpu-search",
+                            config=vars(args))
+
+    def log_line(msg: str) -> None:
+        print(msg)
+        if "fitness" in msg and wandb_log.run is not None:
+            wandb_log.log({"search/log": msg})
+
     best, groups, available = evopress.evo_press_search(
         model, calib, ecfg, target_logits=target_logits,
-        eval_datasets=eval_datasets, mesh=mesh,
+        eval_datasets=eval_datasets, mesh=mesh, log=log_line,
     )
     out = os.path.join(
         args.quant_weights_path,
@@ -269,6 +281,17 @@ def build_serve(p: argparse.ArgumentParser):
     p.add_argument("--max-new-tokens", type=int, default=32)
     p.add_argument("--benchmark", action="store_true")
     p.add_argument("--num-slots", type=int, default=8)
+    p.add_argument("--max-len", type=int, default=2048)
+    p.add_argument("--kv-quantized", action="store_true",
+                   help="int8 KV cache (halves KV memory/traffic)")
+    p.add_argument("--paged", action="store_true",
+                   help="block-table paged KV cache")
+    p.add_argument("--page-size", type=int, default=64)
+    p.add_argument("--http", action="store_true", help="run the HTTP server loop")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--tokenizer", default=None,
+                   help="HF tokenizer dir for text prompts over HTTP")
     p.add_argument("--profile-dir", dest="profile_dir", default=None,
                    help="write a jax.profiler trace here (TensorBoard/xprof)")
 
@@ -285,6 +308,28 @@ def run_serve(args):
     with timer.stage("load_gguf"):
         params, cfg = qmodel.load_gguf_for_serving(args.gguf_file)
         params = qmodel.fuse_params_for_serving(params, cfg)
+
+    if args.http:
+        from ..serving.server import serve_http
+
+        tokenizer = None
+        if args.tokenizer:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+        if args.paged:
+            eng = engine.PagedContinuousBatchingEngine(
+                params, cfg, num_slots=args.num_slots, max_len=args.max_len,
+                page_size=args.page_size,
+            )
+        else:
+            eng = engine.ContinuousBatchingEngine(
+                params, cfg, num_slots=args.num_slots, max_len=args.max_len,
+                kv_quantized=args.kv_quantized,
+            )
+        serve_http(eng, host=args.host, port=args.port, tokenizer=tokenizer)
+        return
+
     prompt = np.asarray(args.prompt_tokens or [1, 2, 3, 4], dtype=np.int64)
     with profile_trace(args.profile_dir), timer.stage("generate"):
         t0 = time.time()

@@ -254,6 +254,24 @@ class Gemma2Arch(ArchSpec):
         return md
 
 
+class Gemma3Arch(Gemma2Arch):
+    """gemma3 (text): dual norms like gemma2, per-head q/k norms, dual rope
+    bases (local sliding layers at rope_local_base_freq), no softcaps."""
+
+    gguf_arch = "gemma3"
+
+    def metadata(self):
+        c = self.hf
+        a = self.gguf_arch
+        md = ArchSpec.metadata(self)
+        head_dim = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        md[f"{a}.attention.key_length"] = head_dim
+        md[f"{a}.attention.value_length"] = head_dim
+        md[f"{a}.attention.sliding_window"] = int(c.get("sliding_window", 1024))
+        md[f"{a}.rope.local.freq_base"] = float(c.get("rope_local_base_freq", 10000.0))
+        return md
+
+
 class Phi3Arch(ArchSpec):
     """phi3: llama.cpp expects fused attn_qkv / ffn_up tensors. Row-concat of
     per-projection K-quant artifacts is exact (rows are independent)."""
@@ -378,7 +396,8 @@ class MixtralArch(MoEArchSpec):
 _ARCH_REGISTRY.update(
     {"llama": LlamaArch, "mistral": MistralArch, "qwen2": Qwen2Arch,
      "qwen3": Qwen3Arch, "phi3": Phi3Arch, "gemma": GemmaArch,
-     "gemma2": Gemma2Arch, "qwen2_moe": Qwen2MoeArch,
+     "gemma2": Gemma2Arch, "gemma3_text": Gemma3Arch,
+     "qwen2_moe": Qwen2MoeArch,
      "qwen3_moe": Qwen3MoeArch, "mixtral": MixtralArch}
 )
 

@@ -792,10 +792,13 @@ def dequantize(data: np.ndarray, qtype: GGMLQuantizationType, shape: Tuple[int, 
         raise NotImplementedError(f"dequantize not implemented for {qtype!r}")
     be, ts = GGML_BLOCK_SIZES[qtype]
     flat = np.ascontiguousarray(data).view(np.uint8).reshape(-1, ts)
-    if qtype in KQUANT_SPECS:
+    if qtype in KQUANT_SPECS or qtype in (
+        GGMLQuantizationType.Q8_K, GGMLQuantizationType.IQ4_NL,
+        GGMLQuantizationType.IQ4_XS,
+    ):
         from . import native
 
-        out = native.native_dequant(qtype.name, flat, flat.shape[0])
+        out = native.native_dequant(qtype.name, flat, flat.shape[0], be)
         if out is not None:
             return out.reshape(shape)
     vals = fn(flat)

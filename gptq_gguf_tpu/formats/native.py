@@ -73,7 +73,8 @@ def _ptr(a: np.ndarray, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
 
 
-def native_dequant(qtype_name: str, blocks: np.ndarray, n_blocks: int) -> Optional[np.ndarray]:
+def native_dequant(qtype_name: str, blocks: np.ndarray, n_blocks: int,
+                   block_elems: int = 256) -> Optional[np.ndarray]:
     lib = get_lib()
     if lib is None:
         return None
@@ -81,7 +82,7 @@ def native_dequant(qtype_name: str, blocks: np.ndarray, n_blocks: int) -> Option
     if fn is None:
         return None
     blocks = np.ascontiguousarray(blocks, dtype=np.uint8)
-    out = np.empty((n_blocks, 256), dtype=np.float32)
+    out = np.empty((n_blocks, block_elems), dtype=np.float32)
     fn(_ptr(blocks, ctypes.c_uint8), _ptr(out, ctypes.c_float), n_blocks)
     return out
 

@@ -64,6 +64,11 @@ class LlamaConfig:
     query_pre_attn_scalar: Optional[float] = None
     sliding_window: Optional[int] = None
     sliding_pattern: int = 2  # every Nth layer is global (gemma2: odd layers)
+    # explicit per-layer sliding flags (gemma3 layer_types); overrides the
+    # modulo pattern when set
+    sliding_layers: Optional[Tuple[bool, ...]] = None
+    # gemma3: local (sliding) layers use a different rope base, no scaling
+    rope_local_theta: Optional[float] = None
     # MoE (qwen2moe/qwen3moe/mixtral); a layer is sparse iff its param dict
     # has "gate_inp" (mixed dense/sparse stacks are shape-driven)
     moe_num_experts: Optional[int] = None
@@ -87,6 +92,17 @@ class LlamaConfig:
                       "original_max_position_embeddings": d["original_max_position_embeddings"]}
         rope_scaling = _freeze_value(rs_raw)
         mt = d.get("model_type", "llama")
+        gemma_like = mt in ("gemma", "gemma2", "gemma3_text")
+        sliding_layers = None
+        if d.get("layer_types"):
+            sliding_layers = tuple(
+                t == "sliding_attention" for t in d["layer_types"]
+            )
+        elif mt == "gemma3_text":
+            pat = d.get("sliding_window_pattern", 6)
+            sliding_layers = tuple(
+                bool((i + 1) % pat) for i in range(d["num_hidden_layers"])
+            )
         moe_experts = d.get("num_experts", d.get("num_local_experts"))
         return LlamaConfig(
             moe_num_experts=moe_experts,
@@ -96,13 +112,20 @@ class LlamaConfig:
             moe_norm_topk=bool(d.get("norm_topk_prob", mt == "mixtral")),
             moe_intermediate_size=d.get("moe_intermediate_size"),
             arch="gemma2" if mt == "gemma2" else "llama",
-            rms_add_unit=mt in ("gemma", "gemma2"),
-            embed_scale=mt in ("gemma", "gemma2"),
-            act_fn="gelu_tanh" if mt in ("gemma", "gemma2") else "silu",
+            rms_add_unit=gemma_like,
+            embed_scale=gemma_like,
+            act_fn="gelu_tanh" if gemma_like else "silu",
             attn_logit_softcap=d.get("attn_logit_softcapping"),
             final_logit_softcap=d.get("final_logit_softcapping"),
             query_pre_attn_scalar=d.get("query_pre_attn_scalar"),
-            sliding_window=d.get("sliding_window") if mt == "gemma2" else None,
+            sliding_window=(
+                d.get("sliding_window") if mt in ("gemma2", "gemma3_text") else None
+            ),
+            sliding_layers=sliding_layers if mt in ("gemma2", "gemma3_text") else None,
+            rope_local_theta=(
+                d.get("rope_local_base_freq") if mt == "gemma3_text" else None
+            ),
+            qk_norm=mt in ("qwen3", "qwen3_moe", "gemma3_text"),
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
             intermediate_size=d["intermediate_size"],
@@ -116,7 +139,6 @@ class LlamaConfig:
             tie_word_embeddings=d.get("tie_word_embeddings", False),
             attention_bias=d.get("attention_bias", False),
             mlp_bias=d.get("mlp_bias", False),
-            qk_norm=mt in ("qwen3", "qwen3_moe"),
             rope_scaling=rope_scaling,
             dtype=dtype,
         )
@@ -536,6 +558,38 @@ def moe_ffn(
     return out, caps
 
 
+def is_sliding_layer(cfg: LlamaConfig, layer_idx: int) -> bool:
+    """Does this layer use sliding-window attention?"""
+    if not cfg.sliding_window:
+        return False
+    if cfg.sliding_layers is not None:
+        return bool(cfg.sliding_layers[layer_idx])
+    return layer_idx % cfg.sliding_pattern == 0
+
+
+def select_rope(cos, sin, cfg: LlamaConfig, layer_idx: int):
+    """Pick the (global, local) rope tables for a layer; cos/sin are either
+    plain arrays or (global, local) pairs (gemma3 dual rope bases)."""
+    if isinstance(cos, tuple):
+        if is_sliding_layer(cfg, layer_idx):
+            return cos[1], sin[1]
+        return cos[0], sin[0]
+    return cos, sin
+
+
+def rope_cos_sin_all(cfg: LlamaConfig, positions: jax.Array, seq_len=None):
+    """cos/sin for the forward pass: a (global, local) pair when the config
+    has a separate local rope base (gemma3), else plain arrays."""
+    cos_g, sin_g = rope_cos_sin(cfg, positions, seq_len)
+    if cfg.rope_local_theta is None:
+        return cos_g, sin_g
+    local_cfg = dataclasses.replace(
+        cfg, rope_theta=cfg.rope_local_theta, rope_scaling=None
+    )
+    cos_l, sin_l = rope_cos_sin(local_cfg, positions, seq_len)
+    return (cos_g, cos_l), (sin_g, sin_l)
+
+
 def _sliding_mask(mask: jax.Array, window: int) -> jax.Array:
     S = mask.shape[-1]
     qpos = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
@@ -564,9 +618,11 @@ def block_capture(
     nH, nKV = cfg.num_attention_heads, cfg.num_key_value_heads
     au = cfg.rms_add_unit
 
+    sliding = is_sliding_layer(cfg, layer_idx)
     attn_mask = mask
-    if cfg.sliding_window and layer_idx % cfg.sliding_pattern == 0:
+    if sliding:
         attn_mask = _sliding_mask(mask, cfg.sliding_window)
+    cos, sin = select_rope(cos, sin, cfg, layer_idx)
 
     h1 = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, au)
     q = _linear(h1, layer["q_proj"], layer.get("q_bias"))
@@ -588,11 +644,7 @@ def block_capture(
         # long-sequence path: stream KV chunks (standard causal semantics —
         # the explicit mask argument always encodes exactly this for the
         # calibration/eval callers)
-        win = (
-            cfg.sliding_window
-            if cfg.sliding_window and layer_idx % cfg.sliding_pattern == 0
-            else None
-        )
+        win = cfg.sliding_window if sliding else None
         qpos = jnp.broadcast_to(jnp.arange(S), (B, S))
         attn = flash_attention(q, k, v, qpos, scale, cfg.attn_logit_softcap, win)
     else:
@@ -673,7 +725,7 @@ def forward(
     B, S = input_ids.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(S), (B, S))
-    cos, sin = rope_cos_sin(cfg, positions, seq_len=S)
+    cos, sin = rope_cos_sin_all(cfg, positions, seq_len=S)
     mask = causal_mask(B, S)
     x = embed_forward(params, input_ids, cfg)
     for li, layer in enumerate(params["layers"]):

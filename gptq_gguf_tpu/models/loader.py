@@ -18,7 +18,8 @@ import numpy as np
 from .llama import LlamaConfig
 
 SUPPORTED_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3", "phi3", "gemma",
-                         "gemma2", "qwen2_moe", "qwen3_moe", "mixtral")
+                         "gemma2", "gemma3_text", "qwen2_moe", "qwen3_moe",
+                         "mixtral")
 
 
 def load_config(model_dir: Union[str, Path], dtype=jnp.float32) -> LlamaConfig:

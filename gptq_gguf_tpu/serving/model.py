@@ -174,7 +174,7 @@ def forward_cached(
     positions = lengths[:, None] + jnp.arange(S)[None, :]
     # longrope models switch factors on the live context length; the cache
     # capacity is the static upper bound of any position used here
-    cos, sin = llama.rope_cos_sin(cfg, positions, seq_len=cache.k[0].shape[2])
+    cos, sin = llama.rope_cos_sin_all(cfg, positions, seq_len=cache.k[0].shape[2])
 
     x = params["embed_tokens"]
     if psum_axis is not None and not isinstance(x, _QUANT_TYPES):
@@ -194,11 +194,7 @@ def forward_cached(
     is_q8 = isinstance(cache, KVCacheQ8)
     new_k, new_v, new_ks, new_vs = [], [], [], []
     for li, layer in enumerate(params["layers"]):
-        sliding = (
-            cfg.sliding_window
-            if cfg.sliding_window and li % cfg.sliding_pattern == 0
-            else None
-        )
+        sliding = cfg.sliding_window if llama.is_sliding_layer(cfg, li) else None
         h = llama.rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, au)
         if "qkv_proj" in layer:
             # fused q/k/v: one kernel launch (serving-time fusion)
@@ -225,7 +221,8 @@ def forward_cached(
         if cfg.qk_norm:
             q = llama.rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
             k = llama.rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
-        q, k = llama.apply_rope(q, k, cos, sin)
+        cos_l, sin_l = llama.select_rope(cos, sin, cfg, li)
+        q, k = llama.apply_rope(q, k, cos_l, sin_l)
 
         bidx = jnp.arange(B)[:, None]
         ks_cache = vs_cache = None

@@ -107,7 +107,7 @@ def forward_paged(
     hd = cfg.head_dim_
     lengths = cache.lengths
     positions = lengths[:, None] + jnp.arange(S)[None, :]
-    cos, sin = llama.rope_cos_sin(cfg, positions, seq_len=cache.max_len)
+    cos, sin = llama.rope_cos_sin_all(cfg, positions, seq_len=cache.max_len)
 
     x = params["embed_tokens"]
     x = (x[input_ids] if not isinstance(x, _QUANT_TYPES)
@@ -118,11 +118,7 @@ def forward_paged(
 
     new_k, new_v = [], []
     for li, layer in enumerate(params["layers"]):
-        sliding = (
-            cfg.sliding_window
-            if cfg.sliding_window and li % cfg.sliding_pattern == 0
-            else None
-        )
+        sliding = cfg.sliding_window if llama.is_sliding_layer(cfg, li) else None
         h = llama.rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, au)
         q = _q_linear(h, layer["q_proj"])
         k = _q_linear(h, layer["k_proj"])
@@ -139,7 +135,8 @@ def forward_paged(
         if cfg.qk_norm:
             q = llama.rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
             k = llama.rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
-        qr, kr = llama.apply_rope(q, k.transpose(0, 2, 1, 3), cos, sin)
+        cos_l, sin_l = llama.select_rope(cos, sin, cfg, li)
+        qr, kr = llama.apply_rope(q, k.transpose(0, 2, 1, 3), cos_l, sin_l)
         k = kr.transpose(0, 2, 1, 3)
 
         k_pool = _write_paged(cache.k_pages[li], cache.page_table, positions, k)

@@ -330,4 +330,64 @@ void pack_q6_k(const int8_t *q, const float *d, const int8_t *sc,
     }
 }
 
+// ---- Q8_K / IQ4_NL / IQ4_XS dequant (round 2) -----------------------------
+
+void dequant_q8_k(const uint8_t *blocks, float *out, int64_t n_blocks) {
+    // 292 B: f32 d | int8 qs[256] | int16 bsums[16]
+    for (int64_t nb = 0; nb < n_blocks; nb++) {
+        const uint8_t *b = blocks + nb * 292;
+        float d;
+        std::memcpy(&d, b, 4);
+        const int8_t *qs = (const int8_t *)(b + 4);
+        float *o = out + nb * 256;
+        for (int i = 0; i < 256; i++) o[i] = d * qs[i];
+    }
+}
+
+static const int8_t kvalues_iq4nl[16] = {
+    -127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69, 89, 113,
+};
+
+void dequant_iq4_nl(const uint8_t *blocks, float *out, int64_t n_blocks) {
+    // 18 B: f16 d | u8 qs[16] (low nibbles = elems 0..15, high = 16..31)
+    for (int64_t nb = 0; nb < n_blocks; nb++) {
+        const uint8_t *b = blocks + nb * 18;
+        uint16_t h;
+        std::memcpy(&h, b, 2);
+        float d = fp16_to_fp32(h);
+        const uint8_t *qs = b + 2;
+        float *o = out + nb * 32;
+        for (int j = 0; j < 16; j++) {
+            o[j] = d * kvalues_iq4nl[qs[j] & 0x0F];
+            o[j + 16] = d * kvalues_iq4nl[qs[j] >> 4];
+        }
+    }
+}
+
+void dequant_iq4_xs(const uint8_t *blocks, float *out, int64_t n_blocks) {
+    // 136 B: f16 d | u16 scales_h | u8 scales_l[4] | u8 qs[128]
+    for (int64_t nb = 0; nb < n_blocks; nb++) {
+        const uint8_t *b = blocks + nb * 136;
+        uint16_t h;
+        std::memcpy(&h, b, 2);
+        float d = fp16_to_fp32(h);
+        uint16_t sh;
+        std::memcpy(&sh, b + 2, 2);
+        const uint8_t *sl = b + 4;
+        const uint8_t *qs = b + 8;
+        float *o = out + nb * 256;
+        for (int ib = 0; ib < 8; ib++) {
+            int ls = ((sl[ib / 2] >> (4 * (ib % 2))) & 0x0F)
+                     | (((sh >> (2 * ib)) & 3) << 4);
+            float dl = d * (ls - 32);
+            for (int j = 0; j < 16; j++) {
+                o[j] = dl * kvalues_iq4nl[qs[j] & 0x0F];
+                o[j + 16] = dl * kvalues_iq4nl[qs[j] >> 4];
+            }
+            o += 32;
+            qs += 16;
+        }
+    }
+}
+
 }  // extern "C"

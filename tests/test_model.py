@@ -266,3 +266,39 @@ def test_gemma1_forward_matches_hf(tmp_path):
         ref = m(torch.from_numpy(ids)).logits.numpy()
     got = np.asarray(llama_mod.forward(params, jnp.asarray(ids), cfg))
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_gemma3_forward_matches_hf(tmp_path):
+    """gemma3: dual rope bases (local/global), layer_types sliding pattern,
+    per-head q/k (1+w) norms, query_pre_attn_scalar."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from gptq_gguf_tpu.models import llama as llama_mod, loader
+
+    cfg_d = {
+        "model_type": "gemma3_text", "architectures": ["Gemma3ForCausalLM"],
+        "vocab_size": 256, "hidden_size": 128, "intermediate_size": 256,
+        "num_hidden_layers": 7, "num_attention_heads": 2,
+        "num_key_value_heads": 1, "head_dim": 64, "rms_norm_eps": 1e-6,
+        "max_position_embeddings": 512, "query_pre_attn_scalar": 64,
+        "sliding_window": 8, "rope_theta": 1000000.0,
+        "rope_local_base_freq": 10000.0,
+        "hidden_activation": "gelu_pytorch_tanh",
+        "tie_word_embeddings": True, "torch_dtype": "float32", "pad_token_id": 0,
+    }
+    model_dir, m = make_tiny_hf_model(tmp_path, cfg_d, seed=19)
+    cfg = loader.load_config(model_dir)
+    assert cfg.rope_local_theta == 10000.0
+    assert cfg.sliding_layers is not None
+    assert cfg.sliding_layers[5] is False and cfg.sliding_layers[0] is True
+    assert cfg.qk_norm and cfg.rms_add_unit
+    params = loader.load_params(model_dir, cfg)
+    assert "pre_feedforward_layernorm" in params["layers"][0]
+
+    ids = np.random.default_rng(4).integers(0, 256, size=(1, 24))
+    with torch.no_grad():
+        ref = m(torch.from_numpy(ids)).logits.numpy()
+    got = np.asarray(llama_mod.forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)

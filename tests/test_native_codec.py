@@ -91,3 +91,28 @@ def test_fp16_conversion_edge_cases():
     ref = ggml.pack_q4_k(q, vals, sc, dmin, mn)
     nat = native.native_pack("q4_k", q, vals, sc, dmin, mn)
     np.testing.assert_array_equal(ref[:, 0:2], nat[:, 0:2])
+
+
+def test_native_q8k_iq4_dequant_matches_numpy():
+    """C++ fast path for the round-2 codecs must byte-match numpy."""
+    from gptq_gguf_tpu.formats import ggml, native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("no compiler")
+    rng = np.random.default_rng(5)
+    x8 = rng.normal(size=(4, 256)).astype(np.float32)
+    blocks = ggml.quantize_q8_k(x8)
+    got = native.native_dequant("Q8_K", blocks, 4, 256)
+    np.testing.assert_array_equal(got, ggml.dequant_q8_k(blocks))
+
+    xn = rng.normal(size=(8, 32)).astype(np.float32)
+    bn = ggml.quantize_iq4_nl(xn)
+    got = native.native_dequant("IQ4_NL", bn, 8, 32)
+    np.testing.assert_array_equal(got, ggml.dequant_iq4_nl(bn))
+
+    xx = rng.normal(size=(4, 256)).astype(np.float32)
+    bx = ggml.quantize_iq4_xs(xx)
+    got = native.native_dequant("IQ4_XS", bx, 4, 256)
+    np.testing.assert_array_equal(got, ggml.dequant_iq4_xs(bx))

@@ -375,3 +375,31 @@ def test_generate_with_quantized_kv(served):
                             kv_quantized=True)[0]
     assert len(out_q) == len(out_f)
     assert out_q[0] == out_f[0]  # first token: prefill parity
+
+
+def test_serving_gemma3_matches_forward(tmp_path):
+    """Cached serving with gemma3 dual rope bases + layer_types sliding."""
+    from tests.test_model import make_tiny_hf_model
+
+    cfg_d = {
+        "model_type": "gemma3_text", "architectures": ["Gemma3ForCausalLM"],
+        "vocab_size": 256, "hidden_size": 128, "intermediate_size": 256,
+        "num_hidden_layers": 7, "num_attention_heads": 2,
+        "num_key_value_heads": 1, "head_dim": 64, "rms_norm_eps": 1e-6,
+        "max_position_embeddings": 512, "query_pre_attn_scalar": 64,
+        "sliding_window": 8, "rope_theta": 1000000.0,
+        "rope_local_base_freq": 10000.0,
+        "hidden_activation": "gelu_pytorch_tanh",
+        "tie_word_embeddings": True, "torch_dtype": "float32", "pad_token_id": 0,
+    }
+    model_dir, _ = make_tiny_hf_model(tmp_path, cfg_d, seed=33)
+    cfg = loader.load_config(model_dir)
+    params = loader.load_params(model_dir, cfg)
+    ids = RNG.integers(0, cfg.vocab_size, size=(1, 20))
+    full = np.asarray(llama.forward(params, jnp.asarray(ids), cfg))
+    cache = qmodel.init_cache(cfg, 1, 24, dtype=jnp.float32)
+    logits, cache = qmodel.forward_cached(params, cfg, jnp.asarray(ids[:, :12]), cache)
+    np.testing.assert_allclose(np.asarray(logits), full[:, 11, :], rtol=3e-3, atol=3e-3)
+    for t in range(12, 20):
+        logits, cache = qmodel.forward_cached(params, cfg, jnp.asarray(ids[:, t:t+1]), cache)
+        np.testing.assert_allclose(np.asarray(logits), full[:, t, :], rtol=3e-3, atol=3e-3)
