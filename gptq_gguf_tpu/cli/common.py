@@ -26,6 +26,13 @@ def add_data_args(p: argparse.ArgumentParser) -> None:
 def add_mesh_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dp", type=int, default=None, help="data-parallel mesh size")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() before building the "
+                        "mesh (TPU pods: coordinator/process env vars or "
+                        "--coordinator/--num_processes/--process_id)")
+    p.add_argument("--coordinator", default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
 
 
 def resolve_dtype(name: str):
@@ -69,6 +76,14 @@ def load_calibration(args, cfg, tokenizer, train: bool = True):
 
 def make_mesh_from_args(args):
     """Build a mesh only when the user explicitly asked for parallelism."""
+    if getattr(args, "multihost", False):
+        from ..parallel import mesh as mesh_mod
+
+        mesh_mod.init_distributed(
+            coordinator=getattr(args, "coordinator", None),
+            num_processes=getattr(args, "num_processes", None),
+            process_id=getattr(args, "process_id", None),
+        )
     dp = getattr(args, "dp", None)
     tp = getattr(args, "tp", 1)
     if dp in (None, 0, 1) and tp in (None, 0, 1):

@@ -40,6 +40,8 @@ def build_parser(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval_perplexity", action="store_true")
     p.add_argument("--eval_sequence_length", type=int, default=4096)
+    p.add_argument("--scan_batches", choices=["auto", "on", "off"], default="auto",
+                   help="single-program per-block capture (device-resident activations)")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--wandb", action="store_true",
                    help="log stage timings/ppl to wandb (reference quant.py:113)")
@@ -100,6 +102,7 @@ def run(args) -> None:
             quantizable_regex=args.quantizable_modules,
             batch_size=args.batch_size,
             mesh=mesh,
+            scan_batches={"auto": None, "on": True, "off": False}[args.scan_batches],
             verbose=args.verbose,
         )
     print(f"Quantization took {time.perf_counter() - t0:.1f} s.")

@@ -499,6 +499,46 @@ def run_lmeval(args):
 SUBCOMMANDS["lm-eval"] = (build_lmeval, run_lmeval)
 
 
+# -- plan (serving HBM memory planner) --------------------------------------
+
+
+def build_plan(p: argparse.ArgumentParser):
+    p.add_argument("--model_name_or_path", default=None, help="HF checkpoint dir")
+    p.add_argument("--preset", choices=["llama-3-8b", "llama-3-70b"], default=None)
+    p.add_argument("--qtype", default="Q4_K",
+                   choices=["Q2_K", "Q3_K", "Q4_K", "Q5_K", "Q6_K"])
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--max-len", type=int, default=4096)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--chip", default="v5e", choices=["v5e", "v5p", "v4", "v6e"])
+    p.add_argument("--kv-quantized", action="store_true")
+
+
+def run_plan(args):
+    from ..formats.ggml import GGMLQuantizationType
+    from ..serving import memory_plan as mp
+
+    if args.preset:
+        cfg = mp.LLAMA3_70B if args.preset == "llama-3-70b" else mp.LLAMA3_8B
+    elif args.model_name_or_path:
+        from ..models import loader
+
+        cfg = loader.load_config(args.model_name_or_path)
+    else:
+        raise SystemExit("need --model_name_or_path or --preset")
+    plan = mp.plan_serving_memory(
+        cfg, qtype=GGMLQuantizationType[args.qtype], batch=args.batch,
+        max_len=args.max_len, tp=args.tp, chip=args.chip,
+        kv_quantized=args.kv_quantized,
+    )
+    print(json.dumps(plan.summary(), indent=2))
+    if not plan.fits:
+        print(f"does NOT fit at tp={args.tp} on {args.chip}; try more chips")
+
+
+SUBCOMMANDS["plan"] = (build_plan, run_plan)
+
+
 # -- parity (BASELINE.md acceptance harness) --------------------------------
 
 

@@ -85,6 +85,39 @@ def _propagate_step(layer, x, cos, sin, mask, cfg: LlamaConfig, layer_idx: int =
     return llama.block_forward(layer, x, cos, sin, mask, cfg, layer_idx)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "layer_idx"), donate_argnames=("hs",))
+def _capture_scan(layer, xs, cos, sin, mask, hs, counts, cfg: LlamaConfig,
+                  layer_idx: int = 0):
+    """All calibration batches through one block in a single program.
+
+    xs: (N, B, S, H). One dispatch instead of N (the round-1 walk was
+    dominated by host-loop dispatch/sync on the relay chip, ROADMAP #4);
+    the EMA accumulation order matches the sequential loop exactly.
+    """
+
+    def body(carry, x):
+        hs, counts = carry
+        out, caps = llama.block_capture(layer, x, cos, sin, mask, cfg, layer_idx)
+        new_hs, new_counts = {}, {}
+        for key in ("qkv", "o", "gateup", "down"):
+            h, n = gptq_ops.accumulate_hessian(hs[key], counts[key], caps[key])
+            new_hs[key] = h
+            new_counts[key] = n
+        return (new_hs, new_counts), out
+
+    (hs, counts), outs = jax.lax.scan(body, (hs, counts), xs)
+    return outs, hs, counts
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "layer_idx"))
+def _propagate_scan(layer, xs, cos, sin, mask, cfg: LlamaConfig, layer_idx: int = 0):
+    def body(_, x):
+        return None, llama.block_forward(layer, x, cos, sin, mask, cfg, layer_idx)
+
+    _, outs = jax.lax.scan(body, None, xs)
+    return outs
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "layer_idx"), donate_argnames=("hs", "moe_sums")
 )
@@ -125,6 +158,7 @@ def quantize_model(
     quantizable_regex: str = ".*",
     batch_size: int = 1,
     mesh=None,
+    scan_batches: Optional[bool] = None,
     verbose: bool = False,
 ) -> Dict[str, Any]:
     """Run the GPTQ calibration walk; returns params with quantized weights.
@@ -135,6 +169,11 @@ def quantize_model(
     mesh: optional Mesh for data-parallel Hessian accumulation (see
     parallel.dp) — calibration batches are sharded and Hessians psum-reduced,
     replacing the reference's NCCL all_reduce (gptq.py:131-132).
+    scan_batches: run all calibration batches through each block in ONE
+    jitted lax.scan (activations stay device-resident between blocks) —
+    removes the per-batch host dispatch/sync that dominates the walk on
+    slow-dispatch targets. None = auto: on when batch shapes are uniform,
+    no dp mesh, no MoE layers, and stacked activations fit comfortably.
     """
     qcfg = resolve_quant_config(quant_config)
     pattern = re.compile(quantizable_regex)
@@ -166,6 +205,17 @@ def quantize_model(
         np.asarray(llama.embed_forward(params, jnp.asarray(b), cfg)) for b in batches
     ]
 
+    any_moe = any("gate_inp" in l for l in params["layers"])
+    uniform = len({b.shape for b in batches}) == 1
+    if scan_batches is None:
+        act_bytes = 2 * sum(x.nbytes for x in xs)
+        scan_batches = (
+            uniform and mesh is None and not any_moe and act_bytes < 4e9
+        )
+    if scan_batches and (not uniform or any_moe):
+        raise ValueError("scan_batches requires uniform batch shapes and no MoE layers")
+    xs_stack = jnp.asarray(np.stack(xs)) if scan_batches else None
+
     # ---- sequential block walk ----
     n_layers = cfg.num_hidden_layers
     for li in range(n_layers):
@@ -196,7 +246,14 @@ def quantize_model(
         hs = {k: jnp.zeros((d, d), jnp.float32) for k, d in sizes.items()}
         counts = {k: jnp.zeros((), jnp.float32) for k in sizes}
 
-        for x in xs:
+        if scan_batches:
+            b0 = batches[0].shape[0]
+            cos, sin = rope_for(b0)
+            mask = llama.causal_mask(b0, S)
+            _, hs, counts = _capture_scan(
+                layer, xs_stack, cos, sin, mask, hs, counts, cfg, li
+            )
+        for x in (xs if not scan_batches else ()):
             b = x.shape[0]
             cos, sin = rope_for(b)
             mask = llama.causal_mask(b, S)
@@ -292,14 +349,20 @@ def quantize_model(
         params = {**params, "layers": layers}
 
         # ---- propagate quantized activations (quantizer.py:161-172) ----
-        new_xs = []
-        for x in xs:
-            b = x.shape[0]
-            cos, sin = rope_for(b)
-            mask = llama.causal_mask(b, S)
-            out = _propagate_step(new_layer, jnp.asarray(x), cos, sin, mask, cfg, li)
-            new_xs.append(np.asarray(out))
-        xs = new_xs
+        if scan_batches:
+            b0 = batches[0].shape[0]
+            cos, sin = rope_for(b0)
+            mask = llama.causal_mask(b0, S)
+            xs_stack = _propagate_scan(new_layer, xs_stack, cos, sin, mask, cfg, li)
+        else:
+            new_xs = []
+            for x in xs:
+                b = x.shape[0]
+                cos, sin = rope_for(b)
+                mask = llama.causal_mask(b, S)
+                out = _propagate_step(new_layer, jnp.asarray(x), cos, sin, mask, cfg, li)
+                new_xs.append(np.asarray(out))
+            xs = new_xs
 
         if verbose:
             print(

@@ -108,3 +108,33 @@ def test_quantizable_regex_filter(tiny, tmp_path):
     layer_dirs = artifacts.list_layers(save_dir)
     assert len(layer_dirs) == 2 * cfg.num_hidden_layers
     assert all("q_proj" in n or "k_proj" in n for n in layer_dirs)
+
+
+def test_scan_batches_matches_loop(tmp_path):
+    """scan_batches=True (single-program capture/propagate) must reproduce
+    the sequential per-batch walk exactly (same EMA order)."""
+    import jax.numpy as jnp
+
+    from gptq_gguf_tpu.models import llama as llama_mod
+
+    cfg = llama_mod.LlamaConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    )
+    params = llama_mod.init_params(cfg, seed=41)
+    rng = np.random.default_rng(43)
+    calib = [rng.integers(0, 128, size=(1, 32)) for _ in range(4)]
+
+    d1 = tmp_path / "loop"
+    d2 = tmp_path / "scan"
+    p_loop = calibrate.quantize_model(params, cfg, calib, save_dir=d1,
+                                      scan_batches=False)
+    p_scan = calibrate.quantize_model(params, cfg, calib, save_dir=d2,
+                                      scan_batches=True)
+    w1 = np.asarray(p_loop["layers"][1]["down_proj"])
+    w2 = np.asarray(p_scan["layers"][1]["down_proj"])
+    np.testing.assert_allclose(w2, w1, rtol=1e-6, atol=1e-7)
+    # artifacts byte-identical codes
+    a1 = artifacts.load_layer(d1, "model.layers.1.mlp.down_proj")
+    a2 = artifacts.load_layer(d2, "model.layers.1.mlp.down_proj")
+    np.testing.assert_array_equal(a1.qweight, a2.qweight)
