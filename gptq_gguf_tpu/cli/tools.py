@@ -209,6 +209,8 @@ def build_search(p: argparse.ArgumentParser):
 def run_search(args):
     import os
 
+    import numpy as np
+
     from ..search import evopress
 
     cfg, params = common.load_model(args)
@@ -218,6 +220,13 @@ def run_search(args):
 
     target_logits = None
     if args.fitness_fn in ("kl", "sparse_kl"):
+        if args.fitness_fn == "kl":
+            est = sum(np.atleast_2d(np.asarray(c)).size for c in calib) * cfg.vocab_size * 4
+            if est > 8e9:
+                print(
+                    f"[search] WARNING: dense KL teacher cache needs ~{est/1e9:.0f} GB "
+                    "of host memory (seqs x vocab f32); consider --fitness_fn sparse_kl"
+                )
         target_logits = evopress.compute_target_logits(
             model, calib, args.fitness_fn, topk=args.kl_topk
         )
@@ -420,6 +429,39 @@ def run_pack_compressed(args):
 
 
 SUBCOMMANDS["pack-compressed"] = (build_pack_compressed, run_pack_compressed)
+
+
+# -- imatrix (llama.cpp llama-imatrix equivalent) ---------------------------
+
+
+def build_imatrix(p: argparse.ArgumentParser):
+    common.add_model_args(p)
+    common.add_data_args(p)
+    p.add_argument("--output", required=True, help=".npz of importance vectors")
+    p.add_argument("--batch_size", type=int, default=1)
+
+
+def run_imatrix(args):
+    import numpy as np
+
+    from ..export.packer import hf_to_gguf_name
+    from ..quant import rtn
+
+    cfg, params = common.load_model(args)
+    tokenizer = common.load_tokenizer(args)
+    calib = common.load_calibration(args, cfg, tokenizer)
+    im = rtn.compute_imatrix(params, cfg, calib, batch_size=args.batch_size)
+    out = {}
+    for hf_name, vec in im.items():
+        out[hf_name] = np.asarray(vec, np.float32)
+        gguf_name = hf_to_gguf_name(hf_name + ".weight")
+        if gguf_name:
+            out[gguf_name] = out[hf_name]
+    np.savez(args.output, **out)
+    print(f"wrote {len(im)} importance vectors (hf + gguf keys) to {args.output}")
+
+
+SUBCOMMANDS["imatrix"] = (build_imatrix, run_imatrix)
 
 
 # -- llama-quantize (GGUF -> GGUF mixed-type recipes, run_quant.sh) ---------

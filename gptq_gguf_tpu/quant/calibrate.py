@@ -171,9 +171,10 @@ def quantize_model(
     replacing the reference's NCCL all_reduce (gptq.py:131-132).
     scan_batches: run all calibration batches through each block in ONE
     jitted lax.scan (activations stay device-resident between blocks) —
-    removes the per-batch host dispatch/sync that dominates the walk on
-    slow-dispatch targets. None = auto: on when batch shapes are uniform,
-    no dp mesh, no MoE layers, and stacked activations fit comfortably.
+    removes the per-batch host dispatch/sync of the walk. Opt-in: the scan
+    program costs one (large) extra compile, which only amortizes for deep
+    models / many batches; measured on the relay chip the compile exceeded
+    15 min, so None defaults to off.
     """
     qcfg = resolve_quant_config(quant_config)
     pattern = re.compile(quantizable_regex)
@@ -208,10 +209,7 @@ def quantize_model(
     any_moe = any("gate_inp" in l for l in params["layers"])
     uniform = len({b.shape for b in batches}) == 1
     if scan_batches is None:
-        act_bytes = 2 * sum(x.nbytes for x in xs)
-        scan_batches = (
-            uniform and mesh is None and not any_moe and act_bytes < 4e9
-        )
+        scan_batches = False
     if scan_batches and (not uniform or any_moe):
         raise ValueError("scan_batches requires uniform batch shapes and no MoE layers")
     xs_stack = jnp.asarray(np.stack(xs)) if scan_batches else None

@@ -403,3 +403,38 @@ def test_serving_gemma3_matches_forward(tmp_path):
     for t in range(12, 20):
         logits, cache = qmodel.forward_cached(params, cfg, jnp.asarray(ids[:, t:t+1]), cache)
         np.testing.assert_allclose(np.asarray(logits), full[:, t, :], rtol=3e-3, atol=3e-3)
+
+
+def test_serve_stitched_mixed_precision(tmp_path, served):
+    """A stitched mixed-bitwidth GGUF (the EvoPress output artifact) must
+    serve: per-tensor quant types are independent in the loader."""
+    from gptq_gguf_tpu.mapper import splitter
+    from gptq_gguf_tpu.mapper.stitcher import GGUFStitcher
+    from gptq_gguf_tpu.quant import recipes
+
+    cfg, params, deq_params, quant_dir, gguf_path = served
+    # build a 2-level database: Q4_K (packed) + Q6_K (requantized)
+    db = tmp_path / "db"
+    splitter.split_gguf(gguf_path, db)
+    q6 = tmp_path / "q6.gguf"
+    recipes.llama_quantize(gguf_path, q6, "Q6_K", pure=True)
+    splitter.split_gguf(q6, db)
+
+    config = tmp_path / "mix.txt"
+    with open(config, "w") as f:
+        f.write("blk.0.attn_q.weight: 6.5625\n")  # Q6_K for one tensor
+    out = tmp_path / "mixed.gguf"
+    GGUFStitcher(db, str(config), 4.5, "Q4_K").stitch(out)
+
+    from gptq_gguf_tpu.formats.gguf import GGUFReader
+    from gptq_gguf_tpu.formats.ggml import GGMLQuantizationType as T
+
+    r = GGUFReader(out)
+    assert r.tensors["blk.0.attn_q.weight"].ggml_type == T.Q6_K
+    assert r.tensors["blk.1.attn_q.weight"].ggml_type == T.Q4_K
+
+    qparams, gcfg = qmodel.load_gguf_for_serving(out, dtype=jnp.float32)
+    ids = RNG.integers(0, cfg.vocab_size, size=(1, 8))
+    cache = qmodel.init_cache(gcfg, 1, 12, dtype=jnp.float32)
+    logits, _ = qmodel.forward_cached(qparams, gcfg, jnp.asarray(ids), cache)
+    assert np.isfinite(np.asarray(logits)).all()
