@@ -269,6 +269,8 @@ class Gemma3Arch(Gemma2Arch):
         md[f"{a}.attention.value_length"] = head_dim
         md[f"{a}.attention.sliding_window"] = int(c.get("sliding_window", 1024))
         md[f"{a}.rope.local.freq_base"] = float(c.get("rope_local_base_freq", 10000.0))
+        if c.get("query_pre_attn_scalar") is not None:
+            md[f"{a}.attention.query_pre_attn_scalar"] = float(c["query_pre_attn_scalar"])
         return md
 
 

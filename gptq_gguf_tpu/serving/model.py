@@ -367,7 +367,7 @@ def quantize_params_for_serving(
 # arch families the GGUF-direct loader understands; anything else errors
 # loudly instead of silently running with llama semantics (round-1 bug).
 _GGUF_SERVING_ARCHES = (
-    "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "phi3",
+    "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "gemma3", "phi3",
     "qwen2moe", "qwen3moe",
 )
 
@@ -420,8 +420,10 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
         r.get(f"{arch}.rope.dimension_count", hidden // n_head),
     )
     vocab = r.get(f"{arch}.vocab_size") or len(r.get("tokenizer.ggml.tokens", []))
-    gemma = arch in ("gemma", "gemma2")
+    gemma = arch in ("gemma", "gemma2", "gemma3")
     qpas = None
+    if arch == "gemma3":
+        qpas = r.get(f"{arch}.attention.query_pre_attn_scalar", head_dim)
     if arch == "gemma2":
         # llama.cpp keys attention scale off the model size (27B = 46 blocks
         # uses hidden/n_head); honor an explicit key when present (our packer
@@ -451,6 +453,12 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
             ("rope_type", "yarn"),
         )
     moe_experts = r.get(f"{arch}.expert_count")
+    sliding_layers = None
+    rope_local = None
+    if arch == "gemma3":
+        # llama.cpp hardcodes the 5-local:1-global pattern for gemma3
+        sliding_layers = tuple(bool((i + 1) % 6) for i in range(n_layers))
+        rope_local = r.get(f"{arch}.rope.local.freq_base", 10000.0)
     return LlamaConfig(
         arch="gemma2" if arch == "gemma2" else "llama",
         rope_scaling=rope_scaling,
@@ -474,7 +482,12 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
         act_fn="gelu_tanh" if gemma else "silu",
         attn_logit_softcap=r.get(f"{arch}.attn_logit_softcapping") if arch == "gemma2" else None,
         final_logit_softcap=r.get(f"{arch}.final_logit_softcapping") if arch == "gemma2" else None,
-        sliding_window=r.get(f"{arch}.attention.sliding_window") if arch == "gemma2" else None,
+        sliding_window=(
+            r.get(f"{arch}.attention.sliding_window")
+            if arch in ("gemma2", "gemma3") else None
+        ),
+        sliding_layers=sliding_layers,
+        rope_local_theta=rope_local,
         query_pre_attn_scalar=qpas,
         dtype=dtype,
     )
@@ -507,7 +520,7 @@ def load_gguf_for_serving(
     n_head, n_kv = cfg.num_attention_heads, cfg.num_key_value_heads
     hd = cfg.head_dim_
     permute_qk = arch in ("llama", "mistral")
-    name_map = _GEMMA2_NAME_MAP if arch == "gemma2" else _BASE_NAME_MAP
+    name_map = _GEMMA2_NAME_MAP if arch in ("gemma2", "gemma3") else _BASE_NAME_MAP
 
     def unpack(name: str, inv: Optional[np.ndarray]):
         """Returns ('quant', codes, np-params, qtype) or ('float', array)."""

@@ -438,3 +438,30 @@ def test_serve_stitched_mixed_precision(tmp_path, served):
     cache = qmodel.init_cache(gcfg, 1, 12, dtype=jnp.float32)
     logits, _ = qmodel.forward_cached(qparams, gcfg, jnp.asarray(ids), cache)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_load_gguf_gemma3_matches_forward(tmp_path):
+    """Packed gemma3 GGUF round-trips into the serving loader (dual rope
+    bases, 5:1 sliding pattern, q/k norms)."""
+    cfg_dict = {
+        "model_type": "gemma3_text", "architectures": ["Gemma3ForCausalLM"],
+        "vocab_size": 256, "hidden_size": 256, "intermediate_size": 512,
+        "num_hidden_layers": 7, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "head_dim": 64, "rms_norm_eps": 1e-6,
+        "max_position_embeddings": 512, "query_pre_attn_scalar": 64,
+        "sliding_window": 8, "rope_theta": 1000000.0,
+        "rope_local_base_freq": 10000.0,
+        "hidden_activation": "gelu_pytorch_tanh",
+        "tie_word_embeddings": True, "torch_dtype": "float32", "pad_token_id": 0,
+    }
+    cfg, deq_params, gguf_path = _pack_tiny(tmp_path, cfg_dict, seed=37)
+    qparams, gcfg = qmodel.load_gguf_for_serving(gguf_path, dtype=jnp.float32)
+    assert gcfg.rope_local_theta == 10000.0
+    assert gcfg.sliding_layers == tuple(bool((i + 1) % 6) for i in range(7))
+    assert gcfg.qk_norm
+
+    ids = RNG.integers(0, cfg.vocab_size, size=(1, 16))
+    cache = qmodel.init_cache(gcfg, 1, 20, dtype=jnp.float32)
+    logits, _ = qmodel.forward_cached(qparams, gcfg, jnp.asarray(ids), cache)
+    ref = np.asarray(llama.forward(deq_params, jnp.asarray(ids), cfg))[:, -1, :]
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=5e-2, atol=5e-2)
