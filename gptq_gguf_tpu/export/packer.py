@@ -274,6 +274,23 @@ class Gemma3Arch(Gemma2Arch):
         return md
 
 
+class Olmo2Arch(ArchSpec):
+    """olmo2: post-norm blocks — post_attention_layernorm maps to
+    post_attention_norm (NOT ffn_norm), q/k norms are full-projection."""
+
+    gguf_arch = "olmo2"
+    permute_qk = False  # llama.cpp olmo2 uses NeoX rope = HF layout
+
+    def tensor_name(self, hf_name: str) -> Optional[str]:
+        if hf_name.startswith("model.layers."):
+            parts = hf_name.split(".")
+            i = parts[2]
+            rest = ".".join(parts[3:])
+            if rest == "post_attention_layernorm.weight":
+                return f"blk.{i}.post_attention_norm.weight"
+        return hf_to_gguf_name(hf_name)
+
+
 class Phi3Arch(ArchSpec):
     """phi3: llama.cpp expects fused attn_qkv / ffn_up tensors. Row-concat of
     per-projection K-quant artifacts is exact (rows are independent)."""
@@ -398,7 +415,7 @@ class MixtralArch(MoEArchSpec):
 _ARCH_REGISTRY.update(
     {"llama": LlamaArch, "mistral": MistralArch, "qwen2": Qwen2Arch,
      "qwen3": Qwen3Arch, "phi3": Phi3Arch, "gemma": GemmaArch,
-     "gemma2": Gemma2Arch, "gemma3_text": Gemma3Arch,
+     "gemma2": Gemma2Arch, "gemma3_text": Gemma3Arch, "olmo2": Olmo2Arch,
      "qwen2_moe": Qwen2MoeArch,
      "qwen3_moe": Qwen3MoeArch, "mixtral": MixtralArch}
 )

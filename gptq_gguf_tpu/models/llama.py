@@ -125,7 +125,7 @@ class LlamaConfig:
             rope_local_theta=(
                 d.get("rope_local_base_freq") if mt == "gemma3_text" else None
             ),
-            qk_norm=mt in ("qwen3", "qwen3_moe", "gemma3_text"),
+            qk_norm=mt in ("qwen3", "qwen3_moe", "gemma3_text", "olmo2"),
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
             intermediate_size=d["intermediate_size"],
@@ -624,14 +624,21 @@ def block_capture(
         attn_mask = _sliding_mask(mask, cfg.sliding_window)
     cos, sin = select_rope(cos, sin, cfg, layer_idx)
 
-    h1 = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, au)
+    # olmo2 is a post-norm variant: no input norms, q/k RMSNorm over the
+    # whole projection, norms applied to sublayer outputs before the
+    # residual adds (all shape-driven from the param dict)
+    post_norm = "input_layernorm" not in layer
+    h1 = x if post_norm else rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, au)
     q = _linear(h1, layer["q_proj"], layer.get("q_bias"))
     k = _linear(h1, layer["k_proj"], layer.get("k_bias"))
     v = _linear(h1, layer["v_proj"], layer.get("v_bias"))
+    if cfg.qk_norm and layer["q_norm"].shape[0] != hd:  # flat olmo2-style
+        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
     q = q.reshape(B, S, nH, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
-    if cfg.qk_norm:
+    if cfg.qk_norm and layer["q_norm"].shape[0] == hd:  # per-head
         q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
         k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
     q, k = apply_rope(q, k, cos, sin)
@@ -652,14 +659,16 @@ def block_capture(
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
     attn_out = _linear(attn, layer["o_proj"])
     gemma2_norms = "pre_feedforward_layernorm" in layer
-    if gemma2_norms:
-        # gemma2: HF's post_attention_layernorm normalizes the attention
-        # *output* before the residual add
+    if gemma2_norms or post_norm:
+        # gemma2/olmo2: HF's post_attention_layernorm normalizes the
+        # attention *output* before the residual add
         attn_out = rms_norm(attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps, au)
     x = x + attn_out
 
     if gemma2_norms:
         h2 = rms_norm(x, layer["pre_feedforward_layernorm"], cfg.rms_norm_eps, au)
+    elif post_norm:
+        h2 = x
     else:
         h2 = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps, au)
     if "gate_inp" in layer:  # sparse MoE FFN
@@ -672,7 +681,7 @@ def block_capture(
     up = _linear(h2, layer["up_proj"])
     down_in = _mlp_act(gate, up, cfg)
     mlp_out = _linear(down_in, layer["down_proj"])
-    if "post_feedforward_layernorm" in layer:  # gemma2
+    if "post_feedforward_layernorm" in layer:  # gemma2 / olmo2
         mlp_out = rms_norm(mlp_out, layer["post_feedforward_layernorm"], cfg.rms_norm_eps, au)
     x = x + mlp_out
     captures = {"qkv": h1, "o": attn, "gateup": h2, "down": down_in}

@@ -18,7 +18,7 @@ import numpy as np
 from .llama import LlamaConfig
 
 SUPPORTED_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3", "phi3", "gemma",
-                         "gemma2", "gemma3_text", "qwen2_moe", "qwen3_moe",
+                         "gemma2", "gemma3_text", "olmo2", "qwen2_moe", "qwen3_moe",
                          "mixtral")
 
 

@@ -195,7 +195,10 @@ def forward_cached(
     new_k, new_v, new_ks, new_vs = [], [], [], []
     for li, layer in enumerate(params["layers"]):
         sliding = cfg.sliding_window if llama.is_sliding_layer(cfg, li) else None
-        h = llama.rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, au)
+        post_norm = "input_layernorm" not in layer  # olmo2
+        h = x if post_norm else llama.rms_norm(
+            x, layer["input_layernorm"], cfg.rms_norm_eps, au
+        )
         if "qkv_proj" in layer:
             # fused q/k/v: one kernel launch (serving-time fusion)
             qkv = _q_linear(h, layer["qkv_proj"])
@@ -215,10 +218,13 @@ def forward_cached(
         # head counts from local shapes (== cfg counts unless TP-sharded)
         nH = q.shape[-1] // hd
         nKV = k.shape[-1] // hd
+        if cfg.qk_norm and layer["q_norm"].shape[0] != hd:  # flat olmo2-style
+            q = llama.rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
+            k = llama.rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
         q = q.reshape(B, S, nH, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
-        if cfg.qk_norm:
+        if cfg.qk_norm and layer["q_norm"].shape[0] == hd:
             q = llama.rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
             k = llama.rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
         cos_l, sin_l = llama.select_rope(cos, sin, cfg, li)
@@ -259,12 +265,15 @@ def forward_cached(
         if psum_axis is not None:
             attn_out = jax.lax.psum(attn_out, psum_axis)
         gemma2_norms = "pre_feedforward_layernorm" in layer
-        if gemma2_norms:
+        if gemma2_norms or post_norm:
             attn_out = llama.rms_norm(attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps, au)
         x = x + attn_out
 
-        norm_key = "pre_feedforward_layernorm" if gemma2_norms else "post_attention_layernorm"
-        h = llama.rms_norm(x, layer[norm_key], cfg.rms_norm_eps, au)
+        if post_norm:
+            h = x
+        else:
+            norm_key = "pre_feedforward_layernorm" if gemma2_norms else "post_attention_layernorm"
+            h = llama.rms_norm(x, layer[norm_key], cfg.rms_norm_eps, au)
         if "gate_inp" in layer:  # sparse MoE FFN (dense float experts)
             mlp_out, _ = llama.moe_ffn(h, layer, cfg)
         else:
@@ -278,7 +287,7 @@ def forward_cached(
             mlp_out = _q_linear(act, layer["down_proj"])
         if psum_axis is not None:
             mlp_out = jax.lax.psum(mlp_out, psum_axis)
-        if gemma2_norms:
+        if gemma2_norms or post_norm:
             mlp_out = llama.rms_norm(mlp_out, layer["post_feedforward_layernorm"], cfg.rms_norm_eps, au)
         x = x + mlp_out
 
@@ -368,7 +377,7 @@ def quantize_params_for_serving(
 # loudly instead of silently running with llama semantics (round-1 bug).
 _GGUF_SERVING_ARCHES = (
     "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "gemma3", "phi3",
-    "qwen2moe", "qwen3moe",
+    "olmo2", "qwen2moe", "qwen3moe",
 )
 
 # stacked MoE tensors load as dense float params (llama.moe_ffn evaluates
@@ -520,7 +529,10 @@ def load_gguf_for_serving(
     n_head, n_kv = cfg.num_attention_heads, cfg.num_key_value_heads
     hd = cfg.head_dim_
     permute_qk = arch in ("llama", "mistral")
-    name_map = _GEMMA2_NAME_MAP if arch in ("gemma2", "gemma3") else _BASE_NAME_MAP
+    # olmo2 shares the gemma2-style post-norm tensor names
+    name_map = (
+        _GEMMA2_NAME_MAP if arch in ("gemma2", "gemma3", "olmo2") else _BASE_NAME_MAP
+    )
 
     def unpack(name: str, inv: Optional[np.ndarray]):
         """Returns ('quant', codes, np-params, qtype) or ('float', array)."""

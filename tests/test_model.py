@@ -302,3 +302,35 @@ def test_gemma3_forward_matches_hf(tmp_path):
         ref = m(torch.from_numpy(ids)).logits.numpy()
     got = np.asarray(llama_mod.forward(params, jnp.asarray(ids), cfg))
     np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_olmo2_forward_matches_hf(tmp_path):
+    """olmo2: post-norm blocks (no input norms), flat q/k RMSNorm over the
+    whole projection, norms on sublayer outputs."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from gptq_gguf_tpu.models import llama as llama_mod, loader
+
+    cfg_d = {
+        "model_type": "olmo2", "architectures": ["Olmo2ForCausalLM"],
+        "vocab_size": 256, "hidden_size": 128, "intermediate_size": 256,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "rms_norm_eps": 1e-6,
+        "max_position_embeddings": 512, "rope_theta": 500000.0,
+        "tie_word_embeddings": False, "torch_dtype": "float32", "pad_token_id": 0,
+    }
+    model_dir, m = make_tiny_hf_model(tmp_path, cfg_d, seed=27)
+    cfg = loader.load_config(model_dir)
+    assert cfg.qk_norm
+    params = loader.load_params(model_dir, cfg)
+    l0 = params["layers"][0]
+    assert "input_layernorm" not in l0
+    assert l0["q_norm"].shape == (128,)  # flat, not per-head
+
+    ids = np.random.default_rng(6).integers(0, 256, size=(1, 20))
+    with torch.no_grad():
+        ref = m(torch.from_numpy(ids)).logits.numpy()
+    got = np.asarray(llama_mod.forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)

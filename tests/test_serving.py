@@ -465,3 +465,30 @@ def test_load_gguf_gemma3_matches_forward(tmp_path):
     logits, _ = qmodel.forward_cached(qparams, gcfg, jnp.asarray(ids), cache)
     ref = np.asarray(llama.forward(deq_params, jnp.asarray(ids), cfg))[:, -1, :]
     np.testing.assert_allclose(np.asarray(logits), ref, rtol=5e-2, atol=5e-2)
+
+
+def test_load_gguf_olmo2_matches_forward(tmp_path):
+    """Packed olmo2 GGUF (post-norm names) round-trips into the engine."""
+    cfg_dict = {
+        "model_type": "olmo2", "architectures": ["Olmo2ForCausalLM"],
+        "vocab_size": 256, "hidden_size": 256, "intermediate_size": 512,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "rms_norm_eps": 1e-6,
+        "max_position_embeddings": 512, "rope_theta": 500000.0,
+        "tie_word_embeddings": False, "torch_dtype": "float32", "pad_token_id": 0,
+    }
+    cfg, deq_params, gguf_path = _pack_tiny(tmp_path, cfg_dict, seed=43)
+    from gptq_gguf_tpu.formats.gguf import GGUFReader
+
+    r = GGUFReader(gguf_path)
+    assert "blk.0.post_attention_norm.weight" in r.tensors
+    assert "blk.0.attn_norm.weight" not in r.tensors
+
+    qparams, gcfg = qmodel.load_gguf_for_serving(gguf_path, dtype=jnp.float32)
+    assert "input_layernorm" not in qparams["layers"][0]
+    assert gcfg.qk_norm
+    ids = RNG.integers(0, cfg.vocab_size, size=(1, 12))
+    cache = qmodel.init_cache(gcfg, 1, 16, dtype=jnp.float32)
+    logits, _ = qmodel.forward_cached(qparams, gcfg, jnp.asarray(ids), cache)
+    ref = np.asarray(llama.forward(deq_params, jnp.asarray(ids), cfg))[:, -1, :]
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=5e-2, atol=5e-2)
