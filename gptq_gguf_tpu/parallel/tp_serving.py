@@ -13,6 +13,10 @@ weight shard and the only cross-device traffic is:
 KV caches are sharded over the head axis; lengths/tokens are replicated.
 New design territory relative to the reference (SURVEY.md §2.3: it has no
 TP at all).
+
+Limitation: per-head q/k norms (qwen3/gemma3, weight shape (hd,)) replicate
+fine, but olmo2's flat full-projection q/k norms would need head-sharding —
+unsupported under TP for now.
 """
 
 from __future__ import annotations

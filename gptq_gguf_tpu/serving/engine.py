@@ -28,7 +28,7 @@ from . import model as qmodel
 from .model import KVCache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def _decode_step(params, cfg: LlamaConfig, tokens: jax.Array, cache: KVCache):
     """One greedy decode step for all slots. tokens: (B,)."""
     logits, cache = qmodel.forward_cached(params, cfg, tokens[:, None], cache)
@@ -36,7 +36,7 @@ def _decode_step(params, cfg: LlamaConfig, tokens: jax.Array, cache: KVCache):
     return next_tokens, logits, cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def _sample_step(params, cfg: LlamaConfig, tokens, cache, key, temperature):
     logits, cache = qmodel.forward_cached(params, cfg, tokens[:, None], cache)
     key, sub = jax.random.split(key)
@@ -191,12 +191,16 @@ class ContinuousBatchingEngine:
         max_len: int = 2048,
         eos_token_id: Optional[int] = None,
         kv_quantized: bool = False,
+        temperature: float = 0.0,
+        seed: int = 0,
     ):
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
         self.max_len = max_len
         self.eos = eos_token_id
+        self.temperature = temperature
+        self.key = jax.random.PRNGKey(seed)
         self.cache = qmodel.init_cache(cfg, num_slots, max_len, dtype=jnp.bfloat16,
                                        quantized=kv_quantized)
         self.tokens = jnp.zeros((num_slots,), jnp.int32)
@@ -234,9 +238,15 @@ class ContinuousBatchingEngine:
         active = [s for s, r in enumerate(self.slot_req) if r is not None]
         if not active:
             return 0
-        self.tokens, _, self.cache = _decode_step(
-            self.params, self.cfg, self.tokens, self.cache
-        )
+        if self.temperature > 0:
+            self.key, sub = jax.random.split(self.key)
+            self.tokens, _, self.cache = _sample_step(
+                self.params, self.cfg, self.tokens, self.cache, sub, self.temperature
+            )
+        else:
+            self.tokens, _, self.cache = _decode_step(
+                self.params, self.cfg, self.tokens, self.cache
+            )
         host = np.asarray(self.tokens)
         lengths = np.asarray(self.cache.lengths)
         for slot in active:

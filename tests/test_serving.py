@@ -492,3 +492,21 @@ def test_load_gguf_olmo2_matches_forward(tmp_path):
     logits, _ = qmodel.forward_cached(qparams, gcfg, jnp.asarray(ids), cache)
     ref = np.asarray(llama.forward(deq_params, jnp.asarray(ids), cfg))[:, -1, :]
     np.testing.assert_allclose(np.asarray(logits), ref, rtol=5e-2, atol=5e-2)
+
+
+def test_continuous_batching_sampled(served):
+    """temperature>0 continuous batching produces valid (finite-vocab)
+    completions and differs across seeds."""
+    cfg, params, *_ = served
+    prompt = RNG.integers(0, cfg.vocab_size, size=(6,))
+    outs = []
+    for seed in (0, 1):
+        eng = engine.ContinuousBatchingEngine(
+            params, cfg, num_slots=1, max_len=64, temperature=1.0, seed=seed
+        )
+        eng.submit(prompt, max_new_tokens=8)
+        done = eng.run_until_done(max_steps=50)
+        assert len(done) == 1
+        assert all(0 <= t < cfg.vocab_size for t in done[0].output)
+        outs.append(done[0].output)
+    assert outs[0] != outs[1]
