@@ -50,13 +50,20 @@ class GGMLQuantizationType(IntEnum):
     Q5_K = 13
     Q6_K = 14
     Q8_K = 15
+    IQ2_XXS = 16
+    IQ2_XS = 17
+    IQ3_XXS = 18
+    IQ1_S = 19
     IQ4_NL = 20
+    IQ3_S = 21
+    IQ2_S = 22
     IQ4_XS = 23
     I8 = 24
     I16 = 25
     I32 = 26
     I64 = 27
     F64 = 28
+    IQ1_M = 29
     BF16 = 30
 
 
@@ -84,6 +91,19 @@ GGML_BLOCK_SIZES: Dict[GGMLQuantizationType, Tuple[int, int]] = {
     GGMLQuantizationType.Q8_K: (QK_K, 292),
     GGMLQuantizationType.IQ4_NL: (32, 18),
     GGMLQuantizationType.IQ4_XS: (QK_K, 136),
+    # Codebook (importance-matrix lattice) types. Encoding them requires
+    # llama.cpp's search-derived grid tables (not re-derivable, and the
+    # reference produces them only by shelling out to llama-quantize,
+    # quant/gguf/run_quant.sh:89-110). Here they are first-class *container*
+    # types: split/stitch/build-db/inspect handle IQ-typed tensors as opaque
+    # blocks with correct sizes, exactly as the reference's splitter does.
+    GGMLQuantizationType.IQ2_XXS: (QK_K, 66),
+    GGMLQuantizationType.IQ2_XS: (QK_K, 74),
+    GGMLQuantizationType.IQ2_S: (QK_K, 82),
+    GGMLQuantizationType.IQ3_XXS: (QK_K, 98),
+    GGMLQuantizationType.IQ3_S: (QK_K, 110),
+    GGMLQuantizationType.IQ1_S: (QK_K, 50),
+    GGMLQuantizationType.IQ1_M: (QK_K, 56),
 }
 
 

@@ -139,3 +139,37 @@ def test_metadata_passthrough_roundtrip(tmp_path):
     assert {k: (v.type, v.value) for k, v in r1.metadata.items()} == {
         k: (v.type, v.value) for k, v in r2.metadata.items()
     }
+
+
+def test_iq_opaque_tensor_roundtrip(tmp_path):
+    """IQ codebook types are first-class container types: correct block
+    sizes, byte-exact passthrough (encoding needs llama.cpp's grid tables,
+    which even the reference only gets by shelling out to llama-quantize)."""
+    cases = [
+        (ggml.GGMLQuantizationType.IQ2_XXS, 66),
+        (ggml.GGMLQuantizationType.IQ2_XS, 74),
+        (ggml.GGMLQuantizationType.IQ2_S, 82),
+        (ggml.GGMLQuantizationType.IQ3_XXS, 98),
+        (ggml.GGMLQuantizationType.IQ3_S, 110),
+        (ggml.GGMLQuantizationType.IQ1_S, 50),
+        (ggml.GGMLQuantizationType.IQ1_M, 56),
+    ]
+    path = tmp_path / "iq.gguf"
+    w = GGUFWriter(path, arch="llama")
+    payloads = {}
+    for qt, tsize in cases:
+        assert ggml.type_size(qt) == tsize and ggml.block_elems(qt) == 256
+        raw = RNG.integers(0, 256, size=4 * tsize).astype(np.uint8)
+        name = f"blk.0.{qt.name.lower()}.weight"
+        w.add_tensor(name, raw, raw_dtype=qt, raw_shape=(2, 512))
+        payloads[name] = raw
+    w.write()
+    r = GGUFReader(path)
+    for qt, tsize in cases:
+        name = f"blk.0.{qt.name.lower()}.weight"
+        info = r.tensors[name]
+        assert info.ggml_type == qt and info.shape == (2, 512)
+        assert info.nbytes == 4 * tsize
+        np.testing.assert_array_equal(
+            np.asarray(r.tensor_bytes(name)), payloads[name]
+        )
