@@ -15,6 +15,7 @@ pattern, :513-536): llama / mistral / qwen2 / qwen3 here, extendable.
 from __future__ import annotations
 
 import json
+import math
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Tuple, Union
 
@@ -121,13 +122,19 @@ class ArchSpec:
             "general.architecture": a,
             "general.name": c.get("_name_or_path", "model"),
             "general.quantization_version": 2,
-            f"{a}.context_length": c.get("max_position_embeddings", 4096),
+            # key aliases: exaone num_layers/layer_norm_epsilon, baichuan
+            # model_max_length (same set models/llama.from_hf_dict accepts)
+            f"{a}.context_length": c.get(
+                "max_position_embeddings", c.get("model_max_length", 4096)
+            ),
             f"{a}.embedding_length": c["hidden_size"],
-            f"{a}.block_count": c["num_hidden_layers"],
+            f"{a}.block_count": c.get("num_hidden_layers", c.get("num_layers")),
             f"{a}.feed_forward_length": c["intermediate_size"],
             f"{a}.attention.head_count": n_head,
             f"{a}.attention.head_count_kv": n_kv,
-            f"{a}.attention.layer_norm_rms_epsilon": float(c.get("rms_norm_eps", 1e-5)),
+            f"{a}.attention.layer_norm_rms_epsilon": float(
+                c.get("rms_norm_eps", c.get("layer_norm_epsilon", 1e-5))
+            ),
             f"{a}.rope.freq_base": float(c.get("rope_theta", 10000.0)),
             f"{a}.rope.dimension_count": head_dim,
             f"{a}.vocab_size": c["vocab_size"],
@@ -379,6 +386,11 @@ class MoEArchSpec(ArchSpec):
             md[f"{a}.expert_shared_feed_forward_length"] = int(
                 c["shared_expert_intermediate_size"]
             )
+        # non-standard key (llama.cpp hardcodes this per arch and ignores
+        # unknown keys); our serving loader prefers it over arch defaults
+        md[f"{a}.expert_norm_topk_prob"] = bool(
+            c.get("norm_topk_prob", self.gguf_arch == "llama")
+        )
         return md
 
 
@@ -412,12 +424,102 @@ class MixtralArch(MoEArchSpec):
     moe_direct = {"block_sparse_moe.gate.weight": "ffn_gate_inp.weight"}
 
 
+class GraniteArch(ArchSpec):
+    """IBM Granite: llama structure + four mup-style scalar multipliers.
+    GGUF logit_scale carries the *divisor* (llama.cpp granite divides)."""
+
+    gguf_arch = "granite"
+    permute_qk = True
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        md[f"{a}.embedding_scale"] = float(c.get("embedding_multiplier", 1.0))
+        md[f"{a}.residual_scale"] = float(c.get("residual_multiplier", 1.0))
+        md[f"{a}.attention.scale"] = float(
+            c.get("attention_multiplier")
+            or (c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]) ** -0.5
+        )
+        md[f"{a}.logit_scale"] = float(c.get("logits_scaling", 1.0))
+        return md
+
+
+class MiniCPMArch(ArchSpec):
+    """MiniCPM: llama structure + depth/width scaling knobs. Emits the same
+    derived scales llama.cpp's converter computes (embedding_scale=scale_emb,
+    residual_scale=scale_depth/sqrt(L), logit_scale=hidden/dim_model_base as
+    a divisor)."""
+
+    gguf_arch = "minicpm"
+    permute_qk = True
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        if c.get("scale_emb"):
+            md[f"{a}.embedding_scale"] = float(c["scale_emb"])
+        if c.get("scale_depth"):
+            md[f"{a}.residual_scale"] = float(
+                c["scale_depth"] / math.sqrt(c["num_hidden_layers"])
+            )
+        if c.get("dim_model_base"):
+            md[f"{a}.logit_scale"] = float(c["hidden_size"] / c["dim_model_base"])
+        return md
+
+
+class ExaoneArch(ArchSpec):
+    """EXAONE (LG): llama semantics under transformer.h.* names (handled by
+    models/adapters.py); NeoX rope layout -> no q/k permute."""
+
+    gguf_arch = "exaone"
+    permute_qk = False
+
+
+class InternLM2Arch(ArchSpec):
+    """InternLM2: fused wqkv split by the adapter; llama-style rope."""
+
+    gguf_arch = "internlm2"
+    permute_qk = True
+
+
+class BaichuanArch(ArchSpec):
+    """Baichuan 7B (rope): W_pack split by the adapter. (13B alibi variants
+    are not supported — no rope_theta in config means alibi.)"""
+
+    gguf_arch = "baichuan"
+    permute_qk = True
+
+
+class OlmoeArch(MoEArchSpec):
+    gguf_arch = "olmoe"
+    permute_qk = False  # olmo family uses NeoX rope = HF layout
+
+
+class DeepseekArch(MoEArchSpec):
+    """DeepSeek v1 (dense leading layers + routed/shared experts)."""
+
+    gguf_arch = "deepseek"
+    permute_qk = True
+    n_expert_key = "n_routed_experts"
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        md[f"{a}.leading_dense_block_count"] = int(c.get("first_k_dense_replace", 0))
+        md[f"{a}.expert_shared_count"] = int(c.get("n_shared_experts", 0))
+        md[f"{a}.expert_weights_scale"] = float(c.get("routed_scaling_factor", 1.0))
+        return md
+
+
 _ARCH_REGISTRY.update(
     {"llama": LlamaArch, "mistral": MistralArch, "qwen2": Qwen2Arch,
      "qwen3": Qwen3Arch, "phi3": Phi3Arch, "gemma": GemmaArch,
      "gemma2": Gemma2Arch, "gemma3_text": Gemma3Arch, "olmo2": Olmo2Arch,
      "qwen2_moe": Qwen2MoeArch,
-     "qwen3_moe": Qwen3MoeArch, "mixtral": MixtralArch}
+     "qwen3_moe": Qwen3MoeArch, "mixtral": MixtralArch,
+     "granite": GraniteArch, "minicpm": MiniCPMArch, "exaone": ExaoneArch,
+     "internlm2": InternLM2Arch, "baichuan": BaichuanArch,
+     "olmoe": OlmoeArch, "deepseek": DeepseekArch}
 )
 
 
@@ -445,11 +547,13 @@ PRE_TOKENIZER_BY_MODEL_TYPE = {
     "gpt2": "gpt-2",
     "starcoder2": "starcoder",
     "olmo2": "olmo",
+    "deepseek": "deepseek-llm",
     "deepseek_v2": "deepseek-llm",
     "deepseek_v3": "deepseek-v3",
     "exaone": "exaone",
     "glm4": "chatglm-bpe",
     "smollm3": "llama-bpe",
+    "olmoe": "olmo",
 }
 
 _BYTE_PIECE = 6  # GGUF token types (== sentencepiece piece types)
@@ -759,7 +863,9 @@ def pack_model(
             dt = np.float32 if default_float == GGMLQuantizationType.F32 else np.float16
             writer.add_tensor(gguf_name, stacked.astype(dt))
 
-    for name, arr in _iter_safetensors(model_dir):
+    from ..models.adapters import iter_canonical_tensors
+
+    for name, arr in iter_canonical_tensors(_iter_safetensors(model_dir), hf_cfg):
         exp = spec.expert_tensor(name) if isinstance(spec, MoEArchSpec) else None
         if exp is not None:
             gguf_exps, e_idx, art_tpl = exp

@@ -62,6 +62,13 @@ class LlamaConfig:
     attn_logit_softcap: Optional[float] = None
     final_logit_softcap: Optional[float] = None
     query_pre_attn_scalar: Optional[float] = None
+    # scalar multipliers (granite mup knobs / minicpm depth-and-width scaling)
+    embedding_multiplier: Optional[float] = None  # x *= m after embedding
+    attention_scale: Optional[float] = None  # direct score scale (not 1/sqrt(hd))
+    residual_multiplier: Optional[float] = None  # branch *= m before residual add
+    logits_multiplier: Optional[float] = None  # logits *= m before softcap
+    # HF model_type (drives per-family checkpoint-name canonicalization)
+    model_type: str = "llama"
     sliding_window: Optional[int] = None
     sliding_pattern: int = 2  # every Nth layer is global (gemma2: odd layers)
     # explicit per-layer sliding flags (gemma3 layer_types); overrides the
@@ -103,13 +110,36 @@ class LlamaConfig:
             sliding_layers = tuple(
                 bool((i + 1) % pat) for i in range(d["num_hidden_layers"])
             )
-        moe_experts = d.get("num_experts", d.get("num_local_experts"))
+        moe_experts = d.get(
+            "num_experts", d.get("num_local_experts", d.get("n_routed_experts"))
+        )
+        n_layers = d.get("num_hidden_layers", d.get("num_layers"))
+        emb_mult = attn_scale = res_mult = logit_mult = None
+        if mt in ("granite", "granitemoe"):
+            emb_mult = d.get("embedding_multiplier")
+            attn_scale = d.get("attention_multiplier")
+            res_mult = d.get("residual_multiplier")
+            if d.get("logits_scaling"):
+                logit_mult = 1.0 / float(d["logits_scaling"])
+        elif mt == "minicpm":
+            emb_mult = d.get("scale_emb")
+            if d.get("scale_depth"):
+                res_mult = float(d["scale_depth"]) / math.sqrt(n_layers)
+            if d.get("dim_model_base"):
+                logit_mult = float(d["dim_model_base"]) / d["hidden_size"]
         return LlamaConfig(
+            model_type=mt,
+            embedding_multiplier=emb_mult,
+            attention_scale=attn_scale,
+            residual_multiplier=res_mult,
+            logits_multiplier=logit_mult,
             moe_num_experts=moe_experts,
             moe_top_k=d.get("num_experts_per_tok", 2),
             # HF qwen2moe/qwen3moe expose norm_topk_prob; mixtral always
             # renormalizes the top-k routing weights
-            moe_norm_topk=bool(d.get("norm_topk_prob", mt == "mixtral")),
+            moe_norm_topk=bool(
+                d.get("norm_topk_prob", mt in ("mixtral", "granitemoe"))
+            ),
             moe_intermediate_size=d.get("moe_intermediate_size"),
             arch="gemma2" if mt == "gemma2" else "llama",
             rms_add_unit=gemma_like,
@@ -125,19 +155,24 @@ class LlamaConfig:
             rope_local_theta=(
                 d.get("rope_local_base_freq") if mt == "gemma3_text" else None
             ),
-            qk_norm=mt in ("qwen3", "qwen3_moe", "gemma3_text", "olmo2"),
+            qk_norm=mt in ("qwen3", "qwen3_moe", "gemma3_text", "olmo2", "olmoe"),
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
             intermediate_size=d["intermediate_size"],
-            num_hidden_layers=d["num_hidden_layers"],
+            num_hidden_layers=n_layers,
             num_attention_heads=d["num_attention_heads"],
             num_key_value_heads=d.get("num_key_value_heads", d["num_attention_heads"]),
             head_dim=d.get("head_dim"),
-            rms_norm_eps=d.get("rms_norm_eps", 1e-5),
+            # exaone names the RMSNorm eps layer_norm_epsilon
+            rms_norm_eps=d.get("rms_norm_eps", d.get("layer_norm_epsilon", 1e-5)),
             rope_theta=d.get("rope_theta", 10000.0),
-            max_position_embeddings=d.get("max_position_embeddings", 4096),
+            # baichuan uses model_max_length
+            max_position_embeddings=d.get(
+                "max_position_embeddings", d.get("model_max_length", 4096)
+            ),
             tie_word_embeddings=d.get("tie_word_embeddings", False),
-            attention_bias=d.get("attention_bias", False),
+            # internlm2 names its qkv/o bias flag "bias"
+            attention_bias=d.get("attention_bias", d.get("bias", False)),
             mlp_bias=d.get("mlp_bias", False),
             rope_scaling=rope_scaling,
             dtype=dtype,
@@ -642,11 +677,12 @@ def block_capture(
         q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
         k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
     q, k = apply_rope(q, k, cos, sin)
-    scale = (
-        cfg.query_pre_attn_scalar ** -0.5
-        if cfg.query_pre_attn_scalar is not None
-        else None
-    )
+    if cfg.attention_scale is not None:  # granite: direct score multiplier
+        scale = cfg.attention_scale
+    elif cfg.query_pre_attn_scalar is not None:
+        scale = cfg.query_pre_attn_scalar ** -0.5
+    else:
+        scale = None
     if S >= 2 * FLASH_CHUNK:
         # long-sequence path: stream KV chunks (standard causal semantics —
         # the explicit mask argument always encodes exactly this for the
@@ -663,6 +699,9 @@ def block_capture(
         # gemma2/olmo2: HF's post_attention_layernorm normalizes the
         # attention *output* before the residual add
         attn_out = rms_norm(attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps, au)
+    rm = cfg.residual_multiplier
+    if rm is not None:
+        attn_out = attn_out * jnp.asarray(rm, dtype=attn_out.dtype)
     x = x + attn_out
 
     if gemma2_norms:
@@ -673,6 +712,8 @@ def block_capture(
         h2 = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps, au)
     if "gate_inp" in layer:  # sparse MoE FFN
         mlp_out, moe_caps = moe_ffn(h2, layer, cfg, with_capture=True)
+        if rm is not None:
+            mlp_out = mlp_out * jnp.asarray(rm, dtype=mlp_out.dtype)
         x = x + mlp_out
         captures = {"qkv": h1, "o": attn, "moe_router": h2}
         captures.update(moe_caps or {})
@@ -683,6 +724,8 @@ def block_capture(
     mlp_out = _linear(down_in, layer["down_proj"])
     if "post_feedforward_layernorm" in layer:  # gemma2 / olmo2
         mlp_out = rms_norm(mlp_out, layer["post_feedforward_layernorm"], cfg.rms_norm_eps, au)
+    if rm is not None:
+        mlp_out = mlp_out * jnp.asarray(rm, dtype=mlp_out.dtype)
     x = x + mlp_out
     captures = {"qkv": h1, "o": attn, "gateup": h2, "down": down_in}
     return x, captures
@@ -706,6 +749,8 @@ def embed_forward(params, input_ids: jax.Array, cfg: LlamaConfig) -> jax.Array:
     x = params["embed_tokens"][input_ids].astype(cfg.dtype)
     if cfg.embed_scale:
         x = x * jnp.asarray(math.sqrt(cfg.hidden_size), dtype=cfg.dtype)
+    if cfg.embedding_multiplier is not None:
+        x = x * jnp.asarray(cfg.embedding_multiplier, dtype=cfg.dtype)
     return x
 
 
@@ -714,6 +759,8 @@ def head_forward(params, x: jax.Array, cfg: LlamaConfig) -> jax.Array:
     h = rms_norm(x, params["norm"], cfg.rms_norm_eps, cfg.rms_add_unit)
     w = params.get("lm_head", params["embed_tokens"])
     logits = jnp.einsum("...i,oi->...o", h, w, preferred_element_type=jnp.float32)
+    if cfg.logits_multiplier is not None:
+        logits = logits * cfg.logits_multiplier
     if cfg.final_logit_softcap:
         logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
     return logits

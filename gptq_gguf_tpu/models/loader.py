@@ -15,11 +15,13 @@ from typing import Any, Dict, Optional, Union
 import jax.numpy as jnp
 import numpy as np
 
+from . import adapters
 from .llama import LlamaConfig
 
 SUPPORTED_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3", "phi3", "gemma",
                          "gemma2", "gemma3_text", "olmo2", "qwen2_moe", "qwen3_moe",
-                         "mixtral")
+                         "mixtral", "granite", "minicpm", "exaone", "internlm2",
+                         "baichuan", "deepseek", "olmoe")
 
 
 def load_config(model_dir: Union[str, Path], dtype=jnp.float32) -> LlamaConfig:
@@ -67,7 +69,17 @@ def load_params(
     def put(layer_idx, key, value):
         layers[layer_idx][key] = value
 
-    for name, arr in _iter_safetensors(model_dir):
+    canonical = (
+        (cname, carr)
+        for raw_name, raw_arr in _iter_safetensors(model_dir)
+        for cname, carr in adapters.canonicalize(
+            cfg.model_type, raw_name, raw_arr,
+            n_head=cfg.num_attention_heads,
+            n_kv=cfg.num_key_value_heads,
+            head_dim=cfg.head_dim_,
+        )
+    )
+    for name, arr in canonical:
         val = jnp.asarray(_to_f32(arr), dtype=dtype)
         if name == "model.embed_tokens.weight":
             params["embed_tokens"] = val

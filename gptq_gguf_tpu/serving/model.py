@@ -189,7 +189,10 @@ def forward_cached(
              else _dequant_any(x)[input_ids]).astype(cfg.dtype)
     if cfg.embed_scale:
         x = x * jnp.asarray(math.sqrt(cfg.hidden_size), dtype=cfg.dtype)
+    if cfg.embedding_multiplier is not None:
+        x = x * jnp.asarray(cfg.embedding_multiplier, dtype=cfg.dtype)
     au = cfg.rms_add_unit
+    rm = cfg.residual_multiplier
 
     is_q8 = isinstance(cache, KVCacheQ8)
     new_k, new_v, new_ks, new_vs = [], [], [], []
@@ -251,11 +254,12 @@ def forward_cached(
         new_k.append(k_cache)
         new_v.append(v_cache)
 
-        att_scale = (
-            cfg.query_pre_attn_scalar ** -0.5
-            if cfg.query_pre_attn_scalar is not None
-            else None
-        )
+        if cfg.attention_scale is not None:  # granite: direct score multiplier
+            att_scale = cfg.attention_scale
+        elif cfg.query_pre_attn_scalar is not None:
+            att_scale = cfg.query_pre_attn_scalar ** -0.5
+        else:
+            att_scale = None
         attn = _cached_attention(
             q, k_cache, v_cache, lengths, att_scale, cfg.attn_logit_softcap, sliding,
             k_scale=ks_cache, v_scale=vs_cache,
@@ -267,6 +271,8 @@ def forward_cached(
         gemma2_norms = "pre_feedforward_layernorm" in layer
         if gemma2_norms or post_norm:
             attn_out = llama.rms_norm(attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps, au)
+        if rm is not None:
+            attn_out = attn_out * jnp.asarray(rm, dtype=attn_out.dtype)
         x = x + attn_out
 
         if post_norm:
@@ -289,6 +295,8 @@ def forward_cached(
             mlp_out = jax.lax.psum(mlp_out, psum_axis)
         if gemma2_norms or post_norm:
             mlp_out = llama.rms_norm(mlp_out, layer["post_feedforward_layernorm"], cfg.rms_norm_eps, au)
+        if rm is not None:
+            mlp_out = mlp_out * jnp.asarray(rm, dtype=mlp_out.dtype)
         x = x + mlp_out
 
     if n_valid is None:
@@ -306,6 +314,8 @@ def forward_cached(
     if psum_axis is not None:
         # vocab-sharded head: concatenate shard logits in device order
         logits = jax.lax.all_gather(logits, psum_axis, axis=1, tiled=True)
+    if cfg.logits_multiplier is not None:
+        logits = logits * cfg.logits_multiplier
     if cfg.final_logit_softcap:
         logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
     if is_q8:
@@ -377,7 +387,8 @@ def quantize_params_for_serving(
 # loudly instead of silently running with llama semantics (round-1 bug).
 _GGUF_SERVING_ARCHES = (
     "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "gemma3", "phi3",
-    "olmo2", "qwen2moe", "qwen3moe",
+    "olmo2", "qwen2moe", "qwen3moe", "granite", "minicpm", "exaone",
+    "internlm2", "baichuan", "deepseek", "olmoe",
 )
 
 # stacked MoE tensors load as dense float params (llama.moe_ffn evaluates
@@ -462,6 +473,12 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
             ("rope_type", "yarn"),
         )
     moe_experts = r.get(f"{arch}.expert_count")
+    # scalar multipliers: granite/minicpm store logit_scale as a divisor
+    emb_mult = r.get(f"{arch}.embedding_scale")
+    res_mult = r.get(f"{arch}.residual_scale")
+    attn_scale = r.get(f"{arch}.attention.scale")
+    logit_div = r.get(f"{arch}.logit_scale")
+    logits_mult = (1.0 / logit_div) if logit_div else None
     sliding_layers = None
     rope_local = None
     if arch == "gemma3":
@@ -471,9 +488,18 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
     return LlamaConfig(
         arch="gemma2" if arch == "gemma2" else "llama",
         rope_scaling=rope_scaling,
+        embedding_multiplier=emb_mult,
+        attention_scale=attn_scale,
+        residual_multiplier=res_mult,
+        logits_multiplier=logits_mult,
         moe_num_experts=moe_experts,
         moe_top_k=r.get(f"{arch}.expert_used_count", 2),
-        moe_norm_topk=True,  # qwen2moe/qwen3moe/mixtral all renormalize
+        # our packer writes the norm flag (llama.cpp hardcodes it per arch:
+        # mixtral-as-llama/qwen3moe renormalize; qwen2moe/olmoe/deepseek not)
+        moe_norm_topk=bool(r.get(
+            f"{arch}.expert_norm_topk_prob",
+            arch in ("llama", "mistral", "qwen3moe"),
+        )),
         moe_intermediate_size=r.get(f"{arch}.expert_feed_forward_length"),
         vocab_size=vocab,
         hidden_size=hidden,
@@ -528,7 +554,12 @@ def load_gguf_for_serving(
     cfg = _config_from_gguf(r, arch, dtype)
     n_head, n_kv = cfg.num_attention_heads, cfg.num_key_value_heads
     hd = cfg.head_dim_
-    permute_qk = arch in ("llama", "mistral")
+    # archs whose GGUF q/k rows are in llama.cpp's interleaved-rope layout
+    # (mirrors the write-side ArchSpec.permute_qk flags)
+    permute_qk = arch in (
+        "llama", "mistral", "granite", "minicpm", "internlm2", "baichuan",
+        "deepseek",
+    )
     # olmo2 shares the gemma2-style post-norm tensor names
     name_map = (
         _GEMMA2_NAME_MAP if arch in ("gemma2", "gemma3", "olmo2") else _BASE_NAME_MAP
