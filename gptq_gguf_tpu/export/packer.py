@@ -48,7 +48,9 @@ def hf_to_gguf_name(name: str) -> Optional[str]:
     fixed = {
         "model.embed_tokens.weight": "token_embd.weight",
         "model.norm.weight": "output_norm.weight",
+        "model.norm.bias": "output_norm.bias",
         "lm_head.weight": "output.weight",
+        "lm_head.bias": "output.bias",
     }
     if name in fixed:
         return fixed[name]
@@ -68,6 +70,12 @@ def hf_to_gguf_name(name: str) -> Optional[str]:
         "self_attn.q_proj.bias": "attn_q.bias",
         "self_attn.k_proj.bias": "attn_k.bias",
         "self_attn.v_proj.bias": "attn_v.bias",
+        "self_attn.o_proj.bias": "attn_output.bias",
+        "mlp.gate_proj.bias": "ffn_gate.bias",
+        "mlp.up_proj.bias": "ffn_up.bias",
+        "mlp.down_proj.bias": "ffn_down.bias",
+        "input_layernorm.bias": "attn_norm.bias",
+        "post_attention_layernorm.bias": "ffn_norm.bias",
         "self_attn.q_norm.weight": "attn_q_norm.weight",
         "self_attn.k_norm.weight": "attn_k_norm.weight",
         "mlp.gate_proj.weight": "ffn_gate.weight",
@@ -177,6 +185,10 @@ class ArchSpec:
         if ".self_attn.k_proj." in hf_name:
             return gqa_permute_rows(n_rows, n_kv)
         return None
+
+    def transform_float(self, gguf_name: str, arr: np.ndarray) -> np.ndarray:
+        """Hook for float-tensor value rewrites (nemotron folds (1+w) norms)."""
+        return arr
 
 
 class LlamaArch(ArchSpec):
@@ -490,6 +502,77 @@ class BaichuanArch(ArchSpec):
     permute_qk = True
 
 
+class _LayerNormArch(ArchSpec):
+    """Shared metadata for mean-subtracting-LayerNorm families: emit the
+    LayerNorm eps key, explicit head dims, and the partial-rotary dim count
+    (rope.dimension_count = rotated dims, as llama.cpp expects)."""
+
+    permute_qk = False  # all are NeoX/interleaved layouts: no permute
+    partial_rotary_default = 1.0
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        head_dim = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        eps = c.get("layer_norm_eps", c.get(
+            "norm_epsilon", c.get("norm_eps", c.get("layer_norm_epsilon", 1e-5))))
+        md[f"{a}.attention.layer_norm_epsilon"] = float(eps)
+        md[f"{a}.attention.key_length"] = head_dim
+        md[f"{a}.attention.value_length"] = head_dim
+        partial = c.get("partial_rotary_factor", self.partial_rotary_default)
+        md[f"{a}.rope.dimension_count"] = int(head_dim * partial)
+        return md
+
+
+class StableLmArch(_LayerNormArch):
+    gguf_arch = "stablelm"
+    partial_rotary_default = 0.25
+
+    def metadata(self):
+        md = super().metadata()
+        if self.hf.get("use_parallel_residual"):
+            md[f"{self.gguf_arch}.use_parallel_residual"] = True
+        return md
+
+
+class Starcoder2Arch(_LayerNormArch):
+    gguf_arch = "starcoder2"
+
+
+class NemotronArch(_LayerNormArch):
+    """Nemotron: layernorm1p. llama.cpp's converter folds the +1 into the
+    stored norm weights; do the same so our GGUFs and llama.cpp's agree."""
+
+    gguf_arch = "nemotron"
+    partial_rotary_default = 0.5
+
+    def transform_float(self, gguf_name: str, arr: np.ndarray) -> np.ndarray:
+        if gguf_name.endswith("norm.weight"):
+            return arr + 1.0
+        return arr
+
+
+class CohereArch(_LayerNormArch):
+    """Cohere Command-R: parallel residual blocks, interleaved rope, no norm
+    biases, logit_scale is a *multiplier* (llama.cpp command-r multiplies)."""
+
+    gguf_arch = "command-r"
+
+    def metadata(self):
+        md = super().metadata()
+        md[f"{self.gguf_arch}.logit_scale"] = float(self.hf.get("logit_scale", 1.0))
+        return md
+
+
+class PhiArch(_LayerNormArch):
+    """phi-1/1.5/2 (model_type "phi"): parallel blocks, partial rotary 0.5,
+    gateless fc1/fc2 MLP, biases everywhere incl. the lm head. Emits separate
+    attn_q/k/v (llama.cpp's phi2 graph accepts both fused and split)."""
+
+    gguf_arch = "phi2"
+    partial_rotary_default = 0.5
+
+
 class OlmoeArch(MoEArchSpec):
     gguf_arch = "olmoe"
     permute_qk = False  # olmo family uses NeoX rope = HF layout
@@ -519,7 +602,9 @@ _ARCH_REGISTRY.update(
      "qwen3_moe": Qwen3MoeArch, "mixtral": MixtralArch,
      "granite": GraniteArch, "minicpm": MiniCPMArch, "exaone": ExaoneArch,
      "internlm2": InternLM2Arch, "baichuan": BaichuanArch,
-     "olmoe": OlmoeArch, "deepseek": DeepseekArch}
+     "olmoe": OlmoeArch, "deepseek": DeepseekArch,
+     "stablelm": StableLmArch, "starcoder2": Starcoder2Arch,
+     "nemotron": NemotronArch, "cohere": CohereArch, "phi": PhiArch}
 )
 
 
@@ -826,7 +911,7 @@ def pack_model(
         type_counts[art.q_type] = type_counts.get(art.q_type, 0) + 1
 
     def add_float(gguf_name: str, hf_name: str, arr: np.ndarray):
-        arr = _to_f32(arr)
+        arr = spec.transform_float(gguf_name, _to_f32(arr))
         perm = spec.row_permutation(hf_name, arr.shape[0])
         if perm is not None:
             arr = arr[perm]

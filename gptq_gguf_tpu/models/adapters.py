@@ -114,11 +114,36 @@ def _deepseek(name: str, arr, n_head: int, n_kv: int, head_dim: int):
     return [(name, arr)]
 
 
+def _starcoder2(name: str, arr, n_head: int, n_kv: int, head_dim: int):
+    """starcoder2: gateless MLP named c_fc/c_proj (weights and biases)."""
+    for old, new in (("mlp.c_fc.", "mlp.up_proj."), ("mlp.c_proj.", "mlp.down_proj.")):
+        if f".{old}" in name:
+            return [(name.replace(f".{old}", f".{new}"), arr)]
+    return [(name, arr)]
+
+
+def _phi(name: str, arr, n_head: int, n_kv: int, head_dim: int):
+    """phi (phi-1/1.5/2): o_proj named dense, gateless fc1/fc2 MLP, final
+    norm named final_layernorm."""
+    if name.startswith("model.final_layernorm."):
+        return [(name.replace("model.final_layernorm.", "model.norm."), arr)]
+    for old, new in (
+        ("self_attn.dense.", "self_attn.o_proj."),
+        ("mlp.fc1.", "mlp.up_proj."),
+        ("mlp.fc2.", "mlp.down_proj."),
+    ):
+        if f".{old}" in name:
+            return [(name.replace(f".{old}", f".{new}"), arr)]
+    return [(name, arr)]
+
+
 _CANONICALIZERS = {
     "exaone": _exaone,
     "internlm2": _internlm2,
     "baichuan": _baichuan,
     "deepseek": _deepseek,
+    "starcoder2": _starcoder2,
+    "phi": _phi,
 }
 
 

@@ -69,6 +69,17 @@ class LlamaConfig:
     logits_multiplier: Optional[float] = None  # logits *= m before softcap
     # HF model_type (drives per-family checkpoint-name canonicalization)
     model_type: str = "llama"
+    # layernorm-family archs (stablelm/starcoder2/nemotron/cohere/phi):
+    # mean-subtracting LayerNorm (biases live in the param dict as
+    # *_bias keys); rms_add_unit doubles as nemotron's layernorm1p (1+w)
+    norm_type: str = "rmsnorm"  # "rmsnorm" | "layernorm"
+    # rotate only the first partial_rotary_factor*head_dim dims (stablelm
+    # 0.25, phi/nemotron 0.5); 1.0 = full rotary
+    partial_rotary_factor: float = 1.0
+    # GPT-J/cohere-style interleaved rope pairing (x[::2], x[1::2])
+    rope_interleaved: bool = False
+    # cohere/phi parallel residual: x + attn(norm(x)) + mlp(norm(x))
+    parallel_blocks: bool = False
     sliding_window: Optional[int] = None
     sliding_pattern: int = 2  # every Nth layer is global (gemma2: odd layers)
     # explicit per-layer sliding flags (gemma3 layer_types); overrides the
@@ -87,6 +98,11 @@ class LlamaConfig:
     @property
     def head_dim_(self) -> int:
         return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @property
+    def rope_dim(self) -> int:
+        """Rotated dims per head (HF rotary_ndims)."""
+        return int(self.head_dim_ * self.partial_rotary_factor)
 
     @staticmethod
     def from_hf_dict(d: Dict[str, Any], dtype=jnp.float32) -> "LlamaConfig":
@@ -114,6 +130,39 @@ class LlamaConfig:
             "num_experts", d.get("num_local_experts", d.get("n_routed_experts"))
         )
         n_layers = d.get("num_hidden_layers", d.get("num_layers"))
+        norm_type = "rmsnorm"
+        add_unit = gemma_like
+        partial_rotary = 1.0
+        rope_interleaved = False
+        parallel_blocks = False
+        act = "gelu_tanh" if gemma_like else "silu"
+        if mt == "stablelm":
+            norm_type = "layernorm"
+            partial_rotary = d.get("partial_rotary_factor", 0.25)
+            parallel_blocks = bool(d.get("use_parallel_residual", False))
+            if d.get("qk_layernorm"):
+                raise NotImplementedError("stablelm qk_layernorm")
+        elif mt == "starcoder2":
+            norm_type = "layernorm"
+            act = "gelu_tanh"
+        elif mt == "nemotron":
+            norm_type = "layernorm"
+            add_unit = True  # layernorm1p: (1 + w)
+            act = "relu2"
+            partial_rotary = d.get("partial_rotary_factor", 0.5)
+        elif mt == "cohere":
+            norm_type = "layernorm"  # no bias
+            parallel_blocks = True
+            rope_interleaved = True
+            if d.get("use_qk_norm"):
+                raise NotImplementedError("cohere use_qk_norm")
+        elif mt == "phi":
+            norm_type = "layernorm"
+            parallel_blocks = True
+            act = "gelu_tanh"  # gelu_new == tanh approximation
+            partial_rotary = d.get("partial_rotary_factor", 0.5)
+            if d.get("qk_layernorm"):
+                raise NotImplementedError("phi qk_layernorm")
         emb_mult = attn_scale = res_mult = logit_mult = None
         if mt in ("granite", "granitemoe"):
             emb_mult = d.get("embedding_multiplier")
@@ -121,6 +170,8 @@ class LlamaConfig:
             res_mult = d.get("residual_multiplier")
             if d.get("logits_scaling"):
                 logit_mult = 1.0 / float(d["logits_scaling"])
+        elif mt == "cohere":
+            logit_mult = d.get("logit_scale")  # multiplier semantics
         elif mt == "minicpm":
             emb_mult = d.get("scale_emb")
             if d.get("scale_depth"):
@@ -142,9 +193,13 @@ class LlamaConfig:
             ),
             moe_intermediate_size=d.get("moe_intermediate_size"),
             arch="gemma2" if mt == "gemma2" else "llama",
-            rms_add_unit=gemma_like,
+            rms_add_unit=add_unit,
             embed_scale=gemma_like,
-            act_fn="gelu_tanh" if gemma_like else "silu",
+            act_fn=act,
+            norm_type=norm_type,
+            partial_rotary_factor=partial_rotary,
+            rope_interleaved=rope_interleaved,
+            parallel_blocks=parallel_blocks,
             attn_logit_softcap=d.get("attn_logit_softcapping"),
             final_logit_softcap=d.get("final_logit_softcapping"),
             query_pre_attn_scalar=d.get("query_pre_attn_scalar"),
@@ -163,16 +218,22 @@ class LlamaConfig:
             num_attention_heads=d["num_attention_heads"],
             num_key_value_heads=d.get("num_key_value_heads", d["num_attention_heads"]),
             head_dim=d.get("head_dim"),
-            # exaone names the RMSNorm eps layer_norm_epsilon
-            rms_norm_eps=d.get("rms_norm_eps", d.get("layer_norm_epsilon", 1e-5)),
+            # norm-eps key aliases: exaone layer_norm_epsilon, stablelm/
+            # cohere/phi layer_norm_eps, starcoder2 norm_epsilon, nemotron
+            # norm_eps
+            rms_norm_eps=d.get("rms_norm_eps", d.get(
+                "layer_norm_epsilon", d.get("layer_norm_eps", d.get(
+                    "norm_epsilon", d.get("norm_eps", 1e-5))))),
             rope_theta=d.get("rope_theta", 10000.0),
             # baichuan uses model_max_length
             max_position_embeddings=d.get(
                 "max_position_embeddings", d.get("model_max_length", 4096)
             ),
             tie_word_embeddings=d.get("tie_word_embeddings", False),
-            # internlm2 names its qkv/o bias flag "bias"
-            attention_bias=d.get("attention_bias", d.get("bias", False)),
+            # bias-flag aliases: internlm2 "bias", starcoder2 "use_bias",
+            # stablelm "use_qkv_bias"; phi always has qkv bias
+            attention_bias=d.get("attention_bias", d.get("bias", d.get(
+                "use_bias", d.get("use_qkv_bias", mt == "phi")))),
             mlp_bias=d.get("mlp_bias", False),
             rope_scaling=rope_scaling,
             dtype=dtype,
@@ -259,13 +320,51 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float, add_unit: bool = False
     return (normed * w).astype(dt)
 
 
+def layer_norm(
+    x: jax.Array,
+    weight: jax.Array,
+    bias: Optional[jax.Array],
+    eps: float,
+    add_unit: bool = False,
+) -> jax.Array:
+    """Mean-subtracting LayerNorm; add_unit = nemotron layernorm1p (1+w)."""
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    normed = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    w = weight.astype(jnp.float32)
+    if add_unit:
+        w = 1.0 + w
+    y = normed * w
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(dt)
+
+
+def apply_norm(
+    x: jax.Array,
+    cfg: LlamaConfig,
+    weight: jax.Array,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Config-selected norm (RMSNorm or LayerNorm with optional bias)."""
+    if cfg.norm_type == "layernorm":
+        return layer_norm(x, weight, bias, cfg.rms_norm_eps, cfg.rms_add_unit)
+    return rms_norm(x, weight, cfg.rms_norm_eps, cfg.rms_add_unit)
+
+
 def _rope_params(cfg: LlamaConfig, seq_len: Optional[int] = None) -> Tuple[np.ndarray, float]:
     """(inv_freq, attention_scaling) following HF transformers'
     modeling_rope_utils for default/linear/llama3/yarn/longrope.
 
     seq_len selects longrope short vs long factors (HF switches at
-    original_max_position_embeddings based on the live sequence length)."""
-    hd = cfg.head_dim_
+    original_max_position_embeddings based on the live sequence length).
+
+    Partial-rotary models (stablelm/phi/nemotron) build the tables over
+    rope_dim = partial_rotary_factor * head_dim, exactly as HF's
+    rotary_ndims."""
+    hd = cfg.rope_dim
     base = cfg.rope_theta
     inv_freq = 1.0 / (base ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
     rs = cfg.rope_scaling
@@ -351,8 +450,11 @@ def rope_cos_sin(
     """cos/sin tables for given positions: (..., seq, head_dim)."""
     inv_freq_np, scaling = _rope_params(cfg, seq_len)
     inv_freq = jnp.asarray(inv_freq_np)
-    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # (..., hd/2)
-    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # (..., rd/2)
+    if cfg.rope_interleaved:
+        emb = jnp.repeat(freqs, 2, axis=-1)  # cohere pairing (x0,x1),(x2,x3)..
+    else:
+        emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb) * scaling, jnp.sin(emb) * scaling
 
 
@@ -361,13 +463,30 @@ def _rotate_half(x: jax.Array) -> jax.Array:
     return jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
 
 
-def apply_rope(q, k, cos, sin):
-    """HF-convention RoPE. q/k: (B, n_heads, S, hd); cos/sin: (B, S, hd)."""
+def _rotate_half_interleaved(x: jax.Array) -> jax.Array:
+    """GPT-J/cohere pairing: (x0,x1) -> (-x1,x0) per adjacent pair."""
+    x1 = x[..., ::2]
+    x2 = x[..., 1::2]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+
+def apply_rope(q, k, cos, sin, interleaved: bool = False):
+    """HF-convention RoPE. q/k: (B, n_heads, S, hd); cos/sin: (B, S, rd).
+
+    rd < hd (partial rotary) rotates only the leading rd dims and passes the
+    rest through, matching HF's rotary_ndims split."""
+    rd = cos.shape[-1]
     cos = cos[:, None, :, :]
     sin = sin[:, None, :, :]
-    q2 = q * cos + _rotate_half(q) * sin
-    k2 = k * cos + _rotate_half(k) * sin
-    return q2.astype(q.dtype), k2.astype(k.dtype)
+    rot = _rotate_half_interleaved if interleaved else _rotate_half
+
+    def one(x):
+        if rd == x.shape[-1]:
+            return x * cos + rot(x) * sin
+        xr, xp = x[..., :rd], x[..., rd:]
+        return jnp.concatenate([xr * cos + rot(xr) * sin, xp], axis=-1)
+
+    return one(q).astype(q.dtype), one(k).astype(k.dtype)
 
 
 def _linear(x, w, b=None):
@@ -504,13 +623,20 @@ def attention_scores(q, k, v, mask, scale=None, logit_softcap=None):
     return out.reshape(B, nH, S, hd)
 
 
-def _mlp_act(gate: jax.Array, up: jax.Array, cfg: LlamaConfig) -> jax.Array:
-    g32 = gate.astype(jnp.float32)
+def _act_only(x: jax.Array, cfg: LlamaConfig) -> jax.Array:
+    x32 = x.astype(jnp.float32)
     if cfg.act_fn == "gelu_tanh":
-        a = jax.nn.gelu(g32, approximate=True)
+        a = jax.nn.gelu(x32, approximate=True)
+    elif cfg.act_fn == "relu2":  # nemotron squared ReLU
+        r = jax.nn.relu(x32)
+        a = r * r
     else:
-        a = jax.nn.silu(g32)
-    return a.astype(up.dtype) * up
+        a = jax.nn.silu(x32)
+    return a.astype(x.dtype)
+
+
+def _mlp_act(gate: jax.Array, up: jax.Array, cfg: LlamaConfig) -> jax.Array:
+    return _act_only(gate, cfg) * up
 
 
 def moe_ffn(
@@ -663,7 +789,9 @@ def block_capture(
     # whole projection, norms applied to sublayer outputs before the
     # residual adds (all shape-driven from the param dict)
     post_norm = "input_layernorm" not in layer
-    h1 = x if post_norm else rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, au)
+    h1 = x if post_norm else apply_norm(
+        x, cfg, layer["input_layernorm"], layer.get("input_layernorm_bias")
+    )
     q = _linear(h1, layer["q_proj"], layer.get("q_bias"))
     k = _linear(h1, layer["k_proj"], layer.get("k_bias"))
     v = _linear(h1, layer["v_proj"], layer.get("v_bias"))
@@ -676,7 +804,7 @@ def block_capture(
     if cfg.qk_norm and layer["q_norm"].shape[0] == hd:  # per-head
         q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
         k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
-    q, k = apply_rope(q, k, cos, sin)
+    q, k = apply_rope(q, k, cos, sin, cfg.rope_interleaved)
     if cfg.attention_scale is not None:  # granite: direct score multiplier
         scale = cfg.attention_scale
     elif cfg.query_pre_attn_scalar is not None:
@@ -693,7 +821,7 @@ def block_capture(
     else:
         attn = attention_scores(q, k, v, attn_mask, scale, cfg.attn_logit_softcap)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
-    attn_out = _linear(attn, layer["o_proj"])
+    attn_out = _linear(attn, layer["o_proj"], layer.get("o_bias"))
     gemma2_norms = "pre_feedforward_layernorm" in layer
     if gemma2_norms or post_norm:
         # gemma2/olmo2: HF's post_attention_layernorm normalizes the
@@ -702,31 +830,45 @@ def block_capture(
     rm = cfg.residual_multiplier
     if rm is not None:
         attn_out = attn_out * jnp.asarray(rm, dtype=attn_out.dtype)
-    x = x + attn_out
 
-    if gemma2_norms:
-        h2 = rms_norm(x, layer["pre_feedforward_layernorm"], cfg.rms_norm_eps, au)
-    elif post_norm:
-        h2 = x
+    if cfg.parallel_blocks:
+        # cohere/phi: attn and mlp branch from the same normed input, one
+        # residual add at the end
+        h2 = h1
     else:
-        h2 = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps, au)
+        x = x + attn_out
+        if gemma2_norms:
+            h2 = rms_norm(x, layer["pre_feedforward_layernorm"], cfg.rms_norm_eps, au)
+        elif post_norm:
+            h2 = x
+        else:
+            h2 = apply_norm(
+                x, cfg, layer["post_attention_layernorm"],
+                layer.get("post_attention_layernorm_bias"),
+            )
     if "gate_inp" in layer:  # sparse MoE FFN
         mlp_out, moe_caps = moe_ffn(h2, layer, cfg, with_capture=True)
         if rm is not None:
             mlp_out = mlp_out * jnp.asarray(rm, dtype=mlp_out.dtype)
-        x = x + mlp_out
+        x = x + mlp_out + (attn_out if cfg.parallel_blocks else 0)
         captures = {"qkv": h1, "o": attn, "moe_router": h2}
         captures.update(moe_caps or {})
         return x, captures
-    gate = _linear(h2, layer["gate_proj"])
-    up = _linear(h2, layer["up_proj"])
-    down_in = _mlp_act(gate, up, cfg)
-    mlp_out = _linear(down_in, layer["down_proj"])
+    if "gate_proj" in layer:
+        gate = _linear(h2, layer["gate_proj"], layer.get("gate_bias"))
+        up = _linear(h2, layer["up_proj"], layer.get("up_bias"))
+        down_in = _mlp_act(gate, up, cfg)
+    else:
+        # gateless MLP (starcoder2 c_fc/c_proj, phi fc1/fc2, nemotron):
+        # act(up(x)) @ down
+        up = _linear(h2, layer["up_proj"], layer.get("up_bias"))
+        down_in = _act_only(up, cfg)
+    mlp_out = _linear(down_in, layer["down_proj"], layer.get("down_bias"))
     if "post_feedforward_layernorm" in layer:  # gemma2 / olmo2
         mlp_out = rms_norm(mlp_out, layer["post_feedforward_layernorm"], cfg.rms_norm_eps, au)
     if rm is not None:
         mlp_out = mlp_out * jnp.asarray(rm, dtype=mlp_out.dtype)
-    x = x + mlp_out
+    x = x + mlp_out + (attn_out if cfg.parallel_blocks else 0)
     captures = {"qkv": h1, "o": attn, "gateup": h2, "down": down_in}
     return x, captures
 
@@ -756,9 +898,11 @@ def embed_forward(params, input_ids: jax.Array, cfg: LlamaConfig) -> jax.Array:
 
 def head_forward(params, x: jax.Array, cfg: LlamaConfig) -> jax.Array:
     """Final norm + lm head -> logits (B, S, V) in float32."""
-    h = rms_norm(x, params["norm"], cfg.rms_norm_eps, cfg.rms_add_unit)
+    h = apply_norm(x, cfg, params["norm"], params.get("norm_bias"))
     w = params.get("lm_head", params["embed_tokens"])
     logits = jnp.einsum("...i,oi->...o", h, w, preferred_element_type=jnp.float32)
+    if params.get("lm_head_bias") is not None:  # phi
+        logits = logits + params["lm_head_bias"].astype(jnp.float32)
     if cfg.logits_multiplier is not None:
         logits = logits * cfg.logits_multiplier
     if cfg.final_logit_softcap:

@@ -21,7 +21,8 @@ from .llama import LlamaConfig
 SUPPORTED_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3", "phi3", "gemma",
                          "gemma2", "gemma3_text", "olmo2", "qwen2_moe", "qwen3_moe",
                          "mixtral", "granite", "minicpm", "exaone", "internlm2",
-                         "baichuan", "deepseek", "olmoe")
+                         "baichuan", "deepseek", "olmoe", "stablelm",
+                         "starcoder2", "nemotron", "cohere", "phi")
 
 
 def load_config(model_dir: Union[str, Path], dtype=jnp.float32) -> LlamaConfig:
@@ -85,8 +86,12 @@ def load_params(
             params["embed_tokens"] = val
         elif name == "model.norm.weight":
             params["norm"] = val
+        elif name == "model.norm.bias":
+            params["norm_bias"] = val
         elif name == "lm_head.weight":
             params["lm_head"] = val
+        elif name == "lm_head.bias":
+            params["lm_head_bias"] = val
         elif name.startswith("model.layers."):
             parts = name.split(".")
             i = int(parts[2])
@@ -146,6 +151,12 @@ def load_params(
                 "self_attn.q_proj.bias": "q_bias",
                 "self_attn.k_proj.bias": "k_bias",
                 "self_attn.v_proj.bias": "v_bias",
+                "self_attn.o_proj.bias": "o_bias",
+                "mlp.gate_proj.bias": "gate_bias",
+                "mlp.up_proj.bias": "up_bias",
+                "mlp.down_proj.bias": "down_bias",
+                "input_layernorm.bias": "input_layernorm_bias",
+                "post_attention_layernorm.bias": "post_attention_layernorm_bias",
                 "self_attn.q_norm.weight": "q_norm",
                 "self_attn.k_norm.weight": "k_norm",
                 "pre_feedforward_layernorm.weight": "pre_feedforward_layernorm",

@@ -427,8 +427,77 @@ def _kernel_v2(refs, *, gs, per_byte, tile_in, shift, has_min, mxu_dtype, d_rep)
         out_ref[:] = out_ref[:] + acc
 
 
+def _kernel_v3(refs, *, gs, per_byte, tile_in, shift, has_min, mxu_dtype, d_rep):
+    """Offset-folded variant of _kernel_v2: the per-weight VPU chain is cut
+    to unpack + one scale multiply in mxu_dtype, and the whole affine offset
+    (group min + signed-code shift) moves to a second small MXU dot against
+    per-group activation sums:
+
+        y = x @ (scale * q)  -  xsum @ (off + scale*shift)
+
+    with q the *raw unsigned* stored codes. Exact for the offset term
+    (linearity); the weight product rounds scale and q to mxu_dtype before
+    multiplying (one extra bf16 rounding vs _kernel_v2's f32 build)."""
+    import jax.experimental.pallas as pl
+
+    if has_min:
+        x_ref, qs_ref, d_ref, sc_ref, dmin_ref, mn_ref, out_ref = refs
+    else:
+        x_ref, qs_ref, d_ref, sc_ref, out_ref = refs
+    j = pl.program_id(1)
+
+    T = qs_ref.shape[1]
+    ng = tile_in // gs
+    sg_t = tile_in // QK_K
+    gpsg = QK_K // gs
+
+    # group-level planes (ng, T): 1/gs of the tile — cheap VPU work
+    d = d_ref[:].reshape(sg_t, d_rep, T)[:, 0].reshape(sg_t, 1, T)
+    sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)
+    scale = jnp.broadcast_to(d, (sg_t, gpsg, T)).reshape(ng, T) * sc
+    off2 = scale * float(shift) if shift else None
+    if has_min:
+        dmin = dmin_ref[:].reshape(sg_t, d_rep, T)[:, 0].reshape(sg_t, 1, T)
+        mn = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
+        off = jnp.broadcast_to(dmin, (sg_t, gpsg, T)).reshape(ng, T) * mn
+        off2 = off if off2 is None else off2 + off
+
+    qs = qs_ref[:].astype(jnp.int32)
+    if per_byte == 2:
+        b = qs.reshape(sg_t, _HALF, T)
+        q = jnp.concatenate([b & 0x0F, b >> 4], axis=1).reshape(tile_in, T)
+    else:
+        q = qs
+    w = (
+        q.astype(mxu_dtype).reshape(ng, gs, T)
+        * scale.astype(mxu_dtype).reshape(ng, 1, T)
+    ).reshape(tile_in, T)
+
+    x = x_ref[:]
+    acc = jnp.dot(x.astype(mxu_dtype), w, preferred_element_type=jnp.float32)
+    if off2 is not None:
+        xsum = x.astype(jnp.float32).reshape(x.shape[0], ng, gs).sum(axis=2)
+        acc = acc - jnp.dot(xsum, off2, preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+_V2_KERNELS = {"v2": _kernel_v2, "v3": _kernel_v3}
+
+# which in-kernel dequant variant the dispatcher uses for v2-format weights
+# ("v3" = offset-folded; flipped by bench results)
+PALLAS_V2_VARIANT = "v2"
+
+
 @functools.partial(
-    jax.jit, static_argnames=("tile_out", "tile_in", "interpret", "mxu_dtype")
+    jax.jit,
+    static_argnames=("tile_out", "tile_in", "interpret", "mxu_dtype", "variant"),
 )
 def dequant_matmul_pallas_v2(
     x: jax.Array,
@@ -438,6 +507,7 @@ def dequant_matmul_pallas_v2(
     tile_in: int = 1024,
     interpret: bool = False,
     mxu_dtype=jnp.bfloat16,
+    variant: str = "v2",
 ) -> jax.Array:
     """Fused y = x @ dequant(W)^T over the compact-scale format.
 
@@ -464,7 +534,7 @@ def dequant_matmul_pallas_v2(
     has_min = rql.has_min
 
     kernel = functools.partial(
-        _kernel_v2, gs=gs, per_byte=per_byte, tile_in=tile_in,
+        _V2_KERNELS[variant], gs=gs, per_byte=per_byte, tile_in=tile_in,
         shift=rql.shift, has_min=has_min, mxu_dtype=mxu_dtype, d_rep=d_rep,
     )
 
@@ -606,7 +676,8 @@ def dequant_matmul(x: jax.Array, rql, force_xla: bool = False) -> jax.Array:
         return dequant_matmul_xla_v2(x, rql) if v2 else dequant_matmul_xla(x, rql)
     if v2:
         return dequant_matmul_pallas_v2(
-            x, rql, tile_in=tiles[0], tile_out=tiles[1], interpret=interpret
+            x, rql, tile_in=tiles[0], tile_out=tiles[1], interpret=interpret,
+            variant=PALLAS_V2_VARIANT,
         )
     return dequant_matmul_pallas(
         x, rql, tile_in=tiles[0], tile_out=tiles[1], interpret=interpret

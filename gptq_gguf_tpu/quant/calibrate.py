@@ -302,6 +302,8 @@ def quantize_model(
         new_layer = dict(layer)
         by_cap: Dict[str, list] = {}
         for key, cap, name_tpl in _LINEAR_SPECS:
+            if key not in layer:  # gateless-MLP archs have no gate_proj
+                continue
             name = name_tpl.format(i=li)
             if not pattern.search(name):
                 continue

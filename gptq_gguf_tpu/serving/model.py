@@ -199,8 +199,8 @@ def forward_cached(
     for li, layer in enumerate(params["layers"]):
         sliding = cfg.sliding_window if llama.is_sliding_layer(cfg, li) else None
         post_norm = "input_layernorm" not in layer  # olmo2
-        h = x if post_norm else llama.rms_norm(
-            x, layer["input_layernorm"], cfg.rms_norm_eps, au
+        h = x if post_norm else llama.apply_norm(
+            x, cfg, layer["input_layernorm"], layer.get("input_layernorm_bias")
         )
         if "qkv_proj" in layer:
             # fused q/k/v: one kernel launch (serving-time fusion)
@@ -231,7 +231,7 @@ def forward_cached(
             q = llama.rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
             k = llama.rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
         cos_l, sin_l = llama.select_rope(cos, sin, cfg, li)
-        q, k = llama.apply_rope(q, k, cos_l, sin_l)
+        q, k = llama.apply_rope(q, k, cos_l, sin_l, cfg.rope_interleaved)
 
         bidx = jnp.arange(B)[:, None]
         ks_cache = vs_cache = None
@@ -266,6 +266,8 @@ def forward_cached(
         )
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
         attn_out = _q_linear(attn, layer["o_proj"])
+        if layer.get("o_bias") is not None:
+            attn_out = attn_out + layer["o_bias"]
         if psum_axis is not None:
             attn_out = jax.lax.psum(attn_out, psum_axis)
         gemma2_norms = "pre_feedforward_layernorm" in layer
@@ -273,15 +275,28 @@ def forward_cached(
             attn_out = llama.rms_norm(attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps, au)
         if rm is not None:
             attn_out = attn_out * jnp.asarray(rm, dtype=attn_out.dtype)
-        x = x + attn_out
 
-        if post_norm:
-            h = x
+        if cfg.parallel_blocks:
+            pass  # cohere/phi: mlp branches from the same normed input h
         else:
-            norm_key = "pre_feedforward_layernorm" if gemma2_norms else "post_attention_layernorm"
-            h = llama.rms_norm(x, layer[norm_key], cfg.rms_norm_eps, au)
+            x = x + attn_out
+            if post_norm:
+                h = x
+            elif gemma2_norms:
+                h = llama.rms_norm(x, layer["pre_feedforward_layernorm"], cfg.rms_norm_eps, au)
+            else:
+                h = llama.apply_norm(
+                    x, cfg, layer["post_attention_layernorm"],
+                    layer.get("post_attention_layernorm_bias"),
+                )
         if "gate_inp" in layer:  # sparse MoE FFN (dense float experts)
             mlp_out, _ = llama.moe_ffn(h, layer, cfg)
+        elif "gate_proj" not in layer and "gateup_proj" not in layer:
+            # gateless MLP (starcoder2/phi/nemotron)
+            up = _q_linear(h, layer["up_proj"])
+            if layer.get("up_bias") is not None:
+                up = up + layer["up_bias"]
+            mlp_out = _q_linear(llama._act_only(up, cfg), layer["down_proj"])
         else:
             if "gateup_proj" in layer:
                 gu = _q_linear(h, layer["gateup_proj"])
@@ -289,15 +304,20 @@ def forward_cached(
             else:
                 gate = _q_linear(h, layer["gate_proj"])
                 up = _q_linear(h, layer["up_proj"])
+            if layer.get("gate_bias") is not None:
+                gate = gate + layer["gate_bias"]
+                up = up + layer["up_bias"]
             act = llama._mlp_act(gate, up, cfg)
             mlp_out = _q_linear(act, layer["down_proj"])
+        if layer.get("down_bias") is not None:
+            mlp_out = mlp_out + layer["down_bias"]
         if psum_axis is not None:
             mlp_out = jax.lax.psum(mlp_out, psum_axis)
         if gemma2_norms or post_norm:
             mlp_out = llama.rms_norm(mlp_out, layer["post_feedforward_layernorm"], cfg.rms_norm_eps, au)
         if rm is not None:
             mlp_out = mlp_out * jnp.asarray(rm, dtype=mlp_out.dtype)
-        x = x + mlp_out
+        x = x + mlp_out + (attn_out if cfg.parallel_blocks else 0)
 
     if n_valid is None:
         last = x[:, -1, :]
@@ -305,12 +325,14 @@ def forward_cached(
     else:
         last = x[jnp.arange(B), n_valid - 1, :]
         advance = n_valid
-    h = llama.rms_norm(last, params["norm"], cfg.rms_norm_eps, au)
+    h = llama.apply_norm(last, cfg, params["norm"], params.get("norm_bias"))
     head = params.get("lm_head", params["embed_tokens"])
     if isinstance(head, _QUANT_TYPES):
         logits = qmatmul.dequant_matmul(h, head)
     else:
         logits = jnp.einsum("bi,oi->bo", h, head, preferred_element_type=jnp.float32)
+    if params.get("lm_head_bias") is not None:  # phi
+        logits = logits + params["lm_head_bias"].astype(jnp.float32)
     if psum_axis is not None:
         # vocab-sharded head: concatenate shard logits in device order
         logits = jax.lax.all_gather(logits, psum_axis, axis=1, tiled=True)
@@ -388,8 +410,13 @@ def quantize_params_for_serving(
 _GGUF_SERVING_ARCHES = (
     "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "gemma3", "phi3",
     "olmo2", "qwen2moe", "qwen3moe", "granite", "minicpm", "exaone",
-    "internlm2", "baichuan", "deepseek", "olmoe",
+    "internlm2", "baichuan", "deepseek", "olmoe", "stablelm", "starcoder2",
+    "nemotron", "command-r", "phi2",
 )
+
+# mean-subtracting-LayerNorm GGUF arches (nemotron norms arrive pre-folded
+# (1+w) from the converter, so no add_unit at serve time)
+_LAYERNORM_ARCHES = ("stablelm", "starcoder2", "nemotron", "command-r", "phi2")
 
 # stacked MoE tensors load as dense float params (llama.moe_ffn evaluates
 # them densely; quantized expert serving is follow-up work)
@@ -473,12 +500,28 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
             ("rope_type", "yarn"),
         )
     moe_experts = r.get(f"{arch}.expert_count")
-    # scalar multipliers: granite/minicpm store logit_scale as a divisor
+    # scalar multipliers: granite/minicpm store logit_scale as a divisor;
+    # command-r stores a multiplier (llama.cpp semantics differ per arch)
     emb_mult = r.get(f"{arch}.embedding_scale")
     res_mult = r.get(f"{arch}.residual_scale")
     attn_scale = r.get(f"{arch}.attention.scale")
-    logit_div = r.get(f"{arch}.logit_scale")
-    logits_mult = (1.0 / logit_div) if logit_div else None
+    logit_scale = r.get(f"{arch}.logit_scale")
+    if not logit_scale:
+        logits_mult = None
+    elif arch == "command-r":
+        logits_mult = logit_scale
+    else:
+        logits_mult = 1.0 / logit_scale
+    ln = arch in _LAYERNORM_ARCHES
+    rope_dims = r.get(f"{arch}.rope.dimension_count", head_dim)
+    act = "silu"
+    if gemma or arch in ("starcoder2", "phi2"):
+        act = "gelu_tanh"
+    elif arch == "nemotron":
+        act = "relu2"
+    parallel = arch in ("command-r", "phi2") or bool(
+        r.get(f"{arch}.use_parallel_residual", False)
+    )
     sliding_layers = None
     rope_local = None
     if arch == "gemma3":
@@ -508,13 +551,20 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
         num_attention_heads=n_head,
         num_key_value_heads=n_kv,
         head_dim=head_dim,
-        rms_norm_eps=r.get(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5),
+        norm_type="layernorm" if ln else "rmsnorm",
+        partial_rotary_factor=rope_dims / head_dim,
+        rope_interleaved=(arch == "command-r"),
+        parallel_blocks=parallel,
+        rms_norm_eps=r.get(
+            f"{arch}.attention.layer_norm_rms_epsilon",
+            r.get(f"{arch}.attention.layer_norm_epsilon", 1e-5),
+        ),
         rope_theta=r.get(f"{arch}.rope.freq_base", 10000.0),
         max_position_embeddings=r.get(f"{arch}.context_length", 4096),
         qk_norm="blk.0.attn_q_norm.weight" in r.tensors,
         rms_add_unit=gemma,
         embed_scale=gemma,
-        act_fn="gelu_tanh" if gemma else "silu",
+        act_fn=act,
         attn_logit_softcap=r.get(f"{arch}.attn_logit_softcapping") if arch == "gemma2" else None,
         final_logit_softcap=r.get(f"{arch}.final_logit_softcapping") if arch == "gemma2" else None,
         sliding_window=(
@@ -615,15 +665,26 @@ def load_gguf_for_serving(
 
     params: Dict[str, Any] = {"layers": []}
     layers: List[Dict[str, Any]] = [dict() for _ in range(cfg.num_hidden_layers)]
-    bias_keys = {"q_proj": "q_bias", "k_proj": "k_bias", "v_proj": "v_bias"}
+    bias_keys = {
+        "q_proj": "q_bias", "k_proj": "k_bias", "v_proj": "v_bias",
+        "o_proj": "o_bias", "gate_proj": "gate_bias", "up_proj": "up_bias",
+        "down_proj": "down_bias",
+        "input_layernorm": "input_layernorm_bias",
+        "post_attention_layernorm": "post_attention_layernorm_bias",
+        "pre_feedforward_layernorm": "pre_feedforward_layernorm_bias",
+    }
     for name in r.tensor_order:
         if name == "token_embd.weight":
             # embeddings are gathered, keep dense
             params["embed_tokens"] = jnp.asarray(r.tensor_float(name), dtype=dtype)
         elif name == "output.weight":
             params["lm_head"] = to_param(load_tensor(name))
+        elif name == "output.bias":
+            params["lm_head_bias"] = jnp.asarray(r.tensor_float(name))
         elif name == "output_norm.weight":
             params["norm"] = jnp.asarray(r.tensor_float(name))
+        elif name == "output_norm.bias":
+            params["norm_bias"] = jnp.asarray(r.tensor_float(name))
         elif name == "rope_freqs.weight":
             continue  # recomputed analytically
         elif name.startswith("blk."):

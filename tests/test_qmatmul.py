@@ -127,6 +127,29 @@ def test_pallas_v2_interpret_matches_xla(qtype):
     assert np.abs(y_bf - y_ref).max() < 0.02 * ref_scale
 
 
+@pytest.mark.parametrize("qtype", [T.Q2_K, T.Q3_K, T.Q4_K, T.Q6_K])
+def test_pallas_v3_offset_fold_matches_xla(qtype):
+    """v3 kernel (offset folded into an xsum dot, raw-code scale multiply in
+    mxu_dtype) must match the canonical dequant matmul: exactly at f32, to
+    bf16 rounding otherwise."""
+    wx = RNG.normal(size=(512, 512)).astype(np.float32) * 0.1
+    q, params = kquant.quantize_rtn(jnp.asarray(wx), qtype)
+    rql = qmatmul.pack_runtime_v2(np.asarray(q), params, qtype)
+    x = jnp.asarray(RNG.normal(size=(8, 512)).astype(np.float32))
+    y_ref = np.asarray(qmatmul.dequant_matmul_xla_v2(x, rql))
+    y_pal = np.asarray(qmatmul.dequant_matmul_pallas_v2(
+        x, rql, tile_out=256, tile_in=256, interpret=True,
+        mxu_dtype=jnp.float32, variant="v3",
+    ))
+    np.testing.assert_allclose(y_pal, y_ref, rtol=1e-5, atol=1e-4)
+    y_bf = np.asarray(qmatmul.dequant_matmul_pallas_v2(
+        x, rql, tile_out=256, tile_in=256, interpret=True,
+        mxu_dtype=jnp.bfloat16, variant="v3",
+    ))
+    ref_scale = np.abs(y_ref).max()
+    assert np.abs(y_bf - y_ref).max() < 0.03 * ref_scale
+
+
 def test_v2_bits_per_weight_compact():
     wx = RNG.normal(size=(512, 4096)).astype(np.float32) * 0.1
     q, params = kquant.quantize_rtn(jnp.asarray(wx), T.Q4_K)
