@@ -190,6 +190,14 @@ class ArchSpec:
         """Hook for float-tensor value rewrites (nemotron folds (1+w) norms)."""
         return arr
 
+    def special_tensors(self, hf_name: str, arr: np.ndarray, get_artifact):
+        """Hook for one-HF-tensor -> many-GGUF-tensors rewrites (deepseek2
+        splits kv_b into attn_k_b/attn_v_b). Returns None when the tensor is
+        not special, else a list of
+        ("quant", gguf_name, LayerArtifact, raw_shape) /
+        ("float", gguf_name, np.ndarray) instructions."""
+        return None
+
 
 class LlamaArch(ArchSpec):
     gguf_arch = "llama"
@@ -573,6 +581,117 @@ class PhiArch(_LayerNormArch):
     partial_rotary_default = 0.5
 
 
+class Deepseek2Arch(MoEArchSpec):
+    """deepseek_v2 / deepseek_v3 (MLA + deepseek-MoE).
+
+    Mirrors the reference DeepseekV2Model (pack_gptq_into_gguf.py:6369-6556):
+    llama.cpp stores MLA as MQA with one kv head (key_length = kv_lora_rank +
+    qk_rope_head_dim, value_length = kv_lora_rank) plus the decompression
+    projections attn_k_b / attn_v_b split from HF's kv_b_proj — k_b with the
+    last two axes transposed for the score-side absorption."""
+
+    gguf_arch = "deepseek2"
+    permute_qk = False
+    n_expert_key = "n_routed_experts"
+
+    _direct = {
+        "self_attn.q_a_proj.weight": "attn_q_a.weight",
+        "self_attn.q_a_layernorm.weight": "attn_q_a_norm.weight",
+        "self_attn.q_b_proj.weight": "attn_q_b.weight",
+        "self_attn.kv_a_proj_with_mqa.weight": "attn_kv_a_mqa.weight",
+        "self_attn.kv_a_layernorm.weight": "attn_kv_a_norm.weight",
+        "mlp.gate.e_score_correction_bias": "exp_probs_b.bias",
+    }
+
+    def tensor_name(self, hf_name: str) -> Optional[str]:
+        if hf_name.startswith("model.layers."):
+            parts = hf_name.split(".")
+            i = parts[2]
+            rest = ".".join(parts[3:])
+            if rest in self._direct:
+                return f"blk.{i}.{self._direct[rest]}"
+            if rest == "self_attn.kv_b_proj.weight":
+                return None  # handled by special_tensors
+        return super().tensor_name(hf_name)
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        dn, dr = c["qk_nope_head_dim"], c["qk_rope_head_dim"]
+        dv, L = c["v_head_dim"], c["kv_lora_rank"]
+        # MLA loads as MQA with 1 kv head of the compressed dims
+        md[f"{a}.attention.head_count_kv"] = 1
+        md[f"{a}.attention.key_length"] = L + dr
+        md[f"{a}.attention.value_length"] = L
+        md[f"{a}.attention.key_length_mla"] = dn + dr
+        md[f"{a}.attention.value_length_mla"] = dv
+        md[f"{a}.leading_dense_block_count"] = int(c.get("first_k_dense_replace", 0))
+        if c.get("q_lora_rank"):
+            md[f"{a}.attention.q_lora_rank"] = int(c["q_lora_rank"])
+        md[f"{a}.attention.kv_lora_rank"] = int(L)
+        md[f"{a}.expert_shared_count"] = int(c.get("n_shared_experts", 0))
+        md[f"{a}.expert_weights_scale"] = float(c.get("routed_scaling_factor", 1.0))
+        md[f"{a}.expert_weights_norm"] = bool(c.get("norm_topk_prob", False))
+        # group-limited routing (v2 group_limited_greedy / v3 noaux-tc)
+        group_limited = c.get("model_type") == "deepseek_v3" or \
+            c.get("topk_method") == "group_limited_greedy"
+        if group_limited and c.get("n_group", 1) >= 1:
+            md[f"{a}.expert_group_count"] = int(c.get("n_group", 1))
+            md[f"{a}.expert_group_used_count"] = int(c.get("topk_group", 1))
+        # ExpertGatingFuncType: 1 = softmax, 2 = sigmoid
+        md[f"{a}.expert_gating_func"] = (
+            2 if c.get("scoring_func") == "sigmoid" else 1
+        )
+        md[f"{a}.rope.dimension_count"] = int(dr)
+        rs = dict(c.get("rope_scaling") or {})
+        if rs.get("rope_type", rs.get("type")) == "yarn" and rs.get("mscale_all_dim"):
+            md[f"{a}.rope.scaling.yarn_log_multiplier"] = 0.1 * float(
+                rs["mscale_all_dim"]
+            )
+        # resolved softmax scale (HF: qk_head_dim^-0.5, x mscale^2 on v3 with
+        # yarn mscale_all_dim) so the serving loader needs no arch heuristics
+        scale = (dn + dr) ** -0.5
+        if c.get("model_type") == "deepseek_v3" and rs.get("mscale_all_dim") \
+                and rs.get("factor", 1.0) > 1:
+            import math as _math
+
+            m = 0.1 * rs["mscale_all_dim"] * _math.log(rs["factor"]) + 1.0
+            scale *= m * m
+        md[f"{a}.attention.scale"] = float(scale)
+        return md
+
+    def special_tensors(self, hf_name: str, arr: np.ndarray, get_artifact):
+        if not (hf_name.startswith("model.layers.")
+                and hf_name.endswith("self_attn.kv_b_proj.weight")):
+            return None
+        c = self.hf
+        i = hf_name.split(".")[2]
+        nH = c["num_attention_heads"]
+        dn, dv, L = c["qk_nope_head_dim"], c["v_head_dim"], c["kv_lora_rank"]
+        out = []
+        art = get_artifact(f"model.layers.{i}.self_attn.kv_b_proj")
+        rows = np.arange(nH * (dn + dv)).reshape(nH, dn + dv)
+        v_rows = rows[:, dn:].reshape(-1)
+        if art is not None:
+            # v_b is a pure row selection of the quantized tensor (each row
+            # keeps its kv_lora extent) — stays K-quant
+            out.append(("quant", f"blk.{i}.attn_v_b.weight",
+                        _permute_artifact(art, v_rows), (nH, dv, L)))
+            # k_b needs a transpose of the last two axes, which cannot be
+            # expressed on row-quantized codes; carry the quantization error
+            # by dequantizing (the reference's QuantError -> F16 fallback)
+            w = np.asarray(art.dequantize()).astype(np.float32)
+        else:
+            w = arr.astype(np.float32)
+            v_b = w.reshape(nH, dn + dv, L)[:, dn:]
+            out.append(("float", f"blk.{i}.attn_v_b.weight",
+                        v_b.astype(np.float16)))
+        k_b = w.reshape(nH, dn + dv, L)[:, :dn].transpose(0, 2, 1)  # (nH, L, dn)
+        out.append(("float", f"blk.{i}.attn_k_b.weight",
+                    np.ascontiguousarray(k_b).astype(np.float16)))
+        return out
+
+
 class OlmoeArch(MoEArchSpec):
     gguf_arch = "olmoe"
     permute_qk = False  # olmo family uses NeoX rope = HF layout
@@ -604,7 +723,8 @@ _ARCH_REGISTRY.update(
      "internlm2": InternLM2Arch, "baichuan": BaichuanArch,
      "olmoe": OlmoeArch, "deepseek": DeepseekArch,
      "stablelm": StableLmArch, "starcoder2": Starcoder2Arch,
-     "nemotron": NemotronArch, "cohere": CohereArch, "phi": PhiArch}
+     "nemotron": NemotronArch, "cohere": CohereArch, "phi": PhiArch,
+     "deepseek_v2": Deepseek2Arch, "deepseek_v3": Deepseek2Arch}
 )
 
 
@@ -958,6 +1078,25 @@ def pack_model(
             acc[e_idx] = arr
             if len(acc) == spec.n_expert:
                 flush_experts(gguf_exps, art_tpl)
+            continue
+        special = spec.special_tensors(
+            name, _to_f32(arr),
+            lambda b: artifacts.load_layer(quant_dir, b) if b in quant_layers else None,
+        )
+        if special is not None:
+            for item in special:
+                if item[0] == "quant":
+                    _, gname, art, shape = item
+                    blocks = convert.pack_layer(
+                        art.qweight, art.super_group_scale, art.group_scale_quant,
+                        art.super_group_zero, art.group_zero_quant, art.q_type,
+                    )
+                    writer.add_tensor(gname, blocks, raw_dtype=art.q_type,
+                                      raw_shape=shape)
+                    type_counts[art.q_type] = type_counts.get(art.q_type, 0) + 1
+                else:
+                    _, gname, payload = item
+                    writer.add_tensor(gname, payload)
             continue
         gguf_name = spec.tensor_name(name)
         # fused architectures (phi3): HF holds qkv_proj/gate_up_proj fused,

@@ -31,6 +31,11 @@ MOE_MAPPING = {
     "mlp.gate": "ffn_gate_inp.weight",
     "self_attn.k_norm": "attn_k_norm.weight",
     "self_attn.q_norm": "attn_q_norm.weight",
+    # MLA (deepseek2)
+    "self_attn.q_a_proj": "attn_q_a.weight",
+    "self_attn.q_b_proj": "attn_q_b.weight",
+    "self_attn.kv_a_proj_with_mqa": "attn_kv_a_mqa.weight",
+    "self_attn.kv_b_proj": "attn_kv_b.weight",
 }
 
 _MOE_INDICATORS = ("experts", "mlp.gate.", "router", "shared_expert")

@@ -142,6 +142,9 @@ _CANONICALIZERS = {
     "internlm2": _internlm2,
     "baichuan": _baichuan,
     "deepseek": _deepseek,
+    # v2/v3 share v1's plural shared_experts naming
+    "deepseek_v2": _deepseek,
+    "deepseek_v3": _deepseek,
     "starcoder2": _starcoder2,
     "phi": _phi,
 }

@@ -93,6 +93,22 @@ class LlamaConfig:
     moe_top_k: int = 2
     moe_norm_topk: bool = True
     moe_intermediate_size: Optional[int] = None
+    # deepseek-family routing: sigmoid scoring (v3 noaux-tc), group-limited
+    # expert choice over n_group groups keeping topk_group, and a scalar
+    # weight multiplier (routed_scaling_factor)
+    moe_scoring: str = "softmax"  # "softmax" | "sigmoid"
+    moe_n_group: Optional[int] = None
+    moe_topk_group: Optional[int] = None
+    moe_group_method: str = "max"  # per-group score: "max" (v2) | "top2sum" (v3)
+    moe_routed_scale: Optional[float] = None
+    # MLA (deepseek_v2/v3): low-rank q/kv compression. Attention runs as MHA
+    # with qk head dim = qk_nope + qk_rope and separate v_head_dim values;
+    # kv_lora_rank set <=> MLA layers
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: Optional[int] = None
+    qk_rope_head_dim: int = 64
+    qk_nope_head_dim: int = 128
+    v_head_dim: int = 128
     dtype: Any = jnp.float32
 
     @property
@@ -102,6 +118,8 @@ class LlamaConfig:
     @property
     def rope_dim(self) -> int:
         """Rotated dims per head (HF rotary_ndims)."""
+        if self.kv_lora_rank:  # MLA: rope hits only the qk_rope split
+            return self.qk_rope_head_dim
         return int(self.head_dim_ * self.partial_rotary_factor)
 
     @staticmethod
@@ -163,6 +181,39 @@ class LlamaConfig:
             partial_rotary = d.get("partial_rotary_factor", 0.5)
             if d.get("qk_layernorm"):
                 raise NotImplementedError("phi qk_layernorm")
+        mla = {}
+        moe_ds = {}
+        if mt in ("deepseek_v2", "deepseek_v3"):
+            rope_interleaved = True  # HF v2 complex rope / v3 rope_interleave
+            mla = dict(
+                q_lora_rank=d.get("q_lora_rank"),
+                kv_lora_rank=d["kv_lora_rank"],
+                qk_rope_head_dim=d["qk_rope_head_dim"],
+                qk_nope_head_dim=d["qk_nope_head_dim"],
+                v_head_dim=d["v_head_dim"],
+            )
+            # v3 always routes group-limited over sigmoid scores with the
+            # e_score_correction bias; v2 uses softmax with greedy or
+            # group-limited-greedy (group score = max) and IGNORES
+            # norm_topk_prob (HF modeling_deepseek_v2.DeepseekV2MoEGate)
+            if mt == "deepseek_v3":
+                moe_ds = dict(
+                    moe_scoring="sigmoid",
+                    moe_n_group=d.get("n_group", 1),
+                    moe_topk_group=d.get("topk_group", 1),
+                    moe_group_method="top2sum",
+                    moe_routed_scale=d.get("routed_scaling_factor"),
+                )
+            else:
+                moe_ds = dict(
+                    moe_routed_scale=d.get("routed_scaling_factor"),
+                )
+                if d.get("topk_method") == "group_limited_greedy":
+                    moe_ds.update(
+                        moe_n_group=d.get("n_group", 1),
+                        moe_topk_group=d.get("topk_group", 1),
+                        moe_group_method="max",
+                    )
         emb_mult = attn_scale = res_mult = logit_mult = None
         if mt in ("granite", "granitemoe"):
             emb_mult = d.get("embedding_multiplier")
@@ -178,7 +229,19 @@ class LlamaConfig:
                 res_mult = float(d["scale_depth"]) / math.sqrt(n_layers)
             if d.get("dim_model_base"):
                 logit_mult = float(d["dim_model_base"]) / d["hidden_size"]
+        if mla:
+            # MLA softmax scale: qk_head_dim^-0.5; v3 additionally folds the
+            # yarn mscale^2 (HF DeepseekV3Attention.__init__)
+            qk_hd = mla["qk_nope_head_dim"] + mla["qk_rope_head_dim"]
+            attn_scale = qk_hd ** -0.5
+            rsd = dict(rs_raw or {})
+            if mt == "deepseek_v3" and rsd.get("mscale_all_dim") and \
+                    rsd.get("factor", 1.0) > 1:
+                m = 0.1 * rsd["mscale_all_dim"] * math.log(rsd["factor"]) + 1.0
+                attn_scale = attn_scale * m * m
         return LlamaConfig(
+            **mla,
+            **moe_ds,
             model_type=mt,
             embedding_multiplier=emb_mult,
             attention_scale=attn_scale,
@@ -187,10 +250,11 @@ class LlamaConfig:
             moe_num_experts=moe_experts,
             moe_top_k=d.get("num_experts_per_tok", 2),
             # HF qwen2moe/qwen3moe expose norm_topk_prob; mixtral always
-            # renormalizes the top-k routing weights
+            # renormalizes the top-k routing weights; HF deepseek_v2's gate
+            # ignores the flag entirely
             moe_norm_topk=bool(
                 d.get("norm_topk_prob", mt in ("mixtral", "granitemoe"))
-            ),
+            ) and mt != "deepseek_v2",
             moe_intermediate_size=d.get("moe_intermediate_size"),
             arch="gemma2" if mt == "gemma2" else "llama",
             rms_add_unit=add_unit,
@@ -400,7 +464,16 @@ def _rope_params(cfg: LlamaConfig, seq_len: Optional[int] = None) -> Tuple[np.nd
         beta_slow = rs.get("beta_slow", 1.0)
         scaling = rs.get("attention_factor")
         if scaling is None:
-            scaling = 0.1 * math.log(factor) + 1.0
+            # deepseek-style mscale pair (HF _compute_yarn_parameters)
+            def _get_mscale(scale, m=1.0):
+                return 0.1 * m * math.log(scale) + 1.0 if scale > 1 else 1.0
+
+            if rs.get("mscale") and rs.get("mscale_all_dim"):
+                scaling = _get_mscale(factor, rs["mscale"]) / _get_mscale(
+                    factor, rs["mscale_all_dim"]
+                )
+            else:
+                scaling = _get_mscale(factor)
 
         def corr_dim(num_rot):
             return (hd * math.log(old_len / (num_rot * 2 * math.pi))) / (
@@ -522,6 +595,7 @@ def flash_attention(q, k, v, qpos, scale=None, logit_softcap=None,
     """
     B, nH, S, hd = q.shape
     nKV, L = k.shape[1], k.shape[2]
+    vd = v.shape[-1]  # MLA: value head dim may differ from qk head dim
     G = nH // nKV
     scale = scale if scale is not None else 1.0 / math.sqrt(hd)
     qg = (q.reshape(B, nKV, G, S, hd).astype(jnp.float32)) * scale
@@ -537,7 +611,7 @@ def flash_attention(q, k, v, qpos, scale=None, logit_softcap=None,
 
     m0 = jnp.full((B, nKV, G, S), -1e30, jnp.float32)
     l0 = jnp.zeros((B, nKV, G, S), jnp.float32)
-    a0 = jnp.zeros((B, nKV, G, S, hd), jnp.float32)
+    a0 = jnp.zeros((B, nKV, G, S, vd), jnp.float32)
 
     def step(carry_mla, kc, vc, kp, ksc=None, vsc=None):
         m, l, acc = carry_mla
@@ -602,7 +676,7 @@ def flash_attention(q, k, v, qpos, scale=None, logit_softcap=None,
         (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0), xs)
     out = acc / jnp.maximum(l, 1e-30)[..., None]
     out_dtype = v.dtype if k_scale is None else jnp.float32
-    return out.reshape(B, nH, S, hd).astype(out_dtype)
+    return out.reshape(B, nH, S, vd).astype(out_dtype)
 
 
 def attention_scores(q, k, v, mask, scale=None, logit_softcap=None):
@@ -620,7 +694,7 @@ def attention_scores(q, k, v, mask, scale=None, logit_softcap=None):
     scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bkgst,bkth->bkgsh", probs, v, preferred_element_type=jnp.float32)
-    return out.reshape(B, nH, S, hd)
+    return out.reshape(B, nH, S, v.shape[-1])
 
 
 def _act_only(x: jax.Array, cfg: LlamaConfig) -> jax.Array:
@@ -637,6 +711,50 @@ def _act_only(x: jax.Array, cfg: LlamaConfig) -> jax.Array:
 
 def _mlp_act(gate: jax.Array, up: jax.Array, cfg: LlamaConfig) -> jax.Array:
     return _act_only(gate, cfg) * up
+
+
+def moe_route(h: jax.Array, layer: Dict[str, jax.Array], cfg: LlamaConfig,
+              n_experts: int):
+    """Router: (wmap (B,S,E) dense routing-weight map, topw, topi).
+
+    Softmax (qwen/mixtral) or sigmoid (deepseek-v3) scoring; expert *choice*
+    runs on bias-corrected / group-masked scores while the routing *weights*
+    are gathered from the raw scores (HF deepseek_v3 TopkRouter; for softmax
+    routers choice == scores so this is the ordinary top-k)."""
+    B, S, _ = h.shape
+    E = n_experts
+    logits = jnp.einsum(
+        "bsh,eh->bse", h.astype(jnp.float32), layer["gate_inp"].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    if cfg.moe_scoring == "sigmoid":  # deepseek-v3 noaux-tc router
+        scores = jax.nn.sigmoid(logits)
+    else:
+        scores = jax.nn.softmax(logits, axis=-1)
+    choice = scores
+    if "gate_corr_bias" in layer:
+        choice = scores + layer["gate_corr_bias"].astype(jnp.float32)
+    if cfg.moe_n_group and cfg.moe_n_group > 1:
+        ng = cfg.moe_n_group
+        gsc = choice.reshape(B, S, ng, E // ng)
+        if cfg.moe_group_method == "top2sum":  # v3: sum of top-2 per group
+            gscore = jax.lax.top_k(gsc, 2)[0].sum(-1)
+        else:  # v2 group_limited_greedy: max per group
+            gscore = gsc.max(-1)
+        gidx = jax.lax.top_k(gscore, cfg.moe_topk_group)[1]
+        gmask = jax.nn.one_hot(gidx, ng, dtype=jnp.float32).sum(-2)  # (B,S,ng)
+        choice = jnp.where(
+            jnp.repeat(gmask, E // ng, axis=-1) > 0, choice, 0.0
+        )
+    topw, topi = jax.lax.top_k(choice, cfg.moe_top_k)
+    topw = jnp.take_along_axis(scores, topi, axis=-1)
+    if cfg.moe_norm_topk:
+        eps = 1e-20 if cfg.moe_scoring == "sigmoid" else 0.0
+        topw = topw / (topw.sum(-1, keepdims=True) + eps)
+    if cfg.moe_routed_scale is not None:
+        topw = topw * cfg.moe_routed_scale
+    wmap = (jax.nn.one_hot(topi, E, dtype=jnp.float32) * topw[..., None]).sum(-2)
+    return wmap, topw, topi
 
 
 def moe_ffn(
@@ -661,15 +779,7 @@ def moe_ffn(
     B, S, H = h.shape
     wg, wu, wd = layer["experts_gate"], layer["experts_up"], layer["experts_down"]
     E = wg.shape[0]
-    logits = jnp.einsum(
-        "bsh,eh->bse", h.astype(jnp.float32), layer["gate_inp"].astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
-    probs = jax.nn.softmax(logits, axis=-1)
-    topw, topi = jax.lax.top_k(probs, cfg.moe_top_k)
-    if cfg.moe_norm_topk:
-        topw = topw / topw.sum(-1, keepdims=True)
-    wmap = (jax.nn.one_hot(topi, E, dtype=jnp.float32) * topw[..., None]).sum(-2)
+    wmap, _, _ = moe_route(h, layer, cfg, E)
 
     def body(acc, inputs):
         we_g, we_u, we_d, we_w = inputs
@@ -792,6 +902,8 @@ def block_capture(
     h1 = x if post_norm else apply_norm(
         x, cfg, layer["input_layernorm"], layer.get("input_layernorm_bias")
     )
+    if cfg.kv_lora_rank:
+        return _mla_block(layer, x, h1, cos, sin, attn_mask, cfg)
     q = _linear(h1, layer["q_proj"], layer.get("q_bias"))
     k = _linear(h1, layer["k_proj"], layer.get("k_bias"))
     v = _linear(h1, layer["v_proj"], layer.get("v_bias"))
@@ -871,6 +983,74 @@ def block_capture(
     x = x + mlp_out + (attn_out if cfg.parallel_blocks else 0)
     captures = {"qkv": h1, "o": attn, "gateup": h2, "down": down_in}
     return x, captures
+
+
+def _mla_block(layer, x, h1, cos, sin, attn_mask, cfg: LlamaConfig):
+    """Deepseek-v2/v3 MLA attention + (dense | MoE) FFN block.
+
+    HF modeling_deepseek_v2/v3 semantics: q via optional low-rank path
+    (q_a_proj -> RMSNorm -> q_b_proj), kv via joint compression
+    (kv_a_proj_with_mqa -> split c_kv | k_pe; RMSNorm(c_kv) -> kv_b_proj ->
+    split k_nope | v). Rope rotates only the qk_rope split; k_pe is a single
+    shared head broadcast across all query heads. The softmax scale
+    (qk_head_dim^-0.5, x mscale^2 for v3 yarn) arrives pre-resolved in
+    cfg.attention_scale.
+
+    Captures: "qkv" feeds q_a/q_proj + kv_a (same input), "q_b"/"kv_b" the
+    low-rank second stages, "o" the output projection, then the standard
+    dense-MLP or MoE captures."""
+    B, S, H = x.shape
+    nH = cfg.num_attention_heads
+    dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+    qk_hd = dn + dr
+    captures: Dict[str, jax.Array] = {"qkv": h1}
+    if "q_b_proj" in layer:
+        qa = _linear(h1, layer["q_a_proj"], layer.get("q_a_bias"))
+        qa_n = rms_norm(qa, layer["q_a_norm"], cfg.rms_norm_eps)
+        q = _linear(qa_n, layer["q_b_proj"])
+        captures["q_b"] = qa_n
+    else:  # deepseek-v2-lite: no q compression
+        q = _linear(h1, layer["q_proj"])
+    q = q.reshape(B, S, nH, qk_hd).transpose(0, 2, 1, 3)
+    q_nope, q_pe = q[..., :dn], q[..., dn:]
+
+    ckv = _linear(h1, layer["kv_a_proj"], layer.get("kv_a_bias"))
+    c_kv, k_pe = ckv[..., : cfg.kv_lora_rank], ckv[..., cfg.kv_lora_rank :]
+    ckv_n = rms_norm(c_kv, layer["kv_a_norm"], cfg.rms_norm_eps)
+    captures["kv_b"] = ckv_n
+    kv = _linear(ckv_n, layer["kv_b_proj"])
+    kv = kv.reshape(B, S, nH, dn + dv).transpose(0, 2, 1, 3)
+    k_nope, v = kv[..., :dn], kv[..., dn:]
+
+    k_pe = k_pe[:, None]  # (B, 1, S, dr)
+    q_pe, k_pe = apply_rope(q_pe, k_pe, cos, sin, cfg.rope_interleaved)
+    q = jnp.concatenate([q_nope, q_pe], axis=-1)
+    k = jnp.concatenate(
+        [k_nope, jnp.broadcast_to(k_pe, (B, nH, S, dr))], axis=-1
+    )
+    scale = cfg.attention_scale or qk_hd ** -0.5
+    if S >= 2 * FLASH_CHUNK:
+        qpos = jnp.broadcast_to(jnp.arange(S), (B, S))
+        attn = flash_attention(q, k, v, qpos, scale)
+    else:
+        attn = attention_scores(q, k, v, attn_mask, scale)
+    attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * dv)
+    captures["o"] = attn
+    attn_out = _linear(attn, layer["o_proj"], layer.get("o_bias"))
+    x = x + attn_out
+
+    h2 = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
+    if "gate_inp" in layer:
+        mlp_out, moe_caps = moe_ffn(h2, layer, cfg, with_capture=True)
+        captures["moe_router"] = h2
+        captures.update(moe_caps or {})
+    else:
+        gate = _linear(h2, layer["gate_proj"])
+        up = _linear(h2, layer["up_proj"])
+        down_in = _mlp_act(gate, up, cfg)
+        mlp_out = _linear(down_in, layer["down_proj"])
+        captures.update({"gateup": h2, "down": down_in})
+    return x + mlp_out, captures
 
 
 def block_forward(
@@ -956,6 +1136,10 @@ def linear_layer_names(cfg: LlamaConfig, include_non_block: bool = False) -> Lis
     return names
 
 
+# HF module name -> param-dict key where they differ
+_LINEAR_KEY_ALIASES = {"kv_a_proj_with_mqa": "kv_a_proj"}
+
+
 def get_linear(params, name: str) -> jax.Array:
     """Fetch a weight matrix by HF module name."""
     if name == "model.embed_tokens":
@@ -964,7 +1148,8 @@ def get_linear(params, name: str) -> jax.Array:
         return params.get("lm_head", params["embed_tokens"])
     parts = name.split(".")
     idx = int(parts[2])
-    return params["layers"][idx][parts[4]]
+    key = _LINEAR_KEY_ALIASES.get(parts[4], parts[4])
+    return params["layers"][idx][key]
 
 
 def set_linear(params, name: str, value: jax.Array):
@@ -975,6 +1160,7 @@ def set_linear(params, name: str, value: jax.Array):
         return {**params, "lm_head": value}
     parts = name.split(".")
     idx = int(parts[2])
+    key = _LINEAR_KEY_ALIASES.get(parts[4], parts[4])
     layers = list(params["layers"])
-    layers[idx] = {**layers[idx], parts[4]: value}
+    layers[idx] = {**layers[idx], key: value}
     return {**params, "layers": layers}

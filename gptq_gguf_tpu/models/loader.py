@@ -22,7 +22,8 @@ SUPPORTED_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3", "phi3", "gemma",
                          "gemma2", "gemma3_text", "olmo2", "qwen2_moe", "qwen3_moe",
                          "mixtral", "granite", "minicpm", "exaone", "internlm2",
                          "baichuan", "deepseek", "olmoe", "stablelm",
-                         "starcoder2", "nemotron", "cohere", "phi")
+                         "starcoder2", "nemotron", "cohere", "phi",
+                         "deepseek_v2", "deepseek_v3")
 
 
 def load_config(model_dir: Union[str, Path], dtype=jnp.float32) -> LlamaConfig:
@@ -133,6 +134,7 @@ def load_params(
             moe_direct = {
                 "mlp.gate.weight": "gate_inp",
                 "block_sparse_moe.gate.weight": "gate_inp",
+                "mlp.gate.e_score_correction_bias": "gate_corr_bias",  # deepseek-v3
                 "mlp.shared_expert_gate.weight": "shared_gate_inp",
                 "mlp.shared_expert.gate_proj.weight": "shared_gate",
                 "mlp.shared_expert.up_proj.weight": "shared_up",
@@ -164,6 +166,15 @@ def load_params(
                 "mlp.gate_proj.weight": "gate_proj",
                 "mlp.up_proj.weight": "up_proj",
                 "mlp.down_proj.weight": "down_proj",
+                # MLA (deepseek_v2/v3)
+                "self_attn.q_a_proj.weight": "q_a_proj",
+                "self_attn.q_a_proj.bias": "q_a_bias",
+                "self_attn.q_a_layernorm.weight": "q_a_norm",
+                "self_attn.q_b_proj.weight": "q_b_proj",
+                "self_attn.kv_a_proj_with_mqa.weight": "kv_a_proj",
+                "self_attn.kv_a_proj_with_mqa.bias": "kv_a_bias",
+                "self_attn.kv_a_layernorm.weight": "kv_a_norm",
+                "self_attn.kv_b_proj.weight": "kv_b_proj",
             }
             key = mapping.get(rest)
             if key is None:

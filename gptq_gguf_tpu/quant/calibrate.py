@@ -54,6 +54,43 @@ _LINEAR_SPECS = [
     ("down_proj", "down", "model.layers.{i}.mlp.down_proj"),
 ]
 
+# MLA attention (deepseek_v2/v3): q_a/q_proj and kv_a share the block input
+# ("qkv" capture); the low-rank second stages get their own captures
+_MLA_ATTN_SPECS = [
+    ("q_proj", "qkv", "model.layers.{i}.self_attn.q_proj"),
+    ("q_a_proj", "qkv", "model.layers.{i}.self_attn.q_a_proj"),
+    ("kv_a_proj", "qkv", "model.layers.{i}.self_attn.kv_a_proj_with_mqa"),
+    ("q_b_proj", "q_b", "model.layers.{i}.self_attn.q_b_proj"),
+    ("kv_b_proj", "kv_b", "model.layers.{i}.self_attn.kv_b_proj"),
+    ("o_proj", "o", "model.layers.{i}.self_attn.o_proj"),
+]
+
+
+def _layer_specs(layer) -> list:
+    """(key, capture, name_template) for the quantizable linears actually
+    present in this layer's param dict (shape-driven: MLA vs GQA attention,
+    gated vs gateless MLP)."""
+    mla = "kv_a_proj" in layer
+    attn = _MLA_ATTN_SPECS if mla else _LINEAR_SPECS[:4]
+    specs = [s for s in attn if s[0] in layer]
+    specs += [s for s in _LINEAR_SPECS[4:] if s[0] in layer]
+    return specs
+
+
+def _capture_sizes(layer, cfg) -> Dict[str, int]:
+    """capture name -> input dim, for the dense-layer Hessians."""
+    sizes = {"qkv": cfg.hidden_size, "o": layer["o_proj"].shape[1]}
+    if "q_b_proj" in layer:
+        sizes["q_b"] = layer["q_b_proj"].shape[1]
+    if "kv_b_proj" in layer:
+        sizes["kv_b"] = layer["kv_b_proj"].shape[1]
+    if "gate_inp" not in layer:
+        if "gate_proj" in layer or "up_proj" in layer:
+            sizes["gateup"] = cfg.hidden_size
+        if "down_proj" in layer:
+            sizes["down"] = layer["down_proj"].shape[1]
+    return sizes
+
 DEFAULT_BLOCK_QTYPE = GGMLQuantizationType.Q4_K  # quantizer.py:249-250
 DEFAULT_NON_BLOCK_QTYPE = GGMLQuantizationType.Q6_K  # quantizer.py:106-107
 
@@ -73,7 +110,7 @@ def _capture_step(layer, x, cos, sin, mask, hs, counts, cfg: LlamaConfig, layer_
     out, caps = llama.block_capture(layer, x, cos, sin, mask, cfg, layer_idx)
     new_hs = {}
     new_counts = {}
-    for key in ("qkv", "o", "gateup", "down"):
+    for key in hs:
         h, n = gptq_ops.accumulate_hessian(hs[key], counts[key], caps[key])
         new_hs[key] = h
         new_counts[key] = n
@@ -99,7 +136,7 @@ def _capture_scan(layer, xs, cos, sin, mask, hs, counts, cfg: LlamaConfig,
         hs, counts = carry
         out, caps = llama.block_capture(layer, x, cos, sin, mask, cfg, layer_idx)
         new_hs, new_counts = {}, {}
-        for key in ("qkv", "o", "gateup", "down"):
+        for key in hs:
             h, n = gptq_ops.accumulate_hessian(hs[key], counts[key], caps[key])
             new_hs[key] = h
             new_counts[key] = n
@@ -128,10 +165,9 @@ def _capture_step_moe(layer, x, cos, sin, mask, hs, counts, moe_sums,
     (GPTQ is invariant to Hessian scaling, so raw sums suffice)."""
     out, caps = llama.block_capture(layer, x, cos, sin, mask, cfg, layer_idx)
     new_hs, new_counts = {}, {}
-    cap_src = {"qkv": "qkv", "o": "o", "moe_router": "moe_router",
-               "shared_down": "shared_down_in"}
+    cap_src = {"shared_down": "shared_down_in"}
     for key in hs:
-        h, n = gptq_ops.accumulate_hessian(hs[key], counts[key], caps[cap_src[key]])
+        h, n = gptq_ops.accumulate_hessian(hs[key], counts[key], caps[cap_src.get(key, key)])
         new_hs[key] = h
         new_counts[key] = n
     new_moe = {
@@ -220,26 +256,16 @@ def quantize_model(
         t0 = time.perf_counter()
         layer = params["layers"][li]
         is_moe = "gate_inp" in layer
+        sizes = _capture_sizes(layer, cfg)
         if is_moe:
             E, I_e = layer["experts_gate"].shape[0], layer["experts_gate"].shape[1]
-            sizes = {
-                "qkv": cfg.hidden_size,
-                "o": cfg.num_attention_heads * cfg.head_dim_,
-                "moe_router": cfg.hidden_size,
-            }
+            sizes["moe_router"] = cfg.hidden_size
             if "shared_down" in layer:
                 sizes["shared_down"] = layer["shared_down"].shape[1]
             moe_sums = {
                 "in": jnp.zeros((E, cfg.hidden_size, cfg.hidden_size), jnp.float32),
                 "down": jnp.zeros((E, I_e, I_e), jnp.float32),
                 "n": jnp.zeros((E,), jnp.float32),
-            }
-        else:
-            sizes = {
-                "qkv": cfg.hidden_size,
-                "o": cfg.num_attention_heads * cfg.head_dim_,
-                "gateup": cfg.hidden_size,
-                "down": cfg.intermediate_size,
             }
         hs = {k: jnp.zeros((d, d), jnp.float32) for k, d in sizes.items()}
         counts = {k: jnp.zeros((), jnp.float32) for k in sizes}
@@ -301,9 +327,7 @@ def quantize_model(
         # better row-dim utilization than the reference's per-layer solves.
         new_layer = dict(layer)
         by_cap: Dict[str, list] = {}
-        for key, cap, name_tpl in _LINEAR_SPECS:
-            if key not in layer:  # gateless-MLP archs have no gate_proj
-                continue
+        for key, cap, name_tpl in _layer_specs(layer):
             name = name_tpl.format(i=li)
             if not pattern.search(name):
                 continue
@@ -415,24 +439,24 @@ def _solve_moe_block(params, li, hs, moe_sums, qcfg, gptq_cfg, pattern, save_dir
                 )
         return out
 
-    # attention linears
-    attn_specs = [
-        (("q_proj", "k_proj", "v_proj"), "qkv"),
-        (("o_proj",), "o"),
-    ]
-    for keys, cap in attn_specs:
-        keys = [k for k in keys
-                if pattern.search(f"model.layers.{li}.self_attn.{k}")]
-        if not keys:
-            continue
+    # attention linears (GQA q/k/v/o or MLA q_a/q_b/kv_a/kv_b/o), grouped
+    # by shared capture Hessian
+    attn_caps: Dict[str, list] = {}
+    for key, cap, name_tpl in _layer_specs(layer):
+        if key.startswith(("gate_", "up_", "down_")):
+            continue  # MLP handled per-expert / shared-expert below
+        name = name_tpl.format(i=li)
+        if pattern.search(name):
+            attn_caps.setdefault(cap, []).append((key, name))
+    for cap, members in attn_caps.items():
         by_qtype = {}
-        for k in keys:
-            by_qtype.setdefault(qcfg.get(k, DEFAULT_BLOCK_QTYPE), []).append(k)
+        for key, name in members:
+            by_qtype.setdefault(qcfg.get(key, DEFAULT_BLOCK_QTYPE), []).append((key, name))
         for qtype, group in by_qtype.items():
-            Ws = [layer[k] for k in group]
-            names = [f"model.layers.{li}.self_attn.{k}" for k in group]
+            Ws = [layer[k] for k, _ in group]
+            names = [n for _, n in group]
             outs = solve_rows(Ws, hs[cap], qtype, names, [w.dtype for w in Ws])
-            for k, w in zip(group, outs):
+            for (k, _), w in zip(group, outs):
                 new_layer[k] = w
 
     # shared expert (qwen2moe): gate/up from the router-input Hessian

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..formats.ggml import KQUANT_SPECS, GGMLQuantizationType
+from ..formats import convert
+from ..formats.ggml import KQUANT_SPECS, K_QUANT_TYPES, GGMLQuantizationType
 from ..models import llama
 from ..models.llama import LlamaConfig
 from ..ops import qmatmul
@@ -52,6 +53,64 @@ def _q_linear(x: jax.Array, w) -> jax.Array:
     ).astype(x.dtype)
 
 
+def _moe_q_ffn(h: jax.Array, layer: Dict[str, Any], cfg: LlamaConfig) -> jax.Array:
+    """Sparse-MoE FFN over packed (quantized) expert stacks.
+
+    Two regimes, chosen statically from the token count:
+      * decode (few tokens): gather only the routed experts' packed planes
+        from HBM per token — traffic ∝ T x top_k expert reads instead of E.
+      * prefill (many tokens): lax.scan over experts, each through the fused
+        dequant-matmul (every expert read exactly once).
+    Falls back to llama.moe_ffn for dense float expert stacks."""
+    eg = layer["experts_gate"]
+    if not isinstance(eg, qmatmul.StackedQuantLinearV2):
+        return llama.moe_ffn(h, layer, cfg)[0]
+    eu, ed = layer["experts_up"], layer["experts_down"]
+    B, S, H = h.shape
+    E, k = eg.n_experts, cfg.moe_top_k
+    wmap, topw, topi = llama.moe_route(h, layer, cfg, E)
+    T = B * S
+    if T * k < E:  # decode: strictly fewer expert-plane reads than a sweep
+        xt = h.reshape(T, H)
+        ti = topi.reshape(T, k)
+        tw = topw.reshape(T, k)
+        out = jnp.zeros((T, ed.d_out), jnp.float32)
+        for j in range(k):
+            g = qmatmul.gathered_expert_matmul(xt, eg, ti[:, j])
+            u = qmatmul.gathered_expert_matmul(xt, eu, ti[:, j])
+            act = llama._mlp_act(g.astype(h.dtype), u.astype(h.dtype), cfg)
+            d = qmatmul.gathered_expert_matmul(act, ed, ti[:, j])
+            out = out + tw[:, j, None] * d
+        out = out.reshape(B, S, ed.d_out).astype(h.dtype)
+    else:
+        def body(acc, leaves):
+            lg, lu, ld, we_w = leaves
+            g = _q_linear(h, eg.make_expert(lg))
+            u = _q_linear(h, eu.make_expert(lu))
+            act = llama._mlp_act(g, u, cfg)
+            d = _q_linear(act, ed.make_expert(ld))
+            return acc + we_w[..., None].astype(d.dtype) * d, None
+
+        acc0 = jnp.zeros((B, S, ed.d_out), h.dtype)
+        out, _ = jax.lax.scan(
+            body, acc0,
+            (eg.fields(), eu.fields(), ed.fields(), wmap.transpose(2, 0, 1)),
+        )
+    if "shared_gate" in layer:
+        g = _q_linear(h, layer["shared_gate"])
+        u = _q_linear(h, layer["shared_up"])
+        act = llama._mlp_act(g, u, cfg)
+        shared = _q_linear(act, layer["shared_down"])
+        if "shared_gate_inp" in layer:
+            gate = jax.nn.sigmoid(
+                jnp.einsum("bsh,oh->bso", h.astype(jnp.float32),
+                           layer["shared_gate_inp"].astype(jnp.float32))
+            )
+            shared = shared * gate.astype(shared.dtype)
+        out = out + shared
+    return out
+
+
 class KVCache(NamedTuple):
     k: List[jax.Array]  # per layer (B, n_kv, max_len, hd)
     v: List[jax.Array]
@@ -73,9 +132,30 @@ class KVCacheQ8(NamedTuple):
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
                quantized: bool = False):
+    n = cfg.num_hidden_layers
+    if cfg.kv_lora_rank:
+        # MLA (deepseek2): cache ONE compressed entry per token — the rope'd
+        # shared k_pe concatenated onto c_kv. V is the c_kv prefix of the same
+        # entry, so no separate V storage (llama.cpp's MQA conversion stores
+        # both; this halves MLA cache memory vs that).
+        shape = (batch, 1, max_len, cfg.kv_lora_rank + cfg.qk_rope_head_dim)
+        if quantized:
+            # int8 compressed entries with one scale per (slot, position);
+            # V is a prefix view of K so it shares codes and scales
+            return KVCacheQ8(
+                [jnp.zeros(shape, jnp.int8) for _ in range(n)],
+                [jnp.zeros((0,), jnp.int8) for _ in range(n)],
+                [jnp.zeros(shape[:3], jnp.float32) for _ in range(n)],
+                [jnp.zeros((0,), jnp.float32) for _ in range(n)],
+                jnp.zeros((batch,), jnp.int32),
+            )
+        return KVCache(
+            [jnp.zeros(shape, dtype) for _ in range(n)],
+            [jnp.zeros((0,), dtype) for _ in range(n)],  # unused placeholder
+            jnp.zeros((batch,), jnp.int32),
+        )
     hd = cfg.head_dim_
     shape = (batch, cfg.num_key_value_heads, max_len, hd)
-    n = cfg.num_hidden_layers
     if quantized:
         return KVCacheQ8(
             [jnp.zeros(shape, jnp.int8) for _ in range(n)],
@@ -139,7 +219,67 @@ def _cached_attention(q, k_cache, v_cache, lengths, scale=None, logit_softcap=No
     out = jnp.einsum(
         "bkgst,bkth->bkgsh", probs, v_cache, preferred_element_type=jnp.float32
     )
-    return out.reshape(B, nH, S, hd)
+    return out.reshape(B, nH, S, v_cache.shape[-1])
+
+
+def _mla_cached_attn(layer, cfg, h, k_cache_in, lengths, positions, cos, sin,
+                     B, S, bidx, ks_cache_in=None):
+    """MLA attention with the absorbed-MQA cache (deepseek2 serving).
+
+    Scores are computed in the compressed space: q_nope is projected through
+    k_b (the transposed half of kv_b_proj) so each cached token needs only
+    its (kv_lora + rope) entry; the attention output in compressed space is
+    decompressed through v_b. Numerically identical scores/outputs to the
+    decompressed MHA form (llama.cpp's MLA graph does the same).
+
+    Returns (attn (B, S, nH*v_head_dim), updated k cache)."""
+    L_r, dr, dn = cfg.kv_lora_rank, cfg.qk_rope_head_dim, cfg.qk_nope_head_dim
+    dv = cfg.v_head_dim
+    k_b, v_b = layer["k_b"], layer["v_b"]  # (nH, L_r, dn), (nH, dv, L_r)
+    nH = k_b.shape[0]
+    if "q_b_proj" in layer:
+        qa = _q_linear(h, layer["q_a_proj"])
+        qa = llama.rms_norm(qa, layer["q_a_norm"], cfg.rms_norm_eps)
+        qf = _q_linear(qa, layer["q_b_proj"])
+    else:
+        qf = _q_linear(h, layer["q_proj"])
+    q = qf.reshape(B, S, nH, dn + dr).transpose(0, 2, 1, 3)
+    q_nope, q_pe = q[..., :dn], q[..., dn:]
+
+    ckv = _q_linear(h, layer["kv_a_proj"])
+    c, k_pe = ckv[..., :L_r], ckv[..., L_r:]
+    c = llama.rms_norm(c, layer["kv_a_norm"], cfg.rms_norm_eps)
+    q_pe, k_pe = llama.apply_rope(
+        q_pe, k_pe[:, None], cos, sin, cfg.rope_interleaved
+    )
+    # absorb q_nope into the compressed space: scores q.k_nope == q_abs.c_kv
+    q_abs = jnp.einsum(
+        "bhsd,hld->bhsl", q_nope.astype(jnp.float32), k_b.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(h.dtype)
+    q_mqa = jnp.concatenate([q_abs, q_pe.astype(h.dtype)], axis=-1)
+    entry = jnp.concatenate(
+        [c, k_pe[:, 0].astype(c.dtype)], axis=-1
+    )[:, :, None, :]  # (B, S, 1, L_r + dr)
+    ks_cache = None
+    if ks_cache_in is not None:  # int8 cache: quantize the compressed entry
+        eq, es = _quantize_kv(entry)
+        k_cache = k_cache_in.at[bidx, :, positions, :].set(eq, mode="drop")
+        ks_cache = ks_cache_in.at[bidx, :, positions].set(es, mode="drop")
+    else:
+        k_cache = k_cache_in.at[bidx, :, positions, :].set(
+            entry.astype(k_cache_in.dtype), mode="drop"
+        )
+    scale = cfg.attention_scale or (dn + dr) ** -0.5
+    attn_c = _cached_attention(
+        q_mqa, k_cache, k_cache[..., :L_r], lengths, scale,
+        k_scale=ks_cache, v_scale=ks_cache,
+    )  # (B, nH, S, L_r)
+    out = jnp.einsum(
+        "bhsl,hdl->bhsd", attn_c.astype(jnp.float32), v_b.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(h.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(B, S, nH * dv), k_cache, ks_cache
 
 
 def forward_cached(
@@ -202,69 +342,81 @@ def forward_cached(
         h = x if post_norm else llama.apply_norm(
             x, cfg, layer["input_layernorm"], layer.get("input_layernorm_bias")
         )
-        if "qkv_proj" in layer:
-            # fused q/k/v: one kernel launch (serving-time fusion)
-            qkv = _q_linear(h, layer["qkv_proj"])
-            kv_dim = cfg.num_key_value_heads * hd
-            d_q = qkv.shape[-1] - 2 * kv_dim
-            q = qkv[..., :d_q]
-            k = qkv[..., d_q : d_q + kv_dim]
-            v = qkv[..., d_q + kv_dim :]
-        else:
-            q = _q_linear(h, layer["q_proj"])
-            k = _q_linear(h, layer["k_proj"])
-            v = _q_linear(h, layer["v_proj"])
-        if layer.get("q_bias") is not None:
-            q = q + layer["q_bias"]
-            k = k + layer["k_bias"]
-            v = v + layer["v_bias"]
-        # head counts from local shapes (== cfg counts unless TP-sharded)
-        nH = q.shape[-1] // hd
-        nKV = k.shape[-1] // hd
-        if cfg.qk_norm and layer["q_norm"].shape[0] != hd:  # flat olmo2-style
-            q = llama.rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
-            k = llama.rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
-        q = q.reshape(B, S, nH, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
-        if cfg.qk_norm and layer["q_norm"].shape[0] == hd:
-            q = llama.rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
-            k = llama.rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
-        cos_l, sin_l = llama.select_rope(cos, sin, cfg, li)
-        q, k = llama.apply_rope(q, k, cos_l, sin_l, cfg.rope_interleaved)
-
         bidx = jnp.arange(B)[:, None]
-        ks_cache = vs_cache = None
-        if is_q8:
-            kq, ks = _quantize_kv(k.transpose(0, 2, 1, 3))
-            vq, vs = _quantize_kv(v.transpose(0, 2, 1, 3))
-            k_cache = cache.k[li].at[bidx, :, positions, :].set(kq, mode="drop")
-            v_cache = cache.v[li].at[bidx, :, positions, :].set(vq, mode="drop")
-            ks_cache = cache.k_s[li].at[bidx, :, positions].set(ks, mode="drop")
-            vs_cache = cache.v_s[li].at[bidx, :, positions].set(vs, mode="drop")
-            new_ks.append(ks_cache)
-            new_vs.append(vs_cache)
+        if "kv_a_proj" in layer:  # MLA (deepseek2): absorbed-MQA cache
+            cos_l, sin_l = llama.select_rope(cos, sin, cfg, li)
+            attn, k_cache, ks_cache = _mla_cached_attn(
+                layer, cfg, h, cache.k[li], lengths, positions, cos_l, sin_l,
+                B, S, bidx, cache.k_s[li] if is_q8 else None,
+            )
+            new_k.append(k_cache)
+            new_v.append(cache.v[li])
+            if is_q8:
+                new_ks.append(ks_cache)
+                new_vs.append(cache.v_s[li])
         else:
-            k_cache = cache.k[li].at[bidx, :, positions, :].set(
-                k.transpose(0, 2, 1, 3).astype(cache.k[li].dtype), mode="drop"
-            )
-            v_cache = cache.v[li].at[bidx, :, positions, :].set(
-                v.transpose(0, 2, 1, 3).astype(cache.v[li].dtype), mode="drop"
-            )
-        new_k.append(k_cache)
-        new_v.append(v_cache)
+            if "qkv_proj" in layer:
+                # fused q/k/v: one kernel launch (serving-time fusion)
+                qkv = _q_linear(h, layer["qkv_proj"])
+                kv_dim = cfg.num_key_value_heads * hd
+                d_q = qkv.shape[-1] - 2 * kv_dim
+                q = qkv[..., :d_q]
+                k = qkv[..., d_q : d_q + kv_dim]
+                v = qkv[..., d_q + kv_dim :]
+            else:
+                q = _q_linear(h, layer["q_proj"])
+                k = _q_linear(h, layer["k_proj"])
+                v = _q_linear(h, layer["v_proj"])
+            if layer.get("q_bias") is not None:
+                q = q + layer["q_bias"]
+                k = k + layer["k_bias"]
+                v = v + layer["v_bias"]
+            # head counts from local shapes (== cfg counts unless TP-sharded)
+            nH = q.shape[-1] // hd
+            nKV = k.shape[-1] // hd
+            if cfg.qk_norm and layer["q_norm"].shape[0] != hd:  # flat olmo2-style
+                q = llama.rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
+                k = llama.rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
+            q = q.reshape(B, S, nH, hd).transpose(0, 2, 1, 3)
+            k = k.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
+            v = v.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
+            if cfg.qk_norm and layer["q_norm"].shape[0] == hd:
+                q = llama.rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
+                k = llama.rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
+            cos_l, sin_l = llama.select_rope(cos, sin, cfg, li)
+            q, k = llama.apply_rope(q, k, cos_l, sin_l, cfg.rope_interleaved)
 
-        if cfg.attention_scale is not None:  # granite: direct score multiplier
-            att_scale = cfg.attention_scale
-        elif cfg.query_pre_attn_scalar is not None:
-            att_scale = cfg.query_pre_attn_scalar ** -0.5
-        else:
-            att_scale = None
-        attn = _cached_attention(
-            q, k_cache, v_cache, lengths, att_scale, cfg.attn_logit_softcap, sliding,
-            k_scale=ks_cache, v_scale=vs_cache,
-        )
-        attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
+            ks_cache = vs_cache = None
+            if is_q8:
+                kq, ks = _quantize_kv(k.transpose(0, 2, 1, 3))
+                vq, vs = _quantize_kv(v.transpose(0, 2, 1, 3))
+                k_cache = cache.k[li].at[bidx, :, positions, :].set(kq, mode="drop")
+                v_cache = cache.v[li].at[bidx, :, positions, :].set(vq, mode="drop")
+                ks_cache = cache.k_s[li].at[bidx, :, positions].set(ks, mode="drop")
+                vs_cache = cache.v_s[li].at[bidx, :, positions].set(vs, mode="drop")
+                new_ks.append(ks_cache)
+                new_vs.append(vs_cache)
+            else:
+                k_cache = cache.k[li].at[bidx, :, positions, :].set(
+                    k.transpose(0, 2, 1, 3).astype(cache.k[li].dtype), mode="drop"
+                )
+                v_cache = cache.v[li].at[bidx, :, positions, :].set(
+                    v.transpose(0, 2, 1, 3).astype(cache.v[li].dtype), mode="drop"
+                )
+            new_k.append(k_cache)
+            new_v.append(v_cache)
+
+            if cfg.attention_scale is not None:  # granite: direct score multiplier
+                att_scale = cfg.attention_scale
+            elif cfg.query_pre_attn_scalar is not None:
+                att_scale = cfg.query_pre_attn_scalar ** -0.5
+            else:
+                att_scale = None
+            attn = _cached_attention(
+                q, k_cache, v_cache, lengths, att_scale, cfg.attn_logit_softcap, sliding,
+                k_scale=ks_cache, v_scale=vs_cache,
+            )
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
         attn_out = _q_linear(attn, layer["o_proj"])
         if layer.get("o_bias") is not None:
             attn_out = attn_out + layer["o_bias"]
@@ -289,8 +441,8 @@ def forward_cached(
                     x, cfg, layer["post_attention_layernorm"],
                     layer.get("post_attention_layernorm_bias"),
                 )
-        if "gate_inp" in layer:  # sparse MoE FFN (dense float experts)
-            mlp_out, _ = llama.moe_ffn(h, layer, cfg)
+        if "gate_inp" in layer:  # sparse MoE FFN (packed or dense experts)
+            mlp_out = _moe_q_ffn(h, layer, cfg)
         elif "gate_proj" not in layer and "gateup_proj" not in layer:
             # gateless MLP (starcoder2/phi/nemotron)
             up = _q_linear(h, layer["up_proj"])
@@ -350,11 +502,32 @@ def forward_cached(
 # ---------------------------------------------------------------------------
 
 
-def fuse_layer_projections(layer: Dict[str, Any]) -> Dict[str, Any]:
+def prepare_mla_layer(layer: Dict[str, Any], cfg: LlamaConfig) -> Dict[str, Any]:
+    """Derive the dense MLA decompression tensors k_b (nH, kv_lora, dn) and
+    v_b (nH, dv, kv_lora) from a kv_b_proj weight (dense or packed). The
+    absorbed-MQA attention path consumes k_b/v_b; kv_b_proj itself is never
+    applied as a single linear at serve time."""
+    if "kv_b_proj" not in layer or "k_b" in layer:
+        return layer
+    w = layer["kv_b_proj"]
+    if isinstance(w, _QUANT_TYPES):
+        w = _dequant_any(w)
+    dn, dv = cfg.qk_nope_head_dim, cfg.v_head_dim
+    w = w.reshape(-1, dn + dv, cfg.kv_lora_rank)
+    out = dict(layer)
+    out.pop("kv_b_proj")
+    out["k_b"] = jnp.transpose(w[:, :dn], (0, 2, 1)).astype(cfg.dtype)
+    out["v_b"] = w[:, dn:].astype(cfg.dtype)
+    return out
+
+
+def fuse_layer_projections(layer: Dict[str, Any], cfg: Optional[LlamaConfig] = None) -> Dict[str, Any]:
     """Fuse q/k/v and gate/up packed weights into single kernel launches
     (exact: concatenation along output columns). No-op when the parts are
     not uniformly v2-packed or biases are present (bias split ambiguity)."""
     out = dict(layer)
+    if cfg is not None and cfg.kv_lora_rank:
+        out = prepare_mla_layer(out, cfg)
     if ("q_proj" in out and out.get("q_bias") is None
             and "qkv_proj" not in out):
         fused = qmatmul.fuse_rql_v2(
@@ -375,7 +548,7 @@ def fuse_layer_projections(layer: Dict[str, Any]) -> Dict[str, Any]:
 
 def fuse_params_for_serving(params: Dict[str, Any], cfg: LlamaConfig) -> Dict[str, Any]:
     return {**params,
-            "layers": [fuse_layer_projections(l) for l in params["layers"]]}
+            "layers": [fuse_layer_projections(l, cfg) for l in params["layers"]]}
 
 
 def quantize_params_for_serving(
@@ -390,16 +563,53 @@ def quantize_params_for_serving(
     available = art_mod.list_layers(artifacts_dir)
     out = dict(params)
     layers = []
+    mla_keys = (("q_a_proj", "q_a_proj"), ("q_b_proj", "q_b_proj"),
+                ("kv_a_proj", "kv_a_proj_with_mqa"), ("kv_b_proj", "kv_b_proj"))
     for li, layer in enumerate(params["layers"]):
         new_layer = dict(layer)
-        for key in llama.BLOCK_LINEAR_KEYS:
-            mod = "self_attn" if key[0] in "qkvo" else "mlp"
-            name = f"model.layers.{li}.{mod}.{key}"
-            if name in available:
+        for key, hf_key in (mla_keys if "kv_a_proj" in layer else ()):
+            name = f"model.layers.{li}.self_attn.{hf_key}"
+            if key in layer and name in available:
                 art = art_mod.load_layer(artifacts_dir, name)
                 new_layer[key] = qmatmul.pack_runtime_auto(
                     art.qweight, art.params(), art.q_type
                 )
+        for key in llama.BLOCK_LINEAR_KEYS:
+            mod = "self_attn" if key[0] in "qkvo" else "mlp"
+            name = f"model.layers.{li}.{mod}.{key}"
+            if key in layer and name in available:
+                art = art_mod.load_layer(artifacts_dir, name)
+                new_layer[key] = qmatmul.pack_runtime_auto(
+                    art.qweight, art.params(), art.q_type
+                )
+        # per-expert artifacts -> packed expert stacks (all-or-nothing per
+        # projection so the stacked layout stays uniform)
+        if "experts_gate" in layer:
+            E = layer["experts_gate"].shape[0]
+            stacks = {}
+            for key, proj in (("experts_gate", "gate_proj"),
+                              ("experts_up", "up_proj"),
+                              ("experts_down", "down_proj")):
+                names = [f"model.layers.{li}.mlp.experts.{e}.{proj}"
+                         for e in range(E)]
+                if all(n in available for n in names):
+                    arts = [art_mod.load_layer(artifacts_dir, n) for n in names]
+                    if len({a.q_type for a in arts}) == 1:
+                        stacks[key] = qmatmul.stack_runtime_v2([
+                            qmatmul.pack_runtime_v2(a.qweight, a.params(), a.q_type)
+                            for a in arts
+                        ])
+            if len(stacks) == 3:  # all three or none: keep the layout uniform
+                new_layer.update(stacks)
+            for key, sub in (("shared_gate", "shared_expert.gate_proj"),
+                             ("shared_up", "shared_expert.up_proj"),
+                             ("shared_down", "shared_expert.down_proj")):
+                name = f"model.layers.{li}.mlp.{sub}"
+                if key in layer and name in available:
+                    art = art_mod.load_layer(artifacts_dir, name)
+                    new_layer[key] = qmatmul.pack_runtime_auto(
+                        art.qweight, art.params(), art.q_type
+                    )
         layers.append(new_layer)
     out["layers"] = layers
     return out
@@ -411,15 +621,25 @@ _GGUF_SERVING_ARCHES = (
     "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "gemma3", "phi3",
     "olmo2", "qwen2moe", "qwen3moe", "granite", "minicpm", "exaone",
     "internlm2", "baichuan", "deepseek", "olmoe", "stablelm", "starcoder2",
-    "nemotron", "command-r", "phi2",
+    "nemotron", "command-r", "phi2", "deepseek2",
 )
 
 # mean-subtracting-LayerNorm GGUF arches (nemotron norms arrive pre-folded
 # (1+w) from the converter, so no add_unit at serve time)
 _LAYERNORM_ARCHES = ("stablelm", "starcoder2", "nemotron", "command-r", "phi2")
 
-# stacked MoE tensors load as dense float params (llama.moe_ffn evaluates
-# them densely; quantized expert serving is follow-up work)
+def _layer_exps_quant(r, li: int) -> bool:
+    """Are this layer's stacked expert tensors K-quant (servable packed)?"""
+    for proj in ("ffn_gate_exps", "ffn_up_exps", "ffn_down_exps"):
+        info = r.tensors.get(f"blk.{li}.{proj}.weight")
+        if info is None or info.ggml_type not in K_QUANT_TYPES \
+                or info.shape[-1] % 256 != 0:
+            return False
+    return True
+
+
+# stacked K-quant MoE tensors load packed (StackedQuantLinearV2, served by
+# _moe_q_ffn); anything else loads as dense float for llama.moe_ffn
 _MOE_NAME_MAP = {
     "ffn_gate_inp": "gate_inp",
     "ffn_gate_exps": "experts_gate",
@@ -528,7 +748,35 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
         # llama.cpp hardcodes the 5-local:1-global pattern for gemma3
         sliding_layers = tuple(bool((i + 1) % 6) for i in range(n_layers))
         rope_local = r.get(f"{arch}.rope.local.freq_base", 10000.0)
+    mla = {}
+    if arch == "deepseek2":
+        dr = r.get(f"{arch}.rope.dimension_count")
+        key_mla = r.get(f"{arch}.attention.key_length_mla")
+        mla = dict(
+            q_lora_rank=r.get(f"{arch}.attention.q_lora_rank"),
+            kv_lora_rank=r.get(f"{arch}.attention.kv_lora_rank"),
+            qk_rope_head_dim=dr,
+            qk_nope_head_dim=key_mla - dr,
+            v_head_dim=r.get(f"{arch}.attention.value_length_mla"),
+            moe_scoring=("sigmoid" if r.get(f"{arch}.expert_gating_func") == 2
+                         else "softmax"),
+            moe_routed_scale=r.get(f"{arch}.expert_weights_scale"),
+            moe_n_group=r.get(f"{arch}.expert_group_count"),
+            moe_topk_group=r.get(f"{arch}.expert_group_used_count"),
+            # group score follows the scoring function: v3 noaux-tc sums the
+            # top-2 sigmoid scores per group, v2 takes the group max
+            moe_group_method=("top2sum"
+                              if r.get(f"{arch}.expert_gating_func") == 2
+                              else "max"),
+        )
+        rope_dims = head_dim  # neutralize partial_rotary (rope_dim property wins)
+        if attn_scale is None:
+            attn_scale = key_mla ** -0.5  # packer normally writes the key
+        # group-limited routing metadata is not in GGUF (llama.cpp reads the
+        # groups from nowhere either: it routes without group limiting); we
+        # match llama.cpp's runtime behavior for GGUF-loaded models.
     return LlamaConfig(
+        **mla,
         arch="gemma2" if arch == "gemma2" else "llama",
         rope_scaling=rope_scaling,
         embedding_multiplier=emb_mult,
@@ -541,7 +789,8 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
         # mixtral-as-llama/qwen3moe renormalize; qwen2moe/olmoe/deepseek not)
         moe_norm_topk=bool(r.get(
             f"{arch}.expert_norm_topk_prob",
-            arch in ("llama", "mistral", "qwen3moe"),
+            r.get(f"{arch}.expert_weights_norm",
+                  arch in ("llama", "mistral", "qwen3moe")),
         )),
         moe_intermediate_size=r.get(f"{arch}.expert_feed_forward_length"),
         vocab_size=vocab,
@@ -553,7 +802,7 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
         head_dim=head_dim,
         norm_type="layernorm" if ln else "rmsnorm",
         partial_rotary_factor=rope_dims / head_dim,
-        rope_interleaved=(arch == "command-r"),
+        rope_interleaved=arch in ("command-r", "deepseek2"),
         parallel_blocks=parallel,
         rms_norm_eps=r.get(
             f"{arch}.attention.layer_norm_rms_epsilon",
@@ -614,6 +863,15 @@ def load_gguf_for_serving(
     name_map = (
         _GEMMA2_NAME_MAP if arch in ("gemma2", "gemma3", "olmo2") else _BASE_NAME_MAP
     )
+    if arch == "deepseek2":
+        name_map = {
+            **_BASE_NAME_MAP,
+            "attn_q_a": "q_a_proj",
+            "attn_q_a_norm": "q_a_norm",
+            "attn_q_b": "q_b_proj",
+            "attn_kv_a_mqa": "kv_a_proj",
+            "attn_kv_a_norm": "kv_a_norm",
+        }
 
     def unpack(name: str, inv: Optional[np.ndarray]):
         """Returns ('quant', codes, np-params, qtype) or ('float', array)."""
@@ -701,10 +959,49 @@ def load_gguf_for_serving(
                 gate, up = row_split(load_tensor(name), [cfg.intermediate_size] * 2)
                 layers[li]["gate_proj"] = to_param(gate)
                 layers[li]["up_proj"] = to_param(up)
+            elif comp in ("attn_k_b", "attn_v_b", "attn_kv_b"):
+                # MLA decompression projections: keep dense (they run as
+                # per-head einsums, not fused-kernel matmuls)
+                key = {"attn_k_b": "k_b", "attn_v_b": "v_b",
+                       "attn_kv_b": "kv_b_proj"}[comp]
+                layers[li][key] = jnp.asarray(r.tensor_float(name), dtype=dtype)
+            elif comp == "exp_probs_b":
+                layers[li]["gate_corr_bias"] = jnp.asarray(r.tensor_float(name))
             elif comp in _MOE_NAME_MAP:
-                layers[li][_MOE_NAME_MAP[comp]] = jnp.asarray(
-                    r.tensor_float(name), dtype=dtype
-                )
+                key = _MOE_NAME_MAP[comp]
+                info = r.tensors[name]
+                exps_quant = _layer_exps_quant(r, li)
+                if key.startswith("experts_") and exps_quant:
+                    # stacked K-quant expert tensor (E, d_out, d_in): keep
+                    # packed — unpack codes/scales once, repack per expert
+                    # into the v2 runtime layout, stack on a leading E axis
+                    E, d_out_e, d_in_e = info.shape
+                    q, ss, sc, sz, zq = convert.unpack_layer(
+                        np.asarray(r.tensor_bytes(name)), info.ggml_type,
+                        (E * d_out_e, d_in_e),
+                    )
+                    spec = KQUANT_SPECS[info.ggml_type]
+                    q = q.astype(np.int8 if spec.signed else np.uint8)
+                    per_exp = []
+                    for e in range(E):
+                        sl = slice(e * d_out_e, (e + 1) * d_out_e)
+                        params_ = SuperGroupParams(
+                            jnp.asarray(ss[sl]), jnp.asarray(sz[sl]),
+                            jnp.asarray(sc[sl]), jnp.asarray(zq[sl]),
+                        )
+                        per_exp.append(qmatmul.pack_runtime_v2(
+                            q[sl], params_, info.ggml_type
+                        ))
+                    layers[li][key] = qmatmul.stack_runtime_v2(per_exp)
+                elif key.startswith("shared_") and key != "shared_gate_inp" \
+                        and exps_quant:
+                    # shared experts follow the routed experts' representation
+                    # so the serving MoE path is uniform per layer
+                    layers[li][key] = to_param(load_tensor(name))
+                else:
+                    layers[li][key] = jnp.asarray(
+                        r.tensor_float(name), dtype=dtype
+                    )
             elif comp in name_map:
                 key = name_map[comp]
                 if suffix == "bias":

@@ -320,3 +320,94 @@ def test_qwen2moe_shared_expert(tmp_path):
     calibrate.quantize_model(params, cfg, calib, save_dir=qdir)
     assert (qdir / "model.layers.0.mlp.shared_expert.gate_proj").is_dir()
     assert (qdir / "model.layers.0.mlp.shared_expert.down_proj").is_dir()
+
+
+def test_quantized_expert_serving(moe_model):
+    """A K-quant MoE GGUF serves with experts kept packed
+    (StackedQuantLinearV2): logits match the dense-dequantized float model,
+    and the decode (gathered) and prefill (scanned) expert paths agree."""
+    import jax.numpy as jnp
+
+    from gptq_gguf_tpu.ops import qmatmul
+    from gptq_gguf_tpu.serving import model as qmodel
+
+    tmp, model_dir, m = moe_model
+    gguf = tmp / "moe-q4k.gguf"
+    assert gguf.exists(), "test_moe_pack_quantized_experts builds this first"
+    qparams, gcfg = qmodel.load_gguf_for_serving(gguf, dtype=jnp.float32)
+    eg = qparams["layers"][0]["experts_gate"]
+    assert isinstance(eg, qmatmul.StackedQuantLinearV2)
+    assert eg.n_experts == 4 and eg.d_out == 256 and eg.d_in == 256
+
+    # reference: dequantize every expert and serve through the dense path
+    r = GGUFReader(gguf)
+    dense = {"layers": []}
+    for k, v in qparams.items():
+        if k != "layers":
+            dense[k] = v
+    for li, layer in enumerate(qparams["layers"]):
+        dl = dict(layer)
+        for key in ("experts_gate", "experts_up", "experts_down"):
+            name = {"experts_gate": "ffn_gate_exps", "experts_up": "ffn_up_exps",
+                    "experts_down": "ffn_down_exps"}[key]
+            dl[key] = jnp.asarray(r.tensor_float(f"blk.{li}.{name}.weight"))
+        dense["layers"].append(dl)
+
+    # per-expert exactness: stacked slab 1 dequantizes to the GGUF bytes
+    w1 = np.asarray(
+        qmatmul._wt_v2_fields(
+            *(np.asarray(f[1]) for f in (eg.qs, eg.d_sg, eg.dmin_sg, eg.sc_q, eg.mn_q)),
+            gs=eg.group_size, per_byte=eg.per_byte, shift=eg.shift, d_rep=eg.d_rep,
+        )
+    ).T
+    np.testing.assert_allclose(
+        w1, np.asarray(dense["layers"][0]["experts_gate"][1]), rtol=1e-6, atol=1e-7
+    )
+
+    # prefill (12 tokens > E: scanned path) and decode (1 token: gathered)
+    ids = RNG.integers(0, 128, size=(1, 12))
+    cache_q = qmodel.init_cache(gcfg, 1, 16, dtype=jnp.float32)
+    cache_d = qmodel.init_cache(gcfg, 1, 16, dtype=jnp.float32)
+    lq, cache_q = qmodel.forward_cached(qparams, gcfg, jnp.asarray(ids), cache_q)
+    ld, cache_d = qmodel.forward_cached(dense, gcfg, jnp.asarray(ids), cache_d)
+    np.testing.assert_allclose(np.asarray(lq), np.asarray(ld), rtol=2e-3, atol=2e-3)
+    step = jnp.asarray(RNG.integers(0, 128, size=(1, 1)))
+    lq1, _ = qmodel.forward_cached(qparams, gcfg, step, cache_q)
+    ld1, _ = qmodel.forward_cached(dense, gcfg, step, cache_d)
+    np.testing.assert_allclose(np.asarray(lq1), np.asarray(ld1), rtol=2e-3, atol=2e-3)
+
+    # gather path == scan path on identical inputs (same layer, same h)
+    h = jnp.asarray(RNG.normal(size=(1, 1, 256)).astype(np.float32))
+    layer = qparams["layers"][0]
+    out_g = qmodel._moe_q_ffn(h, layer, gcfg)              # T*k=2 < E=4: gather
+    out_s = qmodel._moe_q_ffn(jnp.tile(h, (1, 4, 1)), layer, gcfg)[:, :1]
+    np.testing.assert_allclose(
+        np.asarray(out_g), np.asarray(out_s), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_quantize_params_for_serving_moe(moe_model):
+    """HF-artifacts serving path stacks per-expert artifacts into packed
+    expert weights; logits track the float model."""
+    import jax.numpy as jnp
+
+    from gptq_gguf_tpu.models import loader
+    from gptq_gguf_tpu.ops import qmatmul
+    from gptq_gguf_tpu.serving import model as qmodel
+
+    tmp, model_dir, m = moe_model
+    qdir = tmp / "layers"  # RTN expert artifacts from the pack test
+    assert qdir.is_dir()
+    cfg = loader.load_config(model_dir)
+    params = loader.load_params(model_dir, cfg)
+    qparams = qmodel.quantize_params_for_serving(params, cfg, qdir)
+    eg = qparams["layers"][0]["experts_gate"]
+    assert isinstance(eg, qmatmul.StackedQuantLinearV2) and eg.n_experts == 4
+
+    ids = RNG.integers(0, 128, size=(1, 12))
+    cache_q = qmodel.init_cache(cfg, 1, 16, dtype=jnp.float32)
+    cache_f = qmodel.init_cache(cfg, 1, 16, dtype=jnp.float32)
+    lq, _ = qmodel.forward_cached(qparams, cfg, jnp.asarray(ids), cache_q)
+    lf, _ = qmodel.forward_cached(params, cfg, jnp.asarray(ids), cache_f)
+    cc = np.corrcoef(np.asarray(lq).reshape(-1), np.asarray(lf).reshape(-1))[0, 1]
+    assert cc > 0.99, cc

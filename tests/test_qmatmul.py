@@ -189,8 +189,8 @@ def test_q8_activation_quantization():
 
 
 @pytest.mark.parametrize("d_in,d_out,expect", [
-    (4096, 4096, (1024, 512)),
-    (14336, 4096, (1024, 512)),
+    (4096, 4096, (2048, 512)),    # 2048-deep tiles measured ~8% faster
+    (14336, 4096, (2048, 512)),
     (11008, 4096, (11008, 256)),  # 256*43: no 1024 divisor -> full depth
     (2304, 2304, (2304, 256)),
     (512, 512, (512, 512)),       # full depth (d_in <= 16384)
