@@ -377,14 +377,20 @@ class MoEArchSpec(ArchSpec):
         parts = hf_name.split(".")
         i = parts[2]
         rest = ".".join(parts[3:])
-        if not rest.startswith(self.expert_prefix) or not rest.endswith(".weight"):
+        if not rest.startswith(self.expert_prefix):
             return None
-        sub = rest[len(self.expert_prefix):-len(".weight")].split(".")
+        suffix = ".weight" if rest.endswith(".weight") else (
+            ".bias" if rest.endswith(".bias") else None)
+        if suffix is None:
+            return None
+        sub = rest[len(self.expert_prefix):-len(suffix)].split(".")
         if len(sub) != 2:
             return None
         e, proj = sub
         if proj not in self.expert_proj:
             return None
+        if suffix == ".bias":  # per-expert biases stack as float (gpt-oss)
+            return (f"blk.{i}.{self.expert_proj[proj]}.bias", int(e), None)
         # calibration artifacts use the canonical per-expert names
         # (mlp.experts.N.gate_proj) regardless of the HF naming scheme
         canon = {"ffn_gate_exps": "gate_proj", "ffn_up_exps": "up_proj",
@@ -581,6 +587,316 @@ class PhiArch(_LayerNormArch):
     partial_rotary_default = 0.5
 
 
+class Glm4Arch(ArchSpec):
+    """GLM-4-0414 (model_type glm4): gemma2-style sandwich norms (canonical
+    names arrive pre-renamed by models/adapters._glm4), fused ffn_up
+    (gate|up), interleaved partial rope — no q/k permutation."""
+
+    gguf_arch = "glm4"
+    permute_qk = False
+    fused = {"ffn_up.weight": ("mlp.gate_proj", "mlp.up_proj")}
+
+    def tensor_name(self, hf_name: str) -> Optional[str]:
+        if hf_name.startswith("model.layers."):
+            parts = hf_name.split(".")
+            i = parts[2]
+            rest = ".".join(parts[3:])
+            if rest == "post_attention_layernorm.weight":
+                return f"blk.{i}.post_attention_norm.weight"
+            if rest == "pre_feedforward_layernorm.weight":
+                return f"blk.{i}.ffn_norm.weight"
+        return hf_to_gguf_name(hf_name)
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        head_dim = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        md[f"{a}.attention.key_length"] = head_dim
+        md[f"{a}.attention.value_length"] = head_dim
+        md[f"{a}.rope.dimension_count"] = int(
+            head_dim * c.get("partial_rotary_factor", 0.5)
+        )
+        return md
+
+
+class Cohere2Arch(CohereArch):
+    """Cohere2 (command-r7b): hybrid attention — sliding layers with rope,
+    global NoPE layers (reference Cohere2Model, pack_gptq_into_gguf.py:5920)."""
+
+    gguf_arch = "cohere2"
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        md[f"{a}.attention.sliding_window"] = int(c.get("sliding_window", 4096))
+        head_dim = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        md[f"{a}.rope.dimension_count"] = int(
+            c.get("rotary_pct", 1.0) * head_dim
+        )
+        if c.get("layer_types"):
+            # explicit per-layer flags (llama.cpp hardcodes the 3:1 pattern;
+            # our serving loader prefers the key when present)
+            md[f"{a}.attention.sliding_window_pattern"] = [
+                t == "sliding_attention" for t in c["layer_types"]
+            ]
+        return md
+
+
+class OlmoArch(ArchSpec):
+    """OLMo v1: llama-permuted q/k, NON-parametric LayerNorm (no norm
+    tensors exist), optional clamp_kqv (reference OlmoModel :5941)."""
+
+    gguf_arch = "olmo"
+    permute_qk = True
+
+    def metadata(self):
+        md = super().metadata()
+        a = self.gguf_arch
+        md[f"{a}.attention.layer_norm_epsilon"] = 1e-5
+        if self.hf.get("clip_qkv") is not None:
+            md[f"{a}.attention.clamp_kqv"] = float(self.hf["clip_qkv"])
+        return md
+
+
+class ArceeArch(LlamaArch):
+    """Arcee AFM: llama structure with a gateless relu^2 MLP."""
+
+    gguf_arch = "arcee"
+
+
+class SeedOssArch(ArchSpec):
+    """Seed-OSS: llama-like with q/k/v biases, explicit head_dim, NeoX
+    layout (no permutation; reference SeedOssModel :5966)."""
+
+    gguf_arch = "seed_oss"
+    permute_qk = False
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        head_dim = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        md[f"{a}.attention.key_length"] = head_dim
+        md[f"{a}.attention.value_length"] = head_dim
+        return md
+
+
+class Ernie45Arch(SeedOssArch):
+    """ERNIE 4.5 dense (reference Ernie4_5Model :3201): llama-like, NeoX
+    layout, explicit head_dim (128 regardless of hidden/heads)."""
+
+    gguf_arch = "ernie4_5"
+
+
+class Exaone4Arch(ArchSpec):
+    """EXAONE-4: post-norm blocks (olmo2-style), per-head qk norms, hybrid
+    sliding attention with NoPE global layers (reference Exaone4Model
+    :7406-7440 incl. the sliding_window_pattern array)."""
+
+    gguf_arch = "exaone4"
+    permute_qk = False
+
+    def tensor_name(self, hf_name: str) -> Optional[str]:
+        if hf_name.startswith("model.layers."):
+            parts = hf_name.split(".")
+            i = parts[2]
+            rest = ".".join(parts[3:])
+            if rest == "post_attention_layernorm.weight":
+                return f"blk.{i}.post_attention_norm.weight"
+        return hf_to_gguf_name(hf_name)
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        md[f"{a}.vocab_size"] = c["vocab_size"]
+        if c.get("sliding_window") is not None:
+            md[f"{a}.attention.sliding_window"] = int(c["sliding_window"])
+            pattern = None
+            if c.get("layer_types"):
+                pattern = [t == "sliding_attention" for t in c["layer_types"]]
+            elif isinstance(c.get("sliding_window_pattern"), str):
+                p = c["sliding_window_pattern"]
+                pattern = [p[i % len(p)] == "L"
+                           for i in range(c["num_hidden_layers"])]
+            elif isinstance(c.get("sliding_window_pattern"), int):
+                p = c["sliding_window_pattern"]
+                pattern = [(i + 1) % p != 0
+                           for i in range(c["num_hidden_layers"])]
+            if pattern is not None:
+                md[f"{a}.attention.sliding_window_pattern"] = pattern
+        return md
+
+
+class GraniteMoeArch(MoEArchSpec):
+    """GraniteMoE: granite's mup scalars + mixtral-layout experts. The
+    canonical per-expert names arrive pre-split by adapters._granitemoe
+    (reference GraniteMoeModel splits the fused input_linear the same way,
+    pack_gptq_into_gguf.py:7523-7538)."""
+
+    gguf_arch = "granitemoe"
+    permute_qk = True
+    n_expert_key = "num_local_experts"
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        md[f"{a}.embedding_scale"] = float(c.get("embedding_multiplier", 1.0))
+        md[f"{a}.residual_scale"] = float(c.get("residual_multiplier", 1.0))
+        md[f"{a}.attention.scale"] = float(
+            c.get("attention_multiplier")
+            or (c["hidden_size"] / c["num_attention_heads"]) ** -0.5
+        )
+        md[f"{a}.logit_scale"] = float(c.get("logits_scaling", 1.0))
+        md[f"{a}.expert_norm_topk_prob"] = True  # softmax-over-topk-logits
+        # experts use the dense intermediate_size (no moe_intermediate_size)
+        md[f"{a}.expert_feed_forward_length"] = int(c["intermediate_size"])
+        if c.get("shared_intermediate_size"):
+            md[f"{a}.expert_shared_feed_forward_length"] = int(
+                c["shared_intermediate_size"]
+            )
+        return md
+
+
+class Glm4MoeArch(MoEArchSpec):
+    """GLM-4.5/4.6 MoE (reference Glm4MoeModel :7007-7130): glm partial
+    rope, deepseek-v3-style sigmoid router with correction bias, shared
+    experts, leading dense blocks; NextN/MTP layer count carried in
+    metadata."""
+
+    gguf_arch = "glm4moe"
+    permute_qk = False
+    n_expert_key = "n_routed_experts"
+    moe_direct = {
+        **MoEArchSpec.moe_direct,
+        "mlp.gate.e_score_correction_bias": "exp_probs_b.bias",
+    }
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        head_dim = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        md[f"{a}.attention.key_length"] = head_dim
+        md[f"{a}.attention.value_length"] = head_dim
+        md[f"{a}.rope.dimension_count"] = int(
+            head_dim * c.get("partial_rotary_factor", 0.5)
+        )
+        md[f"{a}.expert_shared_count"] = int(c.get("n_shared_experts", 0))
+        md[f"{a}.leading_dense_block_count"] = int(
+            c.get("first_k_dense_replace", 0)
+        )
+        md[f"{a}.expert_gating_func"] = 2  # sigmoid
+        md[f"{a}.expert_weights_scale"] = float(
+            c.get("routed_scaling_factor", 1.0)
+        )
+        md[f"{a}.expert_weights_norm"] = bool(c.get("norm_topk_prob", True))
+        if c.get("n_group", 1) > 1:
+            md[f"{a}.expert_group_count"] = int(c["n_group"])
+            md[f"{a}.expert_group_used_count"] = int(c.get("topk_group", 1))
+        if c.get("num_nextn_predict_layers") is not None:
+            md[f"{a}.nextn_predict_layers"] = int(c["num_nextn_predict_layers"])
+        return md
+
+
+class Ernie45MoeArch(MoEArchSpec):
+    """ERNIE-4.5 MoE (reference Ernie4_5MoeModel :3248-3330): leading dense
+    blocks via moe_layer_start_index, MoE layer interval, fused shared
+    experts, gating correction bias (moe_statics, canonicalized to the
+    deepseek-style mlp.gate.e_score_correction_bias)."""
+
+    gguf_arch = "ernie4_5-moe"
+    permute_qk = False
+    n_expert_key = "moe_num_experts"
+    moe_direct = {
+        **MoEArchSpec.moe_direct,
+        "mlp.gate.e_score_correction_bias": "exp_probs_b.bias",
+    }
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        head_dim = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        md[f"{a}.attention.key_length"] = head_dim
+        md[f"{a}.attention.value_length"] = head_dim
+        md[f"{a}.expert_used_count"] = int(c.get("moe_k", 2))
+        md[f"{a}.interleave_moe_layer_step"] = int(c.get("moe_layer_interval", 1))
+        md[f"{a}.expert_norm_topk_prob"] = True  # clamp-renormalized top-k
+        md[f"{a}.leading_dense_block_count"] = int(c.get("moe_layer_start_index", 0))
+        if c.get("moe_num_shared_experts"):
+            md[f"{a}.expert_shared_count"] = int(c["moe_num_shared_experts"])
+            md[f"{a}.expert_shared_feed_forward_length"] = int(
+                c["moe_intermediate_size"] * c["moe_num_shared_experts"]
+            )
+        return md
+
+
+class GptOssArch(MoEArchSpec):
+    """gpt-oss (reference GptOssModel :8310): biased router, per-expert
+    biases, attention sinks, alternating sliding layers, yarn rope with
+    truncate=False. Canonical per-expert names arrive pre-split (adapters
+    _gpt_oss mirrors the reference's gate_up/down transposed splits)."""
+
+    gguf_arch = "gpt-oss"
+    permute_qk = False
+    n_expert_key = "num_local_experts"
+    moe_direct = {
+        "mlp.gate.weight": "ffn_gate_inp.weight",
+        "mlp.gate.bias": "ffn_gate_inp.bias",
+    }
+
+    def tensor_name(self, hf_name):
+        if hf_name.startswith("model.layers.") and                 hf_name.endswith("self_attn.sinks"):
+            return f"blk.{hf_name.split('.')[2]}.attn_sinks.weight"
+        return super().tensor_name(hf_name)
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        head_dim = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        md[f"{a}.attention.key_length"] = head_dim
+        md[f"{a}.attention.value_length"] = head_dim
+        md[f"{a}.attention.sliding_window"] = int(c.get("sliding_window", 128))
+        md[f"{a}.expert_feed_forward_length"] = int(c["intermediate_size"])
+        md[f"{a}.expert_norm_topk_prob"] = True  # softmax over top-k logits
+        if c.get("layer_types"):
+            md[f"{a}.attention.sliding_window_pattern"] = [
+                t == "sliding_attention" for t in c["layer_types"]
+            ]
+        rs = dict(c.get("rope_scaling") or {})
+        if rs.get("truncate") is not None:
+            # non-standard: carries HF yarn truncate=False through the GGUF
+            md[f"{a}.rope.scaling.yarn_truncate"] = bool(rs["truncate"])
+        return md
+
+
+class Dots1Arch(MoEArchSpec):
+    """dots.llm1 (reference Dots1Model :6558): deepseek-v3-style sigmoid
+    router with correction bias over a qwen3-ish dense stack (per-head qk
+    norms, explicit head_dim)."""
+
+    gguf_arch = "dots1"
+    permute_qk = False
+    n_expert_key = "n_routed_experts"
+    moe_direct = {
+        **MoEArchSpec.moe_direct,
+        "mlp.gate.e_score_correction_bias": "exp_probs_b.bias",
+    }
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        head_dim = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        md[f"{a}.attention.key_length"] = head_dim
+        md[f"{a}.attention.value_length"] = head_dim
+        md[f"{a}.leading_dense_block_count"] = int(c.get("first_k_dense_replace", 0))
+        md[f"{a}.expert_shared_count"] = int(c.get("n_shared_experts", 0))
+        md[f"{a}.expert_weights_scale"] = float(c.get("routed_scaling_factor", 1.0))
+        md[f"{a}.expert_weights_norm"] = bool(c.get("norm_topk_prob", False))
+        md[f"{a}.expert_gating_func"] = 2  # noaux_tc sigmoid
+        if c.get("n_group", 1) > 1:
+            md[f"{a}.expert_group_count"] = int(c["n_group"])
+            md[f"{a}.expert_group_used_count"] = int(c.get("topk_group", 1))
+        return md
+
+
 class Deepseek2Arch(MoEArchSpec):
     """deepseek_v2 / deepseek_v3 (MLA + deepseek-MoE).
 
@@ -724,7 +1040,12 @@ _ARCH_REGISTRY.update(
      "olmoe": OlmoeArch, "deepseek": DeepseekArch,
      "stablelm": StableLmArch, "starcoder2": Starcoder2Arch,
      "nemotron": NemotronArch, "cohere": CohereArch, "phi": PhiArch,
-     "deepseek_v2": Deepseek2Arch, "deepseek_v3": Deepseek2Arch}
+     "deepseek_v2": Deepseek2Arch, "deepseek_v3": Deepseek2Arch,
+     "glm4": Glm4Arch, "cohere2": Cohere2Arch, "olmo": OlmoArch,
+     "arcee": ArceeArch, "seed_oss": SeedOssArch, "ernie4_5": Ernie45Arch,
+     "exaone4": Exaone4Arch, "granitemoe": GraniteMoeArch,
+     "glm4_moe": Glm4MoeArch, "ernie4_5_moe": Ernie45MoeArch,
+     "dots1": Dots1Arch, "gpt_oss": GptOssArch}
 )
 
 
@@ -1047,10 +1368,16 @@ def pack_model(
     # (n_expert, rows, cols) GGUF tensor once all experts arrived.
     expert_acc: Dict[str, Dict[int, np.ndarray]] = {}
 
-    def flush_experts(gguf_name: str, art_tpl: str) -> None:
+    def flush_experts(gguf_name: str, art_tpl) -> None:
         n_e = spec.n_expert
         acc = expert_acc.pop(gguf_name)
         assert len(acc) == n_e, f"{gguf_name}: {len(acc)}/{n_e} experts seen"
+        if art_tpl is None:  # per-expert biases: always float32
+            writer.add_tensor(
+                gguf_name,
+                np.stack([_to_f32(acc[e]) for e in range(n_e)]).astype(np.float32),
+            )
+            return
         art_names = [art_tpl.format(e=e) for e in range(n_e)]
         if all(a in quant_layers for a in art_names):
             arts = [artifacts.load_layer(quant_dir, a) for a in art_names]

@@ -137,8 +137,96 @@ def _phi(name: str, arr, n_head: int, n_kv: int, head_dim: int):
     return [(name, arr)]
 
 
+def _glm4(name: str, arr, n_head: int, n_kv: int, head_dim: int):
+    """glm4 (GLM-4-0414): gemma2-style sandwich norms under different names.
+    HF post_self_attn_layernorm scales the attention output (gemma2's
+    post_attention_layernorm slot), HF post_attention_layernorm is the
+    pre-MLP norm (gemma2's pre_feedforward slot), post_mlp_layernorm the
+    MLP-output norm. gate_up_proj stays fused (loader splits it)."""
+    for old, new in (
+        ("post_self_attn_layernorm.", "post_attention_layernorm."),
+        ("post_attention_layernorm.", "pre_feedforward_layernorm."),
+        ("post_mlp_layernorm.", "post_feedforward_layernorm."),
+    ):
+        if f".{old}" in name:
+            return [(name.replace(f".{old}", f".{new}"), arr)]
+    return [(name, arr)]
+
+
+def _granitemoe(name: str, arr, n_head: int, n_kv: int, head_dim: int):
+    """GraniteMoE (JetMoe-style parallel experts): 3-D fused expert params.
+    input_linear (E, 2*I_e, H) holds [gate|up] per expert; output_linear
+    (E, H, I_e) is down; router.layer is the gate. Split to the canonical
+    per-expert names (reference GraniteMoeModel modify_tensors,
+    pack_gptq_into_gguf.py:7523-7538 splits the same way)."""
+    if name.endswith("block_sparse_moe.router.layer.weight"):
+        return [(name.replace("block_sparse_moe.router.layer.", "mlp.gate."), arr)]
+    base = name.rsplit(".block_sparse_moe.", 1)[0]
+    if name.endswith("block_sparse_moe.input_linear.weight"):
+        E, two_i, H = arr.shape
+        i_e = two_i // 2
+        out = []
+        for e in range(E):
+            out.append((f"{base}.mlp.experts.{e}.gate_proj.weight", arr[e, :i_e]))
+            out.append((f"{base}.mlp.experts.{e}.up_proj.weight", arr[e, i_e:]))
+        return out
+    if name.endswith("block_sparse_moe.output_linear.weight"):
+        return [(f"{base}.mlp.experts.{e}.down_proj.weight", arr[e])
+                for e in range(arr.shape[0])]
+    return [(name, arr)]
+
+
+def _ernie45_moe(name: str, arr, n_head: int, n_kv: int, head_dim: int):
+    """ERNIE-4.5-MoE: plural fused shared_experts (deepseek-style) and the
+    gating correction bias under mlp.moe_statics (shape (1, E))."""
+    if name.endswith("mlp.moe_statics.e_score_correction_bias"):
+        return [(name.replace("mlp.moe_statics.e_score_correction_bias",
+                              "mlp.gate.e_score_correction_bias"),
+                 np.asarray(arr).reshape(-1))]
+    return _deepseek(name, arr, n_head, n_kv, head_dim)
+
+
+def _gpt_oss(name: str, arr, n_head: int, n_kv: int, head_dim: int):
+    """gpt-oss: stacked fused expert params with an interleaved gate/up last
+    dim and input-major layout. gate_up_proj (E, H, 2I) -> per-expert
+    gate/up (I, H); down_proj (E, I, H) -> per-expert down (H, I); biases
+    split the same way; the biased router is mlp.router (reference
+    GptOssModel modify_tensors, pack_gptq_into_gguf.py:8374-8416 splits the
+    MXFP4/BF16 checkpoints identically)."""
+    if name.endswith("mlp.router.weight") or name.endswith("mlp.router.bias"):
+        return [(name.replace(".mlp.router.", ".mlp.gate."), arr)]
+    base = name.rsplit(".mlp.", 1)[0]
+    if name.endswith("mlp.experts.gate_up_proj"):
+        w = np.asarray(arr).transpose(0, 2, 1)  # (E, 2I, H)
+        return [item for e in range(w.shape[0]) for item in (
+            (f"{base}.mlp.experts.{e}.gate_proj.weight", w[e, 0::2]),
+            (f"{base}.mlp.experts.{e}.up_proj.weight", w[e, 1::2]),
+        )]
+    if name.endswith("mlp.experts.gate_up_proj_bias"):
+        b = np.asarray(arr)  # (E, 2I)
+        return [item for e in range(b.shape[0]) for item in (
+            (f"{base}.mlp.experts.{e}.gate_proj.bias", b[e, 0::2]),
+            (f"{base}.mlp.experts.{e}.up_proj.bias", b[e, 1::2]),
+        )]
+    if name.endswith("mlp.experts.down_proj"):
+        w = np.asarray(arr)  # (E, I, H)
+        return [(f"{base}.mlp.experts.{e}.down_proj.weight",
+                 np.ascontiguousarray(w[e].T)) for e in range(w.shape[0])]
+    if name.endswith("mlp.experts.down_proj_bias"):
+        b = np.asarray(arr)  # (E, H)
+        return [(f"{base}.mlp.experts.{e}.down_proj.bias", b[e])
+                for e in range(b.shape[0])]
+    return [(name, arr)]
+
+
 _CANONICALIZERS = {
     "exaone": _exaone,
+    "gpt_oss": _gpt_oss,
+    "glm4": _glm4,
+    "glm4_moe": _deepseek,  # plural shared_experts naming
+    "dots1": _deepseek,
+    "ernie4_5_moe": _ernie45_moe,
+    "granitemoe": _granitemoe,
     "internlm2": _internlm2,
     "baichuan": _baichuan,
     "deepseek": _deepseek,

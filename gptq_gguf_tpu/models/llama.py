@@ -87,6 +87,11 @@ class LlamaConfig:
     sliding_layers: Optional[Tuple[bool, ...]] = None
     # gemma3: local (sliding) layers use a different rope base, no scaling
     rope_local_theta: Optional[float] = None
+    # cohere2/exaone4 hybrid attention: rope ONLY on sliding layers (global
+    # layers are NoPE)
+    rope_sliding_only: bool = False
+    # olmo (v1): clamp q/k/v projections to [-clip, clip]
+    clip_qkv: Optional[float] = None
     # MoE (qwen2moe/qwen3moe/mixtral); a layer is sparse iff its param dict
     # has "gate_inp" (mixed dense/sparse stacks are shape-driven)
     moe_num_experts: Optional[int] = None
@@ -144,8 +149,19 @@ class LlamaConfig:
             sliding_layers = tuple(
                 bool((i + 1) % pat) for i in range(d["num_hidden_layers"])
             )
+        elif mt == "exaone4" and d.get("sliding_window_pattern") is not None:
+            pat = d["sliding_window_pattern"]
+            if isinstance(pat, str):  # e.g. "LLLG"
+                sliding_layers = tuple(
+                    pat[i % len(pat)] == "L" for i in range(d["num_hidden_layers"])
+                )
+            else:
+                sliding_layers = tuple(
+                    (i + 1) % pat != 0 for i in range(d["num_hidden_layers"])
+                )
         moe_experts = d.get(
-            "num_experts", d.get("num_local_experts", d.get("n_routed_experts"))
+            "num_experts", d.get("num_local_experts", d.get(
+                "n_routed_experts", d.get("moe_num_experts")))
         )
         n_layers = d.get("num_hidden_layers", d.get("num_layers"))
         norm_type = "rmsnorm"
@@ -181,8 +197,46 @@ class LlamaConfig:
             partial_rotary = d.get("partial_rotary_factor", 0.5)
             if d.get("qk_layernorm"):
                 raise NotImplementedError("phi qk_layernorm")
+        elif mt in ("glm", "glm4"):
+            # GLM-4-0414 family: interleaved partial rope (0.5 of head_dim),
+            # q/k/v bias, fused gate_up MLP (split at load); glm4 adds
+            # gemma2-style sandwich norms (canonicalized to the gemma2 keys)
+            partial_rotary = d.get("partial_rotary_factor", 0.5)
+            rope_interleaved = True
+        elif mt == "cohere2":
+            # command-r7b: cohere parallel-LayerNorm blocks + hybrid sliding
+            # attention where only sliding layers get rope (NoPE global)
+            norm_type = "layernorm"
+            parallel_blocks = True
+            rope_interleaved = True
+        elif mt == "olmo":
+            # olmo (v1): NON-parametric LayerNorm (loader synthesizes unit
+            # weights), optional clip_qkv clamp
+            norm_type = "layernorm"
+        elif mt == "arcee":
+            act = "relu2"  # AFM: gateless relu^2 MLP
+        elif mt == "ernie4_5":
+            rope_interleaved = True  # glm-style interleaved rope, full dim
+        elif mt == "gpt_oss":
+            act = "swiglu_oai"  # clamped glu with (up + 1) carry
         mla = {}
         moe_ds = {}
+        if mt in ("glm4_moe", "dots1"):
+            # GLM-4.5/4.6 MoE and dots.llm1: half-split rope (partial for
+            # glm4_moe, full for dots1) + deepseek-v3-style sigmoid router
+            # with correction bias and (optionally) group-limited choice
+            if mt == "glm4_moe":
+                partial_rotary = d.get("partial_rotary_factor", 0.5)
+            moe_ds = dict(
+                moe_scoring="sigmoid",
+                moe_routed_scale=d.get("routed_scaling_factor"),
+                moe_group_method="top2sum",
+            )
+            if d.get("n_group", 1) > 1:
+                moe_ds.update(moe_n_group=d["n_group"],
+                              moe_topk_group=d.get("topk_group", 1))
+        elif mt == "ernie4_5_moe":
+            rope_interleaved = True  # glm-style rope (same as ernie4_5 dense)
         if mt in ("deepseek_v2", "deepseek_v3"):
             rope_interleaved = True  # HF v2 complex rope / v3 rope_interleave
             mla = dict(
@@ -221,7 +275,7 @@ class LlamaConfig:
             res_mult = d.get("residual_multiplier")
             if d.get("logits_scaling"):
                 logit_mult = 1.0 / float(d["logits_scaling"])
-        elif mt == "cohere":
+        elif mt in ("cohere", "cohere2"):
             logit_mult = d.get("logit_scale")  # multiplier semantics
         elif mt == "minicpm":
             emb_mult = d.get("scale_emb")
@@ -248,13 +302,15 @@ class LlamaConfig:
             residual_multiplier=res_mult,
             logits_multiplier=logit_mult,
             moe_num_experts=moe_experts,
-            moe_top_k=d.get("num_experts_per_tok", 2),
-            # HF qwen2moe/qwen3moe expose norm_topk_prob; mixtral always
-            # renormalizes the top-k routing weights; HF deepseek_v2's gate
-            # ignores the flag entirely
-            moe_norm_topk=bool(
-                d.get("norm_topk_prob", mt in ("mixtral", "granitemoe"))
-            ) and mt != "deepseek_v2",
+            moe_top_k=d.get("num_experts_per_tok", d.get("moe_k", 2)),
+            # HF qwen2moe/qwen3moe expose norm_topk_prob; mixtral/granitemoe
+            # always renormalize (granitemoe's softmax-over-topk-logits is
+            # mathematically the same); ernie renormalizes with a clamp;
+            # HF deepseek_v2's gate ignores the flag entirely
+            moe_norm_topk=bool(d.get(
+                "norm_topk_prob",
+                mt in ("mixtral", "granitemoe", "ernie4_5_moe", "gpt_oss"),
+            )) and mt != "deepseek_v2",
             moe_intermediate_size=d.get("moe_intermediate_size"),
             arch="gemma2" if mt == "gemma2" else "llama",
             rms_add_unit=add_unit,
@@ -268,13 +324,24 @@ class LlamaConfig:
             final_logit_softcap=d.get("final_logit_softcapping"),
             query_pre_attn_scalar=d.get("query_pre_attn_scalar"),
             sliding_window=(
-                d.get("sliding_window") if mt in ("gemma2", "gemma3_text") else None
+                d.get("sliding_window")
+                if mt in ("gemma2", "gemma3_text", "cohere2", "exaone4",
+                          "gpt_oss") else None
             ),
-            sliding_layers=sliding_layers if mt in ("gemma2", "gemma3_text") else None,
+            sliding_layers=(
+                sliding_layers
+                if mt in ("gemma2", "gemma3_text", "cohere2", "exaone4",
+                          "gpt_oss") else None
+            ),
+            rope_sliding_only=mt in ("cohere2", "exaone4"),
+            clip_qkv=d.get("clip_qkv") if mt == "olmo" else None,
             rope_local_theta=(
                 d.get("rope_local_base_freq") if mt == "gemma3_text" else None
             ),
-            qk_norm=mt in ("qwen3", "qwen3_moe", "gemma3_text", "olmo2", "olmoe"),
+            qk_norm=mt in ("qwen3", "qwen3_moe", "gemma3_text", "olmo2",
+                           "olmoe", "exaone4")
+            or mt == "dots1"
+            or (mt == "glm4_moe" and bool(d.get("use_qk_norm"))),
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
             intermediate_size=d["intermediate_size"],
@@ -480,8 +547,12 @@ def _rope_params(cfg: LlamaConfig, seq_len: Optional[int] = None) -> Tuple[np.nd
                 2 * math.log(base)
             )
 
-        low = max(math.floor(corr_dim(beta_fast)), 0)
-        high = min(math.ceil(corr_dim(beta_slow)), hd - 1)
+        if rs.get("truncate", True):
+            low = max(math.floor(corr_dim(beta_fast)), 0)
+            high = min(math.ceil(corr_dim(beta_slow)), hd - 1)
+        else:  # gpt-oss: fractional correction range (truncate=False)
+            low = max(corr_dim(beta_fast), 0)
+            high = min(corr_dim(beta_slow), hd - 1)
         if low == high:
             high += 0.001
         ramp = np.clip((np.arange(hd // 2, dtype=np.float64) - low) / (high - low), 0, 1)
@@ -574,7 +645,7 @@ def _linear(x, w, b=None):
 FLASH_CHUNK = 512
 
 
-def flash_attention(q, k, v, qpos, scale=None, logit_softcap=None,
+def flash_attention(q, k, v, qpos, scale=None, logit_softcap=None, sinks=None,
                     sliding_window=None, chunk: int = FLASH_CHUNK,
                     dynamic_length: bool = False,
                     k_scale=None, v_scale=None):
@@ -674,12 +745,15 @@ def flash_attention(q, k, v, qpos, scale=None, logit_softcap=None,
             return step(carry, *inp), None
 
         (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0), xs)
+    if sinks is not None:  # gpt-oss attention sinks: extra softmax mass
+        sk = sinks.astype(jnp.float32).reshape(nKV, G)[None, :, :, None]
+        l = l + jnp.exp(sk - m)
     out = acc / jnp.maximum(l, 1e-30)[..., None]
     out_dtype = v.dtype if k_scale is None else jnp.float32
     return out.reshape(B, nH, S, vd).astype(out_dtype)
 
 
-def attention_scores(q, k, v, mask, scale=None, logit_softcap=None):
+def attention_scores(q, k, v, mask, scale=None, logit_softcap=None, sinks=None):
     """Plain XLA attention; q (B,nH,S,hd), k/v (B,nKV,S,hd)."""
     B, nH, S, hd = q.shape
     nKV = k.shape[1]
@@ -692,7 +766,14 @@ def attention_scores(q, k, v, mask, scale=None, logit_softcap=None):
     if logit_softcap:
         scores = logit_softcap * jnp.tanh(scores / logit_softcap)
     scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    if sinks is None:
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    else:  # gpt-oss: per-head sink logit joins the softmax denominator
+        sk = sinks.astype(jnp.float32).reshape(nKV, groups)[None, :, :, None]
+        m = jnp.maximum(jnp.max(scores, axis=-1), sk)
+        e = jnp.exp(scores - m[..., None])
+        denom = e.sum(-1) + jnp.exp(sk - m)
+        probs = (e / denom[..., None]).astype(v.dtype)
     out = jnp.einsum("bkgst,bkth->bkgsh", probs, v, preferred_element_type=jnp.float32)
     return out.reshape(B, nH, S, v.shape[-1])
 
@@ -710,6 +791,11 @@ def _act_only(x: jax.Array, cfg: LlamaConfig) -> jax.Array:
 
 
 def _mlp_act(gate: jax.Array, up: jax.Array, cfg: LlamaConfig) -> jax.Array:
+    if cfg.act_fn == "swiglu_oai":  # gpt-oss clamped glu: (up+1)*g*sigmoid(a*g)
+        g = jnp.clip(gate.astype(jnp.float32), None, 7.0)
+        u = jnp.clip(up.astype(jnp.float32), -7.0, 7.0)
+        glu = g * jax.nn.sigmoid(g * 1.702)
+        return ((u + 1.0) * glu).astype(gate.dtype)
     return _act_only(gate, cfg) * up
 
 
@@ -727,6 +813,8 @@ def moe_route(h: jax.Array, layer: Dict[str, jax.Array], cfg: LlamaConfig,
         "bsh,eh->bse", h.astype(jnp.float32), layer["gate_inp"].astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
+    if "gate_inp_bias" in layer:  # gpt-oss biased router
+        logits = logits + layer["gate_inp_bias"].astype(jnp.float32)
     if cfg.moe_scoring == "sigmoid":  # deepseek-v3 noaux-tc router
         scores = jax.nn.sigmoid(logits)
     else:
@@ -781,12 +869,18 @@ def moe_ffn(
     E = wg.shape[0]
     wmap, _, _ = moe_route(h, layer, cfg, E)
 
+    biased = "experts_gate_bias" in layer  # gpt-oss per-expert biases
+
     def body(acc, inputs):
-        we_g, we_u, we_d, we_w = inputs
-        g = _linear(h, we_g)
-        u = _linear(h, we_u)
+        if biased:
+            we_g, we_u, we_d, bg, bu, bd, we_w = inputs
+        else:
+            we_g, we_u, we_d, we_w = inputs
+            bg = bu = bd = 0.0
+        g = _linear(h, we_g) + bg
+        u = _linear(h, we_u) + bu
         act = _mlp_act(g, u, cfg)
-        d = _linear(act, we_d)
+        d = _linear(act, we_d) + bd
         acc = acc + we_w[..., None].astype(d.dtype) * d
         if with_capture:
             m = (we_w > 0).astype(jnp.float32)  # routed mask (hook semantics)
@@ -800,9 +894,11 @@ def moe_ffn(
         return acc, None
 
     acc0 = jnp.zeros_like(h)
-    out, ys = jax.lax.scan(
-        body, acc0, (wg, wu, wd, wmap.transpose(2, 0, 1))
-    )
+    xs = (wg, wu, wd) + (
+        (layer["experts_gate_bias"], layer["experts_up_bias"],
+         layer["experts_down_bias"]) if biased else ()
+    ) + (wmap.transpose(2, 0, 1),)
+    out, ys = jax.lax.scan(body, acc0, xs)
 
     caps: Optional[Dict[str, jax.Array]] = None
     if with_capture:
@@ -840,11 +936,15 @@ def is_sliding_layer(cfg: LlamaConfig, layer_idx: int) -> bool:
 
 def select_rope(cos, sin, cfg: LlamaConfig, layer_idx: int):
     """Pick the (global, local) rope tables for a layer; cos/sin are either
-    plain arrays or (global, local) pairs (gemma3 dual rope bases)."""
+    plain arrays or (global, local) pairs (gemma3 dual rope bases). For
+    hybrid NoPE models (cohere2/exaone4) global layers get identity tables."""
     if isinstance(cos, tuple):
         if is_sliding_layer(cfg, layer_idx):
             return cos[1], sin[1]
         return cos[0], sin[0]
+    if cfg.rope_sliding_only and cfg.sliding_window \
+            and not is_sliding_layer(cfg, layer_idx):
+        return jnp.ones_like(cos), jnp.zeros_like(sin)
     return cos, sin
 
 
@@ -907,6 +1007,10 @@ def block_capture(
     q = _linear(h1, layer["q_proj"], layer.get("q_bias"))
     k = _linear(h1, layer["k_proj"], layer.get("k_bias"))
     v = _linear(h1, layer["v_proj"], layer.get("v_bias"))
+    if cfg.clip_qkv:  # olmo v1
+        q = jnp.clip(q, -cfg.clip_qkv, cfg.clip_qkv)
+        k = jnp.clip(k, -cfg.clip_qkv, cfg.clip_qkv)
+        v = jnp.clip(v, -cfg.clip_qkv, cfg.clip_qkv)
     if cfg.qk_norm and layer["q_norm"].shape[0] != hd:  # flat olmo2-style
         q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
         k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
@@ -929,9 +1033,11 @@ def block_capture(
         # calibration/eval callers)
         win = cfg.sliding_window if sliding else None
         qpos = jnp.broadcast_to(jnp.arange(S), (B, S))
-        attn = flash_attention(q, k, v, qpos, scale, cfg.attn_logit_softcap, win)
+        attn = flash_attention(q, k, v, qpos, scale, cfg.attn_logit_softcap,
+                               layer.get("sinks"), win)
     else:
-        attn = attention_scores(q, k, v, attn_mask, scale, cfg.attn_logit_softcap)
+        attn = attention_scores(q, k, v, attn_mask, scale,
+                                cfg.attn_logit_softcap, layer.get("sinks"))
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
     attn_out = _linear(attn, layer["o_proj"], layer.get("o_bias"))
     gemma2_norms = "pre_feedforward_layernorm" in layer

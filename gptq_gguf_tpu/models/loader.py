@@ -23,7 +23,9 @@ SUPPORTED_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3", "phi3", "gemma",
                          "mixtral", "granite", "minicpm", "exaone", "internlm2",
                          "baichuan", "deepseek", "olmoe", "stablelm",
                          "starcoder2", "nemotron", "cohere", "phi",
-                         "deepseek_v2", "deepseek_v3")
+                         "deepseek_v2", "deepseek_v3", "glm", "glm4",
+                         "cohere2", "olmo", "arcee", "seed_oss", "ernie4_5",
+                         "exaone4", "glm4_moe", "ernie4_5_moe", "granitemoe", "dots1", "gpt_oss")
 
 
 def load_config(model_dir: Union[str, Path], dtype=jnp.float32) -> LlamaConfig:
@@ -121,13 +123,16 @@ def load_params(
             )
             handled = False
             for prefix, proj_map in moe_prefixes:
-                if rest.startswith(prefix) and rest.endswith(".weight"):
-                    sub = rest[len(prefix):-len(".weight")].split(".")
-                    if len(sub) == 2 and sub[1] in proj_map:
-                        expert_acc.setdefault(i, {}).setdefault(
-                            proj_map[sub[1]], {}
-                        )[int(sub[0])] = val
-                        handled = True
+                for suffix, bias in ((".weight", ""), (".bias", "_bias")):
+                    if rest.startswith(prefix) and rest.endswith(suffix):
+                        sub = rest[len(prefix):-len(suffix)].split(".")
+                        if len(sub) == 2 and sub[1] in proj_map:
+                            expert_acc.setdefault(i, {}).setdefault(
+                                proj_map[sub[1]] + bias, {}
+                            )[int(sub[0])] = val
+                            handled = True
+                        break
+                if handled or rest.startswith(prefix):
                     break
             if handled:
                 continue
@@ -135,6 +140,7 @@ def load_params(
                 "mlp.gate.weight": "gate_inp",
                 "block_sparse_moe.gate.weight": "gate_inp",
                 "mlp.gate.e_score_correction_bias": "gate_corr_bias",  # deepseek-v3
+                "mlp.gate.bias": "gate_inp_bias",  # gpt-oss biased router
                 "mlp.shared_expert_gate.weight": "shared_gate_inp",
                 "mlp.shared_expert.gate_proj.weight": "shared_gate",
                 "mlp.shared_expert.up_proj.weight": "shared_up",
@@ -175,6 +181,7 @@ def load_params(
                 "self_attn.kv_a_proj_with_mqa.bias": "kv_a_bias",
                 "self_attn.kv_a_layernorm.weight": "kv_a_norm",
                 "self_attn.kv_b_proj.weight": "kv_b_proj",
+                "self_attn.sinks": "sinks",  # gpt-oss attention sinks
             }
             key = mapping.get(rest)
             if key is None:
@@ -190,4 +197,12 @@ def load_params(
 
     if cfg.tie_word_embeddings:
         params.pop("lm_head", None)
+    if cfg.model_type == "olmo":
+        # olmo v1 LayerNorms are non-parametric (elementwise_affine=False):
+        # synthesize unit weights so apply_norm sees a standard layer
+        ones = jnp.ones((cfg.hidden_size,), jnp.float32)
+        params.setdefault("norm", ones)
+        for layer in layers:
+            layer.setdefault("input_layernorm", ones)
+            layer.setdefault("post_attention_layernorm", ones)
     return params

@@ -70,6 +70,8 @@ def _moe_q_ffn(h: jax.Array, layer: Dict[str, Any], cfg: LlamaConfig) -> jax.Arr
     E, k = eg.n_experts, cfg.moe_top_k
     wmap, topw, topi = llama.moe_route(h, layer, cfg, E)
     T = B * S
+    bg, bu, bd = (layer.get("experts_gate_bias"), layer.get("experts_up_bias"),
+                  layer.get("experts_down_bias"))  # gpt-oss per-expert biases
     if T * k < E:  # decode: strictly fewer expert-plane reads than a sweep
         xt = h.reshape(T, H)
         ti = topi.reshape(T, k)
@@ -78,24 +80,33 @@ def _moe_q_ffn(h: jax.Array, layer: Dict[str, Any], cfg: LlamaConfig) -> jax.Arr
         for j in range(k):
             g = qmatmul.gathered_expert_matmul(xt, eg, ti[:, j])
             u = qmatmul.gathered_expert_matmul(xt, eu, ti[:, j])
+            if bg is not None:
+                g = g + bg[ti[:, j]]
+                u = u + bu[ti[:, j]]
             act = llama._mlp_act(g.astype(h.dtype), u.astype(h.dtype), cfg)
             d = qmatmul.gathered_expert_matmul(act, ed, ti[:, j])
+            if bd is not None:
+                d = d + bd[ti[:, j]]
             out = out + tw[:, j, None] * d
         out = out.reshape(B, S, ed.d_out).astype(h.dtype)
     else:
         def body(acc, leaves):
-            lg, lu, ld, we_w = leaves
-            g = _q_linear(h, eg.make_expert(lg))
-            u = _q_linear(h, eu.make_expert(lu))
+            if bg is not None:
+                lg, lu, ld, lbg, lbu, lbd, we_w = leaves
+            else:
+                lg, lu, ld, we_w = leaves
+                lbg = lbu = lbd = 0.0
+            g = _q_linear(h, eg.make_expert(lg)) + lbg
+            u = _q_linear(h, eu.make_expert(lu)) + lbu
             act = llama._mlp_act(g, u, cfg)
-            d = _q_linear(act, ed.make_expert(ld))
+            d = _q_linear(act, ed.make_expert(ld)) + lbd
             return acc + we_w[..., None].astype(d.dtype) * d, None
 
         acc0 = jnp.zeros((B, S, ed.d_out), h.dtype)
-        out, _ = jax.lax.scan(
-            body, acc0,
-            (eg.fields(), eu.fields(), ed.fields(), wmap.transpose(2, 0, 1)),
-        )
+        xs = (eg.fields(), eu.fields(), ed.fields()) + (
+            (bg, bu, bd) if bg is not None else ()
+        ) + (wmap.transpose(2, 0, 1),)
+        out, _ = jax.lax.scan(body, acc0, xs)
     if "shared_gate" in layer:
         g = _q_linear(h, layer["shared_gate"])
         u = _q_linear(h, layer["shared_up"])
@@ -181,7 +192,8 @@ def _quantize_kv(x: jax.Array):
 
 
 def _cached_attention(q, k_cache, v_cache, lengths, scale=None, logit_softcap=None,
-                      sliding_window=None, k_scale=None, v_scale=None):
+                      sliding_window=None, k_scale=None, v_scale=None,
+                      sinks=None):
     """q: (B, nH, S, hd); caches (B, nKV, L, hd); slot b's queries sit at
     positions lengths[b] + [0, S).
 
@@ -195,8 +207,9 @@ def _cached_attention(q, k_cache, v_cache, lengths, scale=None, logit_softcap=No
         qpos = lengths[:, None] + jnp.arange(S)[None, :]
         # decode (S == 1): only read KV chunks up to the live fill level
         return llama.flash_attention(
-            q, k_cache, v_cache, qpos, scale, logit_softcap, sliding_window,
-            dynamic_length=(S == 1), k_scale=k_scale, v_scale=v_scale,
+            q, k_cache, v_cache, qpos, scale, logit_softcap, sinks,
+            sliding_window, dynamic_length=(S == 1), k_scale=k_scale,
+            v_scale=v_scale,
         ).astype(q.dtype)
     if k_scale is not None:
         k_cache = k_cache.astype(jnp.float32) * k_scale[..., None]
@@ -215,7 +228,14 @@ def _cached_attention(q, k_cache, v_cache, lengths, scale=None, logit_softcap=No
     if sliding_window:
         mask = mask & ((qpos - pos) < sliding_window)
     scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+    if sinks is not None:  # gpt-oss: sink logit joins the denominator
+        sk = sinks.astype(jnp.float32).reshape(nKV, groups)[None, :, :, None]
+        m = jnp.maximum(jnp.max(scores, axis=-1), sk)
+        e = jnp.exp(scores - m[..., None])
+        denom = e.sum(-1) + jnp.exp(sk - m)
+        probs = (e / denom[..., None]).astype(v_cache.dtype)
+    else:
+        probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
     out = jnp.einsum(
         "bkgst,bkth->bkgsh", probs, v_cache, preferred_element_type=jnp.float32
     )
@@ -371,6 +391,10 @@ def forward_cached(
                 q = q + layer["q_bias"]
                 k = k + layer["k_bias"]
                 v = v + layer["v_bias"]
+            if cfg.clip_qkv:  # olmo v1
+                q = jnp.clip(q, -cfg.clip_qkv, cfg.clip_qkv)
+                k = jnp.clip(k, -cfg.clip_qkv, cfg.clip_qkv)
+                v = jnp.clip(v, -cfg.clip_qkv, cfg.clip_qkv)
             # head counts from local shapes (== cfg counts unless TP-sharded)
             nH = q.shape[-1] // hd
             nKV = k.shape[-1] // hd
@@ -414,7 +438,7 @@ def forward_cached(
                 att_scale = None
             attn = _cached_attention(
                 q, k_cache, v_cache, lengths, att_scale, cfg.attn_logit_softcap, sliding,
-                k_scale=ks_cache, v_scale=vs_cache,
+                k_scale=ks_cache, v_scale=vs_cache, sinks=layer.get("sinks"),
             )
             attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
         attn_out = _q_linear(attn, layer["o_proj"])
@@ -621,12 +645,15 @@ _GGUF_SERVING_ARCHES = (
     "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "gemma3", "phi3",
     "olmo2", "qwen2moe", "qwen3moe", "granite", "minicpm", "exaone",
     "internlm2", "baichuan", "deepseek", "olmoe", "stablelm", "starcoder2",
-    "nemotron", "command-r", "phi2", "deepseek2",
+    "nemotron", "command-r", "phi2", "deepseek2", "glm4", "cohere2", "olmo",
+    "arcee", "seed_oss", "ernie4_5", "exaone4", "granitemoe", "glm4moe",
+    "ernie4_5-moe", "dots1", "gpt-oss",
 )
 
 # mean-subtracting-LayerNorm GGUF arches (nemotron norms arrive pre-folded
 # (1+w) from the converter, so no add_unit at serve time)
-_LAYERNORM_ARCHES = ("stablelm", "starcoder2", "nemotron", "command-r", "phi2")
+_LAYERNORM_ARCHES = ("stablelm", "starcoder2", "nemotron", "command-r",
+                     "phi2", "cohere2", "olmo")
 
 def _layer_exps_quant(r, li: int) -> bool:
     """Are this layer's stacked expert tensors K-quant (servable packed)?"""
@@ -664,6 +691,7 @@ _BASE_NAME_MAP = {
     "attn_output": "o_proj",
     "attn_q_norm": "q_norm",
     "attn_k_norm": "k_norm",
+    "attn_sinks": "sinks",
     "ffn_gate": "gate_proj",
     "ffn_up": "up_proj",
     "ffn_down": "down_proj",
@@ -719,6 +747,10 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
              int(r.get(f"{arch}.rope.scaling.original_context_length", 4096))),
             ("rope_type", "yarn"),
         )
+        if r.get(f"{arch}.rope.scaling.yarn_truncate") is not None:
+            rope_scaling = rope_scaling + (
+                ("truncate", bool(r.get(f"{arch}.rope.scaling.yarn_truncate"))),
+            )
     moe_experts = r.get(f"{arch}.expert_count")
     # scalar multipliers: granite/minicpm store logit_scale as a divisor;
     # command-r stores a multiplier (llama.cpp semantics differ per arch)
@@ -728,7 +760,7 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
     logit_scale = r.get(f"{arch}.logit_scale")
     if not logit_scale:
         logits_mult = None
-    elif arch == "command-r":
+    elif arch in ("command-r", "cohere2"):
         logits_mult = logit_scale
     else:
         logits_mult = 1.0 / logit_scale
@@ -737,18 +769,41 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
     act = "silu"
     if gemma or arch in ("starcoder2", "phi2"):
         act = "gelu_tanh"
-    elif arch == "nemotron":
+    elif arch in ("nemotron", "arcee"):
         act = "relu2"
-    parallel = arch in ("command-r", "phi2") or bool(
+    elif arch == "gpt-oss":
+        act = "swiglu_oai"
+    parallel = arch in ("command-r", "phi2", "cohere2") or bool(
         r.get(f"{arch}.use_parallel_residual", False)
     )
     sliding_layers = None
     rope_local = None
+    if arch in ("cohere2", "exaone4", "gpt-oss"):
+        pat = r.get(f"{arch}.attention.sliding_window_pattern")
+        if pat is not None:
+            sliding_layers = tuple(bool(x) for x in pat)
+        elif arch == "cohere2":
+            # llama.cpp hardcodes cohere2's 3-sliding:1-global pattern
+            sliding_layers = tuple(bool((i + 1) % 4) for i in range(n_layers))
+        elif arch == "gpt-oss":
+            # llama.cpp hardcodes gpt-oss's alternating pattern (even sliding)
+            sliding_layers = tuple(i % 2 == 0 for i in range(n_layers))
     if arch == "gemma3":
         # llama.cpp hardcodes the 5-local:1-global pattern for gemma3
         sliding_layers = tuple(bool((i + 1) % 6) for i in range(n_layers))
         rope_local = r.get(f"{arch}.rope.local.freq_base", 10000.0)
     mla = {}
+    if arch in ("glm4moe", "dots1"):
+        mla = dict(
+            moe_scoring="sigmoid",
+            moe_group_method="top2sum",
+            moe_routed_scale=r.get(f"{arch}.expert_weights_scale"),
+        )
+        if r.get(f"{arch}.expert_group_count"):
+            mla.update(
+                moe_n_group=r.get(f"{arch}.expert_group_count"),
+                moe_topk_group=r.get(f"{arch}.expert_group_used_count", 1),
+            )
     if arch == "deepseek2":
         dr = r.get(f"{arch}.rope.dimension_count")
         key_mla = r.get(f"{arch}.attention.key_length_mla")
@@ -802,7 +857,8 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
         head_dim=head_dim,
         norm_type="layernorm" if ln else "rmsnorm",
         partial_rotary_factor=rope_dims / head_dim,
-        rope_interleaved=arch in ("command-r", "deepseek2"),
+        rope_interleaved=arch in ("command-r", "deepseek2", "glm4",
+                                  "cohere2", "ernie4_5", "ernie4_5-moe"),
         parallel_blocks=parallel,
         rms_norm_eps=r.get(
             f"{arch}.attention.layer_norm_rms_epsilon",
@@ -818,9 +874,12 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
         final_logit_softcap=r.get(f"{arch}.final_logit_softcapping") if arch == "gemma2" else None,
         sliding_window=(
             r.get(f"{arch}.attention.sliding_window")
-            if arch in ("gemma2", "gemma3") else None
+            if arch in ("gemma2", "gemma3", "cohere2", "exaone4",
+                        "gpt-oss") else None
         ),
         sliding_layers=sliding_layers,
+        rope_sliding_only=arch in ("cohere2", "exaone4"),
+        clip_qkv=r.get(f"{arch}.attention.clamp_kqv"),
         rope_local_theta=rope_local,
         query_pre_attn_scalar=qpas,
         dtype=dtype,
@@ -857,11 +916,13 @@ def load_gguf_for_serving(
     # (mirrors the write-side ArchSpec.permute_qk flags)
     permute_qk = arch in (
         "llama", "mistral", "granite", "minicpm", "internlm2", "baichuan",
-        "deepseek",
+        "deepseek", "olmo", "arcee", "granitemoe",
     )
     # olmo2 shares the gemma2-style post-norm tensor names
     name_map = (
-        _GEMMA2_NAME_MAP if arch in ("gemma2", "gemma3", "olmo2") else _BASE_NAME_MAP
+        _GEMMA2_NAME_MAP if arch in ("gemma2", "gemma3", "olmo2", "glm4",
+                                     "exaone4")
+        else _BASE_NAME_MAP
     )
     if arch == "deepseek2":
         name_map = {
@@ -970,6 +1031,10 @@ def load_gguf_for_serving(
             elif comp in _MOE_NAME_MAP:
                 key = _MOE_NAME_MAP[comp]
                 info = r.tensors[name]
+                if suffix == "bias":  # gpt-oss router / per-expert biases
+                    bkey = "gate_inp_bias" if key == "gate_inp" else key + "_bias"
+                    layers[li][bkey] = jnp.asarray(r.tensor_float(name))
+                    continue
                 exps_quant = _layer_exps_quant(r, li)
                 if key.startswith("experts_") and exps_quant:
                     # stacked K-quant expert tensor (E, d_out, d_in): keep
@@ -1018,6 +1083,13 @@ def load_gguf_for_serving(
             raise NotImplementedError(
                 f"unrecognized GGUF tensor {name!r}; refusing to drop it silently"
             )
+    if arch == "olmo":
+        # non-parametric LayerNorms: no norm tensors in the GGUF
+        ones = jnp.ones((cfg.hidden_size,), jnp.float32)
+        params.setdefault("norm", ones)
+        for layer in layers:
+            layer.setdefault("input_layernorm", ones)
+            layer.setdefault("post_attention_layernorm", ones)
     params["layers"] = layers
     if "lm_head" not in params:
         cfg = dataclasses.replace(cfg, tie_word_embeddings=True)

@@ -1,0 +1,171 @@
+"""MoE arch batch: granitemoe / glm4_moe / ernie4_5_moe — HF logits parity
+and GGUF round-trips (reference converter entries: GraniteMoeModel :7512,
+Glm4MoeModel :7007, Ernie4_5MoeModel :3248)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gptq_gguf_tpu.export import packer
+from gptq_gguf_tpu.formats.gguf import GGUFReader
+from gptq_gguf_tpu.models import llama, loader
+
+RNG = np.random.default_rng(41)
+
+
+def _make(tmp_path, cfg_d, seed=11):
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    hf_cfg = AutoConfig.for_model(**cfg_d)
+    torch.manual_seed(seed)
+    m = AutoModelForCausalLM.from_config(hf_cfg).eval().float()
+    d = tmp_path / cfg_d["model_type"]
+    m.save_pretrained(d, safe_serialization=True)
+    return d, m
+
+
+def _parity(model_dir, m, n_vocab=128, rtol=5e-4, atol=5e-4):
+    import torch
+
+    cfg = loader.load_config(model_dir)
+    params = loader.load_params(model_dir, cfg)
+    ids = RNG.integers(0, n_vocab, size=(2, 14))
+    with torch.no_grad():
+        ref = m(torch.from_numpy(ids)).logits.numpy()
+    got = np.asarray(llama.forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, ref, rtol=rtol, atol=atol)
+    return cfg, params
+
+
+def _gguf_serving(tmp_path, model_dir, arch, rtol=2e-3, atol=2e-3):
+    from gptq_gguf_tpu.serving import model as qmodel
+
+    gguf = tmp_path / f"{arch}.gguf"
+    packer.pack_model(model_dir, tmp_path / "no-artifacts", gguf)
+    r = GGUFReader(gguf)
+    assert r.get("general.architecture") == arch
+    qparams, gcfg = qmodel.load_gguf_for_serving(gguf, dtype=jnp.float32)
+    cfg = loader.load_config(model_dir)
+    params = loader.load_params(model_dir, cfg)
+    ids = RNG.integers(0, cfg.vocab_size, size=(1, 10))
+    ref = np.asarray(llama.forward(params, jnp.asarray(ids), cfg))[:, -1, :]
+    cache = qmodel.init_cache(gcfg, 1, 16, dtype=jnp.float32)
+    logits, _ = qmodel.forward_cached(qparams, gcfg, jnp.asarray(ids), cache)
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=rtol, atol=atol)
+    return r, gcfg
+
+
+BASE = dict(
+    vocab_size=128, hidden_size=128, intermediate_size=192,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    max_position_embeddings=128, torch_dtype="float32", pad_token_id=0,
+)
+
+
+def test_granitemoe(tmp_path):
+    d, m = _make(tmp_path, dict(
+        model_type="granitemoe", architectures=["GraniteMoeForCausalLM"],
+        **BASE, num_local_experts=4, num_experts_per_tok=2,
+        embedding_multiplier=2.0, attention_multiplier=0.03,
+        residual_multiplier=0.5, logits_scaling=4.0, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, rope_theta=10000.0,
+    ))
+    cfg, params = _parity(d, m)
+    # fused input_linear split into canonical per-expert stacks
+    assert params["layers"][0]["experts_gate"].shape == (4, 192, 128)
+    assert cfg.moe_norm_topk and cfg.embedding_multiplier == 2.0
+    r, gcfg = _gguf_serving(tmp_path, d, "granitemoe")
+    assert r.get("granitemoe.expert_count") == 4
+    assert gcfg.logits_multiplier == pytest.approx(0.25)
+    w = r.tensor_float("blk.0.ffn_gate_exps.weight")
+    sd = m.state_dict()
+    ref = sd["model.layers.0.block_sparse_moe.input_linear.weight"][:, :192].numpy()
+    np.testing.assert_allclose(w, ref.astype(np.float16).astype(np.float32))
+
+
+def test_glm4_moe(tmp_path):
+    d, m = _make(tmp_path, dict(
+        model_type="glm4_moe", architectures=["Glm4MoeForCausalLM"], **BASE,
+        head_dim=32, partial_rotary_factor=0.5, moe_intermediate_size=96,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        routed_scaling_factor=1.5, n_group=2, topk_group=1,
+        first_k_dense_replace=1, norm_topk_prob=True, use_qk_norm=False,
+        rms_norm_eps=1e-5, tie_word_embeddings=False, rope_theta=10000.0,
+        num_nextn_predict_layers=0,
+    ))
+    cfg, params = _parity(d, m)
+    assert cfg.moe_scoring == "sigmoid" and cfg.moe_routed_scale == 1.5
+    assert cfg.moe_n_group == 2 and cfg.moe_group_method == "top2sum"
+    assert "gate_inp" not in params["layers"][0]  # leading dense block
+    assert "gate_corr_bias" in params["layers"][1]
+    assert "shared_gate" in params["layers"][1]
+    r, gcfg = _gguf_serving(tmp_path, d, "glm4moe")
+    assert r.get("glm4moe.expert_gating_func") == 2
+    assert r.get("glm4moe.leading_dense_block_count") == 1
+    assert "blk.1.exp_probs_b.bias" in r.tensors
+    assert gcfg.moe_scoring == "sigmoid"
+
+
+def test_ernie4_5_moe(tmp_path):
+    d, m = _make(tmp_path, dict(
+        model_type="ernie4_5_moe", architectures=["Ernie4_5_MoeForCausalLM"],
+        **BASE, head_dim=32, use_bias=False, moe_intermediate_size=96,
+        moe_num_experts=4, moe_k=2, moe_num_shared_experts=1,
+        moe_layer_start_index=1, moe_layer_interval=1, moe_norm_min=1e-12,
+        rms_norm_eps=1e-5, tie_word_embeddings=True, rope_theta=10000.0,
+    ))
+    cfg, params = _parity(d, m)
+    assert cfg.moe_top_k == 2 and cfg.moe_norm_topk
+    assert "gate_inp" not in params["layers"][0]  # leading dense block
+    assert "gate_corr_bias" in params["layers"][1]
+    r, gcfg = _gguf_serving(tmp_path, d, "ernie4_5-moe")
+    assert r.get("ernie4_5-moe.expert_used_count") == 2
+    assert r.get("ernie4_5-moe.leading_dense_block_count") == 1
+    assert "blk.1.exp_probs_b.bias" in r.tensors
+
+
+def test_dots1(tmp_path):
+    d, m = _make(tmp_path, dict(
+        model_type="dots1", architectures=["Dots1ForCausalLM"], **BASE,
+        head_dim=32, moe_intermediate_size=96, n_routed_experts=4,
+        num_experts_per_tok=2, n_shared_experts=1, routed_scaling_factor=2.0,
+        n_group=2, topk_group=1, first_k_dense_replace=1,
+        norm_topk_prob=True, scoring_func="noaux_tc", rms_norm_eps=1e-5,
+        tie_word_embeddings=False, rope_theta=10000.0, attention_bias=False,
+    ))
+    cfg, params = _parity(d, m)
+    assert cfg.moe_scoring == "sigmoid" and cfg.qk_norm
+    assert cfg.partial_rotary_factor == 1.0 and not cfg.rope_interleaved
+    r, gcfg = _gguf_serving(tmp_path, d, "dots1")
+    assert r.get("dots1.expert_gating_func") == 2
+    assert gcfg.moe_scoring == "sigmoid" and gcfg.qk_norm
+
+
+def test_gpt_oss(tmp_path):
+    """gpt-oss: attention sinks, biased router, per-expert biases, clamped
+    swiglu with (up+1) carry, alternating sliding layers, yarn truncate=False
+    (reference GptOssModel :8310)."""
+    d, m = _make(tmp_path, dict(
+        model_type="gpt_oss", architectures=["GptOssForCausalLM"], **BASE,
+        head_dim=32, num_local_experts=4, num_experts_per_tok=2,
+        sliding_window=8, rms_norm_eps=1e-5, tie_word_embeddings=False,
+        rope_theta=150000.0, rope_scaling={
+            "rope_type": "yarn", "factor": 2.0, "beta_fast": 32.0,
+            "beta_slow": 1.0, "truncate": False,
+            "original_max_position_embeddings": 64,
+        },
+    ))
+    cfg, params = _parity(d, m, rtol=1e-3, atol=1e-3)
+    assert cfg.act_fn == "swiglu_oai" and cfg.moe_norm_topk
+    assert cfg.sliding_window == 8 and cfg.sliding_layers is not None
+    l0 = params["layers"][0]
+    assert "sinks" in l0 and "gate_inp_bias" in l0
+    assert "experts_gate_bias" in l0 and l0["experts_gate"].shape == (4, 192, 128)
+    r, gcfg = _gguf_serving(tmp_path, d, "gpt-oss", rtol=4e-3, atol=4e-3)
+    assert "blk.0.attn_sinks.weight" in r.tensors
+    assert "blk.0.ffn_gate_exps.bias" in r.tensors
+    assert "blk.0.ffn_gate_inp.bias" in r.tensors
+    assert gcfg.act_fn == "swiglu_oai"
+    assert dict(gcfg.rope_scaling)["truncate"] is False
