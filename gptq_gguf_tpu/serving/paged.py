@@ -24,6 +24,7 @@ import numpy as np
 
 from ..models import llama
 from ..models.llama import LlamaConfig
+from ..ops import paged_attention
 from . import model as qmodel
 from .model import _q_linear, _QUANT_TYPES, _dequant_any
 
@@ -144,16 +145,32 @@ def forward_paged(
         new_k.append(k_pool)
         new_v.append(v_pool)
 
-        k_all = _gather_slot_kv(k_pool, cache.page_table)
-        v_all = _gather_slot_kv(v_pool, cache.page_table)
         att_scale = (
             cfg.query_pre_attn_scalar ** -0.5
             if cfg.query_pre_attn_scalar is not None
             else None
         )
-        attn = qmodel._cached_attention(
-            qr, k_all, v_all, lengths, att_scale, cfg.attn_logit_softcap, sliding
-        )
+        on_tpu = jax.devices()[0].platform == "tpu"
+        interpret = qmodel.qmatmul.FORCE_PALLAS_INTERPRET and not on_tpu
+        if S == 1 and sliding is None and not cfg.attn_logit_softcap \
+                and "sinks" not in layer and (on_tpu or interpret):
+            # Pallas flash-decode walks the block table: only live pages
+            # leave HBM (the gather path below copies the full provisioned
+            # cache every layer)
+            qk = qr[:, :, 0].reshape(B, nKV, nH // nKV, hd)
+            attn = paged_attention.paged_flash_decode(
+                qk, k_pool, v_pool, cache.page_table, lengths,
+                scale=float(att_scale if att_scale is not None
+                            else 1.0 / math.sqrt(hd)),
+                interpret=interpret,
+            ).reshape(B, nH, S, hd).astype(qr.dtype)
+        else:
+            k_all = _gather_slot_kv(k_pool, cache.page_table)
+            v_all = _gather_slot_kv(v_pool, cache.page_table)
+            attn = qmodel._cached_attention(
+                qr, k_all, v_all, lengths, att_scale, cfg.attn_logit_softcap,
+                sliding, sinks=layer.get("sinks"),
+            )
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
         attn_out = _q_linear(attn, layer["o_proj"])
         gemma2_norms = "pre_feedforward_layernorm" in layer

@@ -91,3 +91,66 @@ def test_page_allocator():
     assert al.available == 2
     c = al.alloc(2)
     assert sorted(c) == sorted(a)
+
+
+def test_paged_flash_decode_kernel():
+    """Pallas paged flash-decode (interpret mode) == masked-softmax reference
+    over gathered pages, including partially-filled last pages and unassigned
+    (-1) table entries."""
+    import jax
+    from gptq_gguf_tpu.ops import paged_attention
+
+    rng = np.random.default_rng(5)
+    B, nKV, G, hd, page, pps = 3, 2, 4, 128, 64, 4
+    n_pages = B * pps
+    lengths = jnp.asarray([5, 63, 170], jnp.int32)  # mid / page-edge / multi
+    q = jnp.asarray(rng.normal(size=(B, nKV, G, hd)).astype(np.float32))
+    k_pages = jnp.asarray(rng.normal(size=(n_pages, page, nKV, hd)).astype(np.float32))
+    v_pages = jnp.asarray(rng.normal(size=(n_pages, page, nKV, hd)).astype(np.float32))
+    # assign only the live pages; rest are -1
+    table = np.full((B, pps), -1, np.int32)
+    nxt = 0
+    for b in range(B):
+        for p in range(int(lengths[b]) // page + 1):
+            table[b, p] = nxt
+            nxt += 1
+    table = jnp.asarray(table)
+    scale = 1.0 / np.sqrt(hd)
+
+    out = paged_attention.paged_flash_decode(
+        q, k_pages, v_pages, table, lengths, scale=scale, interpret=True
+    )
+
+    # reference: gather + masked softmax
+    k_all = paged._gather_slot_kv(k_pages, table)  # (B, nKV, pps*page, hd)
+    v_all = paged._gather_slot_kv(v_pages, table)
+    s = np.einsum("bkgh,bkth->bkgt", np.asarray(q), np.asarray(k_all)) * scale
+    pos = np.arange(pps * page)[None, :]
+    mask = pos <= np.asarray(lengths)[:, None]
+    s = np.where(mask[:, None, None, :], s, -1e30)
+    p_ = np.exp(s - s.max(-1, keepdims=True))
+    p_ = p_ / p_.sum(-1, keepdims=True)
+    ref = np.einsum("bkgt,bkth->bkgh", p_, np.asarray(v_all))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_paged_forward_decode_uses_kernel(tiny, monkeypatch):
+    """forward_paged decode step through the Pallas kernel (interpret mode)
+    matches the XLA gather path."""
+    import jax
+    from gptq_gguf_tpu.ops import qmatmul
+
+    cfg, params = tiny
+    rng = np.random.default_rng(9)
+    cache1 = paged.init_paged_cache(cfg, 2, 64, page_size=16, dtype=jnp.float32)
+    table = np.arange(8, dtype=np.int32).reshape(2, 4)
+    cache1 = cache1._replace(page_table=jnp.asarray(table))
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 7)))
+    logits, cache1 = paged.forward_paged(params, cfg, ids, cache1)
+    step = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 1)))
+    # XLA reference decode
+    ref, _ = paged.forward_paged(params, cfg, step, cache1)
+    # kernel decode (interpret on CPU)
+    monkeypatch.setattr(qmatmul, "FORCE_PALLAS_INTERPRET", True)
+    got, _ = paged.forward_paged(params, cfg, step, cache1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
