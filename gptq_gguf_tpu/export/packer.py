@@ -137,7 +137,10 @@ class ArchSpec:
             ),
             f"{a}.embedding_length": c["hidden_size"],
             f"{a}.block_count": c.get("num_hidden_layers", c.get("num_layers")),
-            f"{a}.feed_forward_length": c["intermediate_size"],
+            # falcon has no intermediate_size key: ffn = 4*hidden
+            f"{a}.feed_forward_length": c.get(
+                "intermediate_size", 4 * c["hidden_size"]
+            ),
             f"{a}.attention.head_count": n_head,
             f"{a}.attention.head_count_kv": n_kv,
             f"{a}.attention.layer_norm_rms_epsilon": float(
@@ -828,6 +831,108 @@ class Ernie45MoeArch(MoEArchSpec):
         return md
 
 
+class FalconArch(ArchSpec):
+    """Falcon (reference FalconModel :1818): fused attn_qkv in the
+    rearranged [q; k; v] layout (the canonical pre-pass applies the same
+    jploski transform the converter does), LayerNorm(+bias), parallel
+    residual, gateless exact-gelu MLP, ln_attn/ln_mlp dual norms on the
+    new-decoder variants."""
+
+    gguf_arch = "falcon"
+    permute_qk = False
+    fused = {
+        "attn_qkv.weight": ("self_attn.q_proj", "self_attn.k_proj",
+                            "self_attn.v_proj"),
+    }
+
+    def tensor_name(self, hf_name):
+        if hf_name.startswith("model.layers."):
+            parts = hf_name.split(".")
+            i = parts[2]
+            rest = ".".join(parts[3:])
+            if rest == "mlp_layernorm.weight":
+                return f"blk.{i}.attn_norm_2.weight"
+            if rest == "mlp_layernorm.bias":
+                return f"blk.{i}.attn_norm_2.bias"
+        return super().tensor_name(hf_name)
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        md[f"{a}.feed_forward_length"] = 4 * c["hidden_size"]
+        md[f"{a}.attention.layer_norm_epsilon"] = float(
+            c.get("layer_norm_epsilon", 1e-5)
+        )
+        n_kv = (c.get("num_kv_heads") if c.get("new_decoder_architecture")
+                else (1 if c.get("multi_query", True)
+                      else c["num_attention_heads"]))
+        md[f"{a}.attention.head_count_kv"] = int(n_kv)
+        md["general.tensor_data_layout"] = "jploski"
+        return md
+
+
+class HunYuanDenseArch(ArchSpec):
+    """HunYuan dense (reference HunYuanModel :8203): per-head q/k norms
+    applied after rope, NTK-alpha dynamic rope folded into freq_base."""
+
+    gguf_arch = "hunyuan-dense"
+    permute_qk = False
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        head_dim = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        md[f"{a}.attention.key_length"] = head_dim
+        md[f"{a}.attention.value_length"] = head_dim
+        rs = dict(c.get("rope_scaling") or {})
+        if rs.get("type") == "dynamic" and rs.get("alpha"):
+            # NTK-aware alpha scaling folds into the base frequency
+            # (reference :8266-8280)
+            base = float(c.get("rope_theta", 10000.0))
+            md[f"{a}.rope.freq_base"] = base * (
+                float(rs["alpha"]) ** (head_dim / (head_dim - 2))
+            )
+            md.pop(f"{a}.rope.scaling.type", None)
+        return md
+
+
+class HunYuanMoeArch(MoEArchSpec):
+    """HunYuan MoE (reference HunYuanMoEV1ForCausalLM :8062): softmax
+    top-k router (mlp.gate.wg, canonicalized), unconditional shared MLP."""
+
+    gguf_arch = "hunyuan-moe"
+    permute_qk = False
+    n_expert_key = "num_experts"
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        head_dim = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        md[f"{a}.attention.key_length"] = head_dim
+        md[f"{a}.attention.value_length"] = head_dim
+        topk = c.get("moe_topk", 2)
+        md[f"{a}.expert_used_count"] = int(
+            topk[0] if isinstance(topk, list) else topk
+        )
+        md[f"{a}.expert_norm_topk_prob"] = True
+        md[f"{a}.expert_shared_feed_forward_length"] = int(c["intermediate_size"])
+        shared = c.get("num_shared_expert", 1)
+        md[f"{a}.expert_shared_count"] = int(
+            shared[0] if isinstance(shared, list) else shared
+        )
+        mi = c.get("moe_intermediate_size")
+        if mi is not None:
+            md[f"{a}.expert_feed_forward_length"] = int(
+                mi[0] if isinstance(mi, list) else mi
+            )
+        return md
+
+    @property
+    def n_expert(self) -> int:
+        n = self.hf[self.n_expert_key]
+        return int(n[0] if isinstance(n, list) else n)
+
+
 class GptOssArch(MoEArchSpec):
     """gpt-oss (reference GptOssModel :8310): biased router, per-expert
     biases, attention sinks, alternating sliding layers, yarn rope with
@@ -1045,7 +1150,8 @@ _ARCH_REGISTRY.update(
      "arcee": ArceeArch, "seed_oss": SeedOssArch, "ernie4_5": Ernie45Arch,
      "exaone4": Exaone4Arch, "granitemoe": GraniteMoeArch,
      "glm4_moe": Glm4MoeArch, "ernie4_5_moe": Ernie45MoeArch,
-     "dots1": Dots1Arch, "gpt_oss": GptOssArch}
+     "dots1": Dots1Arch, "gpt_oss": GptOssArch, "falcon": FalconArch,
+     "hunyuan_v1_dense": HunYuanDenseArch, "hunyuan_v1_moe": HunYuanMoeArch}
 )
 
 

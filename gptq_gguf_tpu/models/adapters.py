@@ -219,8 +219,80 @@ def _gpt_oss(name: str, arr, n_head: int, n_kv: int, head_dim: int):
     return [(name, arr)]
 
 
+def _falcon(name: str, arr, n_head: int, n_kv: int, head_dim: int):
+    """Falcon: transformer.h.N naming, fused query_key_value in kv-group
+    layout [g q-heads | k | v] per group (reference FalconModel
+    modify_tensors, pack_gptq_into_gguf.py:1845-1865 re-arranges the same
+    way), gateless gelu MLP, ln_attn/ln_mlp dual norms on the new decoder."""
+    fixed = {
+        "transformer.word_embeddings.weight": "model.embed_tokens.weight",
+        "transformer.ln_f.weight": "model.norm.weight",
+        "transformer.ln_f.bias": "model.norm.bias",
+        "lm_head.weight": "lm_head.weight",
+    }
+    if name in fixed:
+        return [(fixed[name], arr)]
+    if not name.startswith("transformer.h."):
+        return [(name, arr)]
+    parts = name.split(".")
+    i = parts[2]
+    rest = ".".join(parts[3:])
+    if rest.startswith("self_attention.query_key_value."):
+        # rearrange kv-group layout -> contiguous [q; k; v], kept fused as
+        # the canonical qkv_proj (the loader splits it, the packer re-fuses
+        # the quantized parts into llama.cpp's attn_qkv)
+        kind = rest.rsplit(".", 1)[1]  # weight | bias
+        g = n_head // n_kv
+        r = np.ascontiguousarray(arr).reshape(
+            (n_kv, g + 2, head_dim) + arr.shape[1:]
+        )
+        q = r[:, :g].reshape((n_head * head_dim,) + arr.shape[1:])
+        k = r[:, g].reshape((n_kv * head_dim,) + arr.shape[1:])
+        v = r[:, g + 1].reshape((n_kv * head_dim,) + arr.shape[1:])
+        return [(f"model.layers.{i}.self_attn.qkv_proj.{kind}",
+                 np.concatenate([q, k, v], axis=0))]
+    m = {
+        "ln_attn": "input_layernorm",
+        "ln_mlp": "mlp_layernorm",
+        "input_layernorm": "input_layernorm",
+        "post_attention_layernorm": "post_attention_layernorm",
+    }
+    head, _, kind = rest.rpartition(".")
+    if head in m and kind in ("weight", "bias"):
+        return [(f"model.layers.{i}.{m[head]}.{kind}", arr)]
+    proj = {
+        "self_attention.dense": "self_attn.o_proj",
+        "mlp.dense_h_to_4h": "mlp.up_proj",
+        "mlp.dense_4h_to_h": "mlp.down_proj",
+    }
+    if head in proj:
+        return [(f"model.layers.{i}.{proj[head]}.{kind}", arr)]
+    return [(name, arr)]
+
+
+def _hunyuan_moe(name: str, arr, n_head: int, n_kv: int, head_dim: int):
+    """HunYuan MoE: router lives at mlp.gate.wg, shared expert at
+    mlp.shared_mlp, q/k norms named query/key_layernorm."""
+    if name.endswith("mlp.gate.wg.weight"):
+        return [(name.replace(".mlp.gate.wg.", ".mlp.gate."), arr)]
+    if ".mlp.shared_mlp." in name:
+        return [(name.replace(".mlp.shared_mlp.", ".mlp.shared_expert."), arr)]
+    return _hunyuan_dense(name, arr, n_head, n_kv, head_dim)
+
+
+def _hunyuan_dense(name: str, arr, n_head: int, n_kv: int, head_dim: int):
+    for old, new in (("self_attn.query_layernorm.", "self_attn.q_norm."),
+                     ("self_attn.key_layernorm.", "self_attn.k_norm.")):
+        if f".{old}" in name:
+            return [(name.replace(f".{old}", f".{new}"), arr)]
+    return [(name, arr)]
+
+
 _CANONICALIZERS = {
     "exaone": _exaone,
+    "falcon": _falcon,
+    "hunyuan_v1_dense": _hunyuan_dense,
+    "hunyuan_v1_moe": _hunyuan_moe,
     "gpt_oss": _gpt_oss,
     "glm4": _glm4,
     "glm4_moe": _deepseek,  # plural shared_experts naming
@@ -253,7 +325,12 @@ def iter_canonical_tensors(tensors, hf_cfg: Dict[str, Any]) -> Iterator[Tuple[st
     HF config.json dict."""
     mt = hf_cfg.get("model_type", "llama")
     n_head = hf_cfg["num_attention_heads"]
-    n_kv = hf_cfg.get("num_key_value_heads", n_head)
+    if mt == "falcon":  # kv heads: new-decoder key, else multi-query
+        n_kv = (hf_cfg.get("num_kv_heads")
+                if hf_cfg.get("new_decoder_architecture")
+                else (1 if hf_cfg.get("multi_query", True) else n_head))
+    else:
+        n_kv = hf_cfg.get("num_key_value_heads", n_head)
     head_dim = hf_cfg.get("head_dim") or hf_cfg["hidden_size"] // n_head
     for name, arr in tensors:
         yield from canonicalize(mt, name, arr, n_head=n_head, n_kv=n_kv,

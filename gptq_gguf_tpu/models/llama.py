@@ -92,6 +92,8 @@ class LlamaConfig:
     rope_sliding_only: bool = False
     # olmo (v1): clamp q/k/v projections to [-clip, clip]
     clip_qkv: Optional[float] = None
+    # hunyuan: per-head q/k RMSNorm applied AFTER rope
+    qk_norm_after_rope: bool = False
     # MoE (qwen2moe/qwen3moe/mixtral); a layer is sparse iff its param dict
     # has "gate_inp" (mixed dense/sparse stacks are shape-driven)
     moe_num_experts: Optional[int] = None
@@ -219,6 +221,18 @@ class LlamaConfig:
             rope_interleaved = True  # glm-style interleaved rope, full dim
         elif mt == "gpt_oss":
             act = "swiglu_oai"  # clamped glu with (up + 1) carry
+        elif mt == "falcon":
+            if d.get("alibi"):
+                raise NotImplementedError("falcon alibi positional encoding")
+            norm_type = "layernorm"
+            act = "gelu"  # exact erf gelu
+            parallel_blocks = bool(d.get("parallel_attn", True)) or bool(
+                d.get("new_decoder_architecture", False)
+            )
+        elif mt in ("hunyuan_v1_dense", "hunyuan_v1_moe"):
+            if not isinstance(d.get("num_experts", 1), int) or \
+                    not isinstance(d.get("moe_topk", 1), int):
+                raise NotImplementedError("hunyuan per-layer expert lists")
         mla = {}
         moe_ds = {}
         if mt in ("glm4_moe", "dots1"):
@@ -302,14 +316,16 @@ class LlamaConfig:
             residual_multiplier=res_mult,
             logits_multiplier=logit_mult,
             moe_num_experts=moe_experts,
-            moe_top_k=d.get("num_experts_per_tok", d.get("moe_k", 2)),
+            moe_top_k=d.get("num_experts_per_tok", d.get(
+                "moe_k", d.get("moe_topk", 2))),
             # HF qwen2moe/qwen3moe expose norm_topk_prob; mixtral/granitemoe
             # always renormalize (granitemoe's softmax-over-topk-logits is
             # mathematically the same); ernie renormalizes with a clamp;
             # HF deepseek_v2's gate ignores the flag entirely
             moe_norm_topk=bool(d.get(
                 "norm_topk_prob",
-                mt in ("mixtral", "granitemoe", "ernie4_5_moe", "gpt_oss"),
+                mt in ("mixtral", "granitemoe", "ernie4_5_moe", "gpt_oss",
+                       "hunyuan_v1_moe"),
             )) and mt != "deepseek_v2",
             moe_intermediate_size=d.get("moe_intermediate_size"),
             arch="gemma2" if mt == "gemma2" else "llama",
@@ -340,14 +356,21 @@ class LlamaConfig:
             ),
             qk_norm=mt in ("qwen3", "qwen3_moe", "gemma3_text", "olmo2",
                            "olmoe", "exaone4")
-            or mt == "dots1"
+            or mt in ("dots1", "hunyuan_v1_dense", "hunyuan_v1_moe")
             or (mt == "glm4_moe" and bool(d.get("use_qk_norm"))),
+            qk_norm_after_rope=mt in ("hunyuan_v1_dense", "hunyuan_v1_moe"),
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
-            intermediate_size=d["intermediate_size"],
+            # falcon has no intermediate_size key: ffn = 4*hidden
+            intermediate_size=d.get("intermediate_size", 4 * d["hidden_size"]),
             num_hidden_layers=n_layers,
             num_attention_heads=d["num_attention_heads"],
-            num_key_value_heads=d.get("num_key_value_heads", d["num_attention_heads"]),
+            num_key_value_heads=(
+                (d.get("num_kv_heads") if d.get("new_decoder_architecture")
+                 else (1 if d.get("multi_query", True) else d["num_attention_heads"]))
+                if mt == "falcon"
+                else d.get("num_key_value_heads", d["num_attention_heads"])
+            ),
             head_dim=d.get("head_dim"),
             # norm-eps key aliases: exaone layer_norm_epsilon, stablelm/
             # cohere/phi layer_norm_eps, starcoder2 norm_epsilon, nemotron
@@ -782,6 +805,8 @@ def _act_only(x: jax.Array, cfg: LlamaConfig) -> jax.Array:
     x32 = x.astype(jnp.float32)
     if cfg.act_fn == "gelu_tanh":
         a = jax.nn.gelu(x32, approximate=True)
+    elif cfg.act_fn == "gelu":  # falcon: exact erf gelu
+        a = jax.nn.gelu(x32, approximate=False)
     elif cfg.act_fn == "relu2":  # nemotron squared ReLU
         r = jax.nn.relu(x32)
         a = r * r
@@ -1017,10 +1042,14 @@ def block_capture(
     q = q.reshape(B, S, nH, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
-    if cfg.qk_norm and layer["q_norm"].shape[0] == hd:  # per-head
+    if cfg.qk_norm and not cfg.qk_norm_after_rope \
+            and layer["q_norm"].shape[0] == hd:  # per-head
         q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
         k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
     q, k = apply_rope(q, k, cos, sin, cfg.rope_interleaved)
+    if cfg.qk_norm and cfg.qk_norm_after_rope:  # hunyuan: norm AFTER rope
+        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
     if cfg.attention_scale is not None:  # granite: direct score multiplier
         scale = cfg.attention_scale
     elif cfg.query_pre_attn_scalar is not None:
@@ -1051,8 +1080,10 @@ def block_capture(
 
     if cfg.parallel_blocks:
         # cohere/phi: attn and mlp branch from the same normed input, one
-        # residual add at the end
-        h2 = h1
+        # residual add at the end; falcon new-decoder uses a separate ln_mlp
+        h2 = h1 if "mlp_layernorm" not in layer else apply_norm(
+            x, cfg, layer["mlp_layernorm"], layer.get("mlp_layernorm_bias")
+        )
     else:
         x = x + attn_out
         if gemma2_norms:

@@ -25,7 +25,8 @@ SUPPORTED_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3", "phi3", "gemma",
                          "starcoder2", "nemotron", "cohere", "phi",
                          "deepseek_v2", "deepseek_v3", "glm", "glm4",
                          "cohere2", "olmo", "arcee", "seed_oss", "ernie4_5",
-                         "exaone4", "glm4_moe", "ernie4_5_moe", "granitemoe", "dots1", "gpt_oss")
+                         "exaone4", "glm4_moe", "ernie4_5_moe", "granitemoe", "dots1", "gpt_oss",
+                         "falcon", "hunyuan_v1_dense", "hunyuan_v1_moe")
 
 
 def load_config(model_dir: Union[str, Path], dtype=jnp.float32) -> LlamaConfig:
@@ -164,6 +165,8 @@ def load_params(
                 "mlp.up_proj.bias": "up_bias",
                 "mlp.down_proj.bias": "down_bias",
                 "input_layernorm.bias": "input_layernorm_bias",
+                "mlp_layernorm.weight": "mlp_layernorm",  # falcon ln_mlp
+                "mlp_layernorm.bias": "mlp_layernorm_bias",
                 "post_attention_layernorm.bias": "post_attention_layernorm_bias",
                 "self_attn.q_norm.weight": "q_norm",
                 "self_attn.k_norm.weight": "k_norm",

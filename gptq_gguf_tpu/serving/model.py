@@ -453,7 +453,11 @@ def forward_cached(
             attn_out = attn_out * jnp.asarray(rm, dtype=attn_out.dtype)
 
         if cfg.parallel_blocks:
-            pass  # cohere/phi: mlp branches from the same normed input h
+            # cohere/phi: mlp branches from the same normed input h;
+            # falcon new-decoder normalizes the mlp branch separately
+            if "mlp_layernorm" in layer:
+                h = llama.apply_norm(x, cfg, layer["mlp_layernorm"],
+                                     layer.get("mlp_layernorm_bias"))
         else:
             x = x + attn_out
             if post_norm:
@@ -647,13 +651,14 @@ _GGUF_SERVING_ARCHES = (
     "internlm2", "baichuan", "deepseek", "olmoe", "stablelm", "starcoder2",
     "nemotron", "command-r", "phi2", "deepseek2", "glm4", "cohere2", "olmo",
     "arcee", "seed_oss", "ernie4_5", "exaone4", "granitemoe", "glm4moe",
-    "ernie4_5-moe", "dots1", "gpt-oss",
+    "ernie4_5-moe", "dots1", "gpt-oss", "falcon", "hunyuan-dense",
+    "hunyuan-moe",
 )
 
 # mean-subtracting-LayerNorm GGUF arches (nemotron norms arrive pre-folded
 # (1+w) from the converter, so no add_unit at serve time)
 _LAYERNORM_ARCHES = ("stablelm", "starcoder2", "nemotron", "command-r",
-                     "phi2", "cohere2", "olmo")
+                     "phi2", "cohere2", "olmo", "falcon")
 
 def _layer_exps_quant(r, li: int) -> bool:
     """Are this layer's stacked expert tensors K-quant (servable packed)?"""
@@ -692,6 +697,7 @@ _BASE_NAME_MAP = {
     "attn_q_norm": "q_norm",
     "attn_k_norm": "k_norm",
     "attn_sinks": "sinks",
+    "attn_norm_2": "mlp_layernorm",
     "ffn_gate": "gate_proj",
     "ffn_up": "up_proj",
     "ffn_down": "down_proj",
@@ -773,7 +779,9 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
         act = "relu2"
     elif arch == "gpt-oss":
         act = "swiglu_oai"
-    parallel = arch in ("command-r", "phi2", "cohere2") or bool(
+    elif arch == "falcon":
+        act = "gelu"
+    parallel = arch in ("command-r", "phi2", "cohere2", "falcon") or bool(
         r.get(f"{arch}.use_parallel_residual", False)
     )
     sliding_layers = None
@@ -867,6 +875,7 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
         rope_theta=r.get(f"{arch}.rope.freq_base", 10000.0),
         max_position_embeddings=r.get(f"{arch}.context_length", 4096),
         qk_norm="blk.0.attn_q_norm.weight" in r.tensors,
+        qk_norm_after_rope=arch in ("hunyuan-dense", "hunyuan-moe"),
         rms_add_unit=gemma,
         embed_scale=gemma,
         act_fn=act,

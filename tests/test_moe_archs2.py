@@ -169,3 +169,70 @@ def test_gpt_oss(tmp_path):
     assert "blk.0.ffn_gate_inp.bias" in r.tensors
     assert gcfg.act_fn == "swiglu_oai"
     assert dict(gcfg.rope_scaling)["truncate"] is False
+
+
+def test_falcon_new_decoder(tmp_path):
+    """Falcon new-decoder (40B-style): fused rearranged qkv, dual
+    ln_attn/ln_mlp parallel residual, gateless exact-gelu MLP."""
+    d, m = _make(tmp_path, dict(
+        model_type="falcon", architectures=["FalconForCausalLM"],
+        vocab_size=128, hidden_size=128, num_hidden_layers=2,
+        num_attention_heads=4, new_decoder_architecture=True, num_kv_heads=2,
+        multi_query=False, parallel_attn=True, bias=False, alibi=False,
+        layer_norm_epsilon=1e-5, torch_dtype="float32",
+        tie_word_embeddings=False, rope_theta=10000.0,
+    ))
+    cfg, params = _parity(d, m)
+    assert cfg.parallel_blocks and cfg.norm_type == "layernorm"
+    assert cfg.act_fn == "gelu" and cfg.num_key_value_heads == 2
+    assert "mlp_layernorm" in params["layers"][0]
+    r, gcfg = _gguf_serving(tmp_path, d, "falcon")
+    assert "blk.0.attn_qkv.weight" in r.tensors  # stays fused
+    assert "blk.0.attn_norm_2.weight" in r.tensors
+    assert gcfg.parallel_blocks and gcfg.act_fn == "gelu"
+
+
+def test_falcon_7b_style(tmp_path):
+    """Falcon classic (7B-style): multi-query (1 kv head), single input
+    norm, parallel attn."""
+    d, m = _make(tmp_path, dict(
+        model_type="falcon", architectures=["FalconForCausalLM"],
+        vocab_size=128, hidden_size=128, num_hidden_layers=2,
+        num_attention_heads=4, new_decoder_architecture=False,
+        multi_query=True, parallel_attn=True, bias=False, alibi=False,
+        layer_norm_epsilon=1e-5, torch_dtype="float32",
+        tie_word_embeddings=False, rope_theta=10000.0,
+    ))
+    cfg, params = _parity(d, m)
+    assert cfg.num_key_value_heads == 1 and cfg.parallel_blocks
+    assert "mlp_layernorm" not in params["layers"][0]
+    _gguf_serving(tmp_path, d, "falcon")
+
+
+def test_hunyuan_dense(tmp_path):
+    d, m = _make(tmp_path, dict(
+        model_type="hunyuan_v1_dense",
+        architectures=["HunYuanDenseV1ForCausalLM"], **BASE, head_dim=32,
+        rms_norm_eps=1e-5, tie_word_embeddings=False, rope_theta=10000.0,
+        attention_bias=False,
+    ))
+    cfg, params = _parity(d, m)
+    assert cfg.qk_norm and cfg.qk_norm_after_rope
+    r, gcfg = _gguf_serving(tmp_path, d, "hunyuan-dense")
+    assert gcfg.qk_norm_after_rope
+    assert "blk.0.attn_q_norm.weight" in r.tensors
+
+
+def test_hunyuan_moe(tmp_path):
+    d, m = _make(tmp_path, dict(
+        model_type="hunyuan_v1_moe", architectures=["HunYuanMoEV1ForCausalLM"],
+        **BASE, head_dim=32, num_experts=4, moe_topk=2,
+        moe_intermediate_size=96, num_shared_expert=1, rms_norm_eps=1e-5,
+        tie_word_embeddings=False, rope_theta=10000.0, attention_bias=False,
+    ))
+    cfg, params = _parity(d, m)
+    assert cfg.moe_top_k == 2 and cfg.moe_norm_topk and cfg.qk_norm_after_rope
+    assert "shared_gate" in params["layers"][0]
+    r, gcfg = _gguf_serving(tmp_path, d, "hunyuan-moe")
+    assert r.get("hunyuan-moe.expert_used_count") == 2
+    assert r.get("hunyuan-moe.expert_shared_count") == 1
