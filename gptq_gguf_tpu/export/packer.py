@@ -123,9 +123,13 @@ class ArchSpec:
     def metadata(self) -> Dict[str, Any]:
         c = self.hf
         a = self.gguf_arch
-        n_head = c["num_attention_heads"]
+        # legacy-GPT key aliases (gpt2/gptj n_embd/n_head/n_layer,
+        # bloom n_embed, mpt d_model/n_heads/n_layers)
+        hidden = c.get("hidden_size", c.get("n_embd", c.get(
+            "n_embed", c.get("d_model"))))
+        n_head = c.get("num_attention_heads", c.get("n_head", c.get("n_heads")))
         n_kv = c.get("num_key_value_heads", n_head)
-        head_dim = c.get("head_dim") or c["hidden_size"] // n_head
+        head_dim = c.get("head_dim") or hidden // n_head
         md = {
             "general.architecture": a,
             "general.name": c.get("_name_or_path", "model"),
@@ -135,11 +139,12 @@ class ArchSpec:
             f"{a}.context_length": c.get(
                 "max_position_embeddings", c.get("model_max_length", 4096)
             ),
-            f"{a}.embedding_length": c["hidden_size"],
-            f"{a}.block_count": c.get("num_hidden_layers", c.get("num_layers")),
-            # falcon has no intermediate_size key: ffn = 4*hidden
+            f"{a}.embedding_length": hidden,
+            f"{a}.block_count": c.get("num_hidden_layers", c.get(
+                "num_layers", c.get("n_layer", c.get("n_layers")))),
+            # falcon/legacy-gpt have no intermediate_size key: ffn = 4*hidden
             f"{a}.feed_forward_length": c.get(
-                "intermediate_size", 4 * c["hidden_size"]
+                "intermediate_size", c.get("n_inner") or 4 * hidden
             ),
             f"{a}.attention.head_count": n_head,
             f"{a}.attention.head_count_kv": n_kv,
@@ -831,6 +836,157 @@ class Ernie45MoeArch(MoEArchSpec):
         return md
 
 
+class _LegacyGptArch(ArchSpec):
+    """Shared plumbing for the classic GPT family: LayerNorm metadata, fused
+    attn_qkv bias passthrough, no GQA permutation."""
+
+    permute_qk = False
+    fused = {
+        "attn_qkv.weight": ("self_attn.q_proj", "self_attn.k_proj",
+                            "self_attn.v_proj"),
+    }
+
+    def tensor_name(self, hf_name):
+        if hf_name == "model.pos_embed.weight":
+            return "position_embd.weight"
+        if hf_name == "model.embed_norm.weight":
+            return "token_embd_norm.weight"
+        if hf_name == "model.embed_norm.bias":
+            return "token_embd_norm.bias"
+        if hf_name.startswith("model.layers."):
+            parts = hf_name.split(".")
+            i = parts[2]
+            rest = ".".join(parts[3:])
+            if rest == "self_attn.qkv_proj.bias":
+                return f"blk.{i}.attn_qkv.bias"
+            if rest == "mlp_layernorm.weight":
+                return f"blk.{i}.ffn_norm.weight"
+            if rest == "mlp_layernorm.bias":
+                return f"blk.{i}.ffn_norm.bias"
+        return super().tensor_name(hf_name)
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        md[f"{a}.attention.layer_norm_epsilon"] = float(
+            c.get("layer_norm_epsilon", c.get("layer_norm_eps", 1e-5))
+        )
+        hidden = c.get("hidden_size", c.get("n_embd", c.get(
+            "n_embed", c.get("d_model"))))
+        n_head = c.get("num_attention_heads", c.get("n_head", c.get("n_heads")))
+        # explicit head dims: partial-rotary archs write a smaller
+        # rope.dimension_count, which must not be mistaken for head_dim
+        md[f"{a}.attention.key_length"] = hidden // n_head
+        md[f"{a}.attention.value_length"] = hidden // n_head
+        return md
+
+
+class GptNeoxArch(_LegacyGptArch):
+    """GPT-NeoX / pythia (reference GPTNeoXModel :1438): per-head-fused qkv
+    rearranged to [q;k;v] in the canonical pre-pass, parallel-residual flag."""
+
+    gguf_arch = "gptneox"
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        head_dim = c["hidden_size"] // c["num_attention_heads"]
+        md[f"{a}.rope.dimension_count"] = int(
+            c.get("rotary_pct", 1.0) * head_dim
+        )
+        md[f"{a}.use_parallel_residual"] = bool(
+            c.get("use_parallel_residual", True)
+        )
+        return md
+
+
+class GptJArch(_LegacyGptArch):
+    """GPT-J (split q/k/v, interleaved partial rope, biased lm head)."""
+
+    gguf_arch = "gptj"
+    fused = {}
+
+    def metadata(self):
+        c, a = self.hf, self.gguf_arch
+        md = super().metadata()
+        md[f"{a}.context_length"] = c.get("n_positions", 2048)
+        md[f"{a}.embedding_length"] = c["n_embd"]
+        md[f"{a}.block_count"] = c["n_layer"]
+        md[f"{a}.feed_forward_length"] = c.get("n_inner") or 4 * c["n_embd"]
+        md[f"{a}.attention.head_count"] = c["n_head"]
+        md[f"{a}.attention.head_count_kv"] = c["n_head"]
+        md[f"{a}.rope.dimension_count"] = int(
+            c.get("rotary_dim") or c["n_embd"] // c["n_head"]
+        )
+        md[f"{a}.vocab_size"] = c["vocab_size"]
+        return md
+
+
+class Gpt2Arch(_LegacyGptArch):
+    """GPT-2 (reference GPT2Model :3728): learned positions, Conv1D weights
+    transposed in the canonical pre-pass, fused contiguous attn_qkv."""
+
+    gguf_arch = "gpt2"
+
+    def metadata(self):
+        c, a = self.hf, self.gguf_arch
+        md = super().metadata()
+        md[f"{a}.context_length"] = c.get("n_positions", c.get("n_ctx", 1024))
+        md[f"{a}.embedding_length"] = c["n_embd"]
+        md[f"{a}.block_count"] = c["n_layer"]
+        md[f"{a}.feed_forward_length"] = c.get("n_inner") or 4 * c["n_embd"]
+        md[f"{a}.attention.head_count"] = c["n_head"]
+        md[f"{a}.attention.head_count_kv"] = c["n_head"]
+        md[f"{a}.vocab_size"] = c["vocab_size"]
+        return md
+
+
+class BloomArch(_LegacyGptArch):
+    """Bloom (reference BloomModel :1495): ALiBi, embedding LayerNorm
+    (token_embd_norm), per-head-fused qkv rearranged in the pre-pass."""
+
+    gguf_arch = "bloom"
+
+    def metadata(self):
+        c, a = self.hf, self.gguf_arch
+        md = super().metadata()
+        n_embed = c.get("hidden_size", c.get("n_embed"))
+        md[f"{a}.context_length"] = c.get("seq_length", 2048)
+        md[f"{a}.embedding_length"] = n_embed
+        md[f"{a}.block_count"] = c.get("num_hidden_layers", c.get("n_layer"))
+        md[f"{a}.feed_forward_length"] = 4 * n_embed
+        n_head = c.get("num_attention_heads", c.get("n_head"))
+        md[f"{a}.attention.head_count"] = n_head
+        md[f"{a}.attention.head_count_kv"] = n_head
+        md[f"{a}.vocab_size"] = c["vocab_size"]
+        return md
+
+
+class MptArch(_LegacyGptArch):
+    """MPT (reference MPTModel :1552): ALiBi with max_alibi_bias, optional
+    clamp_kqv, bias-free everything."""
+
+    gguf_arch = "mpt"
+
+    def metadata(self):
+        c, a = self.hf, self.gguf_arch
+        md = super().metadata()
+        md[f"{a}.context_length"] = c.get("max_seq_len", 2048)
+        md[f"{a}.embedding_length"] = c["d_model"]
+        md[f"{a}.block_count"] = c["n_layers"]
+        md[f"{a}.feed_forward_length"] = c.get("expansion_ratio", 4) * c["d_model"]
+        md[f"{a}.attention.head_count"] = c["n_heads"]
+        md[f"{a}.attention.head_count_kv"] = c["n_heads"]
+        md[f"{a}.vocab_size"] = c["vocab_size"]
+        attn = c.get("attn_config") or {}
+        md[f"{a}.attention.max_alibi_bias"] = float(
+            attn.get("alibi_bias_max", 8.0)
+        )
+        if attn.get("clip_qkv"):
+            md[f"{a}.attention.clamp_kqv"] = float(attn["clip_qkv"])
+        return md
+
+
 class FalconArch(ArchSpec):
     """Falcon (reference FalconModel :1818): fused attn_qkv in the
     rearranged [q; k; v] layout (the canonical pre-pass applies the same
@@ -1151,7 +1307,9 @@ _ARCH_REGISTRY.update(
      "exaone4": Exaone4Arch, "granitemoe": GraniteMoeArch,
      "glm4_moe": Glm4MoeArch, "ernie4_5_moe": Ernie45MoeArch,
      "dots1": Dots1Arch, "gpt_oss": GptOssArch, "falcon": FalconArch,
-     "hunyuan_v1_dense": HunYuanDenseArch, "hunyuan_v1_moe": HunYuanMoeArch}
+     "hunyuan_v1_dense": HunYuanDenseArch, "hunyuan_v1_moe": HunYuanMoeArch,
+     "gpt_neox": GptNeoxArch, "gptj": GptJArch, "gpt2": Gpt2Arch,
+     "bloom": BloomArch, "mpt": MptArch}
 )
 
 

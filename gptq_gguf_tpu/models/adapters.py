@@ -288,12 +288,194 @@ def _hunyuan_dense(name: str, arr, n_head: int, n_kv: int, head_dim: int):
     return [(name, arr)]
 
 
+
+
+def _rearrange_headwise_qkv(arr, n_head: int, head_dim: int):
+    """(n_head, [q|k|v], hd, ...) fused rows -> contiguous [q; k; v] (the
+    reference's GPTNeoX/Bloom modify_tensors re-format,
+    pack_gptq_into_gguf.py:1464-1489 / :1521-1546)."""
+    a = np.ascontiguousarray(arr)
+    r = a.reshape((n_head, 3, head_dim) + a.shape[1:])
+    return np.concatenate(
+        [r[:, j].reshape((n_head * head_dim,) + a.shape[1:]) for j in range(3)],
+        axis=0,
+    )
+
+
+def _gpt_neox(name, arr, n_head, n_kv, head_dim, cfg):
+    """GPT-NeoX / pythia: gpt_neox.layers.N naming, per-head-fused qkv,
+    parallel residual uses ln2 (post_attention_layernorm) for the MLP branch
+    of the SAME input."""
+    fixed = {
+        "gpt_neox.embed_in.weight": "model.embed_tokens.weight",
+        "gpt_neox.final_layer_norm.weight": "model.norm.weight",
+        "gpt_neox.final_layer_norm.bias": "model.norm.bias",
+        "embed_out.weight": "lm_head.weight",
+    }
+    if name in fixed:
+        return [(fixed[name], arr)]
+    if not name.startswith("gpt_neox.layers."):
+        return [(name, arr)]
+    parts = name.split(".")
+    i = parts[2]
+    rest = ".".join(parts[3:])
+    head, _, kind = rest.rpartition(".")
+    if head == "attention.query_key_value":
+        qkv = _rearrange_headwise_qkv(arr, n_head, head_dim)
+        return [(f"model.layers.{i}.self_attn.qkv_proj.{kind}", qkv)]
+    parallel = cfg.get("use_parallel_residual", True)
+    m = {
+        "input_layernorm": "input_layernorm",
+        "post_attention_layernorm": (
+            "mlp_layernorm" if parallel else "post_attention_layernorm"
+        ),
+        "attention.dense": "self_attn.o_proj",
+        "mlp.dense_h_to_4h": "mlp.up_proj",
+        "mlp.dense_4h_to_h": "mlp.down_proj",
+    }
+    if head in m:
+        return [(f"model.layers.{i}.{m[head]}.{kind}", arr)]
+    return [(name, arr)]
+
+
+def _gptj(name, arr, n_head, n_kv, head_dim):
+    fixed = {
+        "transformer.wte.weight": "model.embed_tokens.weight",
+        "transformer.ln_f.weight": "model.norm.weight",
+        "transformer.ln_f.bias": "model.norm.bias",
+        "lm_head.weight": "lm_head.weight",
+        "lm_head.bias": "lm_head.bias",
+    }
+    if name in fixed:
+        return [(fixed[name], arr)]
+    if not name.startswith("transformer.h."):
+        return [(name, arr)]
+    parts = name.split(".")
+    i = parts[2]
+    rest = ".".join(parts[3:])
+    head, _, kind = rest.rpartition(".")
+    m = {
+        "ln_1": "input_layernorm",
+        "attn.q_proj": "self_attn.q_proj",
+        "attn.k_proj": "self_attn.k_proj",
+        "attn.v_proj": "self_attn.v_proj",
+        "attn.out_proj": "self_attn.o_proj",
+        "mlp.fc_in": "mlp.up_proj",
+        "mlp.fc_out": "mlp.down_proj",
+    }
+    if head in m:
+        return [(f"model.layers.{i}.{m[head]}.{kind}", arr)]
+    return [(name, arr)]
+
+
+def _gpt2(name, arr, n_head, n_kv, head_dim):
+    """gpt2: Conv1D weights stored transposed; fused c_attn is already
+    contiguous [q|k|v] (reference GPT2Model :3728 transposes the same)."""
+    if name.endswith(".attn.bias") or name.endswith(".attn.masked_bias"):
+        return []
+    fixed = {
+        "wte.weight": "model.embed_tokens.weight",
+        "wpe.weight": "model.pos_embed.weight",
+        "ln_f.weight": "model.norm.weight",
+        "ln_f.bias": "model.norm.bias",
+        "lm_head.weight": "lm_head.weight",
+    }
+    base = name[len("transformer."):] if name.startswith("transformer.") else name
+    if base in fixed:
+        return [(fixed[base], arr)]
+    if not base.startswith("h."):
+        return [(name, arr)]
+    parts = base.split(".")
+    i = parts[1]
+    rest = ".".join(parts[2:])
+    head, _, kind = rest.rpartition(".")
+    if kind == "weight" and head in ("attn.c_attn", "attn.c_proj",
+                                     "mlp.c_fc", "mlp.c_proj"):
+        arr = np.ascontiguousarray(np.asarray(arr).T)
+    m = {
+        "ln_1": "input_layernorm",
+        "attn.c_attn": "self_attn.qkv_proj",
+        "attn.c_proj": "self_attn.o_proj",
+        "ln_2": "post_attention_layernorm",
+        "mlp.c_fc": "mlp.up_proj",
+        "mlp.c_proj": "mlp.down_proj",
+    }
+    if head in m:
+        return [(f"model.layers.{i}.{m[head]}.{kind}", arr)]
+    return [(name, arr)]
+
+
+def _bloom(name, arr, n_head, n_kv, head_dim):
+    base = name[len("transformer."):] if name.startswith("transformer.") else name
+    fixed = {
+        "word_embeddings.weight": "model.embed_tokens.weight",
+        "word_embeddings_layernorm.weight": "model.embed_norm.weight",
+        "word_embeddings_layernorm.bias": "model.embed_norm.bias",
+        "ln_f.weight": "model.norm.weight",
+        "ln_f.bias": "model.norm.bias",
+        "lm_head.weight": "lm_head.weight",
+    }
+    if base in fixed:
+        return [(fixed[base], arr)]
+    if not base.startswith("h."):
+        return [(name, arr)]
+    parts = base.split(".")
+    i = parts[1]
+    rest = ".".join(parts[2:])
+    head, _, kind = rest.rpartition(".")
+    if head == "self_attention.query_key_value":
+        qkv = _rearrange_headwise_qkv(arr, n_head, head_dim)
+        return [(f"model.layers.{i}.self_attn.qkv_proj.{kind}", qkv)]
+    m = {
+        "input_layernorm": "input_layernorm",
+        "post_attention_layernorm": "post_attention_layernorm",
+        "self_attention.dense": "self_attn.o_proj",
+        "mlp.dense_h_to_4h": "mlp.up_proj",
+        "mlp.dense_4h_to_h": "mlp.down_proj",
+    }
+    if head in m:
+        return [(f"model.layers.{i}.{m[head]}.{kind}", arr)]
+    return [(name, arr)]
+
+
+def _mpt(name, arr, n_head, n_kv, head_dim):
+    fixed = {
+        "transformer.wte.weight": "model.embed_tokens.weight",
+        "transformer.norm_f.weight": "model.norm.weight",
+        "transformer.norm_f.bias": "model.norm.bias",
+    }
+    if name in fixed:
+        return [(fixed[name], arr)]
+    if not name.startswith("transformer.blocks."):
+        return [(name, arr)]
+    parts = name.split(".")
+    i = parts[2]
+    rest = ".".join(parts[3:])
+    head, _, kind = rest.rpartition(".")
+    m = {
+        "norm_1": "input_layernorm",
+        "attn.Wqkv": "self_attn.qkv_proj",  # contiguous [q; k; v]
+        "attn.out_proj": "self_attn.o_proj",
+        "norm_2": "post_attention_layernorm",
+        "ffn.up_proj": "mlp.up_proj",
+        "ffn.down_proj": "mlp.down_proj",
+    }
+    if head in m:
+        return [(f"model.layers.{i}.{m[head]}.{kind}", arr)]
+    return [(name, arr)]
+
+
 _CANONICALIZERS = {
     "exaone": _exaone,
     "falcon": _falcon,
     "hunyuan_v1_dense": _hunyuan_dense,
     "hunyuan_v1_moe": _hunyuan_moe,
     "gpt_oss": _gpt_oss,
+    "gpt_neox": _gpt_neox,
+    "gptj": _gptj,
+    "gpt2": _gpt2,
+    "bloom": _bloom,
+    "mpt": _mpt,
     "glm4": _glm4,
     "glm4_moe": _deepseek,  # plural shared_experts naming
     "dots1": _deepseek,
@@ -311,12 +493,15 @@ _CANONICALIZERS = {
 
 
 def canonicalize(
-    model_type: str, name: str, arr, *, n_head: int, n_kv: int, head_dim: int
+    model_type: str, name: str, arr, *, n_head: int, n_kv: int, head_dim: int,
+    hf_cfg: Optional[Dict[str, Any]] = None,
 ) -> List[Tuple[str, Any]]:
     """Translate one raw checkpoint tensor into canonical-named tensors."""
     fn = _CANONICALIZERS.get(model_type)
     if fn is None:
         return [(name, arr)]
+    if fn in _CFG_AWARE:
+        return fn(name, arr, n_head, n_kv, head_dim, hf_cfg or {})
     return fn(name, arr, n_head, n_kv, head_dim)
 
 
@@ -324,14 +509,20 @@ def iter_canonical_tensors(tensors, hf_cfg: Dict[str, Any]) -> Iterator[Tuple[st
     """Wrap a raw (name, array) iterator with canonicalization, driven by an
     HF config.json dict."""
     mt = hf_cfg.get("model_type", "llama")
-    n_head = hf_cfg["num_attention_heads"]
+    n_head = hf_cfg.get("num_attention_heads", hf_cfg.get(
+        "n_head", hf_cfg.get("n_heads")))
     if mt == "falcon":  # kv heads: new-decoder key, else multi-query
         n_kv = (hf_cfg.get("num_kv_heads")
                 if hf_cfg.get("new_decoder_architecture")
                 else (1 if hf_cfg.get("multi_query", True) else n_head))
     else:
         n_kv = hf_cfg.get("num_key_value_heads", n_head)
-    head_dim = hf_cfg.get("head_dim") or hf_cfg["hidden_size"] // n_head
+    hidden = hf_cfg.get("hidden_size", hf_cfg.get("n_embd", hf_cfg.get(
+        "n_embed", hf_cfg.get("d_model"))))
+    head_dim = hf_cfg.get("head_dim") or hidden // n_head
     for name, arr in tensors:
         yield from canonicalize(mt, name, arr, n_head=n_head, n_kv=n_kv,
-                                head_dim=head_dim)
+                                head_dim=head_dim, hf_cfg=hf_cfg)
+
+
+_CFG_AWARE = {_gpt_neox}

@@ -94,6 +94,8 @@ class LlamaConfig:
     clip_qkv: Optional[float] = None
     # hunyuan: per-head q/k RMSNorm applied AFTER rope
     qk_norm_after_rope: bool = False
+    # positional encoding: "rope" | "learned" (gpt2 wpe) | "alibi" (bloom/mpt)
+    pos_type: str = "rope"
     # MoE (qwen2moe/qwen3moe/mixtral); a layer is sparse iff its param dict
     # has "gate_inp" (mixed dense/sparse stacks are shape-driven)
     moe_num_experts: Optional[int] = None
@@ -140,6 +142,33 @@ class LlamaConfig:
                       "original_max_position_embeddings": d["original_max_position_embeddings"]}
         rope_scaling = _freeze_value(rs_raw)
         mt = d.get("model_type", "llama")
+        # legacy GPT-family key normalization (reference converter key
+        # aliases: n_embd/n_layer/n_head/n_positions, bloom n_embed/n_layer,
+        # mpt d_model/n_layers/n_heads/max_seq_len)
+        if mt in ("gpt2", "gptj"):
+            d = {**d, "hidden_size": d["n_embd"],
+                 "num_hidden_layers": d["n_layer"],
+                 "num_attention_heads": d["n_head"],
+                 "max_position_embeddings": d.get(
+                     "n_positions", d.get("n_ctx", 1024)),
+                 "intermediate_size": d.get("n_inner") or 4 * d["n_embd"],
+                 "rms_norm_eps": d.get("layer_norm_epsilon", 1e-5)}
+        elif mt == "bloom":
+            hid = d.get("hidden_size", d.get("n_embed"))
+            d = {**d, "hidden_size": hid,
+                 "num_hidden_layers": d.get("num_hidden_layers", d.get("n_layer")),
+                 "num_attention_heads": d.get(
+                     "num_attention_heads", d.get("n_head")),
+                 "max_position_embeddings": d.get("seq_length", 2048),
+                 "intermediate_size": 4 * hid,
+                 "rms_norm_eps": d.get("layer_norm_epsilon", 1e-5)}
+        elif mt == "mpt":
+            d = {**d, "hidden_size": d["d_model"],
+                 "num_hidden_layers": d["n_layers"],
+                 "num_attention_heads": d["n_heads"],
+                 "max_position_embeddings": d.get("max_seq_len", 2048),
+                 "intermediate_size": d.get("expansion_ratio", 4) * d["d_model"],
+                 "rms_norm_eps": d.get("layer_norm_epsilon", 1e-5)}
         gemma_like = mt in ("gemma", "gemma2", "gemma3_text")
         sliding_layers = None
         if d.get("layer_types"):
@@ -233,6 +262,29 @@ class LlamaConfig:
             if not isinstance(d.get("num_experts", 1), int) or \
                     not isinstance(d.get("moe_topk", 1), int):
                 raise NotImplementedError("hunyuan per-layer expert lists")
+        elif mt == "gpt_neox":
+            norm_type = "layernorm"
+            act = "gelu_tanh" if "new" in d.get("hidden_act", "gelu") else "gelu"
+            partial_rotary = d.get("rotary_pct", 1.0)
+            parallel_blocks = bool(d.get("use_parallel_residual", True))
+        elif mt == "gptj":
+            norm_type = "layernorm"
+            act = "gelu_tanh"  # gelu_new
+            parallel_blocks = True  # single ln_1 feeds both branches
+            rope_interleaved = True  # rotate_every_two
+            hd_ = d["hidden_size"] // d["num_attention_heads"]
+            partial_rotary = (d.get("rotary_dim") or hd_) / hd_
+        elif mt == "gpt2":
+            norm_type = "layernorm"
+            act = "gelu_tanh"  # gelu_new
+        elif mt == "bloom":
+            norm_type = "layernorm"
+            act = "gelu_tanh"  # BloomGelu is the tanh approximation
+        elif mt == "mpt":
+            norm_type = "layernorm"
+            act = "gelu"
+            if not (d.get("attn_config") or {}).get("alibi", True):
+                raise NotImplementedError("mpt without alibi (learned pos)")
         mla = {}
         moe_ds = {}
         if mt in ("glm4_moe", "dots1"):
@@ -350,7 +402,12 @@ class LlamaConfig:
                           "gpt_oss") else None
             ),
             rope_sliding_only=mt in ("cohere2", "exaone4"),
-            clip_qkv=d.get("clip_qkv") if mt == "olmo" else None,
+            clip_qkv=d.get("clip_qkv") if mt == "olmo" else (
+                (d.get("attn_config") or {}).get("clip_qkv")
+                if mt == "mpt" else None
+            ),
+            pos_type=("learned" if mt == "gpt2"
+                      else "alibi" if mt in ("bloom", "mpt") else "rope"),
             rope_local_theta=(
                 d.get("rope_local_base_freq") if mt == "gemma3_text" else None
             ),
@@ -776,7 +833,24 @@ def flash_attention(q, k, v, qpos, scale=None, logit_softcap=None, sinks=None,
     return out.reshape(B, nH, S, vd).astype(out_dtype)
 
 
-def attention_scores(q, k, v, mask, scale=None, logit_softcap=None, sinks=None):
+def alibi_slopes(n_head: int) -> np.ndarray:
+    """Standard ALiBi slope schedule (power-of-two geometric; non-power-of-2
+    head counts interleave the doubled schedule, as in the ALiBi paper and
+    HF bloom/mpt)."""
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    n2 = 2 ** math.floor(math.log2(n_head))
+    slopes = pow2_slopes(n2)
+    if n2 != n_head:
+        extra = pow2_slopes(2 * n2)
+        slopes += extra[0::2][: n_head - n2]
+    return np.asarray(slopes, np.float32)
+
+
+def attention_scores(q, k, v, mask, scale=None, logit_softcap=None, sinks=None,
+                     alibi=None, kpos=None):
     """Plain XLA attention; q (B,nH,S,hd), k/v (B,nKV,S,hd)."""
     B, nH, S, hd = q.shape
     nKV = k.shape[1]
@@ -786,6 +860,14 @@ def attention_scores(q, k, v, mask, scale=None, logit_softcap=None, sinks=None):
     scores = jnp.einsum(
         "bkgsh,bkth->bkgst", q, k, preferred_element_type=jnp.float32
     ) * scale
+    if alibi is not None:
+        # per-key-position bias m_h * kpos (the per-query constant the
+        # absolute form drops vs the relative form cancels in softmax)
+        kp = kpos if kpos is not None else jnp.arange(k.shape[2])
+        scores = scores + (
+            alibi.reshape(nKV, groups)[None, :, :, None, None]
+            * kp[None, None, None, None, :]
+        )
     if logit_softcap:
         scores = logit_softcap * jnp.tanh(scores / logit_softcap)
     scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
@@ -1046,7 +1128,8 @@ def block_capture(
             and layer["q_norm"].shape[0] == hd:  # per-head
         q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
         k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
-    q, k = apply_rope(q, k, cos, sin, cfg.rope_interleaved)
+    if cfg.pos_type == "rope":
+        q, k = apply_rope(q, k, cos, sin, cfg.rope_interleaved)
     if cfg.qk_norm and cfg.qk_norm_after_rope:  # hunyuan: norm AFTER rope
         q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
         k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
@@ -1056,7 +1139,9 @@ def block_capture(
         scale = cfg.query_pre_attn_scalar ** -0.5
     else:
         scale = None
-    if S >= 2 * FLASH_CHUNK:
+    alibi = (jnp.asarray(alibi_slopes(nH)) if cfg.pos_type == "alibi"
+             else None)
+    if S >= 2 * FLASH_CHUNK and alibi is None:
         # long-sequence path: stream KV chunks (standard causal semantics —
         # the explicit mask argument always encodes exactly this for the
         # calibration/eval callers)
@@ -1066,7 +1151,8 @@ def block_capture(
                                layer.get("sinks"), win)
     else:
         attn = attention_scores(q, k, v, attn_mask, scale,
-                                cfg.attn_logit_softcap, layer.get("sinks"))
+                                cfg.attn_logit_softcap, layer.get("sinks"),
+                                alibi)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
     attn_out = _linear(attn, layer["o_proj"], layer.get("o_bias"))
     gemma2_norms = "pre_feedforward_layernorm" in layer
@@ -1204,8 +1290,15 @@ def block_forward(
     return out
 
 
-def embed_forward(params, input_ids: jax.Array, cfg: LlamaConfig) -> jax.Array:
+def embed_forward(params, input_ids: jax.Array, cfg: LlamaConfig,
+                  positions: Optional[jax.Array] = None) -> jax.Array:
     x = params["embed_tokens"][input_ids].astype(cfg.dtype)
+    if cfg.pos_type == "learned":  # gpt2 wpe
+        if positions is None:
+            positions = jnp.arange(input_ids.shape[1])[None, :]
+        x = x + params["pos_embed"][positions].astype(cfg.dtype)
+    if "embed_norm" in params:  # bloom word_embeddings_layernorm
+        x = apply_norm(x, cfg, params["embed_norm"], params.get("embed_norm_bias"))
     if cfg.embed_scale:
         x = x * jnp.asarray(math.sqrt(cfg.hidden_size), dtype=cfg.dtype)
     if cfg.embedding_multiplier is not None:
@@ -1244,7 +1337,7 @@ def forward(
         positions = jnp.broadcast_to(jnp.arange(S), (B, S))
     cos, sin = rope_cos_sin_all(cfg, positions, seq_len=S)
     mask = causal_mask(B, S)
-    x = embed_forward(params, input_ids, cfg)
+    x = embed_forward(params, input_ids, cfg, positions)
     for li, layer in enumerate(params["layers"]):
         x = block_forward(layer, x, cos, sin, mask, cfg, li)
     return head_forward(params, x, cfg)

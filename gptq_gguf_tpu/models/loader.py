@@ -26,7 +26,8 @@ SUPPORTED_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3", "phi3", "gemma",
                          "deepseek_v2", "deepseek_v3", "glm", "glm4",
                          "cohere2", "olmo", "arcee", "seed_oss", "ernie4_5",
                          "exaone4", "glm4_moe", "ernie4_5_moe", "granitemoe", "dots1", "gpt_oss",
-                         "falcon", "hunyuan_v1_dense", "hunyuan_v1_moe")
+                         "falcon", "hunyuan_v1_dense", "hunyuan_v1_moe",
+                         "gpt_neox", "gptj", "gpt2", "bloom", "mpt")
 
 
 def load_config(model_dir: Union[str, Path], dtype=jnp.float32) -> LlamaConfig:
@@ -71,6 +72,9 @@ def load_params(
     # into (E, out, in) tensors at the end
     expert_acc: Dict[int, Dict[str, Dict[int, Any]]] = {}
 
+    with open(Path(model_dir) / "config.json") as f:
+        hf_raw = json.load(f)
+
     def put(layer_idx, key, value):
         layers[layer_idx][key] = value
 
@@ -82,6 +86,7 @@ def load_params(
             n_head=cfg.num_attention_heads,
             n_kv=cfg.num_key_value_heads,
             head_dim=cfg.head_dim_,
+            hf_cfg=hf_raw,
         )
     )
     for name, arr in canonical:
@@ -92,6 +97,12 @@ def load_params(
             params["norm"] = val
         elif name == "model.norm.bias":
             params["norm_bias"] = val
+        elif name == "model.pos_embed.weight":
+            params["pos_embed"] = val
+        elif name == "model.embed_norm.weight":
+            params["embed_norm"] = val
+        elif name == "model.embed_norm.bias":
+            params["embed_norm_bias"] = val
         elif name == "lm_head.weight":
             params["lm_head"] = val
         elif name == "lm_head.bias":
@@ -101,13 +112,14 @@ def load_params(
             i = int(parts[2])
             rest = ".".join(parts[3:])
             # phi3 fuses qkv and gate_up; split them into the canonical tree
-            if rest == "self_attn.qkv_proj.weight":
+            if rest in ("self_attn.qkv_proj.weight", "self_attn.qkv_proj.bias"):
                 n_head = cfg.num_attention_heads
                 n_kv = cfg.num_key_value_heads
                 hd = cfg.head_dim_
-                put(i, "q_proj", val[: n_head * hd])
-                put(i, "k_proj", val[n_head * hd : (n_head + n_kv) * hd])
-                put(i, "v_proj", val[(n_head + n_kv) * hd :])
+                sfx = "_bias" if rest.endswith(".bias") else "_proj"
+                put(i, "q" + sfx, val[: n_head * hd])
+                put(i, "k" + sfx, val[n_head * hd : (n_head + n_kv) * hd])
+                put(i, "v" + sfx, val[(n_head + n_kv) * hd :])
                 continue
             if rest == "mlp.gate_up_proj.weight":
                 inter = cfg.intermediate_size

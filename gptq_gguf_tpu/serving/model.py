@@ -193,7 +193,7 @@ def _quantize_kv(x: jax.Array):
 
 def _cached_attention(q, k_cache, v_cache, lengths, scale=None, logit_softcap=None,
                       sliding_window=None, k_scale=None, v_scale=None,
-                      sinks=None):
+                      sinks=None, alibi=None):
     """q: (B, nH, S, hd); caches (B, nKV, L, hd); slot b's queries sit at
     positions lengths[b] + [0, S).
 
@@ -220,6 +220,11 @@ def _cached_attention(q, k_cache, v_cache, lengths, scale=None, logit_softcap=No
     scores = jnp.einsum(
         "bkgsh,bkth->bkgst", qg, k_cache, preferred_element_type=jnp.float32
     ) * scale
+    if alibi is not None:  # bloom/mpt: per-key-position bias m_h * kpos
+        scores = scores + (
+            alibi.reshape(nKV, groups)[None, :, :, None, None]
+            * jnp.arange(L, dtype=jnp.float32)[None, None, None, None, :]
+        )
     if logit_softcap:
         scores = logit_softcap * jnp.tanh(scores / logit_softcap)
     pos = jnp.arange(L)[None, None, :]
@@ -347,11 +352,18 @@ def forward_cached(
     else:
         x = (x[input_ids] if not isinstance(x, _QUANT_TYPES)
              else _dequant_any(x)[input_ids]).astype(cfg.dtype)
+    if cfg.pos_type == "learned":  # gpt2 wpe
+        x = x + params["pos_embed"][positions].astype(x.dtype)
+    if "embed_norm" in params:  # bloom word_embeddings_layernorm
+        x = llama.apply_norm(x, cfg, params["embed_norm"],
+                             params.get("embed_norm_bias"))
     if cfg.embed_scale:
         x = x * jnp.asarray(math.sqrt(cfg.hidden_size), dtype=cfg.dtype)
     if cfg.embedding_multiplier is not None:
         x = x * jnp.asarray(cfg.embedding_multiplier, dtype=cfg.dtype)
     au = cfg.rms_add_unit
+    alibi = (jnp.asarray(llama.alibi_slopes(cfg.num_attention_heads))
+             if cfg.pos_type == "alibi" else None)
     rm = cfg.residual_multiplier
 
     is_q8 = isinstance(cache, KVCacheQ8)
@@ -404,11 +416,16 @@ def forward_cached(
             q = q.reshape(B, S, nH, hd).transpose(0, 2, 1, 3)
             k = k.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
             v = v.reshape(B, S, nKV, hd).transpose(0, 2, 1, 3)
-            if cfg.qk_norm and layer["q_norm"].shape[0] == hd:
+            if cfg.qk_norm and not cfg.qk_norm_after_rope \
+                    and layer["q_norm"].shape[0] == hd:
                 q = llama.rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
                 k = llama.rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
-            cos_l, sin_l = llama.select_rope(cos, sin, cfg, li)
-            q, k = llama.apply_rope(q, k, cos_l, sin_l, cfg.rope_interleaved)
+            if cfg.pos_type == "rope":
+                cos_l, sin_l = llama.select_rope(cos, sin, cfg, li)
+                q, k = llama.apply_rope(q, k, cos_l, sin_l, cfg.rope_interleaved)
+            if cfg.qk_norm and cfg.qk_norm_after_rope:  # hunyuan
+                q = llama.rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, au)
+                k = llama.rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, au)
 
             ks_cache = vs_cache = None
             if is_q8:
@@ -439,6 +456,7 @@ def forward_cached(
             attn = _cached_attention(
                 q, k_cache, v_cache, lengths, att_scale, cfg.attn_logit_softcap, sliding,
                 k_scale=ks_cache, v_scale=vs_cache, sinks=layer.get("sinks"),
+                alibi=alibi,
             )
             attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
         attn_out = _q_linear(attn, layer["o_proj"])
@@ -652,13 +670,14 @@ _GGUF_SERVING_ARCHES = (
     "nemotron", "command-r", "phi2", "deepseek2", "glm4", "cohere2", "olmo",
     "arcee", "seed_oss", "ernie4_5", "exaone4", "granitemoe", "glm4moe",
     "ernie4_5-moe", "dots1", "gpt-oss", "falcon", "hunyuan-dense",
-    "hunyuan-moe",
+    "hunyuan-moe", "gptneox", "gptj", "gpt2", "bloom", "mpt",
 )
 
 # mean-subtracting-LayerNorm GGUF arches (nemotron norms arrive pre-folded
 # (1+w) from the converter, so no add_unit at serve time)
 _LAYERNORM_ARCHES = ("stablelm", "starcoder2", "nemotron", "command-r",
-                     "phi2", "cohere2", "olmo", "falcon")
+                     "phi2", "cohere2", "olmo", "falcon", "gptneox", "gptj",
+                     "gpt2", "bloom", "mpt")
 
 def _layer_exps_quant(r, li: int) -> bool:
     """Are this layer's stacked expert tensors K-quant (servable packed)?"""
@@ -781,7 +800,11 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
         act = "swiglu_oai"
     elif arch == "falcon":
         act = "gelu"
-    parallel = arch in ("command-r", "phi2", "cohere2", "falcon") or bool(
+    elif arch in ("gpt2", "gptj", "bloom"):
+        act = "gelu_tanh"  # gelu_new / BloomGelu
+    elif arch in ("gptneox", "mpt"):
+        act = "gelu"
+    parallel = arch in ("command-r", "phi2", "cohere2", "falcon", "gptj") or bool(
         r.get(f"{arch}.use_parallel_residual", False)
     )
     sliding_layers = None
@@ -866,7 +889,8 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
         norm_type="layernorm" if ln else "rmsnorm",
         partial_rotary_factor=rope_dims / head_dim,
         rope_interleaved=arch in ("command-r", "deepseek2", "glm4",
-                                  "cohere2", "ernie4_5", "ernie4_5-moe"),
+                                  "cohere2", "ernie4_5", "ernie4_5-moe",
+                                  "gptj"),
         parallel_blocks=parallel,
         rms_norm_eps=r.get(
             f"{arch}.attention.layer_norm_rms_epsilon",
@@ -876,6 +900,8 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
         max_position_embeddings=r.get(f"{arch}.context_length", 4096),
         qk_norm="blk.0.attn_q_norm.weight" in r.tensors,
         qk_norm_after_rope=arch in ("hunyuan-dense", "hunyuan-moe"),
+        pos_type=("learned" if arch == "gpt2"
+                  else "alibi" if arch in ("bloom", "mpt") else "rope"),
         rms_add_unit=gemma,
         embed_scale=gemma,
         act_fn=act,
@@ -933,6 +959,9 @@ def load_gguf_for_serving(
                                      "exaone4")
         else _BASE_NAME_MAP
     )
+    if arch == "gptneox" and cfg.parallel_blocks:
+        # ln2 normalizes the MLP branch of the SAME input in parallel mode
+        name_map = {**_BASE_NAME_MAP, "ffn_norm": "mlp_layernorm"}
     if arch == "deepseek2":
         name_map = {
             **_BASE_NAME_MAP,
@@ -1000,6 +1029,7 @@ def load_gguf_for_serving(
         "input_layernorm": "input_layernorm_bias",
         "post_attention_layernorm": "post_attention_layernorm_bias",
         "pre_feedforward_layernorm": "pre_feedforward_layernorm_bias",
+        "mlp_layernorm": "mlp_layernorm_bias",
     }
     for name in r.tensor_order:
         if name == "token_embd.weight":
@@ -1015,6 +1045,12 @@ def load_gguf_for_serving(
             params["norm_bias"] = jnp.asarray(r.tensor_float(name))
         elif name == "rope_freqs.weight":
             continue  # recomputed analytically
+        elif name == "position_embd.weight":  # gpt2 learned positions
+            params["pos_embed"] = jnp.asarray(r.tensor_float(name), dtype=dtype)
+        elif name == "token_embd_norm.weight":  # bloom embedding LayerNorm
+            params["embed_norm"] = jnp.asarray(r.tensor_float(name))
+        elif name == "token_embd_norm.bias":
+            params["embed_norm_bias"] = jnp.asarray(r.tensor_float(name))
         elif name.startswith("blk."):
             parts = name.split(".")
             li = int(parts[1])

@@ -236,3 +236,95 @@ def test_hunyuan_moe(tmp_path):
     r, gcfg = _gguf_serving(tmp_path, d, "hunyuan-moe")
     assert r.get("hunyuan-moe.expert_used_count") == 2
     assert r.get("hunyuan-moe.expert_shared_count") == 1
+
+
+LEGACY_NOTE = """Legacy GPT family (reference entries: GPTNeoXModel :1438,
+BloomModel :1495, MPTModel :1552, GPT2Model :3728, GPTJ)"""
+
+
+def test_gpt_neox(tmp_path):
+    d, m = _make(tmp_path, dict(
+        model_type="gpt_neox", architectures=["GPTNeoXForCausalLM"],
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, rotary_pct=0.5,
+        use_parallel_residual=True, layer_norm_eps=1e-5, hidden_act="gelu",
+        max_position_embeddings=128, torch_dtype="float32",
+        tie_word_embeddings=False, rope_theta=10000.0, attention_bias=True,
+    ))
+    cfg, params = _parity(d, m)
+    assert cfg.parallel_blocks and cfg.partial_rotary_factor == 0.5
+    assert "mlp_layernorm" in params["layers"][0]
+    assert params["layers"][0].get("q_bias") is not None
+    r, gcfg = _gguf_serving(tmp_path, d, "gptneox")
+    assert "blk.0.attn_qkv.weight" in r.tensors
+    assert r.get("gptneox.use_parallel_residual") is True
+    assert gcfg.parallel_blocks
+
+
+def test_gpt_neox_sequential(tmp_path):
+    d, m = _make(tmp_path, dict(
+        model_type="gpt_neox", architectures=["GPTNeoXForCausalLM"],
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, rotary_pct=0.25,
+        use_parallel_residual=False, layer_norm_eps=1e-5, hidden_act="gelu",
+        max_position_embeddings=128, torch_dtype="float32",
+        tie_word_embeddings=False, rope_theta=10000.0, attention_bias=True,
+    ))
+    cfg, params = _parity(d, m)
+    assert not cfg.parallel_blocks
+    assert "post_attention_layernorm" in params["layers"][0]
+    _gguf_serving(tmp_path, d, "gptneox")
+
+
+def test_gptj(tmp_path):
+    d, m = _make(tmp_path, dict(
+        model_type="gptj", architectures=["GPTJForCausalLM"],
+        vocab_size=128, n_embd=128, n_layer=2, n_head=4, rotary_dim=16,
+        n_positions=128, layer_norm_epsilon=1e-5, activation_function="gelu_new",
+        torch_dtype="float32", tie_word_embeddings=False,
+    ))
+    cfg, params = _parity(d, m)
+    assert cfg.parallel_blocks and cfg.rope_interleaved
+    assert cfg.partial_rotary_factor == pytest.approx(0.5)
+    assert params.get("lm_head_bias") is not None
+    _gguf_serving(tmp_path, d, "gptj")
+
+
+def test_gpt2(tmp_path):
+    d, m = _make(tmp_path, dict(
+        model_type="gpt2", architectures=["GPT2LMHeadModel"],
+        vocab_size=128, n_embd=128, n_layer=2, n_head=4, n_positions=128,
+        n_ctx=128, layer_norm_epsilon=1e-5, activation_function="gelu_new",
+        torch_dtype="float32",
+    ))
+    cfg, params = _parity(d, m)
+    assert cfg.pos_type == "learned" and "pos_embed" in params
+    r, gcfg = _gguf_serving(tmp_path, d, "gpt2")
+    assert "position_embd.weight" in r.tensors
+    assert gcfg.pos_type == "learned"
+
+
+def test_bloom(tmp_path):
+    d, m = _make(tmp_path, dict(
+        model_type="bloom", architectures=["BloomForCausalLM"],
+        vocab_size=128, hidden_size=128, n_layer=2, n_head=4,
+        layer_norm_epsilon=1e-5, torch_dtype="float32",
+    ))
+    cfg, params = _parity(d, m)
+    assert cfg.pos_type == "alibi" and "embed_norm" in params
+    r, gcfg = _gguf_serving(tmp_path, d, "bloom")
+    assert "token_embd_norm.weight" in r.tensors
+    assert gcfg.pos_type == "alibi"
+
+
+def test_mpt(tmp_path):
+    d, m = _make(tmp_path, dict(
+        model_type="mpt", architectures=["MPTForCausalLM"],
+        vocab_size=128, d_model=128, n_layers=2, n_heads=4, max_seq_len=128,
+        attn_config={"alibi": True, "alibi_bias_max": 8, "clip_qkv": None},
+        no_bias=True, torch_dtype="float32",
+    ))
+    cfg, params = _parity(d, m)
+    assert cfg.pos_type == "alibi" and cfg.intermediate_size == 512
+    r, gcfg = _gguf_serving(tmp_path, d, "mpt")
+    assert r.get("mpt.attention.max_alibi_bias") == pytest.approx(8.0)
