@@ -987,6 +987,102 @@ class MptArch(_LegacyGptArch):
         return md
 
 
+class SmolLM3Arch(LlamaArch):
+    """SmolLM3 (reference SmolLM3Model :8295): llama layout (GQA-permuted)
+    with NoPE every no_rope_layer_interval-th layer (llama.cpp hardcodes
+    the 4-interval; the explicit array key is ours, for the serving
+    loader)."""
+
+    gguf_arch = "smollm3"
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        layers = c.get("no_rope_layers") or [
+            int((i + 1) % c.get("no_rope_layer_interval", 4) != 0)
+            for i in range(c["num_hidden_layers"])
+        ]
+        md[f"{a}.rope_layers"] = [bool(x) for x in layers]
+        return md
+
+
+class GlmArch(ArchSpec):
+    """GLM-edge (GlmForCausalLM -> llama.cpp CHATGLM arch, reference
+    ChatGLMModel :7140): split q/k/v with bias, fused gate_up ffn_up,
+    interleaved partial rope."""
+
+    gguf_arch = "chatglm"
+    permute_qk = False
+    fused = {"ffn_up.weight": ("mlp.gate_proj", "mlp.up_proj")}
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        head_dim = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        md[f"{a}.attention.key_length"] = head_dim
+        md[f"{a}.attention.value_length"] = head_dim
+        md[f"{a}.rope.dimension_count"] = int(
+            head_dim * c.get("partial_rotary_factor", 0.5)
+        )
+        return md
+
+
+class StarCoderArch(_LegacyGptArch):
+    """GPTBigCode / StarCoder v1 (reference StarCoderModel :1872): MQA fused
+    c_attn, learned positions, gpt2-ish naming with Linear (untransposed)
+    weights."""
+
+    gguf_arch = "starcoder"
+
+    def metadata(self):
+        c, a = self.hf, self.gguf_arch
+        md = super().metadata()
+        md[f"{a}.context_length"] = c.get("n_positions", 1024)
+        md[f"{a}.attention.head_count_kv"] = (
+            1 if c.get("multi_query", True) else c["n_head"]
+        )
+        return md
+
+
+class DbrxArch(MoEArchSpec):
+    """DBRX (reference DbrxModel :2781): fused contiguous Wqkv with
+    clamp_kqv, norm_attn_norm nesting, flat expert stacks split to the
+    canonical per-expert names in the pre-pass."""
+
+    gguf_arch = "dbrx"
+    permute_qk = False
+    fused = {
+        "attn_qkv.weight": ("self_attn.q_proj", "self_attn.k_proj",
+                            "self_attn.v_proj"),
+    }
+
+    @property
+    def n_expert(self) -> int:
+        return int((self.hf.get("ffn_config") or {})["moe_num_experts"])
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        attn_c = c.get("attn_config") or {}
+        ffn_c = c.get("ffn_config") or {}
+        md[f"{a}.context_length"] = c.get("max_seq_len", 2048)
+        md[f"{a}.feed_forward_length"] = int(ffn_c["ffn_hidden_size"])
+        md[f"{a}.expert_feed_forward_length"] = int(ffn_c["ffn_hidden_size"])
+        md[f"{a}.expert_used_count"] = int(ffn_c.get("moe_top_k", 2))
+        md[f"{a}.expert_norm_topk_prob"] = True
+        md[f"{a}.attention.head_count_kv"] = int(
+            attn_c.get("kv_n_heads", c["n_heads"])
+        )
+        md[f"{a}.rope.freq_base"] = float(attn_c.get("rope_theta", 10000.0))
+        if attn_c.get("clip_qkv"):
+            md[f"{a}.attention.clamp_kqv"] = float(attn_c["clip_qkv"])
+        md[f"{a}.attention.layer_norm_epsilon"] = 1e-5
+        hd = c["d_model"] // c["n_heads"]
+        md[f"{a}.attention.key_length"] = hd
+        md[f"{a}.attention.value_length"] = hd
+        return md
+
+
 class FalconArch(ArchSpec):
     """Falcon (reference FalconModel :1818): fused attn_qkv in the
     rearranged [q; k; v] layout (the canonical pre-pass applies the same
@@ -1309,7 +1405,9 @@ _ARCH_REGISTRY.update(
      "dots1": Dots1Arch, "gpt_oss": GptOssArch, "falcon": FalconArch,
      "hunyuan_v1_dense": HunYuanDenseArch, "hunyuan_v1_moe": HunYuanMoeArch,
      "gpt_neox": GptNeoxArch, "gptj": GptJArch, "gpt2": Gpt2Arch,
-     "bloom": BloomArch, "mpt": MptArch}
+     "bloom": BloomArch, "mpt": MptArch, "granitemoeshared": GraniteMoeArch,
+     "smollm3": SmolLM3Arch, "glm": GlmArch, "gpt_bigcode": StarCoderArch,
+     "dbrx": DbrxArch}
 )
 
 

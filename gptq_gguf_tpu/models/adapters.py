@@ -186,6 +186,98 @@ def _ernie45_moe(name: str, arr, n_head: int, n_kv: int, head_dim: int):
     return _deepseek(name, arr, n_head, n_kv, head_dim)
 
 
+def _granitemoeshared(name, arr, n_head, n_kv, head_dim):
+    """GraniteMoeShared = granitemoe + a fused shared MLP
+    (shared_mlp.input_linear holds [gate|up])."""
+    base = name.rsplit(".shared_mlp.", 1)[0]
+    if name.endswith("shared_mlp.input_linear.weight"):
+        i_s = arr.shape[0] // 2
+        return [(f"{base}.mlp.shared_expert.gate_proj.weight", arr[:i_s]),
+                (f"{base}.mlp.shared_expert.up_proj.weight", arr[i_s:])]
+    if name.endswith("shared_mlp.output_linear.weight"):
+        return [(f"{base}.mlp.shared_expert.down_proj.weight", arr)]
+    return _granitemoe(name, arr, n_head, n_kv, head_dim)
+
+
+def _gpt_bigcode(name, arr, n_head, n_kv, head_dim):
+    """GPTBigCode / starcoder v1: gpt2-style naming with nn.Linear weights
+    (NOT transposed) and an MQA-fused c_attn [q | k | v]."""
+    if name.endswith(".attn.bias") or name.endswith(".attn.masked_bias"):
+        return []
+    base = name[len("transformer."):] if name.startswith("transformer.") else name
+    fixed = {
+        "wte.weight": "model.embed_tokens.weight",
+        "wpe.weight": "model.pos_embed.weight",
+        "ln_f.weight": "model.norm.weight",
+        "ln_f.bias": "model.norm.bias",
+        "lm_head.weight": "lm_head.weight",
+    }
+    if base in fixed:
+        return [(fixed[base], arr)]
+    if not base.startswith("h."):
+        return [(name, arr)]
+    parts = base.split(".")
+    i = parts[1]
+    rest = ".".join(parts[2:])
+    head, _, kind = rest.rpartition(".")
+    m = {
+        "ln_1": "input_layernorm",
+        "attn.c_attn": "self_attn.qkv_proj",
+        "attn.c_proj": "self_attn.o_proj",
+        "ln_2": "post_attention_layernorm",
+        "mlp.c_fc": "mlp.up_proj",
+        "mlp.c_proj": "mlp.down_proj",
+    }
+    if head in m:
+        return [(f"model.layers.{i}.{m[head]}.{kind}", arr)]
+    return [(name, arr)]
+
+
+def _dbrx(name, arr, n_head, n_kv, head_dim, cfg):
+    """DBRX (reference DbrxModel :2781): norm_attn_norm nesting, fused
+    contiguous Wqkv, router at ffn.router.layer, experts stored FLAT
+    without a .weight suffix (w1/v1 (E*ffn, d), w2 likewise; down is the
+    per-expert transpose)."""
+    fixed = {
+        "transformer.wte.weight": "model.embed_tokens.weight",
+        "transformer.norm_f.weight": "model.norm.weight",
+        "lm_head.weight": "lm_head.weight",
+    }
+    if name in fixed:
+        return [(fixed[name], arr)]
+    if not name.startswith("transformer.blocks."):
+        return [(name, arr)]
+    parts = name.split(".")
+    i = parts[2]
+    rest = ".".join(parts[3:])
+    if rest == "ffn.router.layer.weight":
+        return [(f"model.layers.{i}.mlp.gate.weight", arr)]
+    for proj, canon, transpose in (("w1", "gate_proj", False),
+                                   ("v1", "up_proj", False),
+                                   ("w2", "down_proj", True)):
+        if rest == f"ffn.experts.mlp.{proj}":
+            a = np.asarray(arr)
+            E = (cfg.get("ffn_config") or {}).get("moe_num_experts")
+            w = a.reshape(E, a.shape[0] // E, a.shape[1])  # (E, ffn, d)
+            out = []
+            for e in range(E):
+                we = np.ascontiguousarray(w[e].T) if transpose else w[e]
+                out.append(
+                    (f"model.layers.{i}.mlp.experts.{e}.{canon}.weight", we)
+                )
+            return out
+    m = {
+        "norm_attn_norm.norm_1": "input_layernorm",
+        "norm_attn_norm.norm_2": "post_attention_layernorm",
+        "norm_attn_norm.attn.Wqkv": "self_attn.qkv_proj",
+        "norm_attn_norm.attn.out_proj": "self_attn.o_proj",
+    }
+    head, _, kind = rest.rpartition(".")
+    if head in m:
+        return [(f"model.layers.{i}.{m[head]}.{kind}", arr)]
+    return [(name, arr)]
+
+
 def _gpt_oss(name: str, arr, n_head: int, n_kv: int, head_dim: int):
     """gpt-oss: stacked fused expert params with an interleaved gate/up last
     dim and input-major layout. gate_up_proj (E, H, 2I) -> per-expert
@@ -481,6 +573,9 @@ _CANONICALIZERS = {
     "dots1": _deepseek,
     "ernie4_5_moe": _ernie45_moe,
     "granitemoe": _granitemoe,
+    "granitemoeshared": _granitemoeshared,
+    "gpt_bigcode": _gpt_bigcode,
+    "dbrx": _dbrx,
     "internlm2": _internlm2,
     "baichuan": _baichuan,
     "deepseek": _deepseek,
@@ -525,4 +620,4 @@ def iter_canonical_tensors(tensors, hf_cfg: Dict[str, Any]) -> Iterator[Tuple[st
                                 head_dim=head_dim, hf_cfg=hf_cfg)
 
 
-_CFG_AWARE = {_gpt_neox}
+_CFG_AWARE = {_gpt_neox, _dbrx}

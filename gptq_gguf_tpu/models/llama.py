@@ -90,6 +90,8 @@ class LlamaConfig:
     # cohere2/exaone4 hybrid attention: rope ONLY on sliding layers (global
     # layers are NoPE)
     rope_sliding_only: bool = False
+    # smollm3: explicit per-layer rope flags (False = NoPE layer)
+    rope_layers: Optional[Tuple[bool, ...]] = None
     # olmo (v1): clamp q/k/v projections to [-clip, clip]
     clip_qkv: Optional[float] = None
     # hunyuan: per-head q/k RMSNorm applied AFTER rope
@@ -162,6 +164,30 @@ class LlamaConfig:
                  "max_position_embeddings": d.get("seq_length", 2048),
                  "intermediate_size": 4 * hid,
                  "rms_norm_eps": d.get("layer_norm_epsilon", 1e-5)}
+        elif mt == "gpt_bigcode":
+            d = {**d, "hidden_size": d["n_embd"],
+                 "num_hidden_layers": d["n_layer"],
+                 "num_attention_heads": d["n_head"],
+                 "num_key_value_heads": 1 if d.get("multi_query", True)
+                 else d["n_head"],
+                 "max_position_embeddings": d.get("n_positions", 1024),
+                 "intermediate_size": d.get("n_inner") or 4 * d["n_embd"],
+                 "rms_norm_eps": d.get("layer_norm_epsilon", 1e-5)}
+        elif mt == "dbrx":
+            attn_c = d.get("attn_config") or {}
+            ffn_c = d.get("ffn_config") or {}
+            d = {**d, "hidden_size": d["d_model"],
+                 "num_hidden_layers": d["n_layers"],
+                 "num_attention_heads": d["n_heads"],
+                 "num_key_value_heads": attn_c.get("kv_n_heads", d["n_heads"]),
+                 "max_position_embeddings": d.get("max_seq_len", 2048),
+                 "intermediate_size": ffn_c.get("ffn_hidden_size"),
+                 "moe_intermediate_size": ffn_c.get("ffn_hidden_size"),
+                 "rope_theta": attn_c.get("rope_theta", 10000.0),
+                 "clip_qkv_": attn_c.get("clip_qkv"),
+                 "num_experts": ffn_c.get("moe_num_experts"),
+                 "num_experts_per_tok": ffn_c.get("moe_top_k", 2),
+                 "rms_norm_eps": 1e-5}
         elif mt == "mpt":
             d = {**d, "hidden_size": d["d_model"],
                  "num_hidden_layers": d["n_layers"],
@@ -285,6 +311,11 @@ class LlamaConfig:
             act = "gelu"
             if not (d.get("attn_config") or {}).get("alibi", True):
                 raise NotImplementedError("mpt without alibi (learned pos)")
+        elif mt == "gpt_bigcode":
+            norm_type = "layernorm"
+            act = "gelu_tanh"  # gelu_pytorch_tanh
+        elif mt == "dbrx":
+            norm_type = "layernorm"
         mla = {}
         moe_ds = {}
         if mt in ("glm4_moe", "dots1"):
@@ -335,7 +366,7 @@ class LlamaConfig:
                         moe_group_method="max",
                     )
         emb_mult = attn_scale = res_mult = logit_mult = None
-        if mt in ("granite", "granitemoe"):
+        if mt in ("granite", "granitemoe", "granitemoeshared"):
             emb_mult = d.get("embedding_multiplier")
             attn_scale = d.get("attention_multiplier")
             res_mult = d.get("residual_multiplier")
@@ -376,8 +407,8 @@ class LlamaConfig:
             # HF deepseek_v2's gate ignores the flag entirely
             moe_norm_topk=bool(d.get(
                 "norm_topk_prob",
-                mt in ("mixtral", "granitemoe", "ernie4_5_moe", "gpt_oss",
-                       "hunyuan_v1_moe"),
+                mt in ("mixtral", "granitemoe", "granitemoeshared",
+                       "ernie4_5_moe", "gpt_oss", "hunyuan_v1_moe", "dbrx"),
             )) and mt != "deepseek_v2",
             moe_intermediate_size=d.get("moe_intermediate_size"),
             arch="gemma2" if mt == "gemma2" else "llama",
@@ -404,10 +435,18 @@ class LlamaConfig:
             rope_sliding_only=mt in ("cohere2", "exaone4"),
             clip_qkv=d.get("clip_qkv") if mt == "olmo" else (
                 (d.get("attn_config") or {}).get("clip_qkv")
-                if mt == "mpt" else None
+                if mt == "mpt" else d.get("clip_qkv_") if mt == "dbrx"
+                else None
             ),
-            pos_type=("learned" if mt == "gpt2"
+            pos_type=("learned" if mt in ("gpt2", "gpt_bigcode")
                       else "alibi" if mt in ("bloom", "mpt") else "rope"),
+            rope_layers=(
+                tuple(bool(x) for x in (
+                    d.get("no_rope_layers")
+                    or [int((i + 1) % d.get("no_rope_layer_interval", 4) != 0)
+                        for i in range(n_layers)]
+                )) if mt == "smollm3" else None
+            ),
             rope_local_theta=(
                 d.get("rope_local_base_freq") if mt == "gemma3_text" else None
             ),
@@ -1052,6 +1091,8 @@ def select_rope(cos, sin, cfg: LlamaConfig, layer_idx: int):
     if cfg.rope_sliding_only and cfg.sliding_window \
             and not is_sliding_layer(cfg, layer_idx):
         return jnp.ones_like(cos), jnp.zeros_like(sin)
+    if cfg.rope_layers is not None and not cfg.rope_layers[layer_idx]:
+        return jnp.ones_like(cos), jnp.zeros_like(sin)  # smollm3 NoPE layer
     return cos, sin
 
 

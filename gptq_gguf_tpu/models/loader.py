@@ -27,7 +27,9 @@ SUPPORTED_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3", "phi3", "gemma",
                          "cohere2", "olmo", "arcee", "seed_oss", "ernie4_5",
                          "exaone4", "glm4_moe", "ernie4_5_moe", "granitemoe", "dots1", "gpt_oss",
                          "falcon", "hunyuan_v1_dense", "hunyuan_v1_moe",
-                         "gpt_neox", "gptj", "gpt2", "bloom", "mpt")
+                         "gpt_neox", "gptj", "gpt2", "bloom", "mpt",
+                         "granitemoeshared", "smollm3", "glm",
+                         "gpt_bigcode", "dbrx")
 
 
 def load_config(model_dir: Union[str, Path], dtype=jnp.float32) -> LlamaConfig:

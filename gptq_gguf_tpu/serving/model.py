@@ -670,14 +670,15 @@ _GGUF_SERVING_ARCHES = (
     "nemotron", "command-r", "phi2", "deepseek2", "glm4", "cohere2", "olmo",
     "arcee", "seed_oss", "ernie4_5", "exaone4", "granitemoe", "glm4moe",
     "ernie4_5-moe", "dots1", "gpt-oss", "falcon", "hunyuan-dense",
-    "hunyuan-moe", "gptneox", "gptj", "gpt2", "bloom", "mpt",
+    "hunyuan-moe", "gptneox", "gptj", "gpt2", "bloom", "mpt", "smollm3",
+    "chatglm", "starcoder", "dbrx",
 )
 
 # mean-subtracting-LayerNorm GGUF arches (nemotron norms arrive pre-folded
 # (1+w) from the converter, so no add_unit at serve time)
 _LAYERNORM_ARCHES = ("stablelm", "starcoder2", "nemotron", "command-r",
                      "phi2", "cohere2", "olmo", "falcon", "gptneox", "gptj",
-                     "gpt2", "bloom", "mpt")
+                     "gpt2", "bloom", "mpt", "starcoder", "dbrx")
 
 def _layer_exps_quant(r, li: int) -> bool:
     """Are this layer's stacked expert tensors K-quant (servable packed)?"""
@@ -800,8 +801,8 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
         act = "swiglu_oai"
     elif arch == "falcon":
         act = "gelu"
-    elif arch in ("gpt2", "gptj", "bloom"):
-        act = "gelu_tanh"  # gelu_new / BloomGelu
+    elif arch in ("gpt2", "gptj", "bloom", "starcoder"):
+        act = "gelu_tanh"  # gelu_new / BloomGelu / gelu_pytorch_tanh
     elif arch in ("gptneox", "mpt"):
         act = "gelu"
     parallel = arch in ("command-r", "phi2", "cohere2", "falcon", "gptj") or bool(
@@ -890,7 +891,7 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
         partial_rotary_factor=rope_dims / head_dim,
         rope_interleaved=arch in ("command-r", "deepseek2", "glm4",
                                   "cohere2", "ernie4_5", "ernie4_5-moe",
-                                  "gptj"),
+                                  "gptj", "chatglm"),
         parallel_blocks=parallel,
         rms_norm_eps=r.get(
             f"{arch}.attention.layer_norm_rms_epsilon",
@@ -900,8 +901,14 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
         max_position_embeddings=r.get(f"{arch}.context_length", 4096),
         qk_norm="blk.0.attn_q_norm.weight" in r.tensors,
         qk_norm_after_rope=arch in ("hunyuan-dense", "hunyuan-moe"),
-        pos_type=("learned" if arch == "gpt2"
+        pos_type=("learned" if arch in ("gpt2", "starcoder")
                   else "alibi" if arch in ("bloom", "mpt") else "rope"),
+        rope_layers=(
+            tuple(bool(x) for x in r.get(f"{arch}.rope_layers"))
+            if arch == "smollm3" and r.get(f"{arch}.rope_layers") is not None
+            else tuple((i + 1) % 4 != 0 for i in range(n_layers))
+            if arch == "smollm3" else None
+        ),
         rms_add_unit=gemma,
         embed_scale=gemma,
         act_fn=act,
@@ -951,7 +958,7 @@ def load_gguf_for_serving(
     # (mirrors the write-side ArchSpec.permute_qk flags)
     permute_qk = arch in (
         "llama", "mistral", "granite", "minicpm", "internlm2", "baichuan",
-        "deepseek", "olmo", "arcee", "granitemoe",
+        "deepseek", "olmo", "arcee", "granitemoe", "smollm3",
     )
     # olmo2 shares the gemma2-style post-norm tensor names
     name_map = (

@@ -328,3 +328,73 @@ def test_mpt(tmp_path):
     assert cfg.pos_type == "alibi" and cfg.intermediate_size == 512
     r, gcfg = _gguf_serving(tmp_path, d, "mpt")
     assert r.get("mpt.attention.max_alibi_bias") == pytest.approx(8.0)
+
+
+def test_granitemoeshared(tmp_path):
+    d, m = _make(tmp_path, dict(
+        model_type="granitemoeshared", architectures=["GraniteMoeSharedForCausalLM"],
+        **BASE, num_local_experts=4, num_experts_per_tok=2,
+        shared_intermediate_size=96, embedding_multiplier=1.0,
+        attention_multiplier=0.05, residual_multiplier=1.0, logits_scaling=1.0,
+        rms_norm_eps=1e-6, tie_word_embeddings=False, rope_theta=10000.0,
+    ))
+    cfg, params = _parity(d, m)
+    assert "shared_gate" in params["layers"][0]
+    r, _ = _gguf_serving(tmp_path, d, "granitemoe")
+    assert "blk.0.ffn_gate_shexp.weight" in r.tensors
+
+
+def test_smollm3(tmp_path):
+    d, m = _make(tmp_path, dict(
+        model_type="smollm3", architectures=["SmolLM3ForCausalLM"], **BASE,
+        no_rope_layer_interval=2, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, rope_theta=10000.0,
+    ))
+    cfg, params = _parity(d, m)
+    assert cfg.rope_layers == (True, False)  # BASE has 2 layers
+    r, gcfg = _gguf_serving(tmp_path, d, "smollm3")
+    assert gcfg.rope_layers == (True, False)
+
+
+def test_glm_edge(tmp_path):
+    d, m = _make(tmp_path, dict(
+        model_type="glm", architectures=["GlmForCausalLM"], **BASE,
+        head_dim=32, partial_rotary_factor=0.5, attention_bias=True,
+        rms_norm_eps=1e-6, tie_word_embeddings=False, rope_theta=10000.0,
+    ))
+    cfg, params = _parity(d, m)
+    assert cfg.rope_interleaved and cfg.partial_rotary_factor == 0.5
+    r, gcfg = _gguf_serving(tmp_path, d, "chatglm")
+    assert "blk.0.ffn_up.weight" in r.tensors  # fused gate|up
+    assert gcfg.rope_interleaved
+
+
+def test_gpt_bigcode(tmp_path):
+    d, m = _make(tmp_path, dict(
+        model_type="gpt_bigcode", architectures=["GPTBigCodeForCausalLM"],
+        vocab_size=128, n_embd=128, n_layer=2, n_head=4, n_positions=128,
+        multi_query=True, layer_norm_epsilon=1e-5,
+        activation_function="gelu_pytorch_tanh", torch_dtype="float32",
+    ))
+    cfg, params = _parity(d, m)
+    assert cfg.pos_type == "learned" and cfg.num_key_value_heads == 1
+    r, gcfg = _gguf_serving(tmp_path, d, "starcoder")
+    assert r.get("starcoder.attention.head_count_kv") == 1
+
+
+def test_dbrx(tmp_path):
+    d, m = _make(tmp_path, dict(
+        model_type="dbrx", architectures=["DbrxForCausalLM"],
+        vocab_size=128, d_model=128, n_layers=2, n_heads=4, max_seq_len=128,
+        attn_config={"kv_n_heads": 2, "clip_qkv": 8.0, "rope_theta": 10000.0},
+        ffn_config={"ffn_hidden_size": 192, "moe_num_experts": 4,
+                    "moe_top_k": 2, "moe_normalize_expert_weights": 1.0,
+                    "ffn_act_fn": {"name": "silu"}},
+        torch_dtype="float32", tie_word_embeddings=False,
+    ))
+    cfg, params = _parity(d, m)
+    assert cfg.clip_qkv == 8.0 and cfg.moe_num_experts == 4
+    assert params["layers"][0]["experts_gate"].shape == (4, 192, 128)
+    r, gcfg = _gguf_serving(tmp_path, d, "dbrx")
+    assert r.get("dbrx.attention.clamp_kqv") == pytest.approx(8.0)
+    assert gcfg.clip_qkv == 8.0
