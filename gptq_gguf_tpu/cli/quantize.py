@@ -67,6 +67,17 @@ def run(args) -> None:
     with timer.stage("load_calibration"):
         calib = common.load_calibration(args, cfg, tokenizer)
     mesh = common.make_mesh_from_args(args)
+    if getattr(args, "multihost", False):
+        import jax
+
+        if jax.process_count() > 1:
+            # multi-host recipe: every process loads the same dataset
+            # deterministically and keeps only its own interleaved shard;
+            # dp.shard_batch reassembles the global batch from local shards.
+            # Truncate to a common length so every process steps in lockstep.
+            pc = jax.process_count()
+            n = len(calib) // pc
+            calib = calib[jax.process_index()::pc][:n]
 
     if args.bit_width_configuration:
         with open(args.bit_width_configuration) as f:

@@ -23,9 +23,33 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def shard_batch(x, mesh: Mesh):
-    """Place a (B, ...) batch with B sharded across dp."""
+    """Place a (B, ...) batch with B sharded across dp.
+
+    Single-controller form: every process holds the full batch. For
+    multi-host runs where each process only has its own shard, use
+    :func:`shard_local_batch`."""
+    if jax.process_count() > 1:
+        return shard_local_batch(x, mesh)
     spec = P("dp", *([None] * (x.ndim - 1)))
     return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def shard_local_batch(x_local, mesh: Mesh):
+    """Multi-host batch placement: each process contributes its LOCAL
+    (B_local, ...) shard; the result is the global (B_local * n_processes,
+    ...) array sharded over dp. This is the multi-host calibration data
+    path — the analogue of the reference feeding each NCCL rank its own
+    sequence shard (quant.py:176-180)."""
+    import numpy as np
+
+    if isinstance(x_local, jax.Array) and not x_local.is_fully_addressable:
+        return x_local  # already a global array (propagated layer inputs)
+    x_local = np.asarray(x_local)
+    spec = P("dp", *([None] * (x_local.ndim - 1)))
+    global_shape = (x_local.shape[0] * jax.process_count(),) + x_local.shape[1:]
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), x_local, global_shape
+    )
 
 
 def replicate(tree, mesh: Mesh):

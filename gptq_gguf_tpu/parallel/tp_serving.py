@@ -17,6 +17,14 @@ TP at all).
 Limitation: per-head q/k norms (qwen3/gemma3, weight shape (hd,)) replicate
 fine, but olmo2's flat full-projection q/k norms would need head-sharding —
 unsupported under TP for now.
+
+ICI/compute overlap: the decode step is weight-bandwidth-bound, so the
+Megatron-style trick of splitting each matmul into chunks to overlap the
+o_proj/down_proj psums would re-read the packed weights once per chunk —
+a net loss. Overlap is instead left to XLA's latency-hiding scheduler,
+which issues the per-layer psums as async collectives (start/done pairs)
+and schedules independent work between them; no user-level collective
+calls exist in this path by design.
 """
 
 from __future__ import annotations

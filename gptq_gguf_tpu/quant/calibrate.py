@@ -278,17 +278,18 @@ def quantize_model(
                 layer, xs_stack, cos, sin, mask, hs, counts, cfg, li
             )
         for x in (xs if not scan_batches else ()):
-            b = x.shape[0]
-            cos, sin = rope_for(b)
-            mask = llama.causal_mask(b, S)
             xj = jnp.asarray(x)
             if mesh is not None:
                 # batch axis sharded over dp: XLA all-reduces X^T X across
                 # devices inside the jitted step (replaces the reference's
-                # NCCL all_reduce, gptq.py:131-132)
+                # NCCL all_reduce, gptq.py:131-132). On multi-host runs the
+                # per-process shard assembles into a LARGER global batch.
                 from ..parallel import dp as dp_mod
 
                 xj = dp_mod.shard_batch(xj, mesh)
+            b = xj.shape[0]
+            cos, sin = rope_for(b)
+            mask = llama.causal_mask(b, S)
             if is_moe:
                 _, hs, counts, moe_sums = _capture_step_moe(
                     layer, xj, cos, sin, mask, hs, counts, moe_sums, cfg, li
