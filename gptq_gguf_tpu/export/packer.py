@@ -1083,6 +1083,146 @@ class DbrxArch(MoEArchSpec):
         return md
 
 
+class MambaArch(ArchSpec):
+    """Mamba SSM (reference MambaModel :5606): pack-only support — the
+    reference likewise only CONVERTS SSM checkpoints (its GPTQ quantizer
+    targets transformer blocks), so quantize/serve reject mamba while the
+    packer emits llama.cpp-loadable F16/F32 GGUFs. A_log is stored as
+    A = -exp(A_log); the depthwise conv kernel is squeezed."""
+
+    gguf_arch = "mamba"
+    permute_qk = False
+
+    _direct = {
+        "backbone.embeddings.weight": "token_embd.weight",
+        "backbone.norm_f.weight": "output_norm.weight",
+        "lm_head.weight": "output.weight",
+    }
+    _layer = {
+        "norm.weight": "attn_norm.weight",
+        "mixer.in_proj.weight": "ssm_in.weight",
+        "mixer.conv1d.weight": "ssm_conv1d.weight",
+        "mixer.conv1d.bias": "ssm_conv1d.bias",
+        "mixer.x_proj.weight": "ssm_x.weight",
+        "mixer.dt_proj.weight": "ssm_dt.weight",
+        "mixer.dt_proj.bias": "ssm_dt.bias",
+        "mixer.A_log": "ssm_a",  # no .weight suffix (llama.cpp SSM names)
+        "mixer.D": "ssm_d",
+        "mixer.out_proj.weight": "ssm_out.weight",
+    }
+
+    def tensor_name(self, hf_name):
+        if hf_name in self._direct:
+            return self._direct[hf_name]
+        if hf_name.startswith("backbone.layers."):
+            parts = hf_name.split(".")
+            i = parts[2]
+            rest = ".".join(parts[3:])
+            if rest in self._layer:
+                return f"blk.{i}.{self._layer[rest]}"
+        return None
+
+    def transform_float(self, gguf_name, arr):
+        if gguf_name.endswith(".ssm_a"):
+            return -np.exp(arr)  # A_log -> A (reference :5670)
+        if gguf_name.endswith("ssm_conv1d.weight"):
+            return np.squeeze(arr)  # (d_inner, 1, k) -> (d_inner, k)
+        return arr
+
+    def metadata(self):
+        c = self.hf
+        a = self.gguf_arch
+        d_model = c.get("hidden_size", c.get("d_model"))
+        d_inner = c.get("intermediate_size", c.get("d_inner")) or 2 * d_model
+        return {
+            "general.architecture": a,
+            "general.name": c.get("_name_or_path", "model"),
+            "general.quantization_version": 2,
+            f"{a}.context_length": 2 ** 20,  # reference :5652 (arbitrary)
+            f"{a}.embedding_length": d_model,
+            f"{a}.block_count": c.get("num_hidden_layers", c.get("n_layer")),
+            f"{a}.feed_forward_length": 0,   # unused, required at load
+            f"{a}.attention.head_count": 0,  # unused, required at load
+            f"{a}.ssm.conv_kernel": c.get("conv_kernel", c.get("d_conv", 4)),
+            f"{a}.ssm.inner_size": d_inner,
+            f"{a}.ssm.state_size": c.get("state_size", c.get("d_state", 16)),
+            f"{a}.ssm.time_step_rank": c.get(
+                "time_step_rank", c.get("dt_rank")
+            ) or -(d_model // -16),
+            f"{a}.attention.layer_norm_rms_epsilon": float(
+                c.get("layer_norm_epsilon", c.get("rms_norm_eps", 1e-5))
+            ),
+            f"{a}.ssm.dt_b_c_rms": c.get("model_type") == "falcon_mamba",
+            f"{a}.vocab_size": c["vocab_size"],
+        }
+
+
+class Mamba2Arch(MambaArch):
+    """Mamba-2 (reference Mamba2Model :5693): grouped SSD heads — A/D are
+    per-head scalars stored with a trailing unit dim, the gated RMSNorm is
+    reshaped per group, dt_bias maps to ssm_dt.bias."""
+
+    gguf_arch = "mamba2"
+
+    _layer = {
+        "norm.weight": "attn_norm.weight",
+        "mixer.in_proj.weight": "ssm_in.weight",
+        "mixer.conv1d.weight": "ssm_conv1d.weight",
+        "mixer.conv1d.bias": "ssm_conv1d.bias",
+        "mixer.dt_bias": "ssm_dt.bias",
+        "mixer.A_log": "ssm_a",
+        "mixer.D": "ssm_d",
+        "mixer.norm.weight": "ssm_norm.weight",
+        "mixer.out_proj.weight": "ssm_out.weight",
+    }
+
+    @property
+    def _d_inner(self):
+        c = self.hf
+        d_model = c.get("hidden_size", c.get("d_model"))
+        return c.get("intermediate_size", c.get("d_inner")) or int(
+            c.get("expand", 2) * d_model
+        )
+
+    def transform_float(self, gguf_name, arr):
+        if gguf_name.endswith(".ssm_a"):
+            return -np.exp(arr)[..., None]
+        if gguf_name.endswith(".ssm_d"):
+            return arr[..., None]
+        if gguf_name.endswith("ssm_conv1d.weight"):
+            return np.squeeze(arr)
+        if gguf_name.endswith("ssm_norm.weight"):
+            ng = self.hf.get("n_groups", 1)
+            return arr.reshape(ng, self._d_inner // ng)
+        return arr
+
+    def metadata(self):
+        c = self.hf
+        a = self.gguf_arch
+        d_model = c.get("hidden_size", c.get("d_model"))
+        d_inner = self._d_inner
+        head_dim = c.get("mamba_d_head", c.get("head_dim", 64))
+        return {
+            "general.architecture": a,
+            "general.name": c.get("_name_or_path", "model"),
+            "general.quantization_version": 2,
+            f"{a}.context_length": 2 ** 20,
+            f"{a}.embedding_length": d_model,
+            f"{a}.block_count": c.get("num_hidden_layers", c.get("n_layer")),
+            f"{a}.feed_forward_length": 0,
+            f"{a}.attention.head_count": 0,
+            f"{a}.ssm.conv_kernel": c.get("conv_kernel", c.get("d_conv", 4)),
+            f"{a}.ssm.inner_size": d_inner,
+            f"{a}.ssm.state_size": c.get("state_size", c.get("d_state", 128)),
+            f"{a}.ssm.time_step_rank": d_inner // head_dim,
+            f"{a}.ssm.group_count": c.get("n_groups", 1),
+            f"{a}.attention.layer_norm_rms_epsilon": float(
+                c.get("layer_norm_epsilon", c.get("rms_norm_eps", 1e-5))
+            ),
+            f"{a}.vocab_size": c["vocab_size"],
+        }
+
+
 class FalconArch(ArchSpec):
     """Falcon (reference FalconModel :1818): fused attn_qkv in the
     rearranged [q; k; v] layout (the canonical pre-pass applies the same
@@ -1407,7 +1547,8 @@ _ARCH_REGISTRY.update(
      "gpt_neox": GptNeoxArch, "gptj": GptJArch, "gpt2": Gpt2Arch,
      "bloom": BloomArch, "mpt": MptArch, "granitemoeshared": GraniteMoeArch,
      "smollm3": SmolLM3Arch, "glm": GlmArch, "gpt_bigcode": StarCoderArch,
-     "dbrx": DbrxArch}
+     "dbrx": DbrxArch, "mamba": MambaArch, "falcon_mamba": MambaArch,
+     "mamba2": Mamba2Arch}
 )
 
 
@@ -1718,7 +1859,10 @@ def pack_model(
         perm = spec.row_permutation(hf_name, arr.shape[0])
         if perm is not None:
             arr = arr[perm]
-        is_norm = gguf_name.endswith("_norm.weight") or arr.ndim == 1
+        is_norm = (gguf_name.endswith("_norm.weight") or arr.ndim == 1
+                   or ".ssm_a" in gguf_name or ".ssm_d" in gguf_name
+                   or ".ssm_conv1d" in gguf_name or ".ssm_dt" in gguf_name
+                   or ".ssm_norm" in gguf_name)
         if is_norm or default_float == GGMLQuantizationType.F32:
             writer.add_tensor(gguf_name, arr.astype(np.float32))
         else:

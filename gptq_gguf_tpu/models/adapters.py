@@ -614,7 +614,9 @@ def iter_canonical_tensors(tensors, hf_cfg: Dict[str, Any]) -> Iterator[Tuple[st
         n_kv = hf_cfg.get("num_key_value_heads", n_head)
     hidden = hf_cfg.get("hidden_size", hf_cfg.get("n_embd", hf_cfg.get(
         "n_embed", hf_cfg.get("d_model"))))
-    head_dim = hf_cfg.get("head_dim") or hidden // n_head
+    head_dim = hf_cfg.get("head_dim") or (
+        hidden // n_head if n_head else 0  # attention-free archs (mamba)
+    )
     for name, arr in tensors:
         yield from canonicalize(mt, name, arr, n_head=n_head, n_kv=n_kv,
                                 head_dim=head_dim, hf_cfg=hf_cfg)

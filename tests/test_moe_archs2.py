@@ -398,3 +398,73 @@ def test_dbrx(tmp_path):
     r, gcfg = _gguf_serving(tmp_path, d, "dbrx")
     assert r.get("dbrx.attention.clamp_kqv") == pytest.approx(8.0)
     assert gcfg.clip_qkv == 8.0
+
+
+def test_mamba_pack_only(tmp_path):
+    """Mamba SSM packs to a llama.cpp-loadable GGUF (A = -exp(A_log),
+    squeezed conv kernel, ssm.* metadata); the quantize/serve paths reject
+    it like the reference (which only converts SSM checkpoints)."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    hf_cfg = AutoConfig.for_model(
+        model_type="mamba", vocab_size=128, hidden_size=64, state_size=8,
+        num_hidden_layers=2, conv_kernel=4, expand=2, time_step_rank=4,
+        torch_dtype="float32", use_cache=False)
+    torch.manual_seed(3)
+    m = AutoModelForCausalLM.from_config(hf_cfg).eval().float()
+    d = tmp_path / "mamba"
+    m.save_pretrained(d, safe_serialization=True)
+
+    gguf = tmp_path / "mamba.gguf"
+    packer.pack_model(d, tmp_path / "no-artifacts", gguf)
+    r = GGUFReader(gguf)
+    assert r.get("general.architecture") == "mamba"
+    assert r.get("mamba.ssm.inner_size") == 128
+    assert r.get("mamba.ssm.state_size") == 8
+    assert r.get("mamba.ssm.conv_kernel") == 4
+    assert r.get("mamba.ssm.dt_b_c_rms") is False
+    sd = m.state_dict()
+    a = r.tensor_float("blk.0.ssm_a")
+    np.testing.assert_allclose(
+        a, -np.exp(sd["backbone.layers.0.mixer.A_log"].numpy()),
+        rtol=1e-6, atol=1e-7)
+    assert "blk.0.ssm_d" in r.tensors
+    conv = r.tensor_float("blk.0.ssm_conv1d.weight")
+    assert conv.ndim == 2 and conv.shape == (128, 4)
+    assert "blk.1.ssm_out.weight" in r.tensors
+
+    from gptq_gguf_tpu.models import loader as _loader
+    with pytest.raises(NotImplementedError):
+        _loader.load_config(d)
+    from gptq_gguf_tpu.serving import model as qmodel
+    with pytest.raises(NotImplementedError):
+        qmodel.load_gguf_for_serving(gguf)
+
+
+def test_mamba2_pack_only(tmp_path):
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    hf_cfg = AutoConfig.for_model(
+        model_type="mamba2", vocab_size=128, hidden_size=64, state_size=16,
+        num_hidden_layers=1, conv_kernel=4, expand=2, n_groups=2, num_heads=4,
+        head_dim=32, torch_dtype="float32", use_cache=False)
+    torch.manual_seed(3)
+    m = AutoModelForCausalLM.from_config(hf_cfg).eval().float()
+    d = tmp_path / "mamba2"
+    m.save_pretrained(d, safe_serialization=True)
+
+    gguf = tmp_path / "mamba2.gguf"
+    packer.pack_model(d, tmp_path / "no-artifacts", gguf)
+    r = GGUFReader(gguf)
+    assert r.get("general.architecture") == "mamba2"
+    assert r.get("mamba2.ssm.group_count") == 2
+    assert r.get("mamba2.ssm.time_step_rank") == 4  # d_inner/head_dim
+    sd = m.state_dict()
+    a = r.tensor_float("blk.0.ssm_a")
+    np.testing.assert_allclose(
+        a, -np.exp(sd["backbone.layers.0.mixer.A_log"].numpy())[..., None],
+        rtol=1e-6, atol=1e-7)
+    assert r.tensor_float("blk.0.ssm_norm.weight").shape == (2, 64)
+    assert "blk.0.ssm_dt.bias" in r.tensors
