@@ -32,15 +32,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# The sliding-window / attention-sink kernel variants are exact in interpret
+# mode; flip this after a real-TPU smoke run of those variants (the plain
+# variant is TPU-validated at 7e-7 max err).
+EXTENDED_ON_TPU = False
 
-def _kernel(table_ref, len_ref, q_ref, kp_ref, vp_ref, out_ref,
-            kbuf, vbuf, acc, m_sc, l_sc, ksem, vsem, *, page, pps, scale):
+
+def _kernel(table_ref, len_ref, q_ref, sinks_ref, kp_ref, vp_ref, out_ref,
+            kbuf, vbuf, acc, m_sc, l_sc, ksem, vsem, *, page, pps, scale,
+            window, has_sinks):
     b = pl.program_id(0)
     kv = pl.program_id(1)
     p = pl.program_id(2)
     G = q_ref.shape[2]
     length = len_ref[b]  # query position; cache holds positions [0, length]
     n_live = length // page + 1
+    # sliding window: positions in (length - window, length]; pages wholly
+    # below the window never leave HBM
+    p_start = (jnp.maximum(length - window + 1, 0) // page) if window else 0
 
     def start_copy(i, slot):
         pid = jnp.maximum(table_ref[b * pps + i], 0)
@@ -56,9 +65,12 @@ def _kernel(table_ref, len_ref, q_ref, kp_ref, vp_ref, out_ref,
         m_sc[...] = jnp.full_like(m_sc, -1e30)
         l_sc[...] = jnp.zeros_like(l_sc)
         acc[...] = jnp.zeros_like(acc)
-        start_copy(0, 0)
 
-    @pl.when(p < n_live)
+    @pl.when(p == p_start)
+    def _():
+        start_copy(p, jax.lax.rem(p, 2))
+
+    @pl.when((p >= p_start) & (p < n_live))
     def _():
         slot = jax.lax.rem(p, 2)
         pltpu.make_async_copy(
@@ -82,7 +94,10 @@ def _kernel(table_ref, len_ref, q_ref, kp_ref, vp_ref, out_ref,
             precision=jax.lax.Precision.HIGHEST,
         )
         pos = p * page + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(pos <= length, s, -1e30)
+        valid = pos <= length
+        if window:
+            valid = valid & (pos > length - window)
+        s = jnp.where(valid, s, -1e30)
 
         m_old = m_sc[0:G, 0:1]
         m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
@@ -99,32 +114,43 @@ def _kernel(table_ref, len_ref, q_ref, kp_ref, vp_ref, out_ref,
 
     @pl.when(p == pps - 1)
     def _():
-        out_ref[0, 0] = (
-            acc[0:G, :] / jnp.maximum(l_sc[0:G, 0:1], 1e-30)
-        )
+        l = l_sc[0:G, 0:1]
+        if has_sinks:  # gpt-oss: per-head sink mass joins the denominator
+            sk = sinks_ref[0, 0:G].astype(jnp.float32)[:, None]
+            l = l + jnp.exp(sk - m_sc[0:G, 0:1])
+        out_ref[0, 0] = acc[0:G, :] / jnp.maximum(l, 1e-30)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret", "window")
+)
 def paged_flash_decode(q, k_pages, v_pages, table, lengths, *,
-                       scale: float, interpret: bool = False):
+                       scale: float, interpret: bool = False,
+                       window: int = 0, sinks=None):
     """Decode attention straight off the page pools.
 
     q: (B, nKV, G, hd) single query token per slot (pre-norm, un-scaled).
     k_pages/v_pages: (n_pages, page, nKV, hd) shared pools.
     table: (B, pages_per_slot) int32 page ids (-1 = unassigned).
     lengths: (B,) int32 query positions (cache holds [0, lengths[b]]).
+    window: sliding-window size (0 = full attention) — pages wholly below
+    the window are never fetched. sinks: optional (nH,) gpt-oss sink logits.
     Returns (B, nKV, G, hd) f32.
     """
     B, nKV, G, hd = q.shape
     n_pages, page, _, _ = k_pages.shape
     pps = table.shape[1]
     rows = max(8, G)
+    has_sinks = sinks is not None
+    sk = (jnp.asarray(sinks, jnp.float32).reshape(nKV, G) if has_sinks
+          else jnp.zeros((nKV, G), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, nKV, pps),
         in_specs=[
             pl.BlockSpec((1, 1, G, hd), lambda b, kv, p, *_: (b, kv, 0, 0)),
+            pl.BlockSpec((1, G), lambda b, kv, p, *_: (kv, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -141,7 +167,8 @@ def paged_flash_decode(q, k_pages, v_pages, table, lengths, *,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_kernel, page=page, pps=pps, scale=scale)
+    kernel = functools.partial(_kernel, page=page, pps=pps, scale=scale,
+                               window=int(window or 0), has_sinks=has_sinks)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, nKV, G, hd), jnp.float32),
@@ -150,4 +177,4 @@ def paged_flash_decode(q, k_pages, v_pages, table, lengths, *,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
-    )(table.reshape(-1), lengths, q, k_pages, v_pages)
+    )(table.reshape(-1), lengths, q, sk, k_pages, v_pages)

@@ -152,17 +152,23 @@ def forward_paged(
         )
         on_tpu = jax.devices()[0].platform == "tpu"
         interpret = qmodel.qmatmul.FORCE_PALLAS_INTERPRET and not on_tpu
-        if S == 1 and sliding is None and not cfg.attn_logit_softcap \
-                and "sinks" not in layer and (on_tpu or interpret):
+        # the window/sinks kernel variants are interpret-validated but not
+        # yet TPU-validated (relay was down); the TPU path dispatches them
+        # only when paged_attention.EXTENDED_ON_TPU is flipped after a smoke
+        ext_ok = interpret or paged_attention.EXTENDED_ON_TPU
+        plain = sliding is None and "sinks" not in layer
+        if S == 1 and not cfg.attn_logit_softcap and (on_tpu or interpret) \
+                and (plain or ext_ok):
             # Pallas flash-decode walks the block table: only live pages
             # leave HBM (the gather path below copies the full provisioned
-            # cache every layer)
+            # cache every layer); sliding windows skip out-of-window pages
             qk = qr[:, :, 0].reshape(B, nKV, nH // nKV, hd)
             attn = paged_attention.paged_flash_decode(
                 qk, k_pool, v_pool, cache.page_table, lengths,
                 scale=float(att_scale if att_scale is not None
                             else 1.0 / math.sqrt(hd)),
-                interpret=interpret,
+                interpret=interpret, window=int(sliding or 0),
+                sinks=layer.get("sinks"),
             ).reshape(B, nH, S, hd).astype(qr.dtype)
         else:
             k_all = _gather_slot_kv(k_pool, cache.page_table)

@@ -154,3 +154,42 @@ def test_paged_forward_decode_uses_kernel(tiny, monkeypatch):
     monkeypatch.setattr(qmatmul, "FORCE_PALLAS_INTERPRET", True)
     got, _ = paged.forward_paged(params, cfg, step, cache1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_paged_flash_decode_window_and_sinks():
+    """Sliding-window + attention-sink variants of the paged kernel match
+    the masked reference (interpret mode)."""
+    import jax
+    from gptq_gguf_tpu.ops import paged_attention
+
+    rng = np.random.default_rng(11)
+    B, nKV, G, hd, page, pps = 2, 2, 4, 128, 32, 6
+    n_pages = B * pps
+    lengths = jnp.asarray([70, 150], jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, nKV, G, hd)).astype(np.float32))
+    k_pages = jnp.asarray(rng.normal(size=(n_pages, page, nKV, hd)).astype(np.float32)) * 0.2
+    v_pages = jnp.asarray(rng.normal(size=(n_pages, page, nKV, hd)).astype(np.float32))
+    table = jnp.asarray(np.arange(n_pages, dtype=np.int32).reshape(B, pps))
+    scale = 1.0 / np.sqrt(hd)
+    sinks = jnp.asarray(rng.normal(size=(nKV * G,)).astype(np.float32))
+    window = 48
+
+    out = paged_attention.paged_flash_decode(
+        q, k_pages, v_pages, table, lengths, scale=scale, interpret=True,
+        window=window, sinks=sinks,
+    )
+
+    k_all = paged._gather_slot_kv(k_pages, table)
+    v_all = paged._gather_slot_kv(v_pages, table)
+    s = np.einsum("bkgh,bkth->bkgt", np.asarray(q), np.asarray(k_all)) * scale
+    pos = np.arange(pps * page)[None, :]
+    L = np.asarray(lengths)[:, None]
+    mask = (pos <= L) & (pos > L - window)
+    s = np.where(mask[:, None, None, :], s, -1e30)
+    sk = np.asarray(sinks).reshape(nKV, G)[None, :, :]    # (1, nKV, G)
+    m = np.maximum(s.max(-1), sk)                          # (B, nKV, G)
+    e = np.exp(s - m[..., None])
+    denom = e.sum(-1) + np.exp(sk - m)
+    p_ = e / denom[..., None]
+    ref = np.einsum("bkgt,bkth->bkgh", p_, np.asarray(v_all))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-5, atol=3e-5)
