@@ -1223,6 +1223,83 @@ class Mamba2Arch(MambaArch):
         }
 
 
+class JambaArch(MoEArchSpec):
+    """Jamba hybrid (reference JambaModel :5745): interleaved attention and
+    mamba layers (per-layer head_count_kv VECTOR — 0 on SSM layers), MoE on
+    every expert_layer_period-th layer, SSM dt/B/C RMSNorms. Pack-only like
+    the other SSM archs."""
+
+    gguf_arch = "jamba"
+    permute_qk = False
+    expert_prefix = "feed_forward.experts."
+    moe_direct = {"feed_forward.router.weight": "ffn_gate_inp.weight"}
+
+    _fixed = {
+        "model.final_layernorm.weight": "output_norm.weight",
+    }
+    _layer = {
+        "input_layernorm.weight": "attn_norm.weight",
+        "pre_ff_layernorm.weight": "ffn_norm.weight",
+        "self_attn.q_proj.weight": "attn_q.weight",
+        "self_attn.k_proj.weight": "attn_k.weight",
+        "self_attn.v_proj.weight": "attn_v.weight",
+        "self_attn.o_proj.weight": "attn_output.weight",
+        "feed_forward.gate_proj.weight": "ffn_gate.weight",
+        "feed_forward.up_proj.weight": "ffn_up.weight",
+        "feed_forward.down_proj.weight": "ffn_down.weight",
+        "mamba.in_proj.weight": "ssm_in.weight",
+        "mamba.conv1d.weight": "ssm_conv1d.weight",
+        "mamba.conv1d.bias": "ssm_conv1d.bias",
+        "mamba.x_proj.weight": "ssm_x.weight",
+        "mamba.dt_proj.weight": "ssm_dt.weight",
+        "mamba.dt_proj.bias": "ssm_dt.bias",
+        "mamba.A_log": "ssm_a",
+        "mamba.D": "ssm_d",
+        "mamba.out_proj.weight": "ssm_out.weight",
+        "mamba.dt_layernorm.weight": "ssm_dt_norm.weight",
+        "mamba.b_layernorm.weight": "ssm_b_norm.weight",
+        "mamba.c_layernorm.weight": "ssm_c_norm.weight",
+    }
+
+    def tensor_name(self, hf_name):
+        if hf_name in self._fixed:
+            return self._fixed[hf_name]
+        if hf_name.startswith("model.layers."):
+            parts = hf_name.split(".")
+            i = parts[2]
+            rest = ".".join(parts[3:])
+            if rest in self._layer:
+                return f"blk.{i}.{self._layer[rest]}"
+        return hf_to_gguf_name(hf_name)
+
+    def transform_float(self, gguf_name, arr):
+        if gguf_name.endswith(".ssm_a"):
+            return -np.exp(arr)
+        if gguf_name.endswith("ssm_conv1d.weight"):
+            return np.squeeze(arr)
+        return arr
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        d_model = c["hidden_size"]
+        n_layers = c["num_hidden_layers"]
+        n_kv = c["num_key_value_heads"]
+        off, per = c["attn_layer_offset"], c["attn_layer_period"]
+        md[f"{a}.attention.head_count_kv"] = [
+            (n_kv if i >= off and (i - off) % per == 0 else 0)
+            for i in range(n_layers)
+        ]
+        md[f"{a}.ssm.conv_kernel"] = c.get("mamba_d_conv", 4)
+        md[f"{a}.ssm.inner_size"] = c.get("mamba_expand", 2) * d_model
+        md[f"{a}.ssm.state_size"] = c.get("mamba_d_state", 16)
+        md[f"{a}.ssm.time_step_rank"] = c.get("mamba_dt_rank") or -(
+            d_model // -16
+        )
+        md[f"{a}.expert_feed_forward_length"] = c["intermediate_size"]
+        return md
+
+
 class FalconArch(ArchSpec):
     """Falcon (reference FalconModel :1818): fused attn_qkv in the
     rearranged [q; k; v] layout (the canonical pre-pass applies the same
@@ -1548,7 +1625,7 @@ _ARCH_REGISTRY.update(
      "bloom": BloomArch, "mpt": MptArch, "granitemoeshared": GraniteMoeArch,
      "smollm3": SmolLM3Arch, "glm": GlmArch, "gpt_bigcode": StarCoderArch,
      "dbrx": DbrxArch, "mamba": MambaArch, "falcon_mamba": MambaArch,
-     "mamba2": Mamba2Arch}
+     "mamba2": Mamba2Arch, "jamba": JambaArch}
 )
 
 

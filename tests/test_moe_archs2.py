@@ -468,3 +468,40 @@ def test_mamba2_pack_only(tmp_path):
         rtol=1e-6, atol=1e-7)
     assert r.tensor_float("blk.0.ssm_norm.weight").shape == (2, 64)
     assert "blk.0.ssm_dt.bias" in r.tensors
+
+
+def test_jamba_pack_only(tmp_path):
+    """Jamba hybrid packs: per-layer head_count_kv vector (0 on SSM
+    layers), interleaved attention/mamba tensors, stacked MoE experts,
+    SSM dt/B/C norms (reference JambaModel :5745)."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    hf_cfg = AutoConfig.for_model(
+        model_type="jamba", vocab_size=128, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=4, num_attention_heads=4,
+        num_key_value_heads=2, attn_layer_offset=1, attn_layer_period=2,
+        expert_layer_offset=0, expert_layer_period=2, num_experts=2,
+        num_experts_per_tok=2, mamba_d_state=8, mamba_d_conv=4,
+        mamba_expand=2, mamba_dt_rank=4, use_mamba_kernels=False,
+        torch_dtype="float32", use_cache=False)
+    torch.manual_seed(3)
+    m = AutoModelForCausalLM.from_config(hf_cfg).eval().float()
+    d = tmp_path / "jamba"
+    m.save_pretrained(d, safe_serialization=True)
+
+    gguf = tmp_path / "jamba.gguf"
+    packer.pack_model(d, tmp_path / "no-artifacts", gguf)
+    r = GGUFReader(gguf)
+    assert r.get("general.architecture") == "jamba"
+    assert list(r.get("jamba.attention.head_count_kv")) == [0, 2, 0, 2]
+    assert r.get("jamba.ssm.inner_size") == 128
+    assert "blk.0.ssm_dt_norm.weight" in r.tensors
+    assert "blk.0.ffn_gate_exps.weight" in r.tensors  # layer 0 is MoE+SSM
+    assert "blk.1.attn_q.weight" in r.tensors          # layer 1 is attention
+    assert "blk.1.ffn_gate.weight" in r.tensors        # dense ffn
+    sd = m.state_dict()
+    a = r.tensor_float("blk.0.ssm_a")
+    np.testing.assert_allclose(
+        a, -np.exp(sd["model.layers.0.mamba.A_log"].numpy()),
+        rtol=1e-6, atol=1e-7)
