@@ -1300,6 +1300,110 @@ class JambaArch(MoEArchSpec):
         return md
 
 
+class GraniteHybridArch(MoEArchSpec):
+    """granitemoehybrid / bamba (reference GraniteHybridModel :7563):
+    mamba2 SSM layers interleaved with llama-permuted GQA attention layers
+    (per-layer head_count_kv vector), optional granite mup scalars, optional
+    MoE + fused shared MLP (canonicalized by adapters). Pack-only like the
+    other SSM archs."""
+
+    gguf_arch = "granitehybrid"
+    permute_qk = True  # attention layers follow the llama permute
+    n_expert_key = "num_local_experts"
+
+    _layer_ssm = {
+        "mamba.in_proj.weight": "ssm_in.weight",
+        "mamba.conv1d.weight": "ssm_conv1d.weight",
+        "mamba.conv1d.bias": "ssm_conv1d.bias",
+        "mamba.dt_bias": "ssm_dt.bias",
+        "mamba.A_log": "ssm_a",
+        "mamba.D": "ssm_d",
+        "mamba.norm.weight": "ssm_norm.weight",
+        "mamba.out_proj.weight": "ssm_out.weight",
+        "feed_forward.gate_proj.weight": "ffn_gate.weight",
+        "feed_forward.up_proj.weight": "ffn_up.weight",
+        "feed_forward.down_proj.weight": "ffn_down.weight",
+        "pre_ff_layernorm.weight": "ffn_norm.weight",
+    }
+
+    @property
+    def _d_inner(self):
+        c = self.hf
+        if c.get("mamba_n_heads") and c.get("mamba_d_head"):
+            return int(c["mamba_n_heads"] * c["mamba_d_head"])
+        return int(c.get("mamba_expand", 2) * c["hidden_size"])
+
+    def tensor_name(self, hf_name):
+        if hf_name == "model.final_layernorm.weight":  # bamba final norm
+            return "output_norm.weight"
+        if hf_name.startswith("model.layers."):
+            parts = hf_name.split(".")
+            i = parts[2]
+            rest = ".".join(parts[3:])
+            if rest in self._layer_ssm:
+                return f"blk.{i}.{self._layer_ssm[rest]}"
+        return super().tensor_name(hf_name)
+
+    def transform_float(self, gguf_name, arr):
+        if gguf_name.endswith(".ssm_a"):
+            return -np.exp(arr)[..., None]
+        if gguf_name.endswith(".ssm_d"):
+            return arr[..., None]
+        if gguf_name.endswith("ssm_conv1d.weight"):
+            return np.squeeze(arr)
+        if gguf_name.endswith("ssm_norm.weight"):
+            ng = self.hf.get("mamba_n_groups", self.hf.get("n_groups", 1))
+            return arr.reshape(ng, self._d_inner // ng)
+        return arr
+
+    def _attn_layers(self):
+        c = self.hf
+        n = c["num_hidden_layers"]
+        if c.get("layer_types"):
+            return [i for i, t in enumerate(c["layer_types"])
+                    if t == "attention"]
+        if c.get("attn_layer_indices"):
+            return list(c["attn_layer_indices"])
+        per, off = c["attn_layer_period"], c.get("attn_layer_offset", 0)
+        return [i for i in range(n) if i % per == off]
+
+    def metadata(self):
+        c, a = self.hf, self.gguf_arch
+        has_moe = bool(c.get(self.n_expert_key))
+        md = super().metadata() if has_moe else ArchSpec.metadata(self)
+        if not has_moe:
+            for k in list(md):
+                if "expert" in k:
+                    md.pop(k)
+        n = c["num_hidden_layers"]
+        attn = set(self._attn_layers())
+        n_kv = c.get("num_key_value_heads", c["num_attention_heads"])
+        md[f"{a}.attention.head_count_kv"] = [
+            (n_kv if i in attn else 0) for i in range(n)
+        ]
+        md[f"{a}.ssm.conv_kernel"] = c.get("mamba_d_conv", 4)
+        md[f"{a}.ssm.state_size"] = c.get("mamba_d_state", 128)
+        md[f"{a}.ssm.group_count"] = c.get(
+            "mamba_n_groups", c.get("n_groups", 1))
+        md[f"{a}.ssm.inner_size"] = self._d_inner
+        md[f"{a}.ssm.time_step_rank"] = c.get("mamba_n_heads", 128)
+        if c.get("attn_rotary_emb"):
+            md[f"{a}.rope.dimension_count"] = int(c["attn_rotary_emb"])
+        use_rope = "BambaForCausalLM" in (c.get("architectures") or [])
+        md[f"{a}.rope.scaling.finetuned"] = use_rope
+        for key, mk in (("embedding_multiplier", "embedding_scale"),
+                        ("residual_multiplier", "residual_scale"),
+                        ("attention_multiplier", "attention.scale")):
+            if c.get(key):
+                md[f"{a}.{mk}"] = float(c[key])
+        if c.get("logits_scaling"):
+            md[f"{a}.logit_scale"] = float(c["logits_scaling"])
+        if c.get("shared_intermediate_size"):
+            md[f"{a}.expert_shared_feed_forward_length"] = int(
+                c["shared_intermediate_size"])
+        return md
+
+
 class FalconArch(ArchSpec):
     """Falcon (reference FalconModel :1818): fused attn_qkv in the
     rearranged [q; k; v] layout (the canonical pre-pass applies the same
@@ -1625,7 +1729,8 @@ _ARCH_REGISTRY.update(
      "bloom": BloomArch, "mpt": MptArch, "granitemoeshared": GraniteMoeArch,
      "smollm3": SmolLM3Arch, "glm": GlmArch, "gpt_bigcode": StarCoderArch,
      "dbrx": DbrxArch, "mamba": MambaArch, "falcon_mamba": MambaArch,
-     "mamba2": Mamba2Arch, "jamba": JambaArch}
+     "mamba2": Mamba2Arch, "jamba": JambaArch,
+     "granitemoehybrid": GraniteHybridArch, "bamba": GraniteHybridArch}
 )
 
 

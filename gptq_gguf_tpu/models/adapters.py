@@ -574,6 +574,7 @@ _CANONICALIZERS = {
     "ernie4_5_moe": _ernie45_moe,
     "granitemoe": _granitemoe,
     "granitemoeshared": _granitemoeshared,
+    "granitemoehybrid": _granitemoeshared,
     "gpt_bigcode": _gpt_bigcode,
     "dbrx": _dbrx,
     "internlm2": _internlm2,

@@ -505,3 +505,62 @@ def test_jamba_pack_only(tmp_path):
     np.testing.assert_allclose(
         a, -np.exp(sd["model.layers.0.mamba.A_log"].numpy()),
         rtol=1e-6, atol=1e-7)
+
+
+def test_bamba_and_granitemoehybrid_pack_only(tmp_path):
+    """mamba2+attention hybrids (reference GraniteHybridModel :7563):
+    per-layer kv vector, mamba2 reshapes on SSM layers, llama q/k permute
+    on attention layers, fused MoE + shared MLP on the granite variant."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    common = dict(vocab_size=64, hidden_size=64, intermediate_size=128,
+                  num_hidden_layers=2, num_attention_heads=4,
+                  num_key_value_heads=2, mamba_n_heads=4, mamba_d_head=32,
+                  mamba_n_groups=1, mamba_d_state=16, mamba_d_conv=4,
+                  mamba_expand=2, torch_dtype="float32", use_cache=False)
+
+    # bamba: dense ffn, attn layer via indices
+    cfg = AutoConfig.for_model(model_type="bamba", attn_layer_indices=[1],
+                               **common)
+    torch.manual_seed(3)
+    m = AutoModelForCausalLM.from_config(cfg).eval().float()
+    d = tmp_path / "bamba"
+    m.save_pretrained(d, safe_serialization=True)
+    gguf = tmp_path / "bamba.gguf"
+    packer.pack_model(d, tmp_path / "none", gguf)
+    r = GGUFReader(gguf)
+    assert r.get("general.architecture") == "granitehybrid"
+    assert list(r.get("granitehybrid.attention.head_count_kv")) == [0, 2]
+    assert r.get("granitehybrid.ssm.inner_size") == 128
+    assert r.get("granitehybrid.rope.scaling.finetuned") is True
+    assert "blk.0.ssm_norm.weight" in r.tensors
+    assert r.tensor_float("blk.0.ssm_norm.weight").shape == (1, 128)
+    assert "blk.1.attn_q.weight" in r.tensors
+    assert "blk.0.ffn_gate.weight" in r.tensors
+    sd = m.state_dict()
+    np.testing.assert_allclose(
+        r.tensor_float("blk.0.ssm_a"),
+        -np.exp(sd["model.layers.0.mamba.A_log"].numpy())[..., None],
+        rtol=1e-6, atol=1e-7)
+
+    # granitemoehybrid: MoE + shared mlp, layer types explicit
+    cfg = AutoConfig.for_model(
+        model_type="granitemoehybrid", layer_types=["mamba", "attention"],
+        num_local_experts=2, num_experts_per_tok=2,
+        shared_intermediate_size=64, embedding_multiplier=2.0,
+        logits_scaling=4.0, **common)
+    torch.manual_seed(4)
+    m2 = AutoModelForCausalLM.from_config(cfg).eval().float()
+    d2 = tmp_path / "gmh"
+    m2.save_pretrained(d2, safe_serialization=True)
+    gguf2 = tmp_path / "gmh.gguf"
+    packer.pack_model(d2, tmp_path / "none", gguf2)
+    r2 = GGUFReader(gguf2)
+    assert r2.get("general.architecture") == "granitehybrid"
+    assert r2.get("granitehybrid.expert_count") == 2
+    assert r2.get("granitehybrid.embedding_scale") == pytest.approx(2.0)
+    assert r2.get("granitehybrid.rope.scaling.finetuned") is False
+    assert "blk.0.ffn_gate_exps.weight" in r2.tensors
+    assert "blk.0.ffn_gate_shexp.weight" in r2.tensors
+    assert "blk.0.ssm_in.weight" in r2.tensors
