@@ -1404,6 +1404,113 @@ class GraniteHybridArch(MoEArchSpec):
         return md
 
 
+class FalconH1Arch(ArchSpec):
+    """Falcon-H1 (reference FalconH1Model :7955): parallel attention + mamba2
+    in EVERY layer, with the channel multipliers FOLDED INTO the tensors at
+    conversion time (q/v x attention_in, k additionally x key, o x
+    attention_out, gate/down x mlp_multipliers, in_proj piecewise x
+    ssm_multipliers over [z|x|B|C|dt], out_proj x ssm_out, embeddings and
+    lm head x their multipliers) so llama.cpp needs no extra keys.
+    Pack-only like the other SSM archs."""
+
+    gguf_arch = "falcon-h1"
+    permute_qk = False
+
+    _layer = {
+        "input_layernorm.weight": "attn_norm.weight",
+        "pre_ff_layernorm.weight": "ffn_norm.weight",
+        "self_attn.q_proj.weight": "attn_q.weight",
+        "self_attn.k_proj.weight": "attn_k.weight",
+        "self_attn.v_proj.weight": "attn_v.weight",
+        "self_attn.o_proj.weight": "attn_output.weight",
+        "feed_forward.gate_proj.weight": "ffn_gate.weight",
+        "feed_forward.up_proj.weight": "ffn_up.weight",
+        "feed_forward.down_proj.weight": "ffn_down.weight",
+        "mamba.in_proj.weight": "ssm_in.weight",
+        "mamba.conv1d.weight": "ssm_conv1d.weight",
+        "mamba.conv1d.bias": "ssm_conv1d.bias",
+        "mamba.dt_bias": "ssm_dt.bias",
+        "mamba.A_log": "ssm_a",
+        "mamba.D": "ssm_d",
+        "mamba.norm.weight": "ssm_norm.weight",
+        "mamba.out_proj.weight": "ssm_out.weight",
+    }
+
+    @property
+    def _d_inner(self):
+        c = self.hf
+        return int(c.get("mamba_d_ssm")
+                   or c.get("mamba_expand", 2) * c["hidden_size"])
+
+    def tensor_name(self, hf_name):
+        if hf_name == "model.final_layernorm.weight":
+            return "output_norm.weight"
+        if hf_name.startswith("model.layers."):
+            parts = hf_name.split(".")
+            i = parts[2]
+            rest = ".".join(parts[3:])
+            if rest in self._layer:
+                return f"blk.{i}.{self._layer[rest]}"
+        return hf_to_gguf_name(hf_name)
+
+    def transform_float(self, gguf_name, arr):
+        c = self.hf
+        mlp = c.get("mlp_multipliers") or [1.0, 1.0]
+        mult = {
+            "attn_q.weight": c.get("attention_in_multiplier", 1.0),
+            "attn_v.weight": c.get("attention_in_multiplier", 1.0),
+            "attn_k.weight": (c.get("attention_in_multiplier", 1.0)
+                              * c.get("key_multiplier", 1.0)),
+            "attn_output.weight": c.get("attention_out_multiplier", 1.0),
+            "ffn_gate.weight": mlp[0],
+            "ffn_down.weight": mlp[1],
+            "ssm_out.weight": c.get("ssm_out_multiplier", 1.0),
+        }
+        for suffix, m in mult.items():
+            if gguf_name.endswith(suffix):
+                return arr * m
+        if gguf_name == "token_embd.weight":
+            return arr * c.get("embedding_multiplier", 1.0)
+        if gguf_name == "output.weight":
+            return arr * c.get("lm_head_multiplier", 1.0)
+        if gguf_name.endswith("ssm_in.weight"):
+            arr = arr * c.get("ssm_in_multiplier", 1.0)
+            zx = c.get("ssm_multipliers")
+            if zx is not None:
+                d = self._d_inner
+                gts = c.get("mamba_n_groups", 1) * c.get("mamba_d_state", 128)
+                arr = arr.copy()
+                arr[:d] *= zx[0]
+                arr[d:2 * d] *= zx[1]
+                arr[2 * d:2 * d + gts] *= zx[2]
+                arr[2 * d + gts:2 * d + 2 * gts] *= zx[3]
+                arr[2 * d + 2 * gts:] *= zx[4]
+            return arr
+        if gguf_name.endswith(".ssm_a"):
+            return -np.exp(arr)[..., None]
+        if gguf_name.endswith(".ssm_d"):
+            return arr[..., None]
+        if gguf_name.endswith("ssm_conv1d.weight"):
+            return np.squeeze(arr)
+        if gguf_name.endswith("ssm_norm.weight"):
+            ng = c.get("mamba_n_groups", 1)
+            return arr.reshape(ng, self._d_inner // ng)
+        return arr
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        head_dim = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        md[f"{a}.attention.key_length"] = head_dim
+        md[f"{a}.attention.value_length"] = head_dim
+        md[f"{a}.ssm.conv_kernel"] = c.get("mamba_d_conv", 4)
+        md[f"{a}.ssm.state_size"] = c.get("mamba_d_state", 128)
+        md[f"{a}.ssm.group_count"] = c.get("mamba_n_groups", 1)
+        md[f"{a}.ssm.inner_size"] = self._d_inner
+        md[f"{a}.ssm.time_step_rank"] = c.get("mamba_n_heads", 128)
+        return md
+
+
 class FalconArch(ArchSpec):
     """Falcon (reference FalconModel :1818): fused attn_qkv in the
     rearranged [q; k; v] layout (the canonical pre-pass applies the same
@@ -1730,7 +1837,8 @@ _ARCH_REGISTRY.update(
      "smollm3": SmolLM3Arch, "glm": GlmArch, "gpt_bigcode": StarCoderArch,
      "dbrx": DbrxArch, "mamba": MambaArch, "falcon_mamba": MambaArch,
      "mamba2": Mamba2Arch, "jamba": JambaArch,
-     "granitemoehybrid": GraniteHybridArch, "bamba": GraniteHybridArch}
+     "granitemoehybrid": GraniteHybridArch, "bamba": GraniteHybridArch,
+     "falcon_h1": FalconH1Arch}
 )
 
 

@@ -564,3 +564,48 @@ def test_bamba_and_granitemoehybrid_pack_only(tmp_path):
     assert "blk.0.ffn_gate_exps.weight" in r2.tensors
     assert "blk.0.ffn_gate_shexp.weight" in r2.tensors
     assert "blk.0.ssm_in.weight" in r2.tensors
+
+
+def test_falcon_h1_pack_only(tmp_path):
+    """Falcon-H1 parallel attention+mamba2 layers with channel multipliers
+    folded into the tensors (reference FalconH1Model :7955)."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    cfg = AutoConfig.for_model(
+        model_type="falcon_h1", vocab_size=64, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, mamba_n_heads=4, mamba_d_head=16,
+        mamba_d_ssm=64, mamba_n_groups=1, mamba_d_state=16, mamba_d_conv=4,
+        mamba_expand=2, key_multiplier=0.5, attention_in_multiplier=2.0,
+        mlp_multipliers=[2.0, 0.25], lm_head_multiplier=0.125,
+        embedding_multiplier=4.0, ssm_multipliers=[1.0, 2.0, 1.0, 1.0, 0.5],
+        torch_dtype="float32", use_cache=False, tie_word_embeddings=False)
+    torch.manual_seed(3)
+    m = AutoModelForCausalLM.from_config(cfg).eval().float()
+    d = tmp_path / "h1"
+    m.save_pretrained(d, safe_serialization=True)
+
+    gguf = tmp_path / "h1.gguf"
+    packer.pack_model(d, tmp_path / "none", gguf)
+    r = GGUFReader(gguf)
+    assert r.get("general.architecture") == "falcon-h1"
+    assert r.get("falcon-h1.ssm.inner_size") == 64
+    sd = m.state_dict()
+    # k folded with key * attention_in multipliers
+    k = r.tensor_float("blk.0.attn_k.weight")
+    ref = sd["model.layers.0.self_attn.k_proj.weight"].numpy() * 0.5 * 2.0
+    np.testing.assert_allclose(k, ref.astype(np.float16).astype(np.float32),
+                               rtol=1e-3, atol=1e-4)
+    # ssm_in piecewise multipliers: x block (rows d..2d) scaled by 2.0
+    si = r.tensor_float("blk.0.ssm_in.weight")
+    raw = sd["model.layers.0.mamba.in_proj.weight"].numpy()
+    np.testing.assert_allclose(
+        si[64:128], (raw[64:128] * 2.0).astype(np.float16).astype(np.float32),
+        rtol=1e-3, atol=1e-4)
+    # embeddings folded
+    emb = r.tensor_float("token_embd.weight")
+    np.testing.assert_allclose(
+        emb, (sd["model.embed_tokens.weight"].numpy() * 4.0).astype(np.float16).astype(np.float32),
+        rtol=1e-3, atol=1e-4)
+    assert "blk.1.attn_q.weight" in r.tensors and "blk.1.ssm_in.weight" in r.tensors
