@@ -114,7 +114,6 @@ def run_parity(
     pack: bool = True,
     verbose: bool = True,
 ) -> List[ParityResult]:
-    import jax.numpy as jnp
 
     from ..export import packer
     from ..models import loader

@@ -17,13 +17,13 @@ from __future__ import annotations
 import json
 import math
 from pathlib import Path
-from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
 from ..formats import convert, ggml
 from ..formats.ggml import GGMLQuantizationType
-from ..formats.gguf import GGUFValueType, GGUFWriter
+from ..formats.gguf import GGUFWriter
 from ..quant import artifacts
 
 # llama.cpp LLAMA_FTYPE ids for general.file_type

@@ -25,7 +25,6 @@ Decode only (one query token per slot); prefill keeps the XLA path.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

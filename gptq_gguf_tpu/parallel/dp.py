@@ -15,10 +15,7 @@ accumulate per-host partial Hessians (multi-controller deployments).
 
 from __future__ import annotations
 
-import functools
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 

@@ -16,7 +16,6 @@ A quantized model can be built from three sources:
 from __future__ import annotations
 
 import dataclasses
-import functools
 import math
 from pathlib import Path
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple, Union
@@ -26,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..formats import convert
-from ..formats.ggml import KQUANT_SPECS, K_QUANT_TYPES, GGMLQuantizationType
+from ..formats.ggml import KQUANT_SPECS, K_QUANT_TYPES
 from ..models import llama
 from ..models.llama import LlamaConfig
 from ..ops import qmatmul
