@@ -206,6 +206,11 @@ class ArchSpec:
         ("float", gguf_name, np.ndarray) instructions."""
         return None
 
+    def extra_tensors(self) -> List[Tuple[str, np.ndarray]]:
+        """Hook for tensors generated from the config alone (reference
+        generate_extra_tensors: phi3 longrope factor tensors)."""
+        return []
+
 
 class LlamaArch(ArchSpec):
     gguf_arch = "llama"
@@ -326,7 +331,45 @@ class Olmo2Arch(ArchSpec):
         return hf_to_gguf_name(hf_name)
 
 
-class Phi3Arch(ArchSpec):
+class _LongRopeMixin(ArchSpec):
+    """phi3-family longrope/su metadata + rope factor tensors (reference
+    Phi3MiniModel.set_gguf_parameters/generate_extra_tensors :3893-3962):
+    emits rope.scaling.original_context_length, attention.sliding_window
+    (0 marks Phi-4), attn_factor, and the rope_factors_long/short tensors."""
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        orig = int(c.get("original_max_position_embeddings",
+                         c.get("max_position_embeddings", 4096)))
+        md[f"{a}.rope.scaling.original_context_length"] = orig
+        md[f"{a}.attention.sliding_window"] = int(c.get("sliding_window") or 0)
+        rs = dict(c.get("rope_scaling") or {})
+        rt = (rs.get("rope_type", rs.get("type")) or "").lower()
+        if rt in ("su", "longrope", "yarn"):
+            scale = c["max_position_embeddings"] / orig
+            if rt == "yarn":
+                attn = 0.1 * math.log(scale) + 1.0 if scale > 1.0 else 1.0
+            else:
+                attn = (math.sqrt(1 + math.log(scale) / math.log(orig))
+                        if scale > 1.0 else 1.0)
+            md[f"{a}.rope.scaling.attn_factor"] = float(attn)
+            # base ArchSpec only knows linear/yarn/llama3; longrope models
+            # carry the correction in the factor tensors, no scaling.type key
+        return md
+
+    def extra_tensors(self):
+        rs = dict(self.hf.get("rope_scaling") or {})
+        long_f, short_f = rs.get("long_factor"), rs.get("short_factor")
+        if long_f is None or short_f is None:
+            return []
+        return [
+            ("rope_factors_long.weight", np.asarray(long_f, dtype=np.float32)),
+            ("rope_factors_short.weight", np.asarray(short_f, dtype=np.float32)),
+        ]
+
+
+class Phi3Arch(_LongRopeMixin):
     """phi3: llama.cpp expects fused attn_qkv / ffn_up tensors. Row-concat of
     per-projection K-quant artifacts is exact (rows are independent)."""
 
@@ -1814,6 +1857,178 @@ class DeepseekArch(MoEArchSpec):
         return md
 
 
+class PhiMoeArch(_LongRopeMixin, MoEArchSpec):
+    """Phi-3.5-MoE (reference PhiMoeModel :3963-4016): phi3 longrope metadata
+    + mixtral-style w1/w3/w2 expert stacks; LayerNorms carry biases (mapped
+    by the shared name table)."""
+
+    gguf_arch = "phimoe"
+    permute_qk = False
+    n_expert_key = "num_local_experts"
+    expert_prefix = "block_sparse_moe.experts."
+    expert_proj = {"w1": "ffn_gate_exps", "w3": "ffn_up_exps", "w2": "ffn_down_exps"}
+    moe_direct = {"block_sparse_moe.gate.weight": "ffn_gate_inp.weight"}
+
+
+class Lfm2Arch(ArchSpec):
+    """LFM2 hybrid shortconv/attention stack (reference LFM2Model :8435-8481):
+    per-layer head_count_kv array (0 on conv layers), shortconv.l_cache, and
+    the auto-adjusted feed-forward width."""
+
+    gguf_arch = "lfm2"
+    permute_qk = False
+
+    _layer = {
+        "operator_norm.weight": "attn_norm.weight",
+        "ffn_norm.weight": "ffn_norm.weight",
+        "self_attn.q_proj.weight": "attn_q.weight",
+        "self_attn.k_proj.weight": "attn_k.weight",
+        "self_attn.v_proj.weight": "attn_v.weight",
+        "self_attn.out_proj.weight": "attn_output.weight",
+        "self_attn.q_layernorm.weight": "attn_q_norm.weight",
+        "self_attn.k_layernorm.weight": "attn_k_norm.weight",
+        "feed_forward.w1.weight": "ffn_gate.weight",
+        "feed_forward.w2.weight": "ffn_down.weight",
+        "feed_forward.w3.weight": "ffn_up.weight",
+        "conv.conv.weight": "shortconv.conv.weight",
+        "conv.in_proj.weight": "shortconv.in_proj.weight",
+        "conv.out_proj.weight": "shortconv.out_proj.weight",
+    }
+
+    def tensor_name(self, hf_name):
+        if hf_name == "model.embedding_norm.weight":
+            return "token_embd_norm.weight"
+        if hf_name.startswith("model.layers."):
+            parts = hf_name.split(".")
+            rest = ".".join(parts[3:])
+            if rest in self._layer:
+                return f"blk.{parts[2]}.{self._layer[rest]}"
+            return None
+        return hf_to_gguf_name(hf_name)
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        n_kv = c.get("num_key_value_heads", c["num_attention_heads"])
+        md[f"{a}.attention.head_count_kv"] = [
+            n_kv if lt == "full_attention" else 0 for lt in c["layer_types"]
+        ]
+        md[f"{a}.attention.layer_norm_rms_epsilon"] = float(
+            c.get("norm_eps", 1e-5))
+        md[f"{a}.shortconv.l_cache"] = int(c.get("conv_L_cache", 3))
+        ff = int(c.get("block_ff_dim", c.get("intermediate_size")))
+        if c.get("block_auto_adjust_ff_dim"):
+            ff = int(2 * ff / 3)
+            if c.get("block_ffn_dim_multiplier") is not None:
+                ff = int(c["block_ffn_dim_multiplier"] * ff)
+            mo = int(c.get("block_multiple_of", 256))
+            ff = mo * ((ff + mo - 1) // mo)
+        md[f"{a}.feed_forward_length"] = ff
+        return md
+
+
+class BitnetArch(ArchSpec):
+    """BitNet b1.58 (reference BitnetModel :2686-2724): linear weights are
+    re-ternarized at pack time with the abs-mean scale (upstream stores the
+    latent fp weights); sub-norms map to attn_sub_norm/ffn_sub_norm."""
+
+    gguf_arch = "bitnet"
+    permute_qk = False
+
+    _TERNARY_SUFFIXES = ("attn_q.weight", "attn_k.weight", "attn_v.weight",
+                         "attn_output.weight", "ffn_gate.weight",
+                         "ffn_up.weight", "ffn_down.weight")
+
+    def tensor_name(self, hf_name):
+        if hf_name.startswith("model.layers."):
+            parts = hf_name.split(".")
+            rest = ".".join(parts[3:])
+            if rest == "self_attn.attn_sub_norm.weight":
+                return f"blk.{parts[2]}.attn_sub_norm.weight"
+            if rest == "mlp.ffn_sub_norm.weight":
+                return f"blk.{parts[2]}.ffn_sub_norm.weight"
+        return hf_to_gguf_name(hf_name)
+
+    def metadata(self):
+        md = super().metadata()
+        a = self.gguf_arch
+        # reference quirk: always stamps linear rope scaling at factor 1.0
+        md[f"{a}.rope.scaling.type"] = "linear"
+        md[f"{a}.rope.scaling.factor"] = 1.0
+        return md
+
+    def transform_float(self, gguf_name, arr):
+        if not gguf_name.endswith(self._TERNARY_SUFFIXES):
+            return arr
+        w = arr.astype(np.float32)
+        scale = max(float(np.abs(w).mean()), 1e-5)
+        return np.clip(np.round(w / scale), -1, 1) * scale
+
+
+class ChameleonArch(ArchSpec):
+    """Chameleon (reference ChameleonModel :7843-7880): llama-style GQA
+    permute on q/k, per-head q/k norms collapsed to head 0 and re-laid-out
+    interleaved (the converter's _reverse_hf_permute), vqmodel dropped,
+    swin_norm flag."""
+
+    gguf_arch = "chameleon"
+    permute_qk = True
+
+    def metadata(self):
+        md = super().metadata()
+        md[f"{self.gguf_arch}.swin_norm"] = bool(self.hf.get("swin_norm", False))
+        return md
+
+    def tensor_name(self, hf_name):
+        if hf_name.startswith("model.vqmodel"):
+            return None
+        return hf_to_gguf_name(hf_name)
+
+    def _qk_norm(self, arr: np.ndarray, n_heads: int) -> np.ndarray:
+        hd = arr.shape[-1]
+        head0 = arr.reshape(-1, hd)[0]
+        inter = head0.reshape(2, hd // 2).T.reshape(-1)
+        return np.tile(inter, (n_heads, 1))
+
+    def special_tensors(self, hf_name, arr, get_artifact):
+        if not (hf_name.startswith("model.layers.")
+                and (".self_attn.q_norm." in hf_name
+                     or ".self_attn.k_norm." in hf_name)):
+            return None
+        c = self.hf
+        n = (c["num_attention_heads"] if ".q_norm." in hf_name
+             else c.get("num_key_value_heads", c["num_attention_heads"]))
+        parts = hf_name.split(".")
+        which = "attn_q_norm" if ".q_norm." in hf_name else "attn_k_norm"
+        kind = "weight" if hf_name.endswith(".weight") else "bias"
+        return [("float", f"blk.{parts[2]}.{which}.{kind}",
+                 self._qk_norm(arr, n).astype(np.float32))]
+
+
+class Llama4Arch(MoEArchSpec):
+    """Llama-4 (reference Llama4Model :2432-2472): interleaved MoE layers
+    (fused gate_up/transposed down experts are split in models/adapters),
+    feed_forward_length from intermediate_size_mlp, expert FF from the MoE
+    intermediate_size; no q/k permute (undo_permute=False upstream)."""
+
+    gguf_arch = "llama4"
+    permute_qk = False
+    n_expert_key = "num_local_experts"
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        md[f"{a}.feed_forward_length"] = int(
+            c.get("intermediate_size_mlp", c["intermediate_size"]))
+        md[f"{a}.expert_feed_forward_length"] = int(c["intermediate_size"])
+        md[f"{a}.interleave_moe_layer_step"] = int(
+            c.get("interleave_moe_layer_step", 1))
+        head_dim = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        md[f"{a}.attention.key_length"] = head_dim
+        md[f"{a}.attention.value_length"] = head_dim
+        return md
+
+
 _ARCH_REGISTRY.update(
     {"llama": LlamaArch, "mistral": MistralArch, "qwen2": Qwen2Arch,
      "qwen3": Qwen3Arch, "phi3": Phi3Arch, "gemma": GemmaArch,
@@ -1838,7 +2053,9 @@ _ARCH_REGISTRY.update(
      "dbrx": DbrxArch, "mamba": MambaArch, "falcon_mamba": MambaArch,
      "mamba2": Mamba2Arch, "jamba": JambaArch,
      "granitemoehybrid": GraniteHybridArch, "bamba": GraniteHybridArch,
-     "falcon_h1": FalconH1Arch}
+     "falcon_h1": FalconH1Arch, "phimoe": PhiMoeArch, "lfm2": Lfm2Arch,
+     "bitnet": BitnetArch, "chameleon": ChameleonArch,
+     "llama4": Llama4Arch, "llama4_text": Llama4Arch}
 )
 
 
@@ -1873,6 +2090,11 @@ PRE_TOKENIZER_BY_MODEL_TYPE = {
     "glm4": "chatglm-bpe",
     "smollm3": "llama-bpe",
     "olmoe": "olmo",
+    "llama4": "llama4",
+    "llama4_text": "llama4",
+    "chameleon": "chameleon",
+    "lfm2": "lfm2",
+    "bitnet": "llama-bpe",
 }
 
 _BYTE_PIECE = 6  # GGUF token types (== sentencepiece piece types)
@@ -2094,6 +2316,16 @@ def pack_model(
     quant_dir = Path(quant_dir)
     with open(model_dir / "config.json") as f:
         hf_cfg = json.load(f)
+    # multimodal wrappers: flatten the text config into the top level,
+    # keeping the wrapper's model_type (reference load_hparams :504-510 +
+    # TextModel text_config merge)
+    if "llm_config" in hf_cfg:  # InternVL naming
+        hf_cfg["text_config"] = hf_cfg["llm_config"]
+    if "thinker_config" in hf_cfg:  # Qwen-Omni naming
+        hf_cfg["text_config"] = hf_cfg["thinker_config"]["text_config"]
+    if isinstance(hf_cfg.get("text_config"), dict):
+        mt = hf_cfg.get("model_type") or hf_cfg["text_config"].get("model_type")
+        hf_cfg = {**hf_cfg, **hf_cfg["text_config"], "model_type": mt}
     model_type = hf_cfg.get("model_type", "llama")
     spec_cls = _ARCH_REGISTRY.get(model_type)
     if spec_cls is None:
@@ -2122,6 +2354,9 @@ def pack_model(
         writer.add_tensor(
             "rope_freqs.weight", (base_inv / corrected).astype(np.float32)
         )
+
+    for ename, earr in spec.extra_tensors():
+        writer.add_tensor(ename, earr)
 
     type_counts: Dict[GGMLQuantizationType, int] = {}
     seen_embed: Optional[np.ndarray] = None

@@ -557,6 +557,52 @@ def _mpt(name, arr, n_head, n_kv, head_dim):
     return [(name, arr)]
 
 
+def _llama4(name: str, arr, n_head: int, n_kv: int, head_dim: int):
+    """Llama-4 (reference Llama4Model.modify_tensors :2451-2472): strip the
+    multimodal wrapper prefix, drop vision tensors, rename feed_forward ->
+    mlp, split the fused 3-D expert params into per-expert 2-D tensors
+    (gate_up transposed halves; down transposed)."""
+    if name.startswith("language_model."):
+        name = name[len("language_model."):]
+    if "vision_model" in name or "multi_modal_projector" in name:
+        return []
+    if not name.startswith("model.layers."):
+        return [(name, arr)]
+    parts = name.split(".")
+    i = parts[2]
+    rest = ".".join(parts[3:])
+    if rest == "feed_forward.experts.gate_up_proj":
+        e, h, two_f = arr.shape
+        f = two_f // 2
+        out = []
+        for x in range(e):
+            out.append((f"model.layers.{i}.mlp.experts.{x}.gate_proj.weight",
+                        np.ascontiguousarray(arr[x, :, :f].T)))
+            out.append((f"model.layers.{i}.mlp.experts.{x}.up_proj.weight",
+                        np.ascontiguousarray(arr[x, :, f:].T)))
+        return out
+    if rest == "feed_forward.experts.down_proj":
+        return [(f"model.layers.{i}.mlp.experts.{x}.down_proj.weight",
+                 np.ascontiguousarray(arr[x].T)) for x in range(arr.shape[0])]
+    if rest == "feed_forward.router.weight":
+        return [(f"model.layers.{i}.mlp.gate.weight", arr)]
+    if rest.startswith("feed_forward."):
+        return [(f"model.layers.{i}.mlp.{rest[len('feed_forward.'):]}", arr)]
+    return [(name, arr)]
+
+
+def _lfm2(name: str, arr, n_head: int, n_kv: int, head_dim: int):
+    """LFM2: strip any multimodal prefix, drop vision tensors, squeeze the
+    depthwise conv kernel to 2-D (reference LFM2Model.modify_tensors)."""
+    if name.startswith("language_model."):
+        name = name[len("language_model."):]
+    if "vision_tower" in name or "multi_modal_projector" in name:
+        return []
+    if name.endswith("conv.conv.weight") and getattr(arr, "ndim", 2) == 3:
+        arr = np.asarray(arr)[:, 0, :]
+    return [(name, arr)]
+
+
 _CANONICALIZERS = {
     "exaone": _exaone,
     "falcon": _falcon,
@@ -585,6 +631,9 @@ _CANONICALIZERS = {
     "deepseek_v3": _deepseek,
     "starcoder2": _starcoder2,
     "phi": _phi,
+    "llama4": _llama4,
+    "llama4_text": _llama4,
+    "lfm2": _lfm2,
 }
 
 
