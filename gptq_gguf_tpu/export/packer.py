@@ -1857,6 +1857,169 @@ class DeepseekArch(MoEArchSpec):
         return md
 
 
+class XverseArch(ArchSpec):
+    """XVERSE (reference XverseModel :1712-1806): llama-style GQA permute,
+    context length may come from max_sequence_length, pth data layout tag."""
+
+    gguf_arch = "xverse"
+    permute_qk = True
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        if "max_sequence_length" in c:
+            md[f"{a}.context_length"] = int(c["max_sequence_length"])
+        md["general.tensor_data_layout"] = "Meta AI original pth"
+        return md
+
+
+class OrionArch(ArchSpec):
+    """Orion (reference OrionModel :1597-1630): config says rms_norm_eps but
+    the model uses mean-subtracting LayerNorm — the converter stamps the
+    value into attention.layer_norm_epsilon (the quirk llama.cpp relies on)."""
+
+    gguf_arch = "orion"
+    permute_qk = False
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        if "max_sequence_length" in c:
+            md[f"{a}.context_length"] = int(c["max_sequence_length"])
+        md[f"{a}.attention.layer_norm_epsilon"] = float(c["rms_norm_eps"])
+        md["general.tensor_data_layout"] = "Meta AI original pth"
+        return md
+
+
+class InternLM3Arch(LlamaArch):
+    """InternLM3 maps onto GGUF arch 'llama' verbatim — llama GQA permute,
+    vocab_size key (reference InternLM3Model :4456-4512)."""
+
+
+class MiniCPM3Arch(ArchSpec):
+    """MiniCPM3 (reference MiniCPM3Model :2904-2954): MLA projections kept
+    whole (attn_kv_b is NOT split, unlike deepseek2), q/kv lora ranks +
+    longrope factor tensors without the phi3 attn_factor key."""
+
+    gguf_arch = "minicpm3"
+    permute_qk = False
+
+    _direct = {
+        "self_attn.q_a_proj.weight": "attn_q_a.weight",
+        "self_attn.q_a_layernorm.weight": "attn_q_a_norm.weight",
+        "self_attn.q_b_proj.weight": "attn_q_b.weight",
+        "self_attn.kv_a_proj_with_mqa.weight": "attn_kv_a_mqa.weight",
+        "self_attn.kv_a_layernorm.weight": "attn_kv_a_norm.weight",
+        "self_attn.kv_b_proj.weight": "attn_kv_b.weight",
+    }
+
+    def tensor_name(self, hf_name):
+        if hf_name.startswith("model.layers."):
+            parts = hf_name.split(".")
+            rest = ".".join(parts[3:])
+            if rest in self._direct:
+                return f"blk.{parts[2]}.{self._direct[rest]}"
+        return hf_to_gguf_name(hf_name)
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        if c.get("q_lora_rank") is not None:
+            md[f"{a}.attention.q_lora_rank"] = int(c["q_lora_rank"])
+        md[f"{a}.attention.kv_lora_rank"] = int(c["kv_lora_rank"])
+        md[f"{a}.attention.key_length"] = int(
+            c["qk_nope_head_dim"] + c["qk_rope_head_dim"])
+        md[f"{a}.rope.dimension_count"] = int(c["qk_rope_head_dim"])
+        return md
+
+    def extra_tensors(self):
+        rs = dict(self.hf.get("rope_scaling") or {})
+        long_f, short_f = rs.get("long_factor"), rs.get("short_factor")
+        if long_f is None or short_f is None:
+            return []
+        return [
+            ("rope_factors_long.weight", np.asarray(long_f, dtype=np.float32)),
+            ("rope_factors_short.weight", np.asarray(short_f, dtype=np.float32)),
+        ]
+
+
+class OpenElmArch(ArchSpec):
+    """OpenELM (reference OpenELMModel :6055-6127): per-layer query/kv head
+    and FFN-width arrays, fused qkv kept fused, fused ffn proj_1 split into
+    gate/up at the per-layer width; rms eps hardcoded to 1e-6 upstream."""
+
+    gguf_arch = "openelm"
+    permute_qk = False
+
+    _layer = {
+        "attn_norm.weight": "attn_norm.weight",
+        "attn.qkv_proj.weight": "attn_qkv.weight",
+        "attn.q_norm.weight": "attn_q_norm.weight",
+        "attn.k_norm.weight": "attn_k_norm.weight",
+        "attn.out_proj.weight": "attn_output.weight",
+        "ffn_norm.weight": "ffn_norm.weight",
+        "ffn.proj_2.weight": "ffn_down.weight",
+    }
+
+    @staticmethod
+    def _make_divisible(v, divisor: int) -> int:
+        new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+        if new_v < 0.9 * v:
+            new_v += divisor
+        return new_v
+
+    def _ffn_dims(self) -> List[int]:
+        c = self.hf
+        return [self._make_divisible(m * c["model_dim"], c["ffn_dim_divisor"])
+                for m in c["ffn_multipliers"]]
+
+    def tensor_name(self, hf_name):
+        fixed = {
+            "transformer.token_embeddings.weight": "token_embd.weight",
+            "transformer.norm.weight": "output_norm.weight",
+        }
+        if hf_name in fixed:
+            return fixed[hf_name]
+        if hf_name.startswith("transformer.layers."):
+            parts = hf_name.split(".")
+            rest = ".".join(parts[3:])
+            if rest in self._layer:
+                return f"blk.{parts[2]}.{self._layer[rest]}"
+        return None
+
+    def special_tensors(self, hf_name, arr, get_artifact):
+        if not (hf_name.startswith("transformer.layers.")
+                and hf_name.endswith(".ffn.proj_1.weight")):
+            return None
+        i = int(hf_name.split(".")[2])
+        ff = self._ffn_dims()[i]
+        return [("float", f"blk.{i}.ffn_gate.weight",
+                 arr[:ff].astype(np.float16)),
+                ("float", f"blk.{i}.ffn_up.weight",
+                 arr[ff:].astype(np.float16))]
+
+    def metadata(self):
+        c, a = self.hf, self.gguf_arch
+        head_dim = int(c["head_dim"])
+        return {
+            "general.architecture": a,
+            "general.name": c.get("_name_or_path", "model"),
+            "general.quantization_version": 2,
+            f"{a}.context_length": int(c["max_context_length"]),
+            f"{a}.embedding_length": int(c["model_dim"]),
+            f"{a}.block_count": int(c["num_transformer_layers"]),
+            f"{a}.feed_forward_length": self._ffn_dims(),
+            f"{a}.attention.head_count": [int(x) for x in c["num_query_heads"]],
+            f"{a}.attention.head_count_kv": [int(x) for x in c["num_kv_heads"]],
+            f"{a}.rope.freq_base": float(c["rope_freq_constant"]),
+            f"{a}.attention.layer_norm_rms_epsilon": 1e-6,
+            f"{a}.rope.dimension_count": head_dim,
+            f"{a}.attention.key_length": head_dim,
+            f"{a}.attention.value_length": head_dim,
+            f"{a}.vocab_size": int(c["vocab_size"]),
+        }
+
+
 class PhiMoeArch(_LongRopeMixin, MoEArchSpec):
     """Phi-3.5-MoE (reference PhiMoeModel :3963-4016): phi3 longrope metadata
     + mixtral-style w1/w3/w2 expert stacks; LayerNorms carry biases (mapped
@@ -2055,7 +2218,9 @@ _ARCH_REGISTRY.update(
      "granitemoehybrid": GraniteHybridArch, "bamba": GraniteHybridArch,
      "falcon_h1": FalconH1Arch, "phimoe": PhiMoeArch, "lfm2": Lfm2Arch,
      "bitnet": BitnetArch, "chameleon": ChameleonArch,
-     "llama4": Llama4Arch, "llama4_text": Llama4Arch}
+     "llama4": Llama4Arch, "llama4_text": Llama4Arch,
+     "xverse": XverseArch, "orion": OrionArch, "internlm3": InternLM3Arch,
+     "minicpm3": MiniCPM3Arch, "openelm": OpenElmArch}
 )
 
 
