@@ -211,6 +211,11 @@ class ArchSpec:
         generate_extra_tensors: phi3 longrope factor tensors)."""
         return []
 
+    def final_metadata(self) -> Dict[str, Any]:
+        """Hook for metadata that depends on tensor values seen during the
+        pack walk (reference prepare_tensors: jais max_alibi_bias)."""
+        return {}
+
 
 class LlamaArch(ArchSpec):
     gguf_arch = "llama"
@@ -1857,6 +1862,328 @@ class DeepseekArch(MoEArchSpec):
         return md
 
 
+class QwenArch(ArchSpec):
+    """Qwen v1 (reference QwenModel :2957-2996): fused MHA c_attn kept as
+    attn_qkv, swiglu w2/w1 = gate/up, rope base from rotary_emb_base, n_ff
+    written as the doubled intermediate_size (llama.cpp halves it)."""
+
+    gguf_arch = "qwen"
+    permute_qk = False
+
+    _layer = {
+        "ln_1.weight": "attn_norm.weight",
+        "attn.c_attn.weight": "attn_qkv.weight",
+        "attn.c_attn.bias": "attn_qkv.bias",
+        "attn.c_proj.weight": "attn_output.weight",
+        "ln_2.weight": "ffn_norm.weight",
+        "mlp.w1.weight": "ffn_up.weight",
+        "mlp.w2.weight": "ffn_gate.weight",
+        "mlp.c_proj.weight": "ffn_down.weight",
+    }
+
+    def tensor_name(self, hf_name):
+        fixed = {"transformer.wte.weight": "token_embd.weight",
+                 "transformer.ln_f.weight": "output_norm.weight",
+                 "lm_head.weight": "output.weight"}
+        if hf_name in fixed:
+            return fixed[hf_name]
+        if hf_name.startswith("transformer.h."):
+            parts = hf_name.split(".")
+            rest = ".".join(parts[3:])
+            if rest in self._layer:
+                return f"blk.{parts[2]}.{self._layer[rest]}"
+        return None
+
+    def metadata(self):
+        md = super().metadata()
+        a = self.gguf_arch
+        md[f"{a}.rope.freq_base"] = float(self.hf.get("rotary_emb_base", 10000.0))
+        return md
+
+
+class ChatGlmArch(ArchSpec):
+    """ChatGLM3/GLM4 legacy format (reference ChatGLMModel :7141-7295):
+    fused MQA query_key_value + fused dense_h_to_4h (llama.cpp splits in
+    the graph), partial rotary defaulting to 0.5, rope_ratio base scale."""
+
+    gguf_arch = "chatglm"
+    permute_qk = False
+
+    _layer = {
+        "input_layernorm.weight": "attn_norm.weight",
+        "self_attention.query_key_value.weight": "attn_qkv.weight",
+        "self_attention.query_key_value.bias": "attn_qkv.bias",
+        "self_attention.dense.weight": "attn_output.weight",
+        "post_attention_layernorm.weight": "ffn_norm.weight",
+        "mlp.dense_h_to_4h.weight": "ffn_up.weight",
+        "mlp.dense_4h_to_h.weight": "ffn_down.weight",
+    }
+
+    def tensor_name(self, hf_name):
+        name = hf_name
+        if name.startswith("transformer."):
+            name = name[len("transformer."):]
+        fixed = {"embedding.word_embeddings.weight": "token_embd.weight",
+                 "encoder.final_layernorm.weight": "output_norm.weight",
+                 "output_layer.weight": "output.weight"}
+        if name in fixed:
+            return fixed[name]
+        if name.endswith("rotary_pos_emb.inv_freq") or name.startswith("model.vision."):
+            return None
+        if name.startswith("encoder.layers."):
+            parts = name.split(".")
+            rest = ".".join(parts[3:])
+            if rest in self._layer:
+                return f"blk.{parts[2]}.{self._layer[rest]}"
+        return None
+
+    def metadata(self):
+        c, a = self.hf, self.gguf_arch
+        hidden = c.get("hidden_size", c.get("n_embed"))
+        n_head = c.get("n_head", c.get("num_attention_heads"))
+        n_kv = c.get("multi_query_group_num",
+                     c.get("num_key_value_heads", n_head))
+        head_dim = c.get("attention_dim") or hidden // n_head
+        return {
+            "general.architecture": a,
+            "general.name": c.get("_name_or_path", "model"),
+            "general.quantization_version": 2,
+            f"{a}.context_length": int(c.get("seq_length", hidden)),
+            f"{a}.embedding_length": int(hidden),
+            f"{a}.feed_forward_length": int(c.get(
+                "ffn_hidden_size", c.get("intermediate_size", 4 * hidden))),
+            f"{a}.block_count": int(c.get("num_layers",
+                                          c.get("num_hidden_layers"))),
+            f"{a}.attention.head_count": int(n_head),
+            f"{a}.attention.head_count_kv": int(n_kv),
+            f"{a}.attention.layer_norm_rms_epsilon": float(
+                c.get("layernorm_epsilon", 1e-5)),
+            f"{a}.rope.dimension_count": int(
+                head_dim * c.get("partial_rotary_factor", 0.5)),
+            f"{a}.rope.freq_base": 10000.0 * float(c.get("rope_ratio", 1.0)),
+            f"{a}.vocab_size": int(c.get("padded_vocab_size",
+                                         c.get("vocab_size"))),
+            "tokenizer.ggml.add_bos_token": False,
+        }
+
+
+class CodeShellArch(StarCoderArch):
+    """CodeShell (reference CodeShellModel :4237-4276): gpt_bigcode naming
+    with grouped-query c_attn, rope at base 10000 with the converter's
+    linear-1.0 scaling quirk."""
+
+    gguf_arch = "codeshell"
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        md[f"{a}.attention.head_count_kv"] = int(c["num_query_groups"])
+        md[f"{a}.rope.freq_base"] = 10000.0
+        md[f"{a}.rope.scaling.type"] = "linear"
+        md[f"{a}.rope.scaling.factor"] = 1.0
+        return md
+
+
+class RefactArch(ArchSpec):
+    """Refact-1.6B (reference RefactModel :1890-1955): MQA (kv fused, split
+    at one head), fused gate_up split at the llama-style computed FF width,
+    ALiBi positions (no rope keys)."""
+
+    gguf_arch = "refact"
+    permute_qk = False
+
+    @property
+    def _ff_dim(self) -> int:
+        inner = 4 * self.hf["n_embd"]
+        hidden = int(2 * inner / 3)
+        return 256 * ((hidden + 255) // 256)
+
+    def tensor_name(self, hf_name):
+        fixed = {"transformer.wte.weight": "token_embd.weight",
+                 "transformer.ln_f.weight": "output_norm.weight",
+                 "lm_head.weight": "output.weight"}
+        if hf_name in fixed:
+            return fixed[hf_name]
+        if hf_name.startswith("transformer.h."):
+            parts = hf_name.split(".")
+            rest = ".".join(parts[3:])
+            m = {"ln_1.weight": "attn_norm.weight",
+                 "ln_2.weight": "ffn_norm.weight",
+                 "attn.q.weight": "attn_q.weight",
+                 "attn.c_proj.weight": "attn_output.weight",
+                 "mlp.c_proj.weight": "ffn_down.weight"}
+            if rest in m:
+                return f"blk.{parts[2]}.{m[rest]}"
+        return None
+
+    def special_tensors(self, hf_name, arr, get_artifact):
+        if not hf_name.startswith("transformer.h."):
+            return None
+        i = hf_name.split(".")[2]
+        rest = ".".join(hf_name.split(".")[3:])
+        if rest == "attn.kv.weight":
+            hd = self.hf["n_embd"] // self.hf["n_head"]
+            return [("float", f"blk.{i}.attn_k.weight",
+                     arr[:hd].astype(np.float16)),
+                    ("float", f"blk.{i}.attn_v.weight",
+                     arr[hd:].astype(np.float16))]
+        if rest == "mlp.gate_up_proj.weight":
+            ff = self._ff_dim
+            return [("float", f"blk.{i}.ffn_gate.weight",
+                     arr[:ff].astype(np.float16)),
+                    ("float", f"blk.{i}.ffn_up.weight",
+                     arr[ff:].astype(np.float16))]
+        return None
+
+    def metadata(self):
+        c, a = self.hf, self.gguf_arch
+        return {
+            "general.architecture": a,
+            "general.name": c.get("_name_or_path", "model"),
+            "general.quantization_version": 2,
+            f"{a}.context_length": int(c["n_positions"]),
+            f"{a}.embedding_length": int(c["n_embd"]),
+            f"{a}.feed_forward_length": self._ff_dim,
+            f"{a}.block_count": int(c["n_layer"]),
+            f"{a}.attention.head_count": int(c["n_head"]),
+            f"{a}.attention.head_count_kv": 1,
+            f"{a}.attention.layer_norm_rms_epsilon": float(
+                c.get("layer_norm_epsilon", 1e-5)),
+            f"{a}.vocab_size": int(c["vocab_size"]),
+        }
+
+
+class JaisArch(_LegacyGptArch):
+    """JAIS (reference JaisModel :6886-6962): gpt2 Conv1D weights transposed
+    in the pre-pass, muP embedding/output scales folded into the tensors,
+    ALiBi max bias recovered from the precomputed slopes tensor."""
+
+    gguf_arch = "jais"
+
+    def __init__(self, hf_config):
+        super().__init__(hf_config)
+        c = hf_config
+        self._emb_scale = float(c.get("mup_embeddings_scale",
+                                      c.get("embeddings_scale", 1.0)))
+        if "mup_output_alpha" in c:
+            self._width_scale = float(c["mup_output_alpha"]) * float(
+                c["mup_width_scale"])
+        else:
+            self._width_scale = float(c.get("width_scale", 1.0))
+        self._max_alibi_bias = 8.0
+
+    def transform_float(self, gguf_name, arr):
+        if gguf_name == "token_embd.weight":
+            return arr * self._emb_scale
+        if gguf_name == "output.weight":
+            return arr * self._width_scale
+        return arr
+
+    def special_tensors(self, hf_name, arr, get_artifact):
+        if hf_name.endswith("relative_pe.slopes"):
+            n_closest_log2 = 2 ** math.floor(math.log2(self.hf["n_head"]))
+            self._max_alibi_bias = float(
+                -round(math.log2(float(arr.reshape(-1)[0])) * n_closest_log2))
+            return []  # metadata only, tensor dropped
+        return None
+
+    def final_metadata(self):
+        return {f"{self.gguf_arch}.attention.max_alibi_bias":
+                self._max_alibi_bias}
+
+
+class DeciArch(ArchSpec):
+    """DeciLM / Nemotron-51B NAS models (reference DeciModel :2509-2683):
+    per-layer head/kv/FFN arrays from block_configs (0-entries mark linear
+    or dummy layers), per-layer GQA permute, own llama3 rope_freqs tensor."""
+
+    gguf_arch = "deci"
+    permute_qk = True
+
+    def _per_layer(self):
+        c = self.hf
+        if "block_configs" in c:
+            heads, kvs, ffs = [], [], []
+            for bc in c["block_configs"]:
+                g = bc["attention"]["n_heads_in_group"]
+                if g is None:
+                    kvs.append(0)
+                    heads.append(c["num_attention_heads"]
+                                 if bc["attention"].get("replace_with_linear")
+                                 else 0)
+                else:
+                    kvs.append(c["num_attention_heads"] // g)
+                    heads.append(c["num_attention_heads"])
+                mult = bc["ffn"]["ffn_mult"]
+                if mult is None:
+                    ffs.append(0)
+                else:
+                    size = int(2 * mult * c["hidden_size"] / 3)
+                    ffs.append(size if size % 256 == 0
+                               else size + 256 - size % 256)
+            return heads, kvs, ffs
+        if "num_key_value_heads_per_layer" in c:
+            n = len(c["num_key_value_heads_per_layer"])
+            return ([c["num_attention_heads"]] * n,
+                    list(c["num_key_value_heads_per_layer"]), None)
+        return None, None, None
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        heads, kvs, ffs = self._per_layer()
+        if heads is not None:
+            md[f"{a}.attention.head_count_kv"] = [int(x) for x in kvs]
+        if "block_configs" in c:
+            md[f"{a}.attention.head_count"] = [int(x) for x in heads]
+            md[f"{a}.feed_forward_length"] = [int(x) for x in ffs]
+            hd = c["hidden_size"] // c["num_attention_heads"]
+            md[f"{a}.attention.key_length"] = hd
+            md[f"{a}.attention.value_length"] = hd
+        return md
+
+    def row_permutation(self, hf_name, n_rows):
+        c = self.hf
+        n_head = c["num_attention_heads"]
+        heads, kvs, _ = self._per_layer()
+        if ".self_attn.q_proj." in hf_name or ".self_attn.k_proj." in hf_name:
+            i = int(hf_name.split(".")[2])
+            if ".q_proj." in hf_name:
+                n = heads[i] if heads is not None else n_head
+            else:
+                n = (kvs[i] if kvs is not None
+                     else c.get("num_key_value_heads", n_head))
+            if n == 0:
+                return None
+            return gqa_permute_rows(n_rows, n)
+        return None
+
+    def extra_tensors(self):
+        c = self.hf
+        rs = dict(c.get("rope_scaling") or {})
+        if (rs.get("rope_type", rs.get("type")) or "").lower() != "llama3":
+            return []
+        base = float(c.get("rope_theta", 10000.0))
+        dim = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        freqs = 1.0 / (base ** (np.arange(0, dim, 2, dtype=np.float32) / dim))
+        factor = rs.get("factor", 8.0)
+        lo_f = rs.get("low_freq_factor", 1.0)
+        hi_f = rs.get("high_freq_factor", 4.0)
+        old_ctx = c.get("original_max_position_embeddings", 8192)
+        lo_wl, hi_wl = old_ctx / lo_f, old_ctx / hi_f
+        out = []
+        for f in freqs:
+            wl = 2 * math.pi / float(f)
+            if wl < hi_wl:
+                out.append(1.0)
+            elif wl > lo_wl:
+                out.append(float(factor))
+            else:
+                smooth = (old_ctx / wl - lo_f) / (hi_f - lo_f)
+                out.append(1 / ((1 - smooth) / factor + smooth))
+        return [("rope_freqs.weight", np.asarray(out, dtype=np.float32))]
+
+
 class XverseArch(ArchSpec):
     """XVERSE (reference XverseModel :1712-1806): llama-style GQA permute,
     context length may come from max_sequence_length, pth data layout tag."""
@@ -2220,7 +2547,10 @@ _ARCH_REGISTRY.update(
      "bitnet": BitnetArch, "chameleon": ChameleonArch,
      "llama4": Llama4Arch, "llama4_text": Llama4Arch,
      "xverse": XverseArch, "orion": OrionArch, "internlm3": InternLM3Arch,
-     "minicpm3": MiniCPM3Arch, "openelm": OpenElmArch}
+     "minicpm3": MiniCPM3Arch, "openelm": OpenElmArch,
+     "qwen": QwenArch, "chatglm": ChatGlmArch, "codeshell": CodeShellArch,
+     "gpt_refact": RefactArch, "jais": JaisArch,
+     "deci": DeciArch, "nemotron-nas": DeciArch}
 )
 
 
@@ -2260,6 +2590,10 @@ PRE_TOKENIZER_BY_MODEL_TYPE = {
     "chameleon": "chameleon",
     "lfm2": "lfm2",
     "bitnet": "llama-bpe",
+    "gpt_refact": "refact",
+    "jais": "jais",
+    "deci": "llama-bpe",
+    "nemotron-nas": "llama-bpe",
 }
 
 _BYTE_PIECE = 6  # GGUF token types (== sentencepiece piece types)
@@ -2507,9 +2841,13 @@ def pack_model(
     for k, v in (extra_metadata or {}).items():
         writer.add_kv(k, v)
 
-    # llama3-rope models need the per-dim frequency-factor tensor
+    spec_extras = list(spec.extra_tensors())
+
+    # llama3-rope models need the per-dim frequency-factor tensor (unless
+    # the arch spec generates its own, e.g. deci's per-layer variant)
     rs = dict(hf_cfg.get("rope_scaling") or {})
-    if rs.get("rope_type", rs.get("type")) == "llama3":
+    if rs.get("rope_type", rs.get("type")) == "llama3" and not any(
+            n == "rope_freqs.weight" for n, _ in spec_extras):
         from ..models import llama as llama_mod
 
         cfg_ = llama_mod.LlamaConfig.from_hf_dict(hf_cfg)
@@ -2520,7 +2858,7 @@ def pack_model(
             "rope_freqs.weight", (base_inv / corrected).astype(np.float32)
         )
 
-    for ename, earr in spec.extra_tensors():
+    for ename, earr in spec_extras:
         writer.add_tensor(ename, earr)
 
     type_counts: Dict[GGMLQuantizationType, int] = {}
@@ -2664,6 +3002,8 @@ def pack_model(
         else:
             add_float("output.weight", "lm_head.weight", seen_embed)
 
+    for k, v in spec.final_metadata().items():
+        writer.add_kv(k, v)
     dominant = max(type_counts, key=type_counts.get) if type_counts else default_float
     writer.add_kv("general.file_type", FILE_TYPE_IDS.get(dominant, 1))
     writer.write()

@@ -557,6 +557,46 @@ def _mpt(name, arr, n_head, n_kv, head_dim):
     return [(name, arr)]
 
 
+def _jais(name: str, arr, n_head: int, n_kv: int, head_dim: int):
+    """JAIS (reference JaisModel :6929-6950): gpt2 Conv1D transposes plus
+    the swiglu second projection c_fc2 -> gate; the precomputed ALiBi
+    slopes tensor passes through for the arch spec to convert to metadata."""
+    if name.endswith(".attn.bias") or name.endswith(".attn.masked_bias"):
+        return []
+    if name.endswith("relative_pe.slopes"):
+        return [(name, arr)]
+    base = name[len("transformer."):] if name.startswith("transformer.") else name
+    fixed = {
+        "wte.weight": "model.embed_tokens.weight",
+        "ln_f.weight": "model.norm.weight",
+        "ln_f.bias": "model.norm.bias",
+        "lm_head.weight": "lm_head.weight",
+    }
+    if base in fixed:
+        return [(fixed[base], arr)]
+    if not base.startswith("h."):
+        return [(name, arr)]
+    parts = base.split(".")
+    i = parts[1]
+    rest = ".".join(parts[2:])
+    head, _, kind = rest.rpartition(".")
+    if kind == "weight" and head in ("attn.c_attn", "attn.c_proj",
+                                     "mlp.c_fc", "mlp.c_fc2", "mlp.c_proj"):
+        arr = np.ascontiguousarray(np.asarray(arr).T)
+    m = {
+        "ln_1": "input_layernorm",
+        "attn.c_attn": "self_attn.qkv_proj",
+        "attn.c_proj": "self_attn.o_proj",
+        "ln_2": "post_attention_layernorm",
+        "mlp.c_fc": "mlp.up_proj",
+        "mlp.c_fc2": "mlp.gate_proj",
+        "mlp.c_proj": "mlp.down_proj",
+    }
+    if head not in m:
+        return [(name, arr)]
+    return [(f"model.layers.{i}.{m[head]}.{kind}", arr)]
+
+
 def _llama4(name: str, arr, n_head: int, n_kv: int, head_dim: int):
     """Llama-4 (reference Llama4Model.modify_tensors :2451-2472): strip the
     multimodal wrapper prefix, drop vision tensors, rename feed_forward ->
@@ -634,6 +674,8 @@ _CANONICALIZERS = {
     "llama4": _llama4,
     "llama4_text": _llama4,
     "lfm2": _lfm2,
+    "jais": _jais,
+    "codeshell": _gpt_bigcode,
 }
 
 
