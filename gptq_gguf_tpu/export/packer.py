@@ -1862,6 +1862,131 @@ class DeepseekArch(MoEArchSpec):
         return md
 
 
+class ArcticArch(MoEArchSpec):
+    """Snowflake Arctic (reference ArcticModel :6130-6279): llama GQA
+    permute, mixtral-style w1/w3/w2 expert stacks, plus the parallel
+    residual MLP (residual_layernorm/residual_mlp -> dense ffn slots;
+    post_attention_layernorm becomes ffn_norm_exps)."""
+
+    gguf_arch = "arctic"
+    permute_qk = True
+    n_expert_key = "num_local_experts"
+    expert_prefix = "block_sparse_moe.experts."
+    expert_proj = {"w1": "ffn_gate_exps", "w3": "ffn_up_exps", "w2": "ffn_down_exps"}
+    moe_direct = {"block_sparse_moe.gate.weight": "ffn_gate_inp.weight"}
+
+    _residual = {
+        "residual_layernorm.weight": "ffn_norm.weight",
+        "residual_mlp.w1.weight": "ffn_gate.weight",
+        "residual_mlp.w2.weight": "ffn_down.weight",
+        "residual_mlp.w3.weight": "ffn_up.weight",
+        "post_attention_layernorm.weight": "ffn_norm_exps.weight",
+    }
+
+    def tensor_name(self, hf_name):
+        if hf_name.startswith("model.layers."):
+            parts = hf_name.split(".")
+            rest = ".".join(parts[3:])
+            if rest in self._residual:
+                return f"blk.{parts[2]}.{self._residual[rest]}"
+        return super().tensor_name(hf_name)
+
+
+class SmallThinkerArch(MoEArchSpec):
+    """SmallThinker (reference SmallThinkerModel :8519-8597): primary_router
+    gate, gate/up/down expert stacks, FF written from moe_ffn_hidden_size,
+    softmax-vs-sigmoid gating flag, sliding window from the layout list."""
+
+    gguf_arch = "smallthinker"
+    permute_qk = False
+    expert_prefix = "block_sparse_moe.experts."
+    expert_proj = {"gate": "ffn_gate_exps", "up": "ffn_up_exps",
+                   "down": "ffn_down_exps"}
+    moe_direct = {
+        "block_sparse_moe.primary_router.weight": "ffn_gate_inp.weight"}
+
+    @property
+    def n_expert(self):
+        c = self.hf
+        return int(c.get("num_experts", c.get("moe_num_primary_experts")))
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        md[f"{a}.expert_count"] = self.n_expert
+        md[f"{a}.expert_used_count"] = int(c.get(
+            "num_experts_per_tok", c.get("moe_num_active_primary_experts", 2)))
+        if c.get("moe_ffn_hidden_size") is not None:
+            md[f"{a}.expert_feed_forward_length"] = int(c["moe_ffn_hidden_size"])
+            md[f"{a}.feed_forward_length"] = int(c["moe_ffn_hidden_size"])
+        md[f"{a}.expert_gating_func"] = (
+            1 if c.get("moe_primary_router_apply_softmax") else 2)
+        layout = c.get("sliding_window_layout") or []
+        if any(layout) and c.get("sliding_window_size"):
+            md[f"{a}.attention.sliding_window"] = int(c["sliding_window_size"])
+        return md
+
+
+class BailingMoeArch(MoEArchSpec):
+    """Bailing/Ling MoE (reference BailingMoeModel :7735-7836): fused
+    query_key_value split + llama permute in the pre-pass, leading dense
+    blocks, norm_head output normalization folded at pack time."""
+
+    gguf_arch = "bailingmoe"
+    permute_qk = True
+    n_expert_key = "num_experts"
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        head_dim = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        md[f"{a}.rope.dimension_count"] = int(head_dim)
+        md[f"{a}.leading_dense_block_count"] = int(c.get("first_k_dense_replace", 0))
+        md[f"{a}.expert_feed_forward_length"] = int(c["moe_intermediate_size"])
+        md[f"{a}.expert_weights_scale"] = 1.0
+        md[f"{a}.expert_shared_count"] = int(c.get("num_shared_experts", 0))
+        md[f"{a}.expert_weights_norm"] = bool(c.get("norm_topk_prob", False))
+        return md
+
+    def transform_float(self, gguf_name, arr):
+        if gguf_name == "output.weight" and self.hf.get("norm_head"):
+            arr = arr.astype(np.float32)
+            return arr / (np.linalg.norm(arr, axis=0, keepdims=True) + 1e-7)
+        return arr
+
+
+class PlmArch(ArchSpec):
+    """PLM-1.8B (reference PLMModel :6587-6605): kv-lora MLA-lite — plain
+    q_proj with compressed kv (attn_kv_a_mqa/attn_kv_b kept whole)."""
+
+    gguf_arch = "plm"
+    permute_qk = False
+
+    _direct = {
+        "self_attn.kv_a_proj_with_mqa.weight": "attn_kv_a_mqa.weight",
+        "self_attn.kv_a_layernorm.weight": "attn_kv_a_norm.weight",
+        "self_attn.kv_b_proj.weight": "attn_kv_b.weight",
+    }
+
+    def tensor_name(self, hf_name):
+        if hf_name.startswith("model.layers."):
+            parts = hf_name.split(".")
+            rest = ".".join(parts[3:])
+            if rest in self._direct:
+                return f"blk.{parts[2]}.{self._direct[rest]}"
+        return hf_to_gguf_name(hf_name)
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        md[f"{a}.attention.kv_lora_rank"] = int(c["kv_lora_rank"])
+        md[f"{a}.attention.key_length"] = int(
+            c["qk_nope_head_dim"] + c["qk_rope_head_dim"])
+        md[f"{a}.attention.value_length"] = int(c["v_head_dim"])
+        md[f"{a}.rope.dimension_count"] = int(c["qk_rope_head_dim"])
+        return md
+
+
 class QwenArch(ArchSpec):
     """Qwen v1 (reference QwenModel :2957-2996): fused MHA c_attn kept as
     attn_qkv, swiglu w2/w1 = gate/up, rope base from rotary_emb_base, n_ff
@@ -2550,7 +2675,9 @@ _ARCH_REGISTRY.update(
      "minicpm3": MiniCPM3Arch, "openelm": OpenElmArch,
      "qwen": QwenArch, "chatglm": ChatGlmArch, "codeshell": CodeShellArch,
      "gpt_refact": RefactArch, "jais": JaisArch,
-     "deci": DeciArch, "nemotron-nas": DeciArch}
+     "deci": DeciArch, "nemotron-nas": DeciArch,
+     "arctic": ArcticArch, "smallthinker": SmallThinkerArch,
+     "bailing_moe": BailingMoeArch, "plm": PlmArch}
 )
 
 

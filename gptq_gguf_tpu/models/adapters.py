@@ -557,6 +557,36 @@ def _mpt(name, arr, n_head, n_kv, head_dim):
     return [(name, arr)]
 
 
+def _bailing_moe(name: str, arr, n_head: int, n_kv: int, head_dim: int):
+    """Bailing/Ling MoE (reference BailingMoeModel :7775-7795): split the
+    fused query_key_value, rename attention.dense -> o_proj and the plural
+    shared_experts -> canonical singular; word_embeddings -> embed_tokens."""
+    fixed = {
+        "model.word_embeddings.weight": "model.embed_tokens.weight",
+        "model.norm.weight": "model.norm.weight",
+        "lm_head.weight": "lm_head.weight",
+    }
+    if name in fixed:
+        return [(fixed[name], arr)]
+    if not name.startswith("model.layers."):
+        return [(name, arr)]
+    parts = name.split(".")
+    i = parts[2]
+    rest = ".".join(parts[3:])
+    if rest == "attention.query_key_value.weight":
+        q_rows = n_head * head_dim
+        kv_rows = n_kv * head_dim
+        base = f"model.layers.{i}.self_attn"
+        return [(f"{base}.q_proj.weight", arr[:q_rows]),
+                (f"{base}.k_proj.weight", arr[q_rows:q_rows + kv_rows]),
+                (f"{base}.v_proj.weight", arr[q_rows + kv_rows:])]
+    if rest == "attention.dense.weight":
+        return [(f"model.layers.{i}.self_attn.o_proj.weight", arr)]
+    if ".shared_experts." in rest:
+        return [(f"model.layers.{i}.{rest.replace('.shared_experts.', '.shared_expert.')}", arr)]
+    return [(name, arr)]
+
+
 def _jais(name: str, arr, n_head: int, n_kv: int, head_dim: int):
     """JAIS (reference JaisModel :6929-6950): gpt2 Conv1D transposes plus
     the swiglu second projection c_fc2 -> gate; the precomputed ALiBi
@@ -676,6 +706,7 @@ _CANONICALIZERS = {
     "lfm2": _lfm2,
     "jais": _jais,
     "codeshell": _gpt_bigcode,
+    "bailing_moe": _bailing_moe,
 }
 
 
