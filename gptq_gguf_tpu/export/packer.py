@@ -1862,6 +1862,191 @@ class DeepseekArch(MoEArchSpec):
         return md
 
 
+class BertArch(ArchSpec):
+    """BERT-family embedding/classifier encoders (reference BertModel
+    :4518-4594): non-causal attention flag, token-type embeddings, pooling
+    type from the sentence-transformers config, classifier head mapping;
+    vocab handled by the WordPiece branch of tokenizer_metadata."""
+
+    gguf_arch = "bert"
+    permute_qk = False
+    model_dir: Optional[Path] = None  # set by pack_model for pooling lookup
+
+    _fixed = {
+        "embeddings.word_embeddings.weight": "token_embd.weight",
+        "embeddings.token_type_embeddings.weight": "token_types.weight",
+        "embeddings.position_embeddings.weight": "position_embd.weight",
+        "embeddings.LayerNorm.weight": "token_embd_norm.weight",
+        "embeddings.LayerNorm.bias": "token_embd_norm.bias",
+        "classifier.dense.weight": "cls.weight",
+        "classifier.dense.bias": "cls.bias",
+        "classifier.out_proj.weight": "cls.output.weight",
+        "classifier.out_proj.bias": "cls.output.bias",
+    }
+    _layer = {
+        "attention.self.query": "attn_q",
+        "attention.self.key": "attn_k",
+        "attention.self.value": "attn_v",
+        "attention.output.dense": "attn_output",
+        "attention.output.LayerNorm": "attn_output_norm",
+        "intermediate.dense": "ffn_up",
+        "output.dense": "ffn_down",
+        "output.LayerNorm": "layer_output_norm",
+    }
+    _strip_prefixes = ("bert.", "roberta.", "camembert.")
+    _layer_prefix = "encoder.layer."
+
+    def _labels(self) -> Optional[List[str]]:
+        labels = self.hf.get("id2label")
+        if not labels:
+            return None
+        items = sorted(labels.items(), key=lambda kv: int(kv[0]))
+        vals = [v for _, v in items]
+        if vals == ["LABEL_0", "LABEL_1"]:
+            return None  # AutoConfig dummy labels
+        return vals
+
+    def tensor_name(self, hf_name):
+        name = hf_name
+        for p in self._strip_prefixes:
+            if name.startswith(p):
+                name = name[len(p):]
+        if name.endswith(".gamma"):
+            name = name[:-6] + ".weight"
+        elif name.endswith(".beta"):
+            name = name[:-5] + ".bias"
+        if (name == "embeddings.position_ids" or name.startswith("pooler.")
+                or name.startswith("cls.predictions")
+                or name.startswith("cls.seq_relationship")):
+            return None
+        if self._labels() and name in ("classifier.weight", "classifier.bias"):
+            name = name.replace("classifier.", "classifier.out_proj.")
+        if name in self._fixed:
+            return self._fixed[name]
+        if name.startswith(self._layer_prefix):
+            parts = name[len(self._layer_prefix):].split(".")
+            i = parts[0]
+            head, kind = ".".join(parts[1:-1]), parts[-1]
+            if head in self._layer:
+                return f"blk.{i}.{self._layer[head]}.{kind}"
+        return None
+
+    def _pooling_type(self) -> Optional[int]:
+        """sentence-transformers pooling config -> llama.cpp PoolingType."""
+        if self.model_dir is None:
+            return None
+        pool_dir = None
+        modules = Path(self.model_dir) / "modules.json"
+        if modules.exists():
+            try:
+                for mod in json.load(open(modules)):
+                    if mod.get("type", "").endswith("Pooling"):
+                        pool_dir = mod["path"]
+                        break
+            except Exception:
+                return None
+        if pool_dir is None:
+            pool_dir = "1_Pooling"
+        cfg_path = Path(self.model_dir) / pool_dir / "config.json"
+        if not cfg_path.exists():
+            return None
+        pc = json.load(open(cfg_path))
+        if pc.get("pooling_mode_cls_token"):
+            return 2  # CLS
+        if pc.get("pooling_mode_mean_tokens"):
+            return 1  # MEAN
+        if pc.get("pooling_mode_lasttoken"):
+            return 3  # LAST
+        return 0
+
+    def metadata(self):
+        md = super().metadata()
+        a = self.gguf_arch
+        md[f"{a}.attention.causal"] = False
+        md[f"{a}.attention.layer_norm_epsilon"] = float(
+            self.hf.get("layer_norm_eps", 1e-12))
+        md["tokenizer.ggml.token_type_count"] = int(
+            self.hf.get("type_vocab_size") or 1)
+        labels = self._labels()
+        if labels:
+            md[f"{a}.classifier.output_labels"] = labels
+        return md
+
+    def final_metadata(self):
+        pt = self._pooling_type()
+        if pt is None:
+            return {}
+        return {f"{self.gguf_arch}.pooling_type": pt}
+
+
+class RobertaArch(BertArch):
+    """RoBERTa / XLM-R (reference RobertaModel :4758, XLMRobertaModel
+    :4911): position embeddings start at pad_token_id+1, so the matrix is
+    chopped and the context shortened by the same offset."""
+
+    @property
+    def _offset(self) -> int:
+        pad = self.hf.get("pad_token_id")
+        return 1 + pad if pad is not None else 0
+
+    def metadata(self):
+        md = super().metadata()
+        if self._offset:
+            md[f"{self.gguf_arch}.context_length"] = int(
+                self.hf["max_position_embeddings"]) - self._offset
+        return md
+
+    def special_tensors(self, hf_name, arr, get_artifact):
+        name = hf_name
+        for p in self._strip_prefixes:
+            if name.startswith(p):
+                name = name[len(p):]
+        if name == "embeddings.position_embeddings.weight" and self._offset:
+            return [("float", "position_embd.weight",
+                     arr[self._offset:].astype(np.float32))]
+        return None
+
+
+class DistilBertArch(BertArch):
+    """DistilBERT (reference DistilBertModel :4738): flat layer naming
+    (q_lin/out_lin/ffn.lin1...), hardcoded 1e-12 eps, MLM head dropped."""
+
+    _strip_prefixes = ("distilbert.",)
+    _layer_prefix = "transformer.layer."
+    _layer = {
+        "attention.q_lin": "attn_q",
+        "attention.k_lin": "attn_k",
+        "attention.v_lin": "attn_v",
+        "attention.out_lin": "attn_output",
+        "sa_layer_norm": "attn_output_norm",
+        "ffn.lin1": "ffn_up",
+        "ffn.lin2": "ffn_down",
+        "output_layer_norm": "layer_output_norm",
+    }
+
+    def __init__(self, hf_config):
+        c = dict(hf_config)  # alias distilbert's dim/n_heads/... keys
+        if "dim" in c:
+            c.setdefault("hidden_size", c["dim"])
+            c.setdefault("num_attention_heads", c["n_heads"])
+            c.setdefault("num_hidden_layers", c["n_layers"])
+            c.setdefault("intermediate_size", c["hidden_dim"])
+        super().__init__(c)
+
+    def tensor_name(self, hf_name):
+        name = hf_name
+        if name.startswith("distilbert."):
+            name = name[len("distilbert."):]
+        if name.startswith("vocab_"):  # MLM head
+            return None
+        return super().tensor_name(name)
+
+    def metadata(self):
+        md = super().metadata()
+        md[f"{self.gguf_arch}.attention.layer_norm_epsilon"] = 1e-12
+        return md
+
+
 class ArcticArch(MoEArchSpec):
     """Snowflake Arctic (reference ArcticModel :6130-6279): llama GQA
     permute, mixtral-style w1/w3/w2 expert stacks, plus the parallel
@@ -2677,7 +2862,9 @@ _ARCH_REGISTRY.update(
      "gpt_refact": RefactArch, "jais": JaisArch,
      "deci": DeciArch, "nemotron-nas": DeciArch,
      "arctic": ArcticArch, "smallthinker": SmallThinkerArch,
-     "bailing_moe": BailingMoeArch, "plm": PlmArch}
+     "bailing_moe": BailingMoeArch, "plm": PlmArch,
+     "bert": BertArch, "camembert": BertArch, "roberta": RobertaArch,
+     "xlm-roberta": RobertaArch, "distilbert": DistilBertArch}
 )
 
 
@@ -2782,7 +2969,44 @@ def _bpe_tokenizer_metadata(tok: Dict[str, Any], model_type: str) -> Dict[str, A
     }
 
 
-def _unigram_tokenizer_metadata(tok: Dict[str, Any]) -> Dict[str, Any]:
+def _wordpiece_tokenizer_metadata(tok: Dict[str, Any]) -> Dict[str, Any]:
+    """WordPiece (BERT) fast tokenizer -> GGUF 'bert' vocab with the
+    phantom-space convention (reference BertModel.set_vocab :4546-4556:
+    '##x' -> 'x', plain words get a U+2581 prefix, [SPECIAL] kept)."""
+    model = tok["model"]
+    vocab: Dict[str, int] = model["vocab"]
+    size = max(vocab.values()) + 1
+    tokens = [f"[PAD{i}]" for i in range(size)]
+    toktypes = [_UNUSED] * size
+    for t, i in vocab.items():
+        tokens[i] = t
+        toktypes[i] = _NORMAL
+    for t in tok.get("added_tokens", []):
+        i = t["id"]
+        if i >= size:
+            tokens.extend([f"[PAD{j}]" for j in range(size, i + 1)])
+            toktypes.extend([_UNUSED] * (i + 1 - size))
+            size = i + 1
+        tokens[i] = t["content"]
+        toktypes[i] = _CONTROL if t.get("special") else _USER_DEFINED
+
+    def phantom(t: str) -> str:
+        if t.startswith("[") and t.endswith("]"):
+            return t
+        if t.startswith("##"):
+            return t[2:]
+        return "▁" + t
+
+    return {
+        "tokenizer.ggml.model": "bert",
+        "tokenizer.ggml.pre": "default",
+        "tokenizer.ggml.tokens": [phantom(t) for t in tokens],
+        "tokenizer.ggml.token_type": toktypes,
+    }
+
+
+def _unigram_tokenizer_metadata(tok: Dict[str, Any],
+                                ggml_model: str = "llama") -> Dict[str, Any]:
     """Fast-tokenizer Unigram model (SPM re-export): [piece, score] pairs."""
     model = tok["model"]
     entries = model["vocab"]
@@ -2807,12 +3031,18 @@ def _unigram_tokenizer_metadata(tok: Dict[str, Any]) -> Dict[str, Any]:
         scores[i] = -1000.0
         toktypes[i] = _CONTROL if t.get("special") else _USER_DEFINED
     return {
-        "tokenizer.ggml.model": "llama",
+        "tokenizer.ggml.model": ggml_model,
         "tokenizer.ggml.pre": "default",
         "tokenizer.ggml.tokens": tokens,
         "tokenizer.ggml.scores": scores,
         "tokenizer.ggml.token_type": toktypes,
     }
+
+
+# archs whose Unigram vocab llama.cpp loads with the UGM ("t5") tokenizer
+# (reference _xlmroberta_set_vocab / T5Model.set_vocab write "t5")
+_UGM_MODEL_TYPES = {"roberta", "xlm-roberta", "camembert", "nomic_bert",
+                    "t5", "mt5", "umt5"}
 
 
 def _spm_tokenizer_metadata(model_dir: Path) -> Dict[str, Any]:
@@ -2882,7 +3112,10 @@ def tokenizer_metadata(model_dir: Path, model_type: str = "llama") -> Dict[str, 
         if mtype == "BPE":
             md = _bpe_tokenizer_metadata(tok, model_type)
         elif mtype == "Unigram":
-            md = _unigram_tokenizer_metadata(tok)
+            md = _unigram_tokenizer_metadata(
+                tok, "t5" if model_type in _UGM_MODEL_TYPES else "llama")
+        elif mtype == "WordPiece":
+            md = _wordpiece_tokenizer_metadata(tok)
         else:
             raise NotImplementedError(
                 f"tokenizer.json model type {mtype!r} cannot be packed into GGUF"
@@ -2957,6 +3190,7 @@ def pack_model(
     if spec_cls is None:
         raise NotImplementedError(f"unsupported model_type {model_type!r}")
     spec = spec_cls(hf_cfg)
+    spec.model_dir = model_dir  # pooling/tokenizer sidecar lookups (bert)
 
     quant_layers = artifacts.list_layers(quant_dir)
 

@@ -738,7 +738,8 @@ def iter_canonical_tensors(tensors, hf_cfg: Dict[str, Any]) -> Iterator[Tuple[st
     hidden = hf_cfg.get("hidden_size", hf_cfg.get("n_embd", hf_cfg.get(
         "n_embed", hf_cfg.get("d_model"))))
     head_dim = hf_cfg.get("head_dim") or (
-        hidden // n_head if n_head else 0  # attention-free archs (mamba)
+        # attention-free archs (mamba) / alias-keyed ones (distilbert "dim")
+        hidden // n_head if (n_head and hidden) else 0
     )
     for name, arr in tensors:
         yield from canonicalize(mt, name, arr, n_head=n_head, n_kv=n_kv,

@@ -1,0 +1,171 @@
+"""BERT-family encoder pack support: bert / roberta / xlm-roberta /
+distilbert (reference converter entries: BertModel :4517, RobertaModel
+:4758, XLMRobertaModel :4911, DistilBertModel :4738)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import torch
+
+from gptq_gguf_tpu.export import packer
+from gptq_gguf_tpu.formats.gguf import GGUFReader
+
+RNG = np.random.default_rng(48)
+
+
+def _wordpiece_tokenizer(path: Path, vocab):
+    json.dump({
+        "model": {"type": "WordPiece",
+                  "vocab": {t: i for i, t in enumerate(vocab)}},
+        "added_tokens": [
+            {"id": 0, "content": "[PAD]", "special": True},
+            {"id": 1, "content": "[CLS]", "special": True},
+        ],
+    }, open(path / "tokenizer.json", "w"))
+
+
+def _pack(tmp_path, d, name):
+    out = tmp_path / f"{name}.gguf"
+    packer.pack_model(d, tmp_path / "none", out)
+    return GGUFReader(out)
+
+
+def _make(tmp_path, cfg, cls, sub):
+    m = cls(cfg).eval().float()
+    d = tmp_path / sub
+    m.save_pretrained(d, safe_serialization=True)
+    return d, m
+
+
+def test_bert_pack(tmp_path):
+    """BertModel: non-causal flag, token types, pooling from the
+    sentence-transformers sidecar, WordPiece phantom-space vocab."""
+    from transformers import BertConfig, BertModel
+
+    cfg = BertConfig(vocab_size=32, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=4, intermediate_size=48,
+                     max_position_embeddings=64, type_vocab_size=2,
+                     layer_norm_eps=1e-12)
+    torch.manual_seed(5)
+    d, m = _make(tmp_path, cfg, BertModel, "bert")
+    vocab = ["[PAD]", "[CLS]", "[SEP]", "the", "##ing"] + [
+        f"w{i}" for i in range(27)]
+    _wordpiece_tokenizer(d, vocab)
+    (d / "1_Pooling").mkdir()
+    json.dump({"pooling_mode_mean_tokens": True, "pooling_mode_cls_token": False},
+              open(d / "1_Pooling" / "config.json", "w"))
+    r = _pack(tmp_path, d, "bert")
+    assert r.get("general.architecture") == "bert"
+    assert r.get("bert.attention.causal") is False
+    assert r.get("bert.pooling_type") == 1  # MEAN
+    assert r.get("tokenizer.ggml.token_type_count") == 2
+    assert r.get("tokenizer.ggml.model") == "bert"
+    toks = r.get("tokenizer.ggml.tokens")
+    assert toks[0] == "[PAD]" and toks[3] == "▁the" and toks[4] == "ing"
+    sd = m.state_dict()
+    for name in ("token_embd.weight", "token_types.weight",
+                 "position_embd.weight", "token_embd_norm.weight",
+                 "blk.0.attn_q.weight", "blk.0.attn_q.bias",
+                 "blk.1.attn_output_norm.weight", "blk.1.layer_output_norm.bias",
+                 "blk.0.ffn_up.weight", "blk.0.ffn_down.weight"):
+        assert name in r.tensors, name
+    # pooler dropped
+    assert not any("pooler" in n for n in r.tensors)
+    np.testing.assert_allclose(
+        r.tensor_float("blk.0.ffn_up.weight"),
+        sd["encoder.layer.0.intermediate.dense.weight"].numpy()
+        .astype(np.float16).astype(np.float32), rtol=1e-3, atol=1e-4)
+
+
+def test_bert_classifier_pack(tmp_path):
+    """BertForSequenceClassification: bert.-prefixed weights, classifier ->
+    cls.output, label list in metadata."""
+    from transformers import BertConfig, BertForSequenceClassification
+
+    cfg = BertConfig(vocab_size=32, hidden_size=32, num_hidden_layers=1,
+                     num_attention_heads=4, intermediate_size=48,
+                     max_position_embeddings=64,
+                     id2label={0: "NEG", 1: "POS"},
+                     label2id={"NEG": 0, "POS": 1})
+    torch.manual_seed(6)
+    d, m = _make(tmp_path, cfg, BertForSequenceClassification, "bertcls")
+    _wordpiece_tokenizer(d, [f"w{i}" for i in range(32)])
+    r = _pack(tmp_path, d, "bertcls")
+    assert r.get("bert.classifier.output_labels") == ["NEG", "POS"]
+    assert "cls.output.weight" in r.tensors
+    assert "cls.output.bias" in r.tensors
+    assert "token_embd.weight" in r.tensors  # bert. prefix stripped
+
+
+def test_roberta_pack(tmp_path):
+    """RobertaModel: BPE vocab, position matrix chopped by pad_token_id+1,
+    context shortened by the same offset."""
+    from transformers import RobertaConfig, RobertaModel
+
+    cfg = RobertaConfig(vocab_size=32, hidden_size=32, num_hidden_layers=1,
+                        num_attention_heads=4, intermediate_size=48,
+                        max_position_embeddings=66, pad_token_id=1,
+                        type_vocab_size=1)
+    torch.manual_seed(7)
+    d, m = _make(tmp_path, cfg, RobertaModel, "roberta")
+    json.dump({"model": {"type": "BPE",
+                         "vocab": {f"<t{i}>": i for i in range(32)},
+                         "merges": []},
+               "added_tokens": []}, open(d / "tokenizer.json", "w"))
+    r = _pack(tmp_path, d, "roberta")
+    assert r.get("general.architecture") == "bert"
+    assert r.get("bert.context_length") == 64  # 66 - (1 + pad 1)
+    pos = r.tensor_float("position_embd.weight")
+    assert pos.shape == (64, 32)
+    sd = m.state_dict()
+    np.testing.assert_allclose(
+        pos, sd["embeddings.position_embeddings.weight"].numpy()[2:]
+        .astype(np.float32), rtol=1e-6, atol=0)
+    assert r.get("tokenizer.ggml.model") == "gpt2"
+    assert r.get("tokenizer.ggml.token_type_count") == 1
+
+
+def test_xlm_roberta_pack(tmp_path):
+    """XLMRobertaModel: Unigram fast-tokenizer vocab + the roberta offset."""
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+
+    cfg = XLMRobertaConfig(vocab_size=32, hidden_size=32, num_hidden_layers=1,
+                           num_attention_heads=4, intermediate_size=48,
+                           max_position_embeddings=34, pad_token_id=1)
+    torch.manual_seed(8)
+    d, m = _make(tmp_path, cfg, XLMRobertaModel, "xlmr")
+    json.dump({"model": {"type": "Unigram",
+                         "vocab": [[f"<t{i}>", -float(i)] for i in range(32)],
+                         "unk_id": 0},
+               "added_tokens": []}, open(d / "tokenizer.json", "w"))
+    r = _pack(tmp_path, d, "xlmr")
+    assert r.get("general.architecture") == "bert"
+    assert r.get("bert.context_length") == 32
+    assert r.get("tokenizer.ggml.model") == "t5"  # unigram branch
+
+
+def test_distilbert_pack(tmp_path):
+    """DistilBertModel: flat q_lin/out_lin naming, dim/n_heads aliases,
+    hardcoded 1e-12 eps, no token types."""
+    from transformers import DistilBertConfig, DistilBertModel
+
+    cfg = DistilBertConfig(vocab_size=32, dim=32, n_layers=2, n_heads=4,
+                           hidden_dim=48, max_position_embeddings=64)
+    torch.manual_seed(9)
+    d, m = _make(tmp_path, cfg, DistilBertModel, "distil")
+    _wordpiece_tokenizer(d, [f"w{i}" for i in range(32)])
+    r = _pack(tmp_path, d, "distil")
+    assert r.get("general.architecture") == "bert"
+    assert r.get("bert.embedding_length") == 32
+    assert r.get("bert.block_count") == 2
+    assert r.get("bert.feed_forward_length") == 48
+    assert abs(r.get("bert.attention.layer_norm_epsilon") - 1e-12) < 1e-18
+    sd = m.state_dict()
+    for name in ("blk.0.attn_q.weight", "blk.1.attn_output_norm.weight",
+                 "blk.0.ffn_up.weight", "blk.0.layer_output_norm.weight"):
+        assert name in r.tensors, name
+    np.testing.assert_allclose(
+        r.tensor_float("blk.0.attn_output.weight"),
+        sd["transformer.layer.0.attention.out_lin.weight"].numpy()
+        .astype(np.float16).astype(np.float32), rtol=1e-3, atol=1e-4)

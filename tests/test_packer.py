@@ -224,7 +224,7 @@ def test_bpe_pre_tokenizer_tag(tmp_path):
 
 def test_unsupported_tokenizer_raises(tmp_path):
     with open(tmp_path / "tokenizer.json", "w") as f:
-        json.dump({"model": {"type": "WordPiece", "vocab": {}}}, f)
+        json.dump({"model": {"type": "WordLevel", "vocab": {}}}, f)
     with pytest.raises(NotImplementedError):
         packer.tokenizer_metadata(tmp_path, "llama")
 
