@@ -1862,6 +1862,96 @@ class DeepseekArch(MoEArchSpec):
         return md
 
 
+class T5Arch(ArchSpec):
+    """T5 / mT5 / UMT5 encoder-decoder (reference T5Model :6612-6746,
+    T5EncoderModel :6750): enc./dec. tensor prefixes, relative attention
+    buckets, shared embeddings deduped to token_embd, both LN-eps keys
+    written from layer_norm_epsilon as upstream does. A checkpoint whose
+    architectures say T5EncoderModel packs as arch 't5encoder'."""
+
+    permute_qk = False
+
+    def __init__(self, hf_config):
+        super().__init__(hf_config)
+        archs = hf_config.get("architectures") or []
+        self.gguf_arch = ("t5encoder" if archs == ["T5EncoderModel"]
+                          else "t5")
+        self._shared_seen = False
+
+    _attn = {"q": "attn_q", "k": "attn_k", "v": "attn_v", "o": "attn_output",
+             "relative_attention_bias": "attn_rel_b"}
+    _cross = {"q": "cross_attn_q", "k": "cross_attn_k", "v": "cross_attn_v",
+              "o": "cross_attn_o", "relative_attention_bias": "cross_attn_rel_b"}
+    _ffn = {"wi": "ffn_up", "wi_0": "ffn_gate", "wi_1": "ffn_up",
+            "wo": "ffn_down"}
+
+    def tensor_name(self, hf_name):
+        name = hf_name
+        if name in ("shared.weight", "encoder.embed_tokens.weight",
+                    "decoder.embed_tokens.weight"):
+            if self._shared_seen:
+                return None  # duplicated shared embeddings (reference :6738)
+            self._shared_seen = True
+            return "token_embd.weight"
+        if name == "lm_head.weight":
+            return "output.weight"
+        if name == "encoder.final_layer_norm.weight":
+            return "enc.output_norm.weight"
+        if name == "decoder.final_layer_norm.weight":
+            return "dec.output_norm.weight"
+        for side, pre in (("encoder", "enc"), ("decoder", "dec")):
+            if not name.startswith(f"{side}.block."):
+                continue
+            parts = name.split(".")
+            i, li = parts[2], int(parts[4])
+            rest = parts[5:]
+            mod = rest[0] if rest else ""
+            if mod == "layer_norm":
+                if side == "encoder":
+                    norm = "attn_norm" if li == 0 else "ffn_norm"
+                else:
+                    norm = ("attn_norm", "cross_attn_norm", "ffn_norm")[li]
+                return f"{pre}.blk.{i}.{norm}.weight"
+            if mod == "SelfAttention" and len(rest) == 3:
+                sub = self._attn.get(rest[1])
+                if sub:
+                    return f"{pre}.blk.{i}.{sub}.weight"
+            if mod == "EncDecAttention" and len(rest) == 3:
+                sub = self._cross.get(rest[1])
+                if sub:
+                    return f"{pre}.blk.{i}.{sub}.weight"
+            if mod == "DenseReluDense" and len(rest) == 3:
+                sub = self._ffn.get(rest[1])
+                if sub:
+                    return f"{pre}.blk.{i}.{sub}.weight"
+        return None
+
+    def metadata(self):
+        c = self.hf
+        a = self.gguf_arch
+        eps = float(c.get("layer_norm_epsilon", 1e-6))
+        md = {
+            "general.architecture": a,
+            "general.name": c.get("_name_or_path", "model"),
+            "general.quantization_version": 2,
+            f"{a}.context_length": int(c.get("n_positions", 512)),
+            f"{a}.embedding_length": int(c["d_model"]),
+            f"{a}.feed_forward_length": int(c["d_ff"]),
+            f"{a}.block_count": int(c["num_layers"]),
+            f"{a}.attention.head_count": int(c["num_heads"]),
+            f"{a}.attention.key_length": int(c["d_kv"]),
+            f"{a}.attention.value_length": int(c["d_kv"]),
+            f"{a}.attention.layer_norm_epsilon": eps,
+            f"{a}.attention.layer_norm_rms_epsilon": eps,
+            f"{a}.attention.relative_buckets_count": int(
+                c.get("relative_attention_num_buckets", 32)),
+            f"{a}.vocab_size": int(c["vocab_size"]),
+        }
+        if a == "t5" and c.get("decoder_start_token_id") is not None:
+            md[f"{a}.decoder_start_token_id"] = int(c["decoder_start_token_id"])
+        return md
+
+
 class BertArch(ArchSpec):
     """BERT-family embedding/classifier encoders (reference BertModel
     :4518-4594): non-causal attention flag, token-type embeddings, pooling
@@ -2864,7 +2954,8 @@ _ARCH_REGISTRY.update(
      "arctic": ArcticArch, "smallthinker": SmallThinkerArch,
      "bailing_moe": BailingMoeArch, "plm": PlmArch,
      "bert": BertArch, "camembert": BertArch, "roberta": RobertaArch,
-     "xlm-roberta": RobertaArch, "distilbert": DistilBertArch}
+     "xlm-roberta": RobertaArch, "distilbert": DistilBertArch,
+     "t5": T5Arch, "mt5": T5Arch, "umt5": T5Arch}
 )
 
 
