@@ -1862,6 +1862,170 @@ class DeepseekArch(MoEArchSpec):
         return md
 
 
+class DreamArch(ArchSpec):
+    """Dream 7B diffusion LM (reference DreamModel :3031-3095): qwen2-style
+    weights with non-causal attention and a mask token id."""
+
+    gguf_arch = "dream"
+    permute_qk = False
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        md[f"{a}.attention.causal"] = False
+        if c.get("mask_token_id") is not None:
+            md["tokenizer.ggml.mask_token_id"] = int(c["mask_token_id"])
+        return md
+
+
+class LladaArch(ArchSpec):
+    """LLaDA diffusion LM (reference LLaDAModel :3101-3200): OLMo-style
+    config keys (d_model/n_heads/mlp_hidden_size), transformer.blocks
+    naming, llama permute, non-causal attention, unshifted logits."""
+
+    gguf_arch = "llada"
+    permute_qk = True
+
+    def __init__(self, hf_config):
+        c = dict(hf_config)
+        c.setdefault("hidden_size", c.get("d_model"))
+        c.setdefault("num_attention_heads", c.get("n_heads"))
+        if c.get("n_kv_heads") is not None:
+            c.setdefault("num_key_value_heads", c["n_kv_heads"])
+        c.setdefault("intermediate_size", c.get("mlp_hidden_size"))
+        c.setdefault("num_hidden_layers", c.get("n_layers"))
+        c.setdefault("max_position_embeddings",
+                     c.get("max_sequence_length", 4096))
+        super().__init__(c)
+
+    _layer = {
+        "q_proj.weight": "attn_q.weight",
+        "k_proj.weight": "attn_k.weight",
+        "v_proj.weight": "attn_v.weight",
+        "attn_out.weight": "attn_output.weight",
+        "attn_norm.weight": "attn_norm.weight",
+        "ff_proj.weight": "ffn_gate.weight",
+        "up_proj.weight": "ffn_up.weight",
+        "ff_out.weight": "ffn_down.weight",
+        "ff_norm.weight": "ffn_norm.weight",
+    }
+
+    def tensor_name(self, hf_name):
+        fixed = {"model.transformer.wte.weight": "token_embd.weight",
+                 "model.transformer.ln_f.weight": "output_norm.weight",
+                 "model.transformer.ff_out.weight": "output.weight",
+                 "lm_head.weight": "output.weight"}
+        if hf_name in fixed:
+            return fixed[hf_name]
+        if hf_name.startswith("model.transformer.blocks."):
+            parts = hf_name.split(".")
+            rest = ".".join(parts[4:])
+            if rest in self._layer:
+                return f"blk.{parts[3]}.{self._layer[rest]}"
+        return None
+
+    def row_permutation(self, hf_name, n_rows):
+        c = self.hf
+        n_head = c["num_attention_heads"]
+        n_kv = c.get("num_key_value_heads", n_head)
+        if ".q_proj." in hf_name:
+            return gqa_permute_rows(n_rows, n_head)
+        if ".k_proj." in hf_name:
+            return gqa_permute_rows(n_rows, n_kv)
+        return None
+
+    def metadata(self):
+        md = super().metadata()
+        a = self.gguf_arch
+        md[f"{a}.attention.causal"] = False
+        md[f"{a}.diffusion.shift_logits"] = False
+        return md
+
+
+class NemotronHArch(GraniteHybridArch):
+    """Nemotron-H hybrid mamba2/attention/MLP (reference NemotronHModel
+    :7686-7732): backbone/mixer naming, layer roles from the
+    hybrid_override_pattern string (M=mamba, *=attention, -=MLP),
+    per-layer FF array zeroed on non-MLP layers, relu2 MLP without gate."""
+
+    gguf_arch = "nemotron_h"
+    permute_qk = True
+
+    _mixer_ssm = {
+        "mixer.in_proj.weight": "ssm_in.weight",
+        "mixer.conv1d.weight": "ssm_conv1d.weight",
+        "mixer.conv1d.bias": "ssm_conv1d.bias",
+        "mixer.dt_bias": "ssm_dt.bias",
+        "mixer.A_log": "ssm_a",
+        "mixer.D": "ssm_d",
+        "mixer.norm.weight": "ssm_norm.weight",
+        "mixer.out_proj.weight": "ssm_out.weight",
+        "mixer.q_proj.weight": "attn_q.weight",
+        "mixer.k_proj.weight": "attn_k.weight",
+        "mixer.v_proj.weight": "attn_v.weight",
+        "mixer.o_proj.weight": "attn_output.weight",
+        "mixer.up_proj.weight": "ffn_up.weight",
+        "mixer.down_proj.weight": "ffn_down.weight",
+        "norm.weight": "attn_norm.weight",
+    }
+
+    @property
+    def _d_inner(self):
+        c = self.hf
+        if c.get("mamba_num_heads") and c.get("mamba_head_dim"):
+            return int(c["mamba_num_heads"] * c["mamba_head_dim"])
+        return int(c.get("mamba_expand", 2) * c["hidden_size"])
+
+    def _pattern(self) -> str:
+        return self.hf["hybrid_override_pattern"]
+
+    def _attn_layers(self):
+        return [i for i, v in enumerate(self._pattern()) if v == "*"]
+
+    def tensor_name(self, hf_name):
+        fixed = {"backbone.embeddings.weight": "token_embd.weight",
+                 "backbone.norm_f.weight": "output_norm.weight",
+                 "lm_head.weight": "output.weight"}
+        if hf_name in fixed:
+            return fixed[hf_name]
+        if hf_name.startswith("backbone.layers."):
+            parts = hf_name.split(".")
+            rest = ".".join(parts[3:])
+            if rest in self._mixer_ssm:
+                return f"blk.{parts[2]}.{self._mixer_ssm[rest]}"
+        return None
+
+    def row_permutation(self, hf_name, n_rows):
+        c = self.hf
+        if ".mixer.q_proj." in hf_name:
+            return gqa_permute_rows(n_rows, c["num_attention_heads"])
+        if ".mixer.k_proj." in hf_name:
+            return gqa_permute_rows(
+                n_rows, c.get("num_key_value_heads", c["num_attention_heads"]))
+        return None
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        head_dim = c.get("head_dim", c.get("attention_head_dim")) or (
+            c["hidden_size"] // c["num_attention_heads"])
+        md[f"{a}.attention.key_length"] = int(head_dim)
+        md[f"{a}.attention.value_length"] = int(head_dim)
+        n_ff = int(c["intermediate_size"])
+        md[f"{a}.feed_forward_length"] = [
+            n_ff if v == "-" else 0 for v in self._pattern()
+        ]
+        md[f"{a}.ssm.time_step_rank"] = int(c.get("mamba_num_heads", 128))
+        # nemotron-h config key aliases for the ssm geometry
+        md[f"{a}.ssm.conv_kernel"] = int(
+            c.get("conv_kernel", c.get("mamba_d_conv", 4)))
+        md[f"{a}.ssm.state_size"] = int(
+            c.get("ssm_state_size", c.get("mamba_d_state", 128)))
+        md.pop(f"{a}.rope.scaling.finetuned", None)
+        md["tokenizer.ggml.add_bos_token"] = True
+        return md
+
+
 class T5Arch(ArchSpec):
     """T5 / mT5 / UMT5 encoder-decoder (reference T5Model :6612-6746,
     T5EncoderModel :6750): enc./dec. tensor prefixes, relative attention
@@ -2955,7 +3119,8 @@ _ARCH_REGISTRY.update(
      "bailing_moe": BailingMoeArch, "plm": PlmArch,
      "bert": BertArch, "camembert": BertArch, "roberta": RobertaArch,
      "xlm-roberta": RobertaArch, "distilbert": DistilBertArch,
-     "t5": T5Arch, "mt5": T5Arch, "umt5": T5Arch}
+     "t5": T5Arch, "mt5": T5Arch, "umt5": T5Arch,
+     "dream": DreamArch, "llada": LladaArch, "nemotron_h": NemotronHArch}
 )
 
 
