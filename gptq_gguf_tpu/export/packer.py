@@ -1862,6 +1862,494 @@ class DeepseekArch(MoEArchSpec):
         return md
 
 
+class Rwkv6Arch(ArchSpec):
+    """RWKV-6 Finch (reference Rwkv6Model :5318-5390): time-mix lora
+    transposes, lerp weights squeezed and fused into a single
+    time_mix_lerp_fused stack, layer-rescale division every
+    rescale_every layers, unbounded context."""
+
+    gguf_arch = "rwkv6"
+    permute_qk = False
+    _lerp_keys = ("w", "k", "v", "r", "g")
+
+    def __init__(self, hf_config):
+        super().__init__(hf_config)
+        self._lerp: Dict[str, Dict[str, np.ndarray]] = {}
+
+    @staticmethod
+    def _normalize(name: str) -> str:
+        if name.startswith("rwkv."):
+            name = "model." + name[len("rwkv."):]
+        name = name.replace(".blocks.", ".layers.")
+        name = name.replace(".self_attn.", ".attention.")
+        name = name.replace(".attn.", ".attention.")
+        name = name.replace(".ffn.", ".feed_forward.")
+        name = name.replace(".mlp.", ".feed_forward.")
+        return name
+
+    _attn_map = {
+        "time_maa_x": "time_mix_lerp_x.weight",
+        "time_maa_w1": "time_mix_w1.weight",
+        "time_maa_w2": "time_mix_w2.weight",
+        "time_decay": "time_mix_decay.weight",
+        "time_decay_w1": "time_mix_decay_w1.weight",
+        "time_decay_w2": "time_mix_decay_w2.weight",
+        "time_faaaa": "time_mix_first.weight",
+        "receptance.weight": "time_mix_receptance.weight",
+        "key.weight": "time_mix_key.weight",
+        "value.weight": "time_mix_value.weight",
+        "gate.weight": "time_mix_gate.weight",
+        "output.weight": "time_mix_output.weight",
+        "q_proj.weight": "time_mix_receptance.weight",
+        "k_proj.weight": "time_mix_key.weight",
+        "v_proj.weight": "time_mix_value.weight",
+        "o_proj.weight": "time_mix_output.weight",
+        "ln_x.weight": "time_mix_ln.weight",
+        "ln_x.bias": "time_mix_ln.bias",
+    }
+    _ffn_map = {
+        "time_maa_k": "channel_mix_lerp_k.weight",
+        "time_maa_r": "channel_mix_lerp_r.weight",
+        "key.weight": "channel_mix_key.weight",
+        "receptance.weight": "channel_mix_receptance.weight",
+        "value.weight": "channel_mix_value.weight",
+    }
+    _norm_map = {
+        "ln1.weight": "attn_norm.weight", "ln1.bias": "attn_norm.bias",
+        "ln2.weight": "attn_norm_2.weight", "ln2.bias": "attn_norm_2.bias",
+    }
+
+    def tensor_name(self, hf_name):
+        name = self._normalize(hf_name)
+        fixed = {"model.embeddings.weight": "token_embd.weight",
+                 "model.embed_tokens.weight": "token_embd.weight",
+                 "model.layers.0.pre_ln.weight": "token_embd_norm.weight",
+                 "model.layers.0.pre_ln.bias": "token_embd_norm.bias",
+                 "model.ln_out.weight": "output_norm.weight",
+                 "model.ln_out.bias": "output_norm.bias",
+                 "model.norm.weight": "output_norm.weight",
+                 "head.weight": "output.weight",
+                 "lm_head.weight": "output.weight"}
+        if name in fixed:
+            return fixed[name]
+        if not name.startswith("model.layers."):
+            return None
+        parts = name.split(".")
+        i = parts[2]
+        rest = ".".join(parts[3:])
+        if rest in self._norm_map:
+            return f"blk.{i}.{self._norm_map[rest]}"
+        if rest.startswith("attention."):
+            sub = rest[len("attention."):]
+            if sub in self._attn_map:
+                return f"blk.{i}.{self._attn_map[sub]}"
+        if rest.startswith("feed_forward."):
+            sub = rest[len("feed_forward."):]
+            if sub in self._ffn_map:
+                return f"blk.{i}.{self._ffn_map[sub]}"
+        return None
+
+    def special_tensors(self, hf_name, arr, get_artifact):
+        name = self._normalize(hf_name)
+        if ".attention.time_maa_" not in name:
+            return None
+        key = name.rsplit("time_maa_", 1)[1]
+        if key not in self._lerp_keys:
+            return None  # x / w1 / w2 handled by tensor_name
+        i = name.split(".")[2]
+        acc = self._lerp.setdefault(i, {})
+        acc[key] = np.asarray(arr, dtype=np.float32).reshape(-1)
+        if len(acc) < len(self._lerp_keys):
+            return []
+        fused = np.stack([acc[k] for k in self._lerp_keys])  # (5, hidden)
+        fused = fused.reshape(len(self._lerp_keys), 1, 1, -1)
+        del self._lerp[i]
+        return [("float", f"blk.{i}.time_mix_lerp_fused.weight",
+                 fused.astype(np.float32))]
+
+    def transform_float(self, gguf_name, arr):
+        if gguf_name.endswith(("time_mix_w1.weight", "time_mix_decay_w1.weight",
+                               "time_mix_decay_w2.weight")):
+            return np.ascontiguousarray(arr.T)
+        if gguf_name.endswith("time_mix_w2.weight"):
+            return np.ascontiguousarray(arr.transpose(0, 2, 1))
+        if gguf_name.endswith("time_mix_decay.weight") or "lerp" in gguf_name:
+            arr = np.squeeze(arr)
+        re_n = self.hf.get("rescale_every", 0)
+        if re_n and gguf_name.endswith(("time_mix_output.weight",
+                                        "channel_mix_value.weight")):
+            bid = int(gguf_name.split(".")[1])
+            arr = arr / (2 ** (bid // re_n))
+        return arr
+
+    def metadata(self):
+        c, a = self.hf, self.gguf_arch
+        hidden = c["hidden_size"]
+        ff = c.get("intermediate_size") or int((hidden * 3.5) // 32 * 32)
+        return {
+            "general.architecture": a,
+            "general.name": c.get("_name_or_path", "model"),
+            "general.quantization_version": 2,
+            f"{a}.context_length": 1048576,  # RWKV is not context limited
+            f"{a}.embedding_length": int(hidden),
+            f"{a}.block_count": int(c["num_hidden_layers"]),
+            f"{a}.attention.layer_norm_epsilon": float(
+                c.get("layer_norm_epsilon", 1e-5)),
+            f"{a}.rescale_every_n_layers": int(c.get("rescale_every", 6)),
+            f"{a}.wkv.head_size": int(c["head_size"]),
+            f"{a}.time_mix_extra_dim": 64 if hidden == 4096 else 32,
+            f"{a}.time_decay_extra_dim": 128 if hidden == 4096 else 64,
+            f"{a}.feed_forward_length": int(ff),
+            f"{a}.attention.head_count": 0,  # required by llama.cpp, unused
+            f"{a}.vocab_size": int(c["vocab_size"]),
+        }
+
+
+class Rwkv6Qwen2Arch(Rwkv6Arch):
+    """RWKV6-in-Qwen2 hybrid (reference RWKV6Qwen2Model :5393-5442): qwen2
+    MLP/norm naming, GQA kv heads, single token shift, and the rkvwg->wkvrg
+    reorder of the fused time-mix loras."""
+
+    gguf_arch = "rwkv6qwen2"
+
+    _ffn_map = {
+        "gate_proj.weight": "ffn_gate.weight",
+        "up_proj.weight": "ffn_up.weight",
+        "down_proj.weight": "ffn_down.weight",
+    }
+    _norm_map = {
+        "input_layernorm.weight": "attn_norm.weight",
+        "post_attention_layernorm.weight": "ffn_norm.weight",
+    }
+
+    def transform_float(self, gguf_name, arr):
+        arr = super().transform_float(gguf_name, arr)
+        if gguf_name.endswith(("time_mix_w1.weight", "time_mix_w2.weight")):
+            # reorder rkvwg -> wkvrg (reference :5434-5440)
+            data = arr.reshape(5, -1, arr.shape[-1])
+            data = np.stack([data[3], data[1], data[2], data[0], data[4]])
+            if gguf_name.endswith("w2.weight"):
+                return data
+            return data.reshape(-1, arr.shape[-1])
+        return arr
+
+    def metadata(self):
+        c, a = self.hf, self.gguf_arch
+        hidden = c["hidden_size"]
+        head_size = hidden // c["num_attention_heads"]
+        return {
+            "general.architecture": a,
+            "general.name": c.get("_name_or_path", "model"),
+            "general.quantization_version": 2,
+            f"{a}.context_length": 1048576,
+            f"{a}.embedding_length": int(hidden),
+            f"{a}.block_count": int(c["num_hidden_layers"]),
+            f"{a}.wkv.head_size": int(head_size),
+            f"{a}.time_mix_extra_dim": int(c.get(
+                "lora_rank_tokenshift", 64 if hidden >= 4096 else 32)),
+            f"{a}.time_decay_extra_dim": int(c.get(
+                "lora_rank_decay", 128 if hidden >= 4096 else 64)),
+            f"{a}.feed_forward_length": int(c["intermediate_size"]),
+            f"{a}.attention.layer_norm_rms_epsilon": float(c["rms_norm_eps"]),
+            f"{a}.token_shift_count": 1,
+            f"{a}.attention.head_count_kv": int(c["num_key_value_heads"]),
+            f"{a}.attention.head_count": 0,
+            f"{a}.vocab_size": int(c["vocab_size"]),
+        }
+
+
+class Rwkv7Arch(Rwkv6Arch):
+    """RWKV-7 Goose (reference Rwkv7Model :5445-5560): w/a/v/g low-rank
+    branches with computed default ranks, fused x_* lerps, r_k flattened,
+    dummy v0/v1/v2 duplicated from the a-branch on layer 0."""
+
+    gguf_arch = "rwkv7"
+    _lora_transpose = ("time_mix_w1.weight", "time_mix_w2.weight",
+                       "time_mix_a1.weight", "time_mix_a2.weight",
+                       "time_mix_v1.weight", "time_mix_v2.weight",
+                       "time_mix_g1.weight", "time_mix_g2.weight")
+
+    _attn_map = {
+        "w0": "time_mix_w0.weight", "w1": "time_mix_w1.weight",
+        "w2": "time_mix_w2.weight",
+        "a0": "time_mix_a0.weight", "a1": "time_mix_a1.weight",
+        "a2": "time_mix_a2.weight",
+        "v0": "time_mix_v0.weight", "v1": "time_mix_v1.weight",
+        "v2": "time_mix_v2.weight",
+        "g1": "time_mix_g1.weight", "g2": "time_mix_g2.weight",
+        "k_k": "time_mix_k_k.weight", "k_a": "time_mix_k_a.weight",
+        "r_k": "time_mix_r_k.weight",
+        "receptance.weight": "time_mix_receptance.weight",
+        "key.weight": "time_mix_key.weight",
+        "value.weight": "time_mix_value.weight",
+        "output.weight": "time_mix_output.weight",
+        "r_proj.weight": "time_mix_receptance.weight",
+        "k_proj.weight": "time_mix_key.weight",
+        "v_proj.weight": "time_mix_value.weight",
+        "o_proj.weight": "time_mix_output.weight",
+        "ln_x.weight": "time_mix_ln.weight",
+        "ln_x.bias": "time_mix_ln.bias",
+        "g_norm.weight": "time_mix_ln.weight",
+        "g_norm.bias": "time_mix_ln.bias",
+    }
+    _ffn_map = {
+        "x_k": "channel_mix_lerp_k.weight",
+        "key.weight": "channel_mix_key.weight",
+        "value.weight": "channel_mix_value.weight",
+    }
+    _norm_map = dict(Rwkv6Arch._norm_map)
+    _norm_map.update({
+        "feed_forward_norm.weight": "attn_norm_2.weight",
+        "feed_forward_norm.bias": "attn_norm_2.bias",
+    })
+
+    @property
+    def _lerp_keys(self):
+        return (("r", "w", "k", "v", "a", "g")
+                if self.hf.get("wkv_has_gate", True)
+                else ("r", "w", "k", "v", "a"))
+
+    def tensor_name(self, hf_name):
+        name = self._normalize(hf_name)
+        if name == "model.layers.0.pre_norm.weight":
+            return "token_embd_norm.weight"
+        if name == "model.layers.0.pre_norm.bias":
+            return "token_embd_norm.bias"
+        if name.startswith("model.layers.") and ".pre_norm." in name:
+            return None
+        return super().tensor_name(hf_name)
+
+    @staticmethod
+    def _calc_lora_rank(hidden, exponent, multiplier):
+        return max(1, round(hidden ** exponent * multiplier / 32)) * 32
+
+    def special_tensors(self, hf_name, arr, get_artifact):
+        name = self._normalize(hf_name)
+        if ".attention.x_" not in name:
+            # dummy-v duplication: layer 0 has no real v0/v1/v2 — mirror the
+            # a-branch as the converter does (reference :5555-5558)
+            g = self.tensor_name(hf_name)
+            if g and g.startswith("blk.0.time_mix_a"):
+                out = [("float", g, self.transform_float(
+                    g, np.squeeze(np.asarray(arr, dtype=np.float32))))]
+                gv = g.replace("time_mix_a", "time_mix_v")
+                out.append(("float", gv, self.transform_float(
+                    gv, np.squeeze(np.asarray(arr, dtype=np.float32)))))
+                return out
+            return None
+        i = name.split(".")[2]
+        keys = self._lerp_keys
+        if name.endswith(".x_x"):  # already concatenated
+            fused = np.asarray(arr, dtype=np.float32).reshape(
+                len(keys), 1, 1, -1)
+            return [("float", f"blk.{i}.time_mix_lerp_fused.weight", fused)]
+        key = name.rsplit("x_", 1)[1]
+        if key not in keys:
+            return None
+        acc = self._lerp.setdefault(i, {})
+        acc[key] = np.asarray(arr, dtype=np.float32).reshape(-1)
+        if len(acc) < len(keys):
+            return []
+        fused = np.stack([acc[k] for k in keys]).reshape(len(keys), 1, 1, -1)
+        del self._lerp[i]
+        return [("float", f"blk.{i}.time_mix_lerp_fused.weight",
+                 fused.astype(np.float32))]
+
+    def transform_float(self, gguf_name, arr):
+        arr = np.squeeze(arr)
+        if gguf_name.endswith(self._lora_transpose) and arr.ndim == 2:
+            arr = np.ascontiguousarray(arr.T)
+        if gguf_name.endswith("time_mix_r_k.weight"):
+            arr = arr.reshape(-1)
+        return arr
+
+    def metadata(self):
+        c, a = self.hf, self.gguf_arch
+        hidden = c["hidden_size"]
+        head_size = c.get("head_size", c.get("head_dim"))
+        eps = c.get("layer_norm_epsilon", c.get("norm_eps", 1e-5))
+        ff = c.get("intermediate_size") or hidden * 4
+        ranks = {
+            "decay": c.get("lora_rank_decay", c.get("decay_low_rank_dim"))
+            or self._calc_lora_rank(hidden, 0.5, 1.8),
+            "iclr": c.get("lora_rank_iclr", c.get("a_low_rank_dim"))
+            or self._calc_lora_rank(hidden, 0.5, 1.8),
+            "value_residual_mix": c.get("lora_rank_value_residual_mix",
+                                        c.get("v_low_rank_dim"))
+            or self._calc_lora_rank(hidden, 0.5, 1.3),
+            "gate": c.get("lora_rank_gate", c.get("gate_low_rank_dim"))
+            or self._calc_lora_rank(hidden, 0.8, 0.6),
+        }
+        md = {
+            "general.architecture": a,
+            "general.name": c.get("_name_or_path", "model"),
+            "general.quantization_version": 2,
+            f"{a}.context_length": 1048576,
+            f"{a}.embedding_length": int(hidden),
+            f"{a}.block_count": int(c["num_hidden_layers"]),
+            f"{a}.attention.layer_norm_epsilon": float(eps),
+            f"{a}.wkv.head_size": int(head_size),
+            f"{a}.feed_forward_length": int(ff),
+            f"{a}.attention.head_count": 0,
+            f"{a}.vocab_size": int(c["vocab_size"]),
+        }
+        for k, v in ranks.items():
+            md[f"{a}.attention.{k}_lora_rank"] = int(v)
+        return md
+
+
+class ARwkv7Arch(Rwkv7Arch):
+    """ARWKV-7 qwen hybrid (reference ARwkv7Model :5563-5605): rwkv7 time
+    mix inside a qwen2 block — RMS norms, qwen MLP, fixed lora ranks,
+    token_shift_count 1."""
+
+    gguf_arch = "arwkv7"
+
+    _ffn_map = {
+        "gate_proj.weight": "ffn_gate.weight",
+        "up_proj.weight": "ffn_up.weight",
+        "down_proj.weight": "ffn_down.weight",
+    }
+    _norm_map = {
+        "input_layernorm.weight": "attn_norm.weight",
+        "post_attention_layernorm.weight": "ffn_norm.weight",
+    }
+
+    def metadata(self):
+        c, a = self.hf, self.gguf_arch
+        gate = bool(c.get("wkv_has_gate", True))
+        return {
+            "general.architecture": a,
+            "general.name": c.get("_name_or_path", "model"),
+            "general.quantization_version": 2,
+            f"{a}.context_length": 1048576,
+            f"{a}.embedding_length": int(c["hidden_size"]),
+            f"{a}.block_count": int(c["num_hidden_layers"]),
+            f"{a}.attention.layer_norm_rms_epsilon": float(c["rms_norm_eps"]),
+            f"{a}.wkv.head_size": int(c["head_size"]),
+            f"{a}.attention.decay_lora_rank": 64,
+            f"{a}.attention.iclr_lora_rank": 64,
+            f"{a}.attention.value_residual_mix_lora_rank": 32,
+            f"{a}.attention.gate_lora_rank": 128 if gate else 0,
+            f"{a}.feed_forward_length": int(c["intermediate_size"]),
+            f"{a}.token_shift_count": 1,
+            f"{a}.attention.head_count": 0,
+            f"{a}.vocab_size": int(c["vocab_size"]),
+        }
+
+
+class PlamoArch(ArchSpec):
+    """PLaMo-13B (reference PlamoModel :4020-4066): parallel attn+MLP with a
+    single per-layer norm under model.layers.layers, grouped-query shuffles
+    on attn_q/attn_output (8 interleaved groups), context/kv quirks stamped
+    exactly as the converter does (ctx 4096, kv = heads/8)."""
+
+    gguf_arch = "plamo"
+    permute_qk = False
+
+    _layer = {
+        "norm.weight": "attn_norm.weight",
+        "self_attn.q_proj.weight": "attn_q.weight",
+        "self_attn.k_proj.weight": "attn_k.weight",
+        "self_attn.v_proj.weight": "attn_v.weight",
+        "self_attn.o_proj.weight": "attn_output.weight",
+        "mlp.gate_proj.weight": "ffn_gate.weight",
+        "mlp.up_proj.weight": "ffn_up.weight",
+        "mlp.down_proj.weight": "ffn_down.weight",
+    }
+
+    def tensor_name(self, hf_name):
+        fixed = {"model.embed_tokens.weight": "token_embd.weight",
+                 "model.norm.weight": "output_norm.weight",
+                 "lm_head.weight": "output.weight"}
+        if hf_name in fixed:
+            return fixed[hf_name]
+        if hf_name.startswith("model.layers.layers."):
+            parts = hf_name.split(".")
+            rest = ".".join(parts[4:])
+            if rest in self._layer:
+                return f"blk.{parts[3]}.{self._layer[rest]}"
+        return None
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        md[f"{a}.context_length"] = 4096  # not in config.json (reference :4030)
+        md[f"{a}.attention.head_count_kv"] = c["num_attention_heads"] // 8
+        return md
+
+    def transform_float(self, gguf_name, arr):
+        c = self.hf
+        h = c["hidden_size"]
+        n_head = c["num_attention_heads"]
+        hd = h // n_head
+        g = n_head // 8
+        if gguf_name.endswith("attn_q.weight"):
+            return (arr.reshape(8, g, hd, h).transpose(1, 0, 2, 3)
+                    .reshape(h, h))
+        if gguf_name.endswith("attn_output.weight"):
+            return (arr.reshape(h, 8, g, hd).transpose(0, 2, 1, 3)
+                    .reshape(h, h))
+        return arr
+
+
+class GrokArch(MoEArchSpec):
+    """Grok-1 (reference GrokModel :2727-2777): decoder_layer/rms_norm_N
+    naming with four per-layer norms, linear/linear_v/linear_1 expert
+    stacks (gate/up/down)."""
+
+    gguf_arch = "grok"
+    permute_qk = False
+    n_expert_key = "num_local_experts"
+    expert_prefix = "moe."
+    expert_proj = {"linear": "ffn_gate_exps", "linear_v": "ffn_up_exps",
+                   "linear_1": "ffn_down_exps"}
+
+    _layer = {
+        "rms_norm.weight": "attn_norm.weight",
+        "rms_norm_1.weight": "attn_output_norm.weight",
+        "rms_norm_2.weight": "ffn_norm.weight",
+        "rms_norm_3.weight": "layer_output_norm.weight",
+        "multi_head_attention.query.weight": "attn_q.weight",
+        "multi_head_attention.key.weight": "attn_k.weight",
+        "multi_head_attention.value.weight": "attn_v.weight",
+        "multi_head_attention.linear.weight": "attn_output.weight",
+        "router.weight": "ffn_gate_inp.weight",
+    }
+
+    def tensor_name(self, hf_name):
+        fixed = {"transformer.in_out_embed.weight": "token_embd.weight",
+                 "transformer.rms_norm.weight": "output_norm.weight",
+                 "lm_head.weight": "output.weight"}
+        if hf_name in fixed:
+            return fixed[hf_name]
+        if hf_name.startswith("transformer.decoder_layer."):
+            parts = hf_name.split(".")
+            rest = ".".join(parts[3:])
+            if rest in self._layer:
+                return f"blk.{parts[2]}.{self._layer[rest]}"
+        return None
+
+    def expert_tensor(self, hf_name):
+        if not hf_name.startswith("transformer.decoder_layer."):
+            return None
+        parts = hf_name.split(".")
+        i = parts[2]
+        rest = ".".join(parts[3:])
+        if not (rest.startswith("moe.") and rest.endswith(".weight")):
+            return None
+        sub = rest[len("moe."):-len(".weight")].split(".")
+        if len(sub) != 2:
+            return None
+        e, proj = sub
+        if proj not in self.expert_proj:
+            return None
+        canon = {"ffn_gate_exps": "gate_proj", "ffn_up_exps": "up_proj",
+                 "ffn_down_exps": "down_proj"}[self.expert_proj[proj]]
+        return (f"blk.{i}.{self.expert_proj[proj]}.weight", int(e),
+                f"model.layers.{i}.mlp.experts.{{e}}.{canon}")
+
+
 class DreamArch(ArchSpec):
     """Dream 7B diffusion LM (reference DreamModel :3031-3095): qwen2-style
     weights with non-causal attention and a mask token id."""
@@ -3120,7 +3608,10 @@ _ARCH_REGISTRY.update(
      "bert": BertArch, "camembert": BertArch, "roberta": RobertaArch,
      "xlm-roberta": RobertaArch, "distilbert": DistilBertArch,
      "t5": T5Arch, "mt5": T5Arch, "umt5": T5Arch,
-     "dream": DreamArch, "llada": LladaArch, "nemotron_h": NemotronHArch}
+     "dream": DreamArch, "llada": LladaArch, "nemotron_h": NemotronHArch,
+     "plamo": PlamoArch, "grok": GrokArch, "grok-1": GrokArch,
+     "rwkv6": Rwkv6Arch, "rwkv6qwen2": Rwkv6Qwen2Arch,
+     "rwkv7": Rwkv7Arch, "rwkv_hybrid": ARwkv7Arch}
 )
 
 
