@@ -1862,6 +1862,26 @@ class DeepseekArch(MoEArchSpec):
         return md
 
 
+class Qwen2VLArch(ArchSpec):
+    """Qwen2-VL / Qwen2.5-VL text stack (reference Qwen2VLModel :2957 region
+    :5129+): qwen2 weights + the 4-padded mrope dimension sections; vision
+    tensors are dropped in the shared pre-pass."""
+
+    gguf_arch = "qwen2vl"
+    permute_qk = False
+
+    def metadata(self):
+        md = super().metadata()
+        a = self.gguf_arch
+        sec = list((self.hf.get("rope_scaling") or {}).get("mrope_section")
+                   or [16, 24, 24])
+        sec += [0] * max(0, 4 - len(sec))
+        md[f"{a}.rope.dimension_sections"] = [int(x) for x in sec]
+        md.pop(f"{a}.rope.scaling.type", None)
+        md.pop(f"{a}.rope.scaling.factor", None)
+        return md
+
+
 class Rwkv6Arch(ArchSpec):
     """RWKV-6 Finch (reference Rwkv6Model :5318-5390): time-mix lora
     transposes, lerp weights squeezed and fused into a single
@@ -2789,6 +2809,94 @@ class DistilBertArch(BertArch):
         return md
 
 
+class NomicBertArch(BertArch):
+    """nomic-embed-text v1/v1.5/v2-moe (reference NomicBertModel
+    :4801-4881): fused Wqkv, swiglu fc11/fc12 (gelu + expert stacks on the
+    MoE variant), rope base, and the trained-context trimming quirk."""
+
+    permute_qk = False
+
+    def __init__(self, hf_config):
+        c = dict(hf_config)
+        c.setdefault("hidden_size", c.get("n_embd"))
+        c.setdefault("num_attention_heads", c.get("n_head"))
+        c.setdefault("num_hidden_layers", c.get("n_layer"))
+        c.setdefault("intermediate_size", c.get("n_inner"))
+        super().__init__(c)
+        self.is_moe = bool(c.get("moe_every_n_layers"))
+        self.gguf_arch = "nomic-bert-moe" if self.is_moe else "nomic-bert"
+
+    _layer = {
+        "attn.Wqkv": "attn_qkv",
+        "attn.out_proj": "attn_output",
+        "norm1": "attn_output_norm",
+        "norm2": "layer_output_norm",
+        "mlp.fc11": "ffn_up",
+        "mlp.fc12": "ffn_gate",
+        "mlp.fc1": "ffn_up",
+        "mlp.fc2": "ffn_down",
+        "mlp.router.layer": "ffn_gate_inp",
+    }
+    _layer_prefix = "encoder.layers."
+    _strip_prefixes = ()
+
+    def tensor_name(self, hf_name):
+        name = hf_name
+        fixed = {
+            "embeddings.word_embeddings.weight": "token_embd.weight",
+            "embeddings.token_type_embeddings.weight": "token_types.weight",
+            "emb_ln.weight": "token_embd_norm.weight",
+            "emb_ln.bias": "token_embd_norm.bias",
+        }
+        if name in fixed:
+            return fixed[name]
+        if "mlp.experts" in name:
+            return None  # handled in special_tensors
+        if name.startswith(self._layer_prefix):
+            parts = name[len(self._layer_prefix):].split(".")
+            i = parts[0]
+            head, kind = ".".join(parts[1:-1]), parts[-1]
+            if head in self._layer:
+                return f"blk.{i}.{self._layer[head]}.{kind}"
+        return None
+
+    def special_tensors(self, hf_name, arr, get_artifact):
+        if "mlp.experts" not in hf_name:
+            return None
+        if hf_name.endswith("experts.bias"):
+            return []  # unused expert bias (reference :4850)
+        c = self.hf
+        i = hf_name.split(".")[2]
+        ne, n_in, h = c["num_experts"], c["n_inner"], c["hidden_size"]
+        if hf_name.endswith("experts.mlp.w1"):
+            return [("float", f"blk.{i}.ffn_up_exps.weight",
+                     arr.reshape(ne, n_in, h).astype(np.float16))]
+        if hf_name.endswith("experts.mlp.w2"):
+            w = arr.reshape(ne, n_in, h).transpose(0, 2, 1)
+            return [("float", f"blk.{i}.ffn_down_exps.weight",
+                     np.ascontiguousarray(w).astype(np.float16))]
+        return None
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        md[f"{a}.attention.layer_norm_epsilon"] = float(
+            c.get("layer_norm_epsilon", 1e-12))
+        md[f"{a}.rope.freq_base"] = float(c.get("rotary_emb_base", 10000.0))
+        npos = int(c.get("n_positions", 2048))
+        mtp = int(c.get("max_trained_positions", 2048))
+        if npos == 8192 and mtp == 2048:
+            npos = 2048  # nomic v1/v1.5 trained at 2048 (reference :4820)
+        elif npos == 2048 and mtp == 2048:
+            npos = 512  # v2-moe trained at 512
+        md[f"{a}.context_length"] = npos
+        if self.is_moe:
+            md[f"{a}.moe_every_n_layers"] = int(c["moe_every_n_layers"])
+            md[f"{a}.expert_count"] = int(c["num_experts"])
+            md[f"{a}.expert_used_count"] = int(c["moe_top_k"])
+        return md
+
+
 class ArcticArch(MoEArchSpec):
     """Snowflake Arctic (reference ArcticModel :6130-6279): llama GQA
     permute, mixtral-style w1/w3/w2 expert stacks, plus the parallel
@@ -3611,7 +3719,10 @@ _ARCH_REGISTRY.update(
      "dream": DreamArch, "llada": LladaArch, "nemotron_h": NemotronHArch,
      "plamo": PlamoArch, "grok": GrokArch, "grok-1": GrokArch,
      "rwkv6": Rwkv6Arch, "rwkv6qwen2": Rwkv6Qwen2Arch,
-     "rwkv7": Rwkv7Arch, "rwkv_hybrid": ARwkv7Arch}
+     "rwkv7": Rwkv7Arch, "rwkv_hybrid": ARwkv7Arch,
+     "qwen2_vl": Qwen2VLArch, "qwen2_5_vl": Qwen2VLArch,
+     "qwen2_5_vl_text": Qwen2VLArch, "nomic_bert": NomicBertArch,
+     "mistral3": MistralArch}
 )
 
 
@@ -3929,11 +4040,20 @@ def pack_model(
         hf_cfg["text_config"] = hf_cfg["llm_config"]
     if "thinker_config" in hf_cfg:  # Qwen-Omni naming
         hf_cfg["text_config"] = hf_cfg["thinker_config"]["text_config"]
+    text_mt = None
     if isinstance(hf_cfg.get("text_config"), dict):
-        mt = hf_cfg.get("model_type") or hf_cfg["text_config"].get("model_type")
+        text_mt = hf_cfg["text_config"].get("model_type")
+        mt = hf_cfg.get("model_type") or text_mt
         hf_cfg = {**hf_cfg, **hf_cfg["text_config"], "model_type": mt}
     model_type = hf_cfg.get("model_type", "llama")
     spec_cls = _ARCH_REGISTRY.get(model_type)
+    if spec_cls is None and text_mt is not None:
+        # multimodal wrappers (llava/mistral3/idefics3/smolvlm/kimi_vl/...)
+        # pack their text model; vision tensors are dropped in the pre-pass
+        spec_cls = _ARCH_REGISTRY.get(text_mt)
+        if spec_cls is not None:
+            model_type = text_mt
+            hf_cfg = {**hf_cfg, "model_type": text_mt}
     if spec_cls is None:
         raise NotImplementedError(f"unsupported model_type {model_type!r}")
     spec = spec_cls(hf_cfg)

@@ -742,6 +742,21 @@ def iter_canonical_tensors(tensors, hf_cfg: Dict[str, Any]) -> Iterator[Tuple[st
         hidden // n_head if (n_head and hidden) else 0
     )
     for name, arr in tensors:
+        # multimodal wrappers: text weights live under a language_model
+        # prefix; vision/audio towers are not packed into the text GGUF
+        if name.startswith(("vision_tower.", "vision_model.",
+                            "multi_modal_projector.", "visual.",
+                            "audio_tower.", "talker.", "token2wav.",
+                            "model.vision_tower.", "model.visual.",
+                            "model.multi_modal_projector.",
+                            "model.audio_tower.")):
+            continue
+        if name.startswith("model.language_model."):
+            name = "model." + name[len("model.language_model."):]
+        elif name.startswith("language_model."):
+            name = name[len("language_model."):]
+        elif name.startswith("thinker."):  # Qwen-Omni
+            name = name[len("thinker."):]
         yield from canonicalize(mt, name, arr, n_head=n_head, n_kv=n_kv,
                                 head_dim=head_dim, hf_cfg=hf_cfg)
 
