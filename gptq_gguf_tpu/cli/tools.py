@@ -15,9 +15,13 @@ from . import common
 
 def build_pack(p: argparse.ArgumentParser):
     p.add_argument("--model_dir", required=True, help="HF checkpoint")
-    p.add_argument("--quant_dir", required=True, help="calibration artifacts")
+    p.add_argument("--quant_dir", default=None, help="calibration artifacts")
     p.add_argument("--outfile", required=True)
     p.add_argument("--outtype_fallback", default="f16", choices=["f16", "f32"])
+    p.add_argument("--mmproj", action="store_true",
+                   help="write the vision tower + projector as an mmproj "
+                        "GGUF instead of the text model (reference "
+                        "--mmproj mode)")
 
 
 def run_pack(args):
@@ -26,6 +30,17 @@ def run_pack(args):
     from ..utils.logging import StageTimer
 
     timer = StageTimer()
+    if args.mmproj:
+        from ..export import mmproj
+
+        with timer.stage("pack-mmproj"):
+            out = mmproj.pack_mmproj(
+                args.model_dir, args.outfile,
+                use_f32=args.outtype_fallback == "f32")
+        print(f"wrote {out}")
+        return
+    if args.quant_dir is None:
+        raise SystemExit("--quant_dir is required unless --mmproj is given")
     fallback = GGMLQuantizationType.F16 if args.outtype_fallback == "f16" else GGMLQuantizationType.F32
     with timer.stage("pack"):
         out = packer.pack_model(args.model_dir, args.quant_dir, args.outfile, default_float=fallback)

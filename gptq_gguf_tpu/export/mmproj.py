@@ -1,0 +1,344 @@
+"""Vision-encoder (mmproj) GGUF packer.
+
+The reference converter's MmprojModel wing (pack_gptq_into_gguf.py
+:1308-1437 base, Gemma3VisionModel, Qwen2VLVisionModel :5155-5229,
+LlavaVisionModel pixtral branch) writes the vision tower + multimodal
+projector of a VLM checkpoint into a separate GGUF with architecture
+"clip" and ``general.type = "mmproj"`` that llama.cpp's mtmd loads
+alongside the text model. This module is the TPU-repo equivalent: pure
+numpy tensor relayout driven by per-family specs, reusing the streaming
+GGUFWriter.
+
+Projector families covered: gemma3 (SigLIP + input projection),
+qwen2_vl / qwen2_5_vl (ViT merger, fused qkv split, Conv3D patch split,
+window-attention pattern), pixtral (Mistral-3/Pixtral GQA-free ViT with
+2D rope and patch merger).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from ..formats.gguf import GGUFWriter
+
+__all__ = ["pack_mmproj", "MMPROJ_REGISTRY"]
+
+# SigLIP/CLIP-style encoder layer map (HF vision_model.encoder.layers.N.*)
+_CLIP_LAYER = {
+    "self_attn.q_proj": "attn_q",
+    "self_attn.k_proj": "attn_k",
+    "self_attn.v_proj": "attn_v",
+    "self_attn.out_proj": "attn_out",
+    "layer_norm1": "ln1",
+    "layer_norm2": "ln2",
+    "mlp.fc1": "ffn_up",
+    "mlp.fc2": "ffn_down",
+}
+
+
+class MmprojSpec:
+    """Per-family conversion: vision hparams + tensor relayout."""
+
+    projector_type = "mlp"
+
+    def __init__(self, cfg: Dict[str, Any], model_dir: Path):
+        self.global_cfg = cfg
+        self.model_dir = model_dir
+        self.vision = dict(self.vision_config(cfg))
+        text = {**cfg, **(cfg.get("text_config") or {})}
+        self.n_embd_text = text.get("hidden_size", text.get("n_embd", 0))
+        pp = model_dir / "preprocessor_config.json"
+        self.preprocessor = json.load(open(pp)) if pp.exists() else {}
+
+    def vision_config(self, cfg) -> Dict[str, Any]:
+        vc = cfg.get("vision_config")
+        if vc is None:
+            raise ValueError("vision_config not found in config.json")
+        return vc
+
+    # -- metadata -----------------------------------------------------------
+
+    def metadata(self) -> Dict[str, Any]:
+        v = self.vision
+        md = {
+            "general.architecture": "clip",
+            "general.type": "mmproj",
+            "general.name": self.global_cfg.get("_name_or_path", "model"),
+            "general.quantization_version": 2,
+            "clip.has_vision_encoder": True,
+            "clip.projector_type": self.projector_type,
+            "clip.vision.projection_dim": int(self.n_embd_text),
+            "clip.vision.image_size": int(v["image_size"]),
+            "clip.vision.patch_size": int(v["patch_size"]),
+            "clip.vision.embedding_length": int(v["hidden_size"]),
+            "clip.vision.feed_forward_length": int(v["intermediate_size"]),
+            "clip.vision.block_count": int(
+                v.get("num_hidden_layers", v.get("depth"))),
+            "clip.vision.attention.head_count": int(
+                v.get("num_attention_heads", v.get("num_heads"))),
+        }
+        if self.preprocessor.get("image_mean") is not None:
+            md["clip.vision.image_mean"] = [
+                float(x) for x in self.preprocessor["image_mean"]]
+            md["clip.vision.image_std"] = [
+                float(x) for x in self.preprocessor["image_std"]]
+        return md
+
+    # -- tensors ------------------------------------------------------------
+
+    def convert(self, name: str, arr: np.ndarray
+                ) -> List[Tuple[str, np.ndarray]]:
+        """One HF tensor -> zero or more (gguf_name, array) pairs."""
+        raise NotImplementedError
+
+    def force_f32(self, gguf_name: str) -> bool:
+        """Small/sensitive tensors stay f32 (reference tensor_force_quant)."""
+        return ".position_embd." in gguf_name or gguf_name.endswith(
+            ("class_embd", ".bias")) or "_norm" in gguf_name or (
+            ".ln" in gguf_name)
+
+
+def _clip_tower(name: str) -> Optional[str]:
+    """vision_model.* (CLIP/SigLIP) -> v.* GGUF names."""
+    fixed = {
+        "embeddings.patch_embedding.weight": "v.patch_embd.weight",
+        "embeddings.patch_embedding.bias": "v.patch_embd.bias",
+        "embeddings.position_embedding.weight": "v.position_embd.weight",
+        "embeddings.class_embedding": "v.class_embd",
+        "pre_layrnorm.weight": "v.pre_ln.weight",
+        "pre_layrnorm.bias": "v.pre_ln.bias",
+        "post_layernorm.weight": "v.post_ln.weight",
+        "post_layernorm.bias": "v.post_ln.bias",
+    }
+    if name in fixed:
+        return fixed[name]
+    if name.startswith("encoder.layers."):
+        parts = name.split(".")
+        i = parts[2]
+        head, kind = ".".join(parts[3:-1]), parts[-1]
+        if head in _CLIP_LAYER:
+            return f"v.blk.{i}.{_CLIP_LAYER[head]}.{kind}"
+    return None
+
+
+class Gemma3Mmproj(MmprojSpec):
+    """Gemma-3 SigLIP tower + input projection (reference
+    Gemma3VisionModel): soft_emb_norm carries the (1+w) Gemma RMSNorm
+    correction; projector scale factor only written for test geometries."""
+
+    projector_type = "gemma3"
+
+    def metadata(self):
+        md = super().metadata()
+        v = self.vision
+        md["clip.vision.attention.layer_norm_epsilon"] = float(
+            v.get("layer_norm_eps", 1e-6))
+        md["clip.use_gelu"] = True
+        seq = int(self.preprocessor.get("image_seq_length", 256))
+        n_per_side = int(seq ** 0.5)
+        scale = (v["image_size"] // v["patch_size"]) // n_per_side
+        if scale > 0 and scale != 4:
+            md["clip.vision.projector.scale_factor"] = int(scale)
+        return md
+
+    def convert(self, name, arr):
+        if "vision_model.head." in name:
+            return []
+        if name.startswith("multi_modal_projector."):
+            rest = name[len("multi_modal_projector."):].replace(
+                "_weight", ".weight")
+            if rest == "mm_input_projection.weight":
+                return [("mm.input_projection.weight", arr)]
+            if rest == "mm_soft_emb_norm.weight":
+                return [("mm.soft_emb_norm.weight", arr + 1.0)]
+            return []
+        for pre in ("vision_tower.vision_model.", "vision_model."):
+            if name.startswith(pre):
+                g = _clip_tower(name[len(pre):])
+                return [(g, arr)] if g else []
+        return []
+
+
+class Qwen2VLMmproj(MmprojSpec):
+    """Qwen2-VL ViT + merger (reference Qwen2VLVisionModel :5155-5229):
+    fused qkv split three ways, the temporal Conv3D patch embedding split
+    into two Conv2D planes, merger.ln_q as the post norm."""
+
+    projector_type = "qwen2vl_merger"
+
+    def __init__(self, cfg, model_dir):
+        super().__init__(cfg, model_dir)
+        v = self.vision
+        v.setdefault("image_size", 560)
+        v["num_attention_heads"] = v.get("num_heads")
+        v["num_hidden_layers"] = v.get("depth")
+        if "embed_dim" in v:  # qwen2vl key scheme
+            v["intermediate_size"] = v.get("hidden_size")
+            v["hidden_size"] = v.get("embed_dim")
+
+    _blk = {
+        "attn.proj": "attn_out",
+        "norm1": "ln1",
+        "norm2": "ln2",
+        "mlp.fc1": "ffn_up",
+        "mlp.fc2": "ffn_down",
+        "mlp.gate_proj": "ffn_gate",
+        "mlp.up_proj": "ffn_up",
+        "mlp.down_proj": "ffn_down",
+        "attn.q": "attn_q", "attn.k": "attn_k", "attn.v": "attn_v",
+    }
+
+    def metadata(self):
+        md = super().metadata()
+        md["clip.vision.attention.layer_norm_epsilon"] = float(
+            self.global_cfg.get("rms_norm_eps", 1e-6))
+        mt = self.global_cfg.get("model_type")
+        if mt in ("qwen2_5_vl", "qwen2_5_omni"):
+            md["clip.projector_type"] = "qwen2.5vl_merger"
+            md["clip.use_silu"] = True
+            fab = self.vision.get("fullatt_block_indexes")
+            if fab:
+                n_wa = fab[0] + 1
+                for a, b in zip(fab, fab[1:]):
+                    if b - a != n_wa:
+                        raise ValueError(
+                            f"invalid fullatt_block_indexes: {fab}")
+                md["clip.vision.n_wa_pattern"] = int(n_wa)
+        return md
+
+    def convert(self, name, arr):
+        if not name.startswith("visual."):
+            return []
+        rest = name[len("visual."):]
+        if ".qkv." in rest:
+            c = arr.shape[0] // 3
+            parts = ("q", "k", "v")
+            return [(self.convert(
+                "visual." + rest.replace("qkv", p), arr[j * c:(j + 1) * c])[0])
+                for j, p in enumerate(parts)]
+        if rest == "patch_embed.proj.weight":
+            assert arr.shape[2] == 2, "temporal_patch_size must be 2"
+            return [("v.patch_embd.weight", np.ascontiguousarray(arr[:, :, 0])),
+                    ("v.patch_embd.weight.1", np.ascontiguousarray(arr[:, :, 1]))]
+        if rest == "merger.ln_q.weight":
+            return [("v.post_ln.weight", arr)]
+        if rest == "merger.ln_q.bias":
+            return [("v.post_ln.bias", arr)]
+        if rest.startswith("merger.mlp."):
+            parts = rest.split(".")
+            return [(f"mm.{parts[2]}.{parts[3]}", arr)]
+        if rest.startswith("blocks."):
+            parts = rest.split(".")
+            i = parts[1]
+            head, kind = ".".join(parts[2:-1]), parts[-1]
+            if head in self._blk:
+                return [(f"v.blk.{i}.{self._blk[head]}.{kind}", arr)]
+        return []
+
+
+class PixtralMmproj(MmprojSpec):
+    """Pixtral / Mistral-Small-3.1 vision tower (reference
+    LlavaVisionModel pixtral branch): GQA-free ViT with RMS norms, silu
+    MLP, patch merger and the mm.1/mm.2 projector."""
+
+    projector_type = "pixtral"
+
+    _blk = {
+        "attention.q_proj": "attn_q",
+        "attention.k_proj": "attn_k",
+        "attention.v_proj": "attn_v",
+        "attention.o_proj": "attn_out",
+        "attention_norm": "ln1",
+        "ffn_norm": "ln2",
+        "feed_forward.gate_proj": "ffn_gate",
+        "feed_forward.up_proj": "ffn_up",
+        "feed_forward.down_proj": "ffn_down",
+    }
+
+    def metadata(self):
+        md = super().metadata()
+        v = self.vision
+        md["clip.vision.attention.layer_norm_epsilon"] = float(
+            v.get("layer_norm_eps", 1e-5))
+        act = v.get("hidden_act", "silu")
+        if act == "silu":
+            md["clip.use_silu"] = True
+        elif act == "gelu":
+            md["clip.use_gelu"] = True
+        else:
+            raise ValueError(f"unsupported hidden_act {act!r}")
+        if "spatial_merge_size" in self.global_cfg:
+            md["clip.vision.spatial_merge_size"] = int(
+                self.global_cfg["spatial_merge_size"])
+        return md
+
+    def convert(self, name, arr):
+        fixed = {
+            "vision_tower.patch_conv.weight": "v.patch_embd.weight",
+            "vision_tower.ln_pre.weight": "v.pre_ln.weight",
+            "multi_modal_projector.linear_1.weight": "mm.1.weight",
+            "multi_modal_projector.linear_1.bias": "mm.1.bias",
+            "multi_modal_projector.linear_2.weight": "mm.2.weight",
+            "multi_modal_projector.linear_2.bias": "mm.2.bias",
+            "multi_modal_projector.norm.weight": "mm.input_norm.weight",
+            "multi_modal_projector.patch_merger.merging_layer.weight":
+                "mm.patch_merger.weight",
+        }
+        if name in fixed:
+            return [(fixed[name], arr)]
+        if name.startswith("vision_tower.transformer.layers."):
+            parts = name.split(".")
+            i = parts[3]
+            head, kind = ".".join(parts[4:-1]), parts[-1]
+            if head in self._blk:
+                return [(f"v.blk.{i}.{self._blk[head]}.{kind}", arr)]
+        return []
+
+
+MMPROJ_REGISTRY: Dict[str, type] = {
+    "gemma3": Gemma3Mmproj,
+    "qwen2_vl": Qwen2VLMmproj,
+    "qwen2_5_vl": Qwen2VLMmproj,
+    "pixtral": PixtralMmproj,
+    "mistral3": PixtralMmproj,
+    "llava": PixtralMmproj,  # reference LlavaVisionModel supports pixtral
+}
+
+
+def pack_mmproj(model_dir: Union[str, Path], out_path: Union[str, Path],
+                *, use_f32: bool = False) -> Path:
+    """Write the vision tower + projector of a VLM checkpoint as an mmproj
+    GGUF (reference --mmproj mode of pack_gptq_into_gguf.py)."""
+    from ..models.loader import _iter_safetensors, _to_f32
+
+    model_dir = Path(model_dir)
+    with open(model_dir / "config.json") as f:
+        cfg = json.load(f)
+    mt = cfg.get("model_type", "")
+    spec_cls = MMPROJ_REGISTRY.get(mt)
+    if spec_cls is None and isinstance(cfg.get("vision_config"), dict):
+        spec_cls = MMPROJ_REGISTRY.get(cfg["vision_config"].get("model_type", ""))
+    if spec_cls is None:
+        raise NotImplementedError(
+            f"no mmproj support for model_type {mt!r}")
+    spec = spec_cls(cfg, model_dir)
+
+    writer = GGUFWriter(out_path)
+    for k, v in spec.metadata().items():
+        writer.add_kv(k, v)
+    n = 0
+    for name, arr in _iter_safetensors(model_dir):
+        for gname, out in spec.convert(name, _to_f32(np.asarray(arr))):
+            if use_f32 or out.ndim != 2 or spec.force_f32(gname):
+                writer.add_tensor(gname, out.astype(np.float32))
+            else:
+                writer.add_tensor(gname, out.astype(np.float16))
+            n += 1
+    if n == 0:
+        raise ValueError(f"no vision tensors found in {model_dir}")
+    writer.write()
+    return Path(out_path)

@@ -1,0 +1,156 @@
+"""mmproj (vision encoder) GGUF packer: gemma3 / qwen2-vl / qwen2.5-vl /
+pixtral (reference MmprojModel :1308, Gemma3VisionModel, Qwen2VLVisionModel
+:5155, LlavaVisionModel pixtral branch)."""
+
+import json
+
+import numpy as np
+import torch
+
+from gptq_gguf_tpu.export import mmproj
+from gptq_gguf_tpu.formats.gguf import GGUFReader
+
+
+def test_gemma3_mmproj(tmp_path):
+    from transformers import Gemma3Config, Gemma3ForConditionalGeneration
+
+    cfg = Gemma3Config(
+        text_config=dict(vocab_size=64, hidden_size=48, intermediate_size=64,
+                         num_hidden_layers=1, num_attention_heads=4,
+                         num_key_value_heads=1, head_dim=12),
+        vision_config=dict(hidden_size=32, intermediate_size=48,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           image_size=56, patch_size=14,
+                           num_channels=3),
+        mm_tokens_per_image=4)
+    torch.manual_seed(15)
+    m = Gemma3ForConditionalGeneration(cfg).eval().float()
+    d = tmp_path / "g3"
+    m.save_pretrained(d, safe_serialization=True)
+    json.dump({"image_mean": [0.5, 0.5, 0.5], "image_std": [0.5, 0.5, 0.5],
+               "image_seq_length": 4},
+              open(d / "preprocessor_config.json", "w"))
+    out = mmproj.pack_mmproj(d, tmp_path / "g3-mmproj.gguf")
+    r = GGUFReader(out)
+    assert r.get("general.architecture") == "clip"
+    assert r.get("general.type") == "mmproj"
+    assert r.get("clip.projector_type") == "gemma3"
+    assert r.get("clip.has_vision_encoder") is True
+    assert r.get("clip.use_gelu") is True
+    assert r.get("clip.vision.image_size") == 56
+    assert r.get("clip.vision.patch_size") == 14
+    assert r.get("clip.vision.embedding_length") == 32
+    assert r.get("clip.vision.projection_dim") == 48
+    assert r.get("clip.vision.block_count") == 2
+    assert r.get("clip.vision.image_mean") == [0.5, 0.5, 0.5]
+    # scale factor written for non-default test geometry: (56/14)//2 = 2
+    assert r.get("clip.vision.projector.scale_factor") == 2
+    sd = m.state_dict()
+    for n in ("v.patch_embd.weight", "v.position_embd.weight",
+              "v.blk.0.attn_q.weight", "v.blk.1.ffn_up.weight",
+              "v.blk.0.ln1.weight", "v.post_ln.weight",
+              "mm.input_projection.weight", "mm.soft_emb_norm.weight"):
+        assert n in r.tensors, n
+    # soft_emb_norm gets the (1+w) gemma correction
+    key = [k for k in sd if "soft_emb_norm" in k][0]
+    np.testing.assert_allclose(
+        r.tensor_float("mm.soft_emb_norm.weight"),
+        sd[key].numpy().astype(np.float32) + 1.0, rtol=1e-6)
+    # no text tensors leak in
+    assert not any(n.startswith("blk.") or n == "token_embd.weight"
+                   for n in r.tensors)
+
+
+def test_qwen2_vl_mmproj(tmp_path):
+    from transformers import Qwen2VLConfig, Qwen2VLForConditionalGeneration
+
+    cfg = Qwen2VLConfig(
+        text_config=dict(vocab_size=64, hidden_size=32, intermediate_size=48,
+                         num_hidden_layers=1, num_attention_heads=4,
+                         num_key_value_heads=2,
+                         rope_scaling={"type": "mrope", "mrope_section": [2, 1, 1]}),
+        vision_config=dict(embed_dim=32, hidden_size=64, depth=2, num_heads=4,
+                           in_channels=3, patch_size=14, spatial_merge_size=2,
+                           temporal_patch_size=2))
+    torch.manual_seed(16)
+    m = Qwen2VLForConditionalGeneration(cfg).eval().float()
+    d = tmp_path / "qvl"
+    m.save_pretrained(d, safe_serialization=True)
+    json.dump({"image_mean": [0.48, 0.46, 0.41], "image_std": [0.27, 0.26, 0.28]},
+              open(d / "preprocessor_config.json", "w"))
+    out = mmproj.pack_mmproj(d, tmp_path / "qvl-mmproj.gguf")
+    r = GGUFReader(out)
+    assert r.get("clip.projector_type") == "qwen2vl_merger"
+    # qwen2vl key scheme: embedding_length = embed_dim, ff = hidden_size
+    assert r.get("clip.vision.embedding_length") == 32
+    assert r.get("clip.vision.feed_forward_length") == 64
+    assert r.get("clip.vision.block_count") == 2
+    sd = m.state_dict()
+    # Conv3D split into two planes
+    assert "v.patch_embd.weight" in r.tensors
+    assert "v.patch_embd.weight.1" in r.tensors
+    pe = [k for k in sd if k.endswith("patch_embed.proj.weight")][0]
+    raw = sd[pe].numpy()
+    np.testing.assert_allclose(
+        r.tensor_float("v.patch_embd.weight.1"),
+        raw[:, :, 1].astype(np.float32), rtol=1e-6)
+    # fused qkv split
+    qkv = [k for k in sd if k.endswith("blocks.0.attn.qkv.weight")][0]
+    c = sd[qkv].shape[0] // 3
+    np.testing.assert_allclose(
+        r.tensor_float("v.blk.0.attn_k.weight"),
+        sd[qkv].numpy()[c:2 * c].astype(np.float16).astype(np.float32),
+        rtol=1e-3, atol=1e-4)
+    # merger
+    assert "v.post_ln.weight" in r.tensors  # merger.ln_q
+    assert "mm.0.weight" in r.tensors and "mm.2.weight" in r.tensors
+
+
+def test_qwen2_5_vl_mmproj(tmp_path):
+    from transformers import Qwen2_5_VLConfig, Qwen2_5_VLForConditionalGeneration
+
+    cfg = Qwen2_5_VLConfig(
+        text_config=dict(vocab_size=64, hidden_size=32, intermediate_size=48,
+                         num_hidden_layers=1, num_attention_heads=4,
+                         num_key_value_heads=2,
+                         rope_scaling={"type": "mrope", "mrope_section": [2, 1, 1]}),
+        vision_config=dict(hidden_size=32, intermediate_size=48, depth=4,
+                           num_heads=4, in_channels=3, patch_size=14,
+                           spatial_merge_size=2, temporal_patch_size=2,
+                           fullatt_block_indexes=[1, 3], out_hidden_size=32,
+                           window_size=28))
+    torch.manual_seed(17)
+    m = Qwen2_5_VLForConditionalGeneration(cfg).eval().float()
+    d = tmp_path / "q25vl"
+    m.save_pretrained(d, safe_serialization=True)
+    out = mmproj.pack_mmproj(d, tmp_path / "q25-mmproj.gguf")
+    r = GGUFReader(out)
+    assert r.get("clip.projector_type") == "qwen2.5vl_merger"
+    assert r.get("clip.use_silu") is True
+    assert r.get("clip.vision.n_wa_pattern") == 2
+    # 2.5 uses gated MLP names
+    assert "v.blk.0.ffn_gate.weight" in r.tensors
+    assert "v.blk.0.ffn_down.weight" in r.tensors
+
+
+def test_mmproj_cli(tmp_path):
+    """pack --mmproj end to end through the CLI."""
+    from transformers import Gemma3Config, Gemma3ForConditionalGeneration
+    from gptq_gguf_tpu.__main__ import main
+
+    cfg = Gemma3Config(
+        text_config=dict(vocab_size=64, hidden_size=48, intermediate_size=64,
+                         num_hidden_layers=1, num_attention_heads=4,
+                         num_key_value_heads=1, head_dim=12),
+        vision_config=dict(hidden_size=32, intermediate_size=48,
+                           num_hidden_layers=1, num_attention_heads=4,
+                           image_size=56, patch_size=14, num_channels=3),
+        mm_tokens_per_image=4)
+    torch.manual_seed(18)
+    m = Gemma3ForConditionalGeneration(cfg).eval().float()
+    d = tmp_path / "g3cli"
+    m.save_pretrained(d, safe_serialization=True)
+    out = tmp_path / "g3cli-mmproj.gguf"
+    rc = main(["pack", "--model_dir", str(d), "--outfile", str(out), "--mmproj"])
+    assert not rc
+    assert GGUFReader(out).get("general.type") == "mmproj"
