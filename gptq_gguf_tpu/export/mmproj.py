@@ -299,6 +299,142 @@ class PixtralMmproj(MmprojSpec):
         return []
 
 
+class Idefics3Mmproj(MmprojSpec):
+    """SmolVLM / Idefics3 SigLIP tower + modality projection (reference
+    SmolVLMModel :2399-2429)."""
+
+    projector_type = "idefics3"
+
+    def __init__(self, cfg, model_dir):
+        super().__init__(cfg, model_dir)
+        v = self.vision  # SmolVLM2 ships without these keys
+        v.setdefault("hidden_size", 1152)
+        v.setdefault("num_attention_heads", 16)
+        v.setdefault("intermediate_size", 3072)
+
+    def metadata(self):
+        md = super().metadata()
+        md["clip.vision.attention.layer_norm_epsilon"] = float(
+            self.vision.get("layer_norm_eps", 1e-5))
+        md["clip.vision.projector.scale_factor"] = int(
+            self.global_cfg.get("scale_factor", 2))
+        md["clip.use_gelu"] = True
+        return md
+
+    def convert(self, name, arr):
+        if name.startswith("model.connector.modality_projection.proj"):
+            kind = name.rsplit(".", 1)[1]
+            return [(f"mm.model.fc.{kind}", arr)]
+        for pre in ("model.vision_model.", "vision_model.",
+                    "vision_tower.vision_model."):
+            if name.startswith(pre):
+                g = _clip_tower(name[len(pre):])
+                return [(g, arr)] if g else []
+        return []
+
+
+class WhisperAudioMmproj(MmprojSpec):
+    """Whisper-style audio encoders (reference WhisperEncoderModel /
+    Ultravox / Voxtral :7893-7955): audio tower + the per-family
+    projector; conv biases gain a trailing axis as upstream does."""
+
+    projector_type = "qwen2a"
+    has_vision = False
+
+    def vision_config(self, cfg):
+        ac = cfg.get("audio_config")
+        if ac is None:
+            raise ValueError("audio_config not found in config.json")
+        ac = dict(ac)
+        if "hidden_size" not in ac:
+            ac["hidden_size"] = ac["d_model"]
+            ac["intermediate_size"] = ac["encoder_ffn_dim"]
+            ac["num_attention_heads"] = ac["encoder_attention_heads"]
+        return ac
+
+    def metadata(self):
+        a = self.vision  # audio hparams
+        md = {
+            "general.architecture": "clip",
+            "general.type": "mmproj",
+            "general.name": self.global_cfg.get("_name_or_path", "model"),
+            "general.quantization_version": 2,
+            "clip.has_audio_encoder": True,
+            "clip.projector_type": self.projector_type,
+            "clip.audio.projection_dim": int(self.n_embd_text),
+            "clip.audio.embedding_length": int(a["hidden_size"]),
+            "clip.audio.feed_forward_length": int(a["intermediate_size"]),
+            "clip.audio.block_count": int(
+                a.get("encoder_layers", a.get("num_hidden_layers"))),
+            "clip.audio.attention.head_count": int(a["num_attention_heads"]),
+            "clip.audio.num_mel_bins": int(a["num_mel_bins"]),
+            "clip.audio.attention.layer_norm_epsilon": float(
+                a.get("layer_norm_eps", 1e-5)),
+        }
+        mt = self.global_cfg.get("model_type")
+        if mt == "ultravox":
+            md["clip.projector_type"] = "ultravox"
+            md["clip.audio.projector.stack_factor"] = int(
+                self.global_cfg["stack_factor"])
+        elif mt == "voxtral":
+            md["clip.projector_type"] = "voxtral"
+            md["clip.audio.projector.stack_factor"] = 4
+        return md
+
+    _blk = {
+        "self_attn.q_proj": "attn_q",
+        "self_attn.k_proj": "attn_k",
+        "self_attn.v_proj": "attn_v",
+        "self_attn.out_proj": "attn_out",
+        "self_attn_layer_norm": "ln1",
+        "final_layer_norm": "ln2",
+        "fc1": "ffn_up",
+        "fc2": "ffn_down",
+    }
+
+    def convert(self, name, arr):
+        if name.startswith("language_model."):
+            return []
+        if name.startswith("multi_modal_projector."):
+            rest = name[len("multi_modal_projector."):]
+            proj = {
+                "linear.weight": "mm.a.fc.weight",
+                "linear.bias": "mm.a.fc.bias",
+                "linear_1.weight": "mm.a.mlp.1.weight",
+                "linear_1.bias": "mm.a.mlp.1.bias",
+                "linear_2.weight": "mm.a.mlp.2.weight",
+                "linear_2.bias": "mm.a.mlp.2.bias",
+                "ln_pre.weight": "mm.a.norm_pre.weight",
+                "ln_pre.bias": "mm.a.norm_pre.bias",
+                "ln_mid.weight": "mm.a.norm_mid.weight",
+                "ln_mid.bias": "mm.a.norm_mid.bias",
+            }
+            return [(proj[rest], arr)] if rest in proj else []
+        if not name.startswith("audio_tower."):
+            return []
+        rest = name[len("audio_tower."):]
+        fixed = {
+            "conv1.weight": "a.conv1d.1.weight",
+            "conv1.bias": "a.conv1d.1.bias",
+            "conv2.weight": "a.conv1d.2.weight",
+            "conv2.bias": "a.conv1d.2.bias",
+            "embed_positions.weight": "a.position_embd.weight",
+            "layer_norm.weight": "a.post_ln.weight",
+            "layer_norm.bias": "a.post_ln.bias",
+        }
+        if rest in fixed:
+            if rest in ("conv1.bias", "conv2.bias"):
+                arr = arr[:, None]  # reference transposes conv biases
+            return [(fixed[rest], arr)]
+        if rest.startswith("layers."):
+            parts = rest.split(".")
+            i = parts[1]
+            head, kind = ".".join(parts[2:-1]), parts[-1]
+            if head in self._blk:
+                return [(f"a.blk.{i}.{self._blk[head]}.{kind}", arr)]
+        return []
+
+
 MMPROJ_REGISTRY: Dict[str, type] = {
     "gemma3": Gemma3Mmproj,
     "qwen2_vl": Qwen2VLMmproj,
@@ -306,6 +442,11 @@ MMPROJ_REGISTRY: Dict[str, type] = {
     "pixtral": PixtralMmproj,
     "mistral3": PixtralMmproj,
     "llava": PixtralMmproj,  # reference LlavaVisionModel supports pixtral
+    "idefics3": Idefics3Mmproj,
+    "smolvlm": Idefics3Mmproj,
+    "qwen2_audio": WhisperAudioMmproj,
+    "ultravox": WhisperAudioMmproj,
+    "voxtral": WhisperAudioMmproj,
 }
 
 

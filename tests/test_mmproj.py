@@ -154,3 +154,60 @@ def test_mmproj_cli(tmp_path):
     rc = main(["pack", "--model_dir", str(d), "--outfile", str(out), "--mmproj"])
     assert not rc
     assert GGUFReader(out).get("general.type") == "mmproj"
+
+
+def test_idefics3_mmproj(tmp_path):
+    from transformers import Idefics3Config, Idefics3ForConditionalGeneration
+
+    cfg = Idefics3Config(
+        text_config=dict(model_type="llama", vocab_size=64, hidden_size=32,
+                         intermediate_size=48, num_hidden_layers=1,
+                         num_attention_heads=4, num_key_value_heads=2),
+        vision_config=dict(hidden_size=32, intermediate_size=48,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           image_size=56, patch_size=14, num_channels=3),
+        scale_factor=3, image_token_id=1)
+    torch.manual_seed(19)
+    m = Idefics3ForConditionalGeneration(cfg).eval().float()
+    d = tmp_path / "idefics3"
+    m.save_pretrained(d, safe_serialization=True)
+    out = mmproj.pack_mmproj(d, tmp_path / "i3-mmproj.gguf")
+    r = GGUFReader(out)
+    assert r.get("clip.projector_type") == "idefics3"
+    assert r.get("clip.vision.projector.scale_factor") == 3
+    assert "mm.model.fc.weight" in r.tensors
+    assert "v.blk.1.attn_q.weight" in r.tensors
+    assert "v.patch_embd.weight" in r.tensors
+
+
+def test_qwen2_audio_mmproj(tmp_path):
+    from transformers import (Qwen2AudioConfig,
+                              Qwen2AudioForConditionalGeneration)
+
+    cfg = Qwen2AudioConfig(
+        text_config=dict(model_type="qwen2", vocab_size=64, hidden_size=32,
+                         intermediate_size=48, num_hidden_layers=1,
+                         num_attention_heads=4, num_key_value_heads=2),
+        audio_config=dict(d_model=32, encoder_ffn_dim=48, encoder_layers=2,
+                          encoder_attention_heads=4, num_mel_bins=16,
+                          max_source_positions=100))
+    torch.manual_seed(20)
+    m = Qwen2AudioForConditionalGeneration(cfg).eval().float()
+    d = tmp_path / "q2a"
+    m.save_pretrained(d, safe_serialization=True)
+    out = mmproj.pack_mmproj(d, tmp_path / "q2a-mmproj.gguf")
+    r = GGUFReader(out)
+    assert r.get("clip.has_audio_encoder") is True
+    assert r.get("clip.projector_type") == "qwen2a"
+    assert r.get("clip.audio.num_mel_bins") == 16
+    assert r.get("clip.audio.embedding_length") == 32
+    assert r.get("clip.audio.block_count") == 2
+    sd = m.state_dict()
+    for n in ("a.conv1d.1.weight", "a.conv1d.2.bias", "a.position_embd.weight",
+              "a.blk.0.attn_q.weight", "a.blk.1.ffn_up.weight",
+              "a.post_ln.weight", "mm.a.fc.weight"):
+        assert n in r.tensors, n
+    # conv bias gains a trailing axis
+    cb = r.tensor_float("a.conv1d.1.bias")
+    assert cb.ndim == 2 and cb.shape[1] == 1
+    assert not any(n.startswith("blk.") for n in r.tensors)
