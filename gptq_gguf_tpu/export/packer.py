@@ -246,7 +246,10 @@ class Qwen3Arch(ArchSpec):
 
 class GemmaArch(ArchSpec):
     """gemma (v1): llama structure + (1+w) norms, embed scaling, gelu; all
-    models have head_dim 256 so key/value_length must be explicit."""
+    models have head_dim 256 so key/value_length must be explicit. The +1
+    of the gemma RMSNorm is folded into the stored norm weights (reference
+    GemmaModel/Gemma2Model/Gemma3Model modify_tensors `data + 1`; llama.cpp
+    expects the folded form)."""
 
     gguf_arch = "gemma"
     permute_qk = False
@@ -259,15 +262,27 @@ class GemmaArch(ArchSpec):
         md[f"{self.gguf_arch}.attention.value_length"] = head_dim
         return md
 
+    def transform_float(self, gguf_name, arr):
+        if gguf_name.endswith("norm.weight"):
+            return arr + 1.0
+        return arr
+
 
 class Gemma2Arch(ArchSpec):
     """gemma2: post-attn/post-ffw norms, softcapping, sliding window.
 
     GGUF name quirk: gemma2's ffn_norm is the *pre-feedforward* norm and
-    post_attention_norm holds HF's post_attention_layernorm."""
+    post_attention_norm holds HF's post_attention_layernorm. Norm weights
+    are stored with the gemma +1 folded in (reference Gemma2Model
+    `data + 1`, llama.cpp convention)."""
 
     gguf_arch = "gemma2"
     permute_qk = False
+
+    def transform_float(self, gguf_name, arr):
+        if gguf_name.endswith("norm.weight"):
+            return arr + 1.0
+        return arr
 
     def tensor_name(self, hf_name: str) -> Optional[str]:
         if hf_name.startswith("model.layers."):

@@ -908,7 +908,10 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
             else tuple((i + 1) % 4 != 0 for i in range(n_layers))
             if arch == "smollm3" else None
         ),
-        rms_add_unit=gemma,
+        # GGUF gemma norms arrive with the +1 already folded (the converter
+        # stores 1+w, llama.cpp convention; export/packer.py does the same),
+        # so serve them as plain RMSNorm weights
+        rms_add_unit=False,
         embed_scale=gemma,
         act_fn=act,
         attn_logit_softcap=r.get(f"{arch}.attn_logit_softcapping") if arch == "gemma2" else None,

@@ -189,7 +189,10 @@ def test_load_gguf_gemma2_matches_forward(tmp_path):
     assert gcfg.sliding_window == 8
     assert gcfg.head_dim_ == 64
     assert gcfg.query_pre_attn_scalar == 64.0
-    assert gcfg.rms_add_unit and gcfg.embed_scale and gcfg.act_fn == "gelu_tanh"
+    # GGUF gemma norms arrive folded (1+w) per llama.cpp convention, so the
+    # loader serves them as plain RMSNorm weights
+    assert not gcfg.rms_add_unit
+    assert gcfg.embed_scale and gcfg.act_fn == "gelu_tanh"
     assert "post_feedforward_layernorm" in qparams["layers"][0]
 
     ids = RNG.integers(0, cfg.vocab_size, size=(1, 16))
