@@ -334,6 +334,99 @@ class Gemma3Arch(Gemma2Arch):
         return md
 
 
+class Gemma3nArch(Gemma3Arch):
+    """Gemma-3n (reference Gemma3NModel :5157-5243): altup projections
+    stacked 3-deep, laurel low-rank branch, per-layer input embeddings and
+    gates, activation-sparsity std multipliers, shared trailing KV layers.
+    Unlike gemma/gemma2/gemma3 the norms are NOT shifted (+0 scale_shift,
+    reference norm_shift = 0.0)."""
+
+    gguf_arch = "gemma3n"
+
+    _extra_layer = {
+        "altup.correction_coefs.weight": "altup_correct_coef.weight",
+        "altup.correct_output_scale": "altup_correct_scale.weight",
+        "altup.prediction_coefs.weight": "altup_predict_coef.weight",
+        "altup.modality_router.weight": "altup_router.weight",
+        "altup.router_norm.weight": "altup_router_norm.weight",
+        "laurel.linear_left.weight": "laurel_l.weight",
+        "laurel.linear_right.weight": "laurel_r.weight",
+        "laurel.post_laurel_norm.weight": "laurel_post_norm.weight",
+        "per_layer_input_gate.weight": "inp_gate.weight",
+        "per_layer_projection.weight": "proj.weight",
+        "post_per_layer_input_norm.weight": "post_norm.weight",
+    }
+    _fixed = {
+        "model.embed_tokens_per_layer.weight": "per_layer_token_embd.weight",
+        "model.per_layer_model_projection.weight": "per_layer_model_proj.weight",
+        # transformers' save path rewrites "model." mid-name via the
+        # gemma3n checkpoint-conversion mapping, mangling this key
+        "model.per_layer_model.language_model_projection.weight":
+            "per_layer_model_proj.weight",
+        "model.per_layer_projection_norm.weight": "per_layer_proj_norm.weight",
+    }
+
+    def __init__(self, hf_config):
+        super().__init__(hf_config)
+        if int(hf_config.get("altup_num_inputs", 4)) != 4:
+            raise NotImplementedError(
+                "gemma3n conversion supports altup_num_inputs == 4 only "
+                "(reference :5166)")
+        self._altup_acc: Dict[str, Dict[int, np.ndarray]] = {}
+
+    def transform_float(self, gguf_name, arr):
+        return arr  # no (1+w) fold: Gemma3nRMSNorm stores w directly
+
+    def tensor_name(self, hf_name):
+        if hf_name in self._fixed:
+            return self._fixed[hf_name]
+        if hf_name.startswith("model.layers."):
+            parts = hf_name.split(".")
+            rest = ".".join(parts[3:])
+            if rest in self._extra_layer:
+                return f"blk.{parts[2]}.{self._extra_layer[rest]}"
+        return super().tensor_name(hf_name)
+
+    def special_tensors(self, hf_name, arr, get_artifact):
+        for prefix, gname in (("model.altup_projections.", "altup_proj.weight"),
+                              ("model.altup_unembed_projections.",
+                               "altup_unembd_proj.weight")):
+            if not hf_name.startswith(prefix):
+                continue
+            idx = int(hf_name[len(prefix):].split(".")[0])
+            acc = self._altup_acc.setdefault(gname, {})
+            acc[idx] = np.asarray(arr, dtype=np.float32)
+            if len(acc) < 3:
+                return []
+            stacked = np.stack([acc[i] for i in range(3)])
+            del self._altup_acc[gname]
+            return [("float", gname, stacked.astype(np.float16))]
+        return None
+
+    def metadata(self):
+        md = super().metadata()
+        c, a = self.hf, self.gguf_arch
+        md[f"{a}.altup.active_idx"] = int(c["altup_active_idx"])
+        md[f"{a}.altup.num_inputs"] = int(c["altup_num_inputs"])
+        md[f"{a}.embedding_length_per_layer_input"] = int(
+            c["hidden_size_per_layer_input"])
+        md[f"{a}.attention.shared_kv_layers"] = int(
+            c.get("num_kv_shared_layers", 0))
+        # activation sparsity -> std multipliers via the normal icdf
+        # (reference :5189-5194)
+        import torch as _torch
+
+        nd = _torch.distributions.normal.Normal(0, 1)
+        md[f"{a}.activation_sparsity_scale"] = [
+            float(nd.icdf(_torch.tensor(s, dtype=_torch.float32)))
+            for s in c["activation_sparsity_pattern"]
+        ]
+        md[f"{a}.attention.sliding_window_pattern"] = [
+            t == "sliding_attention" for t in c["layer_types"]
+        ]
+        return md
+
+
 class Olmo2Arch(ArchSpec):
     """olmo2: post-norm blocks — post_attention_layernorm maps to
     post_attention_norm (NOT ffn_norm), q/k norms are full-projection."""
@@ -3737,7 +3830,8 @@ _ARCH_REGISTRY.update(
      "rwkv7": Rwkv7Arch, "rwkv_hybrid": ARwkv7Arch,
      "qwen2_vl": Qwen2VLArch, "qwen2_5_vl": Qwen2VLArch,
      "qwen2_5_vl_text": Qwen2VLArch, "nomic_bert": NomicBertArch,
-     "mistral3": MistralArch}
+     "mistral3": MistralArch,
+     "gemma3n": Gemma3nArch, "gemma3n_text": Gemma3nArch}
 )
 
 

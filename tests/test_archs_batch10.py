@@ -146,3 +146,57 @@ def test_nomic_bert_pack(tmp_path):
         rtol=1e-3, atol=1e-4)
     # unused expert bias dropped
     assert not any(n.endswith("exps.bias") for n in r.tensors)
+
+
+def test_gemma3n_pack(tmp_path):
+    """Gemma-3n: altup stacks, laurel branch, per-layer inputs, sparsity
+    std multipliers, unshifted norms (reference Gemma3NModel :5157)."""
+    from transformers import Gemma3nTextConfig, Gemma3nForCausalLM
+
+    cfg = Gemma3nTextConfig(
+        vocab_size=64, vocab_size_per_layer_input=32, hidden_size=32,
+        hidden_size_per_layer_input=8, intermediate_size=48,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, altup_num_inputs=4, altup_active_idx=0,
+        num_kv_shared_layers=1, laurel_rank=4,
+        layer_types=["sliding_attention", "full_attention",
+                     "sliding_attention"],
+        sliding_window=16, activation_sparsity_pattern=[0.95, 0.0, 0.0],
+        torch_dtype="float32", use_cache=False)
+    torch.manual_seed(21)
+    m = Gemma3nForCausalLM(cfg).eval().float()
+    d = tmp_path / "g3n"
+    m.save_pretrained(d, safe_serialization=True)
+    r = _pack(tmp_path, d, "g3n")
+    assert r.get("general.architecture") == "gemma3n"
+    assert r.get("gemma3n.altup.num_inputs") == 4
+    assert r.get("gemma3n.altup.active_idx") == 0
+    assert r.get("gemma3n.embedding_length_per_layer_input") == 8
+    assert r.get("gemma3n.attention.shared_kv_layers") == 1
+    assert r.get("gemma3n.attention.sliding_window_pattern") == [True, False, True]
+    scale = r.get("gemma3n.activation_sparsity_scale")
+    # icdf(0.95) std multiplier; icdf(0.0) = -inf marks non-sparse layers
+    # (the reference writes exactly this)
+    assert abs(scale[0] - 1.6448536) < 1e-4
+    assert scale[1] == float("-inf")
+    sd = m.state_dict()
+    for n in ("per_layer_token_embd.weight", "per_layer_model_proj.weight",
+              "per_layer_proj_norm.weight", "altup_proj.weight",
+              "altup_unembd_proj.weight", "blk.0.altup_correct_coef.weight",
+              "blk.0.altup_correct_scale.weight", "blk.0.altup_router.weight",
+              "blk.1.laurel_l.weight", "blk.1.laurel_r.weight",
+              "blk.2.laurel_post_norm.weight", "blk.0.inp_gate.weight",
+              "blk.0.proj.weight", "blk.0.post_norm.weight",
+              "blk.0.post_attention_norm.weight", "blk.0.ffn_norm.weight",
+              "blk.0.post_ffw_norm.weight"):
+        assert n in r.tensors, n
+    ap = r.tensor_float("altup_proj.weight")
+    assert ap.shape == (3, 32, 32)
+    np.testing.assert_allclose(
+        ap[2], sd["model.altup_projections.2.weight"].numpy()
+        .astype(np.float16).astype(np.float32), rtol=1e-3, atol=1e-4)
+    # norms NOT shifted (+0), unlike gemma3
+    np.testing.assert_allclose(
+        r.tensor_float("blk.0.attn_norm.weight"),
+        sd["model.layers.0.input_layernorm.weight"].numpy().astype(np.float32),
+        rtol=1e-6)
