@@ -302,6 +302,9 @@ def build_serve(p: argparse.ArgumentParser):
     p.add_argument("--gguf-file", required=True)
     p.add_argument("--prompt-tokens", type=int, nargs="+", default=None,
                    help="token ids (no tokenizer needed)")
+    p.add_argument("--prompt", default=None,
+                   help="text prompt, tokenized with the GGUF's own vocab "
+                        "(tokenizer.ggml.* metadata, like llama.cpp)")
     p.add_argument("--max-new-tokens", type=int, default=32)
     p.add_argument("--benchmark", action="store_true")
     p.add_argument("--num-slots", type=int, default=8)
@@ -341,6 +344,20 @@ def run_serve(args):
             from transformers import AutoTokenizer
 
             tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+        else:  # fall back to the GGUF's own vocab (llama.cpp behavior)
+            from ..formats.gguf import GGUFReader
+            from ..serving import tokenizer as gtok
+
+            gg = gtok.from_gguf(GGUFReader(args.gguf_file))
+            if gg is not None:
+                class _Wrap:  # match the HF callable/decodable shape
+                    def __call__(self, text):
+                        return {"input_ids": gg.encode(text)}
+
+                    def decode(self, ids):
+                        return gg.decode(ids)
+
+                tokenizer = _Wrap()
         if args.paged:
             eng = engine.PagedContinuousBatchingEngine(
                 params, cfg, num_slots=args.num_slots, max_len=args.max_len,
@@ -354,13 +371,29 @@ def run_serve(args):
         serve_http(eng, host=args.host, port=args.port, tokenizer=tokenizer)
         return
 
-    prompt = np.asarray(args.prompt_tokens or [1, 2, 3, 4], dtype=np.int64)
+    gg = None
+    if args.prompt_tokens is not None:
+        prompt = np.asarray(args.prompt_tokens, dtype=np.int64)
+    elif args.prompt is not None:
+        from ..formats.gguf import GGUFReader
+        from ..serving import tokenizer as gtok
+
+        gg = gtok.from_gguf(GGUFReader(args.gguf_file))
+        if gg is None:
+            raise SystemExit(
+                "--prompt needs a GGUF with tokenizer.ggml.* metadata; "
+                "use --prompt-tokens for vocab-less files")
+        prompt = np.asarray(gg.encode(args.prompt), dtype=np.int64)
+    else:
+        prompt = np.asarray([1, 2, 3, 4], dtype=np.int64)
     with profile_trace(args.profile_dir), timer.stage("generate"):
         t0 = time.time()
         out = engine.generate(params, cfg, [prompt], max_new_tokens=args.max_new_tokens)[0]
         dt = time.time() - t0
     print(f"generated {len(out)} tokens in {dt:.2f}s ({len(out) / dt:.1f} tok/s)")
     print(out)
+    if gg is not None:
+        print(repr(gg.decode(out)))
 
 
 SUBCOMMANDS = {
