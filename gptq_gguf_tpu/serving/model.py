@@ -671,6 +671,10 @@ _GGUF_SERVING_ARCHES = (
     "ernie4_5-moe", "dots1", "gpt-oss", "falcon", "hunyuan-dense",
     "hunyuan-moe", "gptneox", "gptj", "gpt2", "bloom", "mpt", "smollm3",
     "chatglm", "starcoder", "dbrx",
+    # llama/qwen2 twins: xverse is llama semantics under its own arch tag;
+    # qwen2vl's mrope reduces exactly to NeoX rope for text-only decoding
+    # (all position streams equal)
+    "xverse", "qwen2vl",
 )
 
 # mean-subtracting-LayerNorm GGUF arches (nemotron norms arrive pre-folded
@@ -960,7 +964,7 @@ def load_gguf_for_serving(
     # (mirrors the write-side ArchSpec.permute_qk flags)
     permute_qk = arch in (
         "llama", "mistral", "granite", "minicpm", "internlm2", "baichuan",
-        "deepseek", "olmo", "arcee", "granitemoe", "smollm3",
+        "deepseek", "olmo", "arcee", "granitemoe", "smollm3", "xverse",
     )
     # olmo2 shares the gemma2-style post-norm tensor names
     name_map = (
