@@ -8,8 +8,8 @@ from typing import Optional, Tuple
 import numpy as np
 
 
-def add_model_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--model_name_or_path", type=str, required=True,
+def add_model_args(p: argparse.ArgumentParser, required: bool = True) -> None:
+    p.add_argument("--model_name_or_path", type=str, required=required,
                    help="HF checkpoint directory (config.json + safetensors)")
     p.add_argument("--tokenizer_name", type=str, default=None)
     p.add_argument("--dtype", type=str, default="float32",

@@ -152,7 +152,11 @@ def run_build_db(args):
 
 
 def build_ppl(p: argparse.ArgumentParser):
-    common.add_model_args(p)
+    common.add_model_args(p, required=False)
+    p.add_argument("--gguf-file", default=None,
+                   help="evaluate a GGUF directly (dequantized through the "
+                        "serving loader; tokenizes with the GGUF's own "
+                        "vocab — the llama-perplexity flow)")
     p.add_argument("--datasets", nargs="+", default=["synthetic"])
     p.add_argument("--sequence_length", type=int, default=None)
     p.add_argument("--eval_tokens", type=int, default=2**17)
@@ -169,8 +173,37 @@ def run_ppl(args):
     from ..evals import compress, ppl
     from ..utils.data import get_data
 
-    cfg, params = common.load_model(args)
-    tokenizer = common.load_tokenizer(args)
+    if args.gguf_file:
+        import jax.numpy as jnp
+
+        from ..serving import model as qmodel
+
+        params, cfg = qmodel.load_gguf_for_serving(
+            args.gguf_file, dtype=common.resolve_dtype(args.dtype),
+            dense=True)
+        if args.tokenizer_name or args.model_name_or_path:
+            tokenizer = common.load_tokenizer(args)
+        else:
+            from ..formats.gguf import GGUFReader
+            from ..serving import tokenizer as gtok
+
+            gg = gtok.from_gguf(GGUFReader(args.gguf_file))
+            if gg is None:
+                tokenizer = None
+            else:
+                class _Wrap:
+                    def __call__(self, text):
+                        return {"input_ids": gg.encode(text)}
+
+                    def decode(self, ids):
+                        return gg.decode(ids)
+
+                tokenizer = _Wrap()
+    else:
+        if not args.model_name_or_path:
+            raise SystemExit("need --model_name_or_path or --gguf-file")
+        cfg, params = common.load_model(args)
+        tokenizer = common.load_tokenizer(args)
     if args.drop_layer_config:
         params = compress.apply_layer_drops(
             params, compress.load_drop_config(args.drop_layer_config)

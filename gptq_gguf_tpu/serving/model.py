@@ -935,7 +935,7 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
 
 
 def load_gguf_for_serving(
-    gguf_path: Union[str, Path], dtype=jnp.bfloat16
+    gguf_path: Union[str, Path], dtype=jnp.bfloat16, dense: bool = False
 ) -> Tuple[Dict[str, Any], LlamaConfig]:
     """Build a serving model directly from a .gguf file.
 
@@ -944,6 +944,11 @@ def load_gguf_for_serving(
     from this file, we serve natively. Raises on architectures or tensor
     names this loader does not understand — a silently dropped tensor means
     silently wrong logits.
+
+    dense=True dequantizes every tensor to plain arrays instead — the
+    resulting pytree runs through models.llama.forward (full-sequence
+    logits), which is how ``ppl --gguf-file`` evaluates a GGUF directly
+    (the reference's llama-perplexity flow).
     """
     from ..export.packer import gqa_permute_rows
     from ..formats import convert
@@ -988,7 +993,8 @@ def load_gguf_for_serving(
     def unpack(name: str, inv: Optional[np.ndarray]):
         """Returns ('quant', codes, np-params, qtype) or ('float', array)."""
         info = r.tensors[name]
-        if info.ggml_type in K_QUANT_TYPES and info.shape[-1] % 256 == 0:
+        if not dense and info.ggml_type in K_QUANT_TYPES \
+                and info.shape[-1] % 256 == 0:
             q, ss, sc, sz, zq = convert.unpack_layer(
                 np.asarray(r.tensor_bytes(name)), info.ggml_type, info.shape
             )
@@ -1093,7 +1099,7 @@ def load_gguf_for_serving(
                     bkey = "gate_inp_bias" if key == "gate_inp" else key + "_bias"
                     layers[li][bkey] = jnp.asarray(r.tensor_float(name))
                     continue
-                exps_quant = _layer_exps_quant(r, li)
+                exps_quant = not dense and _layer_exps_quant(r, li)
                 if key.startswith("experts_") and exps_quant:
                     # stacked K-quant expert tensor (E, d_out, d_in): keep
                     # packed — unpack codes/scales once, repack per expert
