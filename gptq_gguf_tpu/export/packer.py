@@ -2421,6 +2421,106 @@ class PlamoArch(ArchSpec):
         return arr
 
 
+class Plamo2Arch(ArchSpec):
+    """PLaMo-2 hybrid mamba/attention (reference Plamo2Model :4068-4235):
+    model.layers.layers naming, per-layer kv heads zeroed on mamba layers
+    (mamba_step pattern), dt_bias/dt_norm/B_norm/C_norm renames, conv
+    squeeze, A_log -> -exp(A_log), and the +1 / +1/5 / +1/5^1.5 norm
+    shifts the converter folds in."""
+
+    gguf_arch = "plamo2"
+    permute_qk = False
+
+    _layer = {
+        "mixer.in_proj.weight": "ssm_in.weight",
+        "mixer.conv1d.weight": "ssm_conv1d.weight",
+        "mixer.bcdt_proj.weight": "ssm_x.weight",
+        "mixer.dt_proj.weight": "ssm_dt.weight",
+        "mixer.dt_bias": "ssm_dt.bias",
+        "mixer.dt_norm_weight": "ssm_dt_norm.weight",
+        "mixer.B_norm_weight": "ssm_b_norm.weight",
+        "mixer.C_norm_weight": "ssm_c_norm.weight",
+        "mixer.A_log": "ssm_a",
+        "mixer.D": "ssm_d",
+        "mixer.out_proj.weight": "ssm_out.weight",
+        "mixer.qkv_proj.weight": "attn_qkv.weight",
+        "mixer.q_weight": "attn_q_norm.weight",
+        "mixer.k_weight": "attn_k_norm.weight",
+        "mixer.o_proj.weight": "attn_output.weight",
+        "pre_mixer_norm.weight": "attn_norm.weight",
+        "post_mixer_norm.weight": "post_attention_norm.weight",
+        "pre_mlp_norm.weight": "ffn_norm.weight",
+        "post_mlp_norm.weight": "post_ffw_norm.weight",
+        "mlp.gate_up_proj.weight": "ffn_up.weight",
+        "mlp.down_proj.weight": "ffn_down.weight",
+    }
+
+    def tensor_name(self, hf_name):
+        fixed = {"model.embed_tokens.weight": "token_embd.weight",
+                 "model.norm.weight": "output_norm.weight",
+                 "lm_head.weight": "output.weight"}
+        if hf_name in fixed:
+            return fixed[hf_name]
+        if hf_name.startswith("model.layers.layers."):
+            parts = hf_name.split(".")
+            rest = ".".join(parts[4:])
+            if rest in self._layer:
+                return f"blk.{parts[3]}.{self._layer[rest]}"
+        return None
+
+    def transform_float(self, gguf_name, arr):
+        if gguf_name.endswith(".ssm_a"):
+            return -np.exp(arr)
+        if gguf_name.endswith("ssm_conv1d.weight"):
+            return np.squeeze(arr)
+        # converter norm shifts (reference :4216-4229)
+        if gguf_name.endswith(("attn_norm.weight", "ffn_norm.weight",
+                               "output_norm.weight")):
+            return arr + 1.0
+        if gguf_name.endswith("post_attention_norm.weight"):
+            return arr + 1.0 / 5
+        if gguf_name.endswith("post_ffw_norm.weight"):
+            return arr + 1.0 / (5 ** 1.5)
+        return arr
+
+    def _mamba_layers(self):
+        c = self.hf
+        n = c["num_hidden_layers"]
+        step = c.get("mamba_step", 2)
+        if not c.get("mamba_enabled", True):
+            return [False] * n
+        if n <= step // 2:
+            return [i != n - 1 for i in range(n)]
+        return [(i % step) != (step // 2) for i in range(n)]
+
+    def metadata(self):
+        c, a = self.hf, self.gguf_arch
+        n_kv = c.get("num_key_value_heads", 4)
+        md = {
+            "general.architecture": a,
+            "general.name": c.get("_name_or_path", "model"),
+            "general.quantization_version": 2,
+            f"{a}.context_length": int(c.get("max_position_embeddings", 2048)),
+            f"{a}.embedding_length": int(c.get("hidden_size", 4096)),
+            f"{a}.block_count": int(c["num_hidden_layers"]),
+            f"{a}.attention.head_count": int(c.get("num_attention_heads", 32)),
+            f"{a}.attention.head_count_kv": [
+                0 if m else n_kv for m in self._mamba_layers()],
+            f"{a}.attention.layer_norm_rms_epsilon": float(
+                c.get("rms_norm_eps", 1e-6)),
+            f"{a}.rope.freq_base": float(c.get("rope_theta", 10000)),
+            f"{a}.ssm.state_size": int(c.get("mamba_d_state", 64)),
+            f"{a}.ssm.conv_kernel": int(c.get("mamba_d_conv", 4)),
+            f"{a}.ssm.time_step_rank": int(c.get("mamba_num_heads", 64)),
+            f"{a}.ssm.inner_size": int(
+                c.get("mamba_num_heads", 64) * c.get("hidden_size_per_head", 128)),
+            f"{a}.ssm.group_count": 0,
+            f"{a}.feed_forward_length": int(c.get("intermediate_size", 13312)),
+            f"{a}.vocab_size": int(c["vocab_size"]),
+        }
+        return md
+
+
 class GrokArch(MoEArchSpec):
     """Grok-1 (reference GrokModel :2727-2777): decoder_layer/rms_norm_N
     naming with four per-layer norms, linear/linear_v/linear_1 expert
@@ -3831,7 +3931,8 @@ _ARCH_REGISTRY.update(
      "qwen2_vl": Qwen2VLArch, "qwen2_5_vl": Qwen2VLArch,
      "qwen2_5_vl_text": Qwen2VLArch, "nomic_bert": NomicBertArch,
      "mistral3": MistralArch,
-     "gemma3n": Gemma3nArch, "gemma3n_text": Gemma3nArch}
+     "gemma3n": Gemma3nArch, "gemma3n_text": Gemma3nArch,
+     "plamo2": Plamo2Arch}
 )
 
 

@@ -115,3 +115,94 @@ def test_grok_pack(tmp_path):
     np.testing.assert_allclose(
         ue[2], t["transformer.decoder_layer.0.moe.2.linear_v.weight"]
         .astype(np.float16).astype(np.float32), rtol=1e-3, atol=1e-4)
+
+
+def test_plamo2_pack(tmp_path):
+    """PLaMo-2: layers.layers hybrid naming, dt/B/C norm renames, A_log ->
+    -exp, mamba_step kv-head zeroing, converter norm shifts
+    (Plamo2Model :4068-4235)."""
+    h, nh, nkv, v = 32, 4, 4, 64
+    m_heads, hph, d_state, d_conv = 4, 8, 16, 4
+    d_inner = m_heads * hph
+    cfg = {"model_type": "plamo2", "vocab_size": v, "hidden_size": h,
+           "intermediate_size": 96, "num_hidden_layers": 2,
+           "num_attention_heads": nh, "num_key_value_heads": nkv,
+           "rms_norm_eps": 1e-6, "max_position_embeddings": 128,
+           "mamba_step": 2, "mamba_enabled": True, "mamba_num_heads": m_heads,
+           "hidden_size_per_head": hph, "mamba_d_state": d_state,
+           "mamba_d_conv": d_conv}
+    t = {"model.embed_tokens.weight": RNG.normal(size=(v, h)),
+         "model.norm.weight": RNG.normal(size=(h,)),
+         "lm_head.weight": RNG.normal(size=(v, h))}
+    # layer 0: mamba (i%2 != 1)
+    p = "model.layers.layers.0"
+    t.update({
+        f"{p}.pre_mixer_norm.weight": RNG.normal(size=(h,)),
+        f"{p}.post_mixer_norm.weight": RNG.normal(size=(h,)),
+        f"{p}.pre_mlp_norm.weight": RNG.normal(size=(h,)),
+        f"{p}.post_mlp_norm.weight": RNG.normal(size=(h,)),
+        f"{p}.mixer.in_proj.weight": RNG.normal(size=(2 * d_inner, h)),
+        f"{p}.mixer.conv1d.weight": RNG.normal(size=(d_inner, 1, d_conv)),
+        f"{p}.mixer.bcdt_proj.weight": RNG.normal(size=(2 * d_state + m_heads, d_inner)),
+        f"{p}.mixer.dt_proj.weight": RNG.normal(size=(m_heads, m_heads)),
+        f"{p}.mixer.dt_bias": RNG.normal(size=(m_heads,)),
+        f"{p}.mixer.dt_norm_weight": RNG.normal(size=(m_heads,)),
+        f"{p}.mixer.B_norm_weight": RNG.normal(size=(d_state,)),
+        f"{p}.mixer.C_norm_weight": RNG.normal(size=(d_state,)),
+        f"{p}.mixer.A_log": np.abs(RNG.normal(size=(m_heads,))) + 0.1,
+        f"{p}.mixer.D": RNG.normal(size=(m_heads,)),
+        f"{p}.mixer.out_proj.weight": RNG.normal(size=(h, d_inner)),
+        f"{p}.mlp.gate_up_proj.weight": RNG.normal(size=(2 * 96, h)),
+        f"{p}.mlp.down_proj.weight": RNG.normal(size=(h, 96)),
+    })
+    # layer 1: attention
+    p = "model.layers.layers.1"
+    t.update({
+        f"{p}.pre_mixer_norm.weight": RNG.normal(size=(h,)),
+        f"{p}.post_mixer_norm.weight": RNG.normal(size=(h,)),
+        f"{p}.pre_mlp_norm.weight": RNG.normal(size=(h,)),
+        f"{p}.post_mlp_norm.weight": RNG.normal(size=(h,)),
+        f"{p}.mixer.qkv_proj.weight": RNG.normal(size=(3 * h, h)),
+        f"{p}.mixer.q_weight": RNG.normal(size=(nh, h // nh)),
+        f"{p}.mixer.k_weight": RNG.normal(size=(nkv, h // nh)),
+        f"{p}.mixer.o_proj.weight": RNG.normal(size=(h, h)),
+        f"{p}.mlp.gate_up_proj.weight": RNG.normal(size=(2 * 96, h)),
+        f"{p}.mlp.down_proj.weight": RNG.normal(size=(h, 96)),
+    })
+    d = tmp_path / "plamo2"
+    _save(d, cfg, t)
+    r = _pack(tmp_path, d, "plamo2")
+    assert r.get("general.architecture") == "plamo2"
+    assert r.get("plamo2.attention.head_count_kv") == [0, nkv]
+    assert r.get("plamo2.ssm.inner_size") == d_inner
+    assert r.get("plamo2.ssm.group_count") == 0
+    assert r.get("plamo2.ssm.time_step_rank") == m_heads
+    for n in ("blk.0.ssm_in.weight", "blk.0.ssm_x.weight",
+              "blk.0.ssm_dt.weight", "blk.0.ssm_dt.bias",
+              "blk.0.ssm_dt_norm.weight", "blk.0.ssm_b_norm.weight",
+              "blk.0.ssm_c_norm.weight", "blk.1.attn_qkv.weight",
+              "blk.1.attn_q_norm.weight", "blk.0.post_attention_norm.weight",
+              "blk.1.post_ffw_norm.weight"):
+        assert n in r.tensors, n
+    # A_log -> -exp
+    a = r.tensor_float("blk.0.ssm_a")
+    np.testing.assert_allclose(
+        a, -np.exp(t["model.layers.layers.0.mixer.A_log"].astype(np.float32)),
+        rtol=1e-6)
+    # conv squeezed 2D
+    assert r.tensor_float("blk.0.ssm_conv1d.weight").shape == (d_inner, d_conv)
+    # norm shifts: pre +1, post-mixer +1/5, post-mlp +1/5^1.5
+    np.testing.assert_allclose(
+        r.tensor_float("blk.0.attn_norm.weight"),
+        t["model.layers.layers.0.pre_mixer_norm.weight"].astype(np.float32) + 1.0,
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        r.tensor_float("blk.0.post_attention_norm.weight"),
+        t["model.layers.layers.0.post_mixer_norm.weight"].astype(np.float32) + 0.2,
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        r.tensor_float("blk.1.post_ffw_norm.weight"),
+        t["model.layers.layers.1.post_mlp_norm.weight"].astype(np.float32)
+        + 1.0 / 5 ** 1.5, rtol=1e-6)
+    # fused gate_up kept whole in ffn_up
+    assert r.tensor_float("blk.0.ffn_up.weight").shape == (192, h)
