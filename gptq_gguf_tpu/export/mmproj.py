@@ -333,6 +333,49 @@ class Idefics3Mmproj(MmprojSpec):
         return []
 
 
+class Lfm2VlMmproj(MmprojSpec):
+    """LFM2-VL SigLIP2 tower + pixel-unshuffle projector (reference
+    LFM2VLModel :8483-8517): fixed image_size 256 for dynamic resolution,
+    downsample_factor scale, feature-layer-trimmed block count."""
+
+    projector_type = "lfm2"
+
+    def __init__(self, cfg, model_dir):
+        super().__init__(cfg, model_dir)
+        self.vision.setdefault("image_size", 256)
+
+    def metadata(self):
+        md = super().metadata()
+        v = self.vision
+        md["clip.vision.attention.layer_norm_epsilon"] = float(
+            v.get("layer_norm_eps", 1e-6))
+        md["clip.vision.projector.scale_factor"] = int(
+            self.global_cfg.get("downsample_factor", 2))
+        md["clip.use_gelu"] = True
+        # vision_feature_layer == -1 keeps all blocks (reference :8516)
+        drop = -(int(self.global_cfg.get("vision_feature_layer", -1)) + 1)
+        md["clip.vision.block_count"] = int(
+            v.get("num_hidden_layers", v.get("depth"))) - drop
+        return md
+
+    def convert(self, name, arr):
+        proj = {
+            "multi_modal_projector.layer_norm.weight": "mm.input_norm.weight",
+            "multi_modal_projector.layer_norm.bias": "mm.input_norm.bias",
+            "multi_modal_projector.linear_1.weight": "mm.1.weight",
+            "multi_modal_projector.linear_1.bias": "mm.1.bias",
+            "multi_modal_projector.linear_2.weight": "mm.2.weight",
+            "multi_modal_projector.linear_2.bias": "mm.2.bias",
+        }
+        if name in proj:
+            return [(proj[name], arr)]
+        for pre in ("vision_tower.vision_model.", "vision_tower."):
+            if name.startswith(pre):
+                g = _clip_tower(name[len(pre):])
+                return [(g, arr)] if g else []
+        return []
+
+
 class WhisperAudioMmproj(MmprojSpec):
     """Whisper-style audio encoders (reference WhisperEncoderModel /
     Ultravox / Voxtral :7893-7955): audio tower + the per-family
@@ -447,6 +490,8 @@ MMPROJ_REGISTRY: Dict[str, type] = {
     "qwen2_audio": WhisperAudioMmproj,
     "ultravox": WhisperAudioMmproj,
     "voxtral": WhisperAudioMmproj,
+    "lfm2_vl": Lfm2VlMmproj,
+    "lfm2-vl": Lfm2VlMmproj,
 }
 
 
@@ -473,6 +518,14 @@ def pack_mmproj(model_dir: Union[str, Path], out_path: Union[str, Path],
         writer.add_kv(k, v)
     n = 0
     for name, arr in _iter_safetensors(model_dir):
+        # new transformers layouts nest the towers under a bare "model."
+        # (model.vision_tower.*); the converters expect the classic names
+        if name.startswith("model.") and name.split(".")[1] in (
+                "vision_tower", "vision_model", "visual",
+                "multi_modal_projector", "audio_tower", "connector"):
+            name = name[len("model."):]
+            if name.startswith("connector."):
+                name = "model." + name  # idefics3 keys keep model.connector
         for gname, out in spec.convert(name, _to_f32(np.asarray(arr))):
             if use_f32 or out.ndim != 2 or spec.force_f32(gname):
                 writer.add_tensor(gname, out.astype(np.float32))

@@ -3932,7 +3932,9 @@ _ARCH_REGISTRY.update(
      "qwen2_5_vl_text": Qwen2VLArch, "nomic_bert": NomicBertArch,
      "mistral3": MistralArch,
      "gemma3n": Gemma3nArch, "gemma3n_text": Gemma3nArch,
-     "plamo2": Plamo2Arch}
+     "plamo2": Plamo2Arch,
+     "glm4v": Glm4Arch, "glm4v_text": Glm4Arch,
+     "qwen2_5_omni": Qwen2VLArch, "qwen2_5_omni_text": Qwen2VLArch}
 )
 
 

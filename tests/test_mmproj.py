@@ -211,3 +211,40 @@ def test_qwen2_audio_mmproj(tmp_path):
     cb = r.tensor_float("a.conv1d.1.bias")
     assert cb.ndim == 2 and cb.shape[1] == 1
     assert not any(n.startswith("blk.") for n in r.tensors)
+
+
+def test_lfm2_vl_mmproj_and_text(tmp_path):
+    """LFM2-VL: text packs as lfm2 via the wrapper fallback; the vision
+    tower + pixel-unshuffle projector pack as an lfm2 mmproj."""
+    from transformers import Lfm2VlConfig, Lfm2VlForConditionalGeneration
+    from gptq_gguf_tpu.export import packer as _packer
+
+    cfg = Lfm2VlConfig(
+        text_config=dict(model_type="lfm2", vocab_size=64, hidden_size=32,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, block_ff_dim=64,
+                         block_auto_adjust_ff_dim=False, conv_L_cache=3,
+                         layer_types=["conv", "full_attention"]),
+        vision_config=dict(hidden_size=32, intermediate_size=48,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           patch_size=14, num_channels=3, image_size=56),
+        downsample_factor=2, vision_feature_layer=-1)
+    torch.manual_seed(24)
+    m = Lfm2VlForConditionalGeneration(cfg).eval().float()
+    d = tmp_path / "lfm2vl"
+    m.save_pretrained(d, safe_serialization=True)
+    # text side
+    tg = tmp_path / "lfm2vl-text.gguf"
+    _packer.pack_model(d, tmp_path / "none", tg)
+    rt = GGUFReader(tg)
+    assert rt.get("general.architecture") == "lfm2"
+    assert "blk.0.shortconv.conv.weight" in rt.tensors
+    # mmproj side
+    out = mmproj.pack_mmproj(d, tmp_path / "lfm2vl-mmproj.gguf")
+    r = GGUFReader(out)
+    assert r.get("clip.projector_type") == "lfm2"
+    assert r.get("clip.vision.projector.scale_factor") == 2
+    assert r.get("clip.vision.block_count") == 2
+    assert "mm.1.weight" in r.tensors and "mm.2.weight" in r.tensors
+    assert "mm.input_norm.weight" in r.tensors
+    assert any(n.startswith("v.blk.") for n in r.tensors)
