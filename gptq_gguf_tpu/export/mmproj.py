@@ -478,6 +478,91 @@ class WhisperAudioMmproj(MmprojSpec):
         return []
 
 
+class Qwen25OmniMmproj(Qwen2VLMmproj):
+    """Qwen2.5-Omni thinker (reference Qwen25OmniModel :5232-5288): dual
+    vision+audio mmproj — qwen2.5 ViT plus a whisper-style audio tower
+    whose sinusoid position embedding is generated at pack time."""
+
+    def vision_config(self, cfg):
+        vc = (cfg.get("thinker_config") or {}).get("vision_config")
+        if vc is None:
+            raise ValueError("thinker_config.vision_config not found")
+        return vc
+
+    def _audio(self) -> Dict[str, Any]:
+        ac = dict((self.global_cfg.get("thinker_config") or {})
+                  .get("audio_config") or {})
+        if "hidden_size" not in ac and "d_model" in ac:
+            ac["hidden_size"] = ac["d_model"]
+            ac["intermediate_size"] = ac["encoder_ffn_dim"]
+            ac["num_attention_heads"] = ac["encoder_attention_heads"]
+        return ac
+
+    def metadata(self):
+        # the vision branch keys off model_type == qwen2_5_omni
+        md = super().metadata()
+        md["clip.projector_type"] = "qwen2.5o"
+        md["clip.use_silu"] = True
+        a = self._audio()
+        md.update({
+            "clip.has_audio_encoder": True,
+            "clip.audio.projection_dim": int(self.n_embd_text),
+            "clip.audio.embedding_length": int(a["hidden_size"]),
+            "clip.audio.feed_forward_length": int(a["intermediate_size"]),
+            "clip.audio.block_count": int(
+                a.get("encoder_layers", a.get("num_hidden_layers"))),
+            "clip.audio.attention.head_count": int(a["num_attention_heads"]),
+            "clip.audio.num_mel_bins": int(a["num_mel_bins"]),
+            "clip.audio.attention.layer_norm_epsilon": float(
+                a.get("layer_norm_eps", 1e-5)),
+        })
+        return md
+
+    def extra_tensors(self):
+        # SinusoidsPositionEmbedding (reference :5256-5265)
+        channels = int(self._audio()["hidden_size"])
+        length, max_timescale = 1500, 10000
+        inc = np.log(max_timescale) / (channels // 2 - 1)
+        inv = np.exp(-inc * np.arange(channels // 2, dtype=np.float32))
+        t = np.arange(length, dtype=np.float32)[:, None] * inv[None, :]
+        pos = np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32)
+        return [("a.position_embd.weight", pos)]
+
+    _audio_blk = WhisperAudioMmproj._blk
+
+    def convert(self, name, arr):
+        if name.startswith("thinker."):
+            name = name[len("thinker."):]
+        if name.startswith("audio_tower."):
+            rest = name[len("audio_tower."):]
+            if "audio_bos_eos_token" in rest:
+                return []  # unused upstream (reference :5274)
+            fixed = {
+                "conv1.weight": "a.conv1d.1.weight",
+                "conv1.bias": "a.conv1d.1.bias",
+                "conv2.weight": "a.conv1d.2.weight",
+                "conv2.bias": "a.conv1d.2.bias",
+                "ln_post.weight": "a.post_ln.weight",
+                "ln_post.bias": "a.post_ln.bias",
+                "layer_norm.weight": "a.post_ln.weight",
+                "layer_norm.bias": "a.post_ln.bias",
+                "proj.weight": "mm.a.fc.weight",
+                "proj.bias": "mm.a.fc.bias",
+            }
+            if rest in fixed:
+                if rest in ("conv1.bias", "conv2.bias"):
+                    arr = arr[:, None]
+                return [(fixed[rest], arr)]
+            if rest.startswith("layers."):
+                parts = rest.split(".")
+                i = parts[1]
+                head, kind = ".".join(parts[2:-1]), parts[-1]
+                if head in self._audio_blk:
+                    return [(f"a.blk.{i}.{self._audio_blk[head]}.{kind}", arr)]
+            return []
+        return super().convert(name, arr)
+
+
 MMPROJ_REGISTRY: Dict[str, type] = {
     "gemma3": Gemma3Mmproj,
     "qwen2_vl": Qwen2VLMmproj,
@@ -492,6 +577,7 @@ MMPROJ_REGISTRY: Dict[str, type] = {
     "voxtral": WhisperAudioMmproj,
     "lfm2_vl": Lfm2VlMmproj,
     "lfm2-vl": Lfm2VlMmproj,
+    "qwen2_5_omni": Qwen25OmniMmproj,
 }
 
 
@@ -516,6 +602,8 @@ def pack_mmproj(model_dir: Union[str, Path], out_path: Union[str, Path],
     writer = GGUFWriter(out_path)
     for k, v in spec.metadata().items():
         writer.add_kv(k, v)
+    for ename, earr in getattr(spec, "extra_tensors", lambda: [])():
+        writer.add_tensor(ename, earr.astype(np.float32))
     n = 0
     for name, arr in _iter_safetensors(model_dir):
         # new transformers layouts nest the towers under a bare "model."

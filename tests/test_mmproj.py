@@ -248,3 +248,92 @@ def test_lfm2_vl_mmproj_and_text(tmp_path):
     assert "mm.1.weight" in r.tensors and "mm.2.weight" in r.tensors
     assert "mm.input_norm.weight" in r.tensors
     assert any(n.startswith("v.blk.") for n in r.tensors)
+
+
+def test_qwen2_5_omni_mmproj(tmp_path):
+    """Qwen2.5-Omni thinker: dual vision+audio mmproj with a generated
+    sinusoid audio position embedding."""
+    import json as _json
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(54)
+    h, dm, ff, nl, nh, mel = 32, 32, 48, 2, 4, 16
+    cfg = {"model_type": "qwen2_5_omni",
+           "thinker_config": {
+               "text_config": {"model_type": "qwen2_5_omni_text",
+                               "vocab_size": 64, "hidden_size": h,
+                               "intermediate_size": ff,
+                               "num_hidden_layers": 1,
+                               "num_attention_heads": nh,
+                               "num_key_value_heads": 2},
+               "vision_config": {"hidden_size": h, "intermediate_size": ff,
+                                 "depth": 2, "num_heads": nh,
+                                 "patch_size": 14, "temporal_patch_size": 2,
+                                 "spatial_merge_size": 2,
+                                 "fullatt_block_indexes": [1],
+                                 "image_size": 56},
+               "audio_config": {"d_model": dm, "encoder_ffn_dim": ff,
+                                "encoder_layers": nl,
+                                "encoder_attention_heads": nh,
+                                "num_mel_bins": mel}}}
+    t = {}
+    # vision tower (qwen2.5 gated mlp naming)
+    t["thinker.visual.patch_embed.proj.weight"] = rng.normal(
+        size=(h, 3, 2, 14, 14)).astype(np.float32)
+    for i in range(2):
+        p = f"thinker.visual.blocks.{i}"
+        t.update({
+            f"{p}.attn.qkv.weight": rng.normal(size=(3 * h, h)).astype(np.float32),
+            f"{p}.attn.proj.weight": rng.normal(size=(h, h)).astype(np.float32),
+            f"{p}.norm1.weight": rng.normal(size=(h,)).astype(np.float32),
+            f"{p}.norm2.weight": rng.normal(size=(h,)).astype(np.float32),
+            f"{p}.mlp.gate_proj.weight": rng.normal(size=(ff, h)).astype(np.float32),
+            f"{p}.mlp.up_proj.weight": rng.normal(size=(ff, h)).astype(np.float32),
+            f"{p}.mlp.down_proj.weight": rng.normal(size=(h, ff)).astype(np.float32),
+        })
+    t["thinker.visual.merger.ln_q.weight"] = rng.normal(size=(h,)).astype(np.float32)
+    t["thinker.visual.merger.mlp.0.weight"] = rng.normal(size=(h, 4 * h)).astype(np.float32)
+    t["thinker.visual.merger.mlp.2.weight"] = rng.normal(size=(h, h)).astype(np.float32)
+    # audio tower
+    t["thinker.audio_tower.conv1.weight"] = rng.normal(size=(dm, mel, 3)).astype(np.float32)
+    t["thinker.audio_tower.conv1.bias"] = rng.normal(size=(dm,)).astype(np.float32)
+    t["thinker.audio_tower.conv2.weight"] = rng.normal(size=(dm, dm, 3)).astype(np.float32)
+    t["thinker.audio_tower.conv2.bias"] = rng.normal(size=(dm,)).astype(np.float32)
+    t["thinker.audio_tower.audio_bos_eos_token.weight"] = rng.normal(size=(2, dm)).astype(np.float32)
+    for i in range(nl):
+        p = f"thinker.audio_tower.layers.{i}"
+        t.update({
+            f"{p}.self_attn.q_proj.weight": rng.normal(size=(dm, dm)).astype(np.float32),
+            f"{p}.self_attn.k_proj.weight": rng.normal(size=(dm, dm)).astype(np.float32),
+            f"{p}.self_attn.v_proj.weight": rng.normal(size=(dm, dm)).astype(np.float32),
+            f"{p}.self_attn.out_proj.weight": rng.normal(size=(dm, dm)).astype(np.float32),
+            f"{p}.self_attn_layer_norm.weight": rng.normal(size=(dm,)).astype(np.float32),
+            f"{p}.final_layer_norm.weight": rng.normal(size=(dm,)).astype(np.float32),
+            f"{p}.fc1.weight": rng.normal(size=(ff, dm)).astype(np.float32),
+            f"{p}.fc2.weight": rng.normal(size=(dm, ff)).astype(np.float32),
+        })
+    t["thinker.audio_tower.ln_post.weight"] = rng.normal(size=(dm,)).astype(np.float32)
+    t["thinker.audio_tower.proj.weight"] = rng.normal(size=(h, dm)).astype(np.float32)
+    d = tmp_path / "omni"
+    d.mkdir()
+    _json.dump(cfg, open(d / "config.json", "w"))
+    save_file(t, str(d / "model.safetensors"))
+    out = mmproj.pack_mmproj(d, tmp_path / "omni-mmproj.gguf")
+    r = GGUFReader(out)
+    assert r.get("clip.projector_type") == "qwen2.5o"
+    assert r.get("clip.has_vision_encoder") is True
+    assert r.get("clip.has_audio_encoder") is True
+    assert r.get("clip.audio.num_mel_bins") == mel
+    assert r.get("clip.vision.n_wa_pattern") == 2
+    for n in ("v.patch_embd.weight", "v.patch_embd.weight.1",
+              "v.blk.0.attn_q.weight", "v.blk.1.ffn_gate.weight",
+              "mm.0.weight", "a.conv1d.1.weight", "a.blk.1.ffn_up.weight",
+              "a.post_ln.weight", "mm.a.fc.weight", "a.position_embd.weight"):
+        assert n in r.tensors, n
+    # generated sinusoid embedding: (1500, d_model), first row sin(0)=0/cos=1
+    pe = r.tensor_float("a.position_embd.weight")
+    assert pe.shape == (1500, dm)
+    np.testing.assert_allclose(pe[0, :dm // 2], 0.0, atol=1e-7)
+    np.testing.assert_allclose(pe[0, dm // 2:], 1.0, atol=1e-7)
+    # bos/eos token dropped
+    assert not any("bos_eos" in n for n in r.tensors)
