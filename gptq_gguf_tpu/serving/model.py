@@ -675,13 +675,16 @@ _GGUF_SERVING_ARCHES = (
     # qwen2vl's mrope reduces exactly to NeoX rope for text-only decoding
     # (all position streams equal)
     "xverse", "qwen2vl",
+    # phimoe: mixtral-style experts + LayerNorms + longrope factor tensors
+    # (llama.cpp top-k softmax routing semantics, not HF's sparsemixer)
+    "phimoe",
 )
 
 # mean-subtracting-LayerNorm GGUF arches (nemotron norms arrive pre-folded
 # (1+w) from the converter, so no add_unit at serve time)
 _LAYERNORM_ARCHES = ("stablelm", "starcoder2", "nemotron", "command-r",
                      "phi2", "cohere2", "olmo", "falcon", "gptneox", "gptj",
-                     "gpt2", "bloom", "mpt", "starcoder", "dbrx")
+                     "gpt2", "bloom", "mpt", "starcoder", "dbrx", "phimoe")
 
 def _layer_exps_quant(r, li: int) -> bool:
     """Are this layer's stacked expert tensors K-quant (servable packed)?"""
@@ -757,7 +760,26 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
             hidden / n_head if n_layers == 46 else head_dim,
         )
     rope_scaling = None
-    if "rope_freqs.weight" in r.tensors:
+    if "rope_factors_long.weight" in r.tensors \
+            and "rope_factors_short.weight" in r.tensors:
+        # phi3/phimoe/minicpm3 longrope: per-dim factor tensors; the model
+        # switches long/short on the live context length (models/llama
+        # _rope_params "longrope")
+        rope_scaling = (
+            ("rope_type", "longrope"),
+            ("long_factor", tuple(
+                float(x) for x in r.tensor_float("rope_factors_long.weight"))),
+            ("short_factor", tuple(
+                float(x) for x in r.tensor_float("rope_factors_short.weight"))),
+            ("original_max_position_embeddings",
+             int(r.get(f"{arch}.rope.scaling.original_context_length", 4096))),
+        )
+        if r.get(f"{arch}.rope.scaling.attn_factor") is not None:
+            rope_scaling += (
+                ("attention_factor",
+                 float(r.get(f"{arch}.rope.scaling.attn_factor"))),
+            )
+    elif "rope_freqs.weight" in r.tensors:
         # llama.cpp stores per-dim frequency factors (e.g. the llama3 rope
         # correction) as a tensor; theta_i = base_theta_i / factor_i
         rope_scaling = (
@@ -923,8 +945,8 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
         sliding_window=(
             r.get(f"{arch}.attention.sliding_window")
             if arch in ("gemma2", "gemma3", "cohere2", "exaone4",
-                        "gpt-oss") else None
-        ),
+                        "gpt-oss", "phi3", "phimoe") else None
+        ) or None,  # phi3/phimoe write 0 to mark "no window" (Phi-4 tag)
         sliding_layers=sliding_layers,
         rope_sliding_only=arch in ("cohere2", "exaone4"),
         clip_qkv=r.get(f"{arch}.attention.clamp_kqv"),
@@ -1062,8 +1084,9 @@ def load_gguf_for_serving(
             params["norm"] = jnp.asarray(r.tensor_float(name))
         elif name == "output_norm.bias":
             params["norm_bias"] = jnp.asarray(r.tensor_float(name))
-        elif name == "rope_freqs.weight":
-            continue  # recomputed analytically
+        elif name in ("rope_freqs.weight", "rope_factors_long.weight",
+                      "rope_factors_short.weight"):
+            continue  # folded into cfg.rope_scaling
         elif name == "position_embd.weight":  # gpt2 learned positions
             params["pos_embed"] = jnp.asarray(r.tensor_float(name), dtype=dtype)
         elif name == "token_embd_norm.weight":  # bloom embedding LayerNorm
