@@ -338,6 +338,12 @@ def build_serve(p: argparse.ArgumentParser):
     p.add_argument("--prompt", default=None,
                    help="text prompt, tokenized with the GGUF's own vocab "
                         "(tokenizer.ggml.* metadata, like llama.cpp)")
+    p.add_argument("--draft-gguf", default=None,
+                   help="draft model for greedy speculative decoding "
+                        "(llama-speculative equivalent; output is identical "
+                        "to plain greedy)")
+    p.add_argument("--draft-k", type=int, default=4,
+                   help="draft tokens proposed per verification step")
     p.add_argument("--max-new-tokens", type=int, default=32)
     p.add_argument("--benchmark", action="store_true")
     p.add_argument("--num-slots", type=int, default=8)
@@ -421,7 +427,23 @@ def run_serve(args):
         prompt = np.asarray([1, 2, 3, 4], dtype=np.int64)
     with profile_trace(args.profile_dir), timer.stage("generate"):
         t0 = time.time()
-        out = engine.generate(params, cfg, [prompt], max_new_tokens=args.max_new_tokens)[0]
+        if args.draft_gguf:
+            from ..serving import spec_decode
+
+            with timer.stage("load_draft"):
+                d_params, d_cfg = qmodel.load_gguf_for_serving(args.draft_gguf)
+                d_params = qmodel.fuse_params_for_serving(d_params, d_cfg)
+            stats = {}
+            out = spec_decode.generate_speculative(
+                params, cfg, d_params, d_cfg, [prompt],
+                max_new_tokens=args.max_new_tokens, draft_k=args.draft_k,
+                collect_stats=stats)[0]
+            if stats.get("proposed"):
+                print(f"draft acceptance: {stats['accepted']}/{stats['proposed']} "
+                      f"({stats['accepted'] / stats['proposed']:.0%})")
+        else:
+            out = engine.generate(params, cfg, [prompt],
+                                  max_new_tokens=args.max_new_tokens)[0]
         dt = time.time() - t0
     print(f"generated {len(out)} tokens in {dt:.2f}s ({len(out) / dt:.1f} tok/s)")
     print(out)

@@ -313,6 +313,7 @@ def forward_cached(
     cache: KVCache,
     n_valid: Optional[jax.Array] = None,
     psum_axis: Optional[str] = None,
+    all_logits: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """Run S new tokens through the model with the KV cache.
 
@@ -516,7 +517,13 @@ def forward_cached(
             mlp_out = mlp_out * jnp.asarray(rm, dtype=mlp_out.dtype)
         x = x + mlp_out + (attn_out if cfg.parallel_blocks else 0)
 
-    if n_valid is None:
+    if all_logits:
+        # speculative-decode verification needs the logits of every fed
+        # position (B, S, vocab), not just the final one
+        assert n_valid is None and psum_axis is None
+        last = x
+        advance = S
+    elif n_valid is None:
         last = x[:, -1, :]
         advance = S
     else:
@@ -526,6 +533,9 @@ def forward_cached(
     head = params.get("lm_head", params["embed_tokens"])
     if isinstance(head, _QUANT_TYPES):
         logits = qmatmul.dequant_matmul(h, head)
+    elif all_logits:
+        logits = jnp.einsum("bsi,oi->bso", h, head,
+                            preferred_element_type=jnp.float32)
     else:
         logits = jnp.einsum("bi,oi->bo", h, head, preferred_element_type=jnp.float32)
     if params.get("lm_head_bias") is not None:  # phi
