@@ -72,17 +72,20 @@ def _pad_prompt(prompt: np.ndarray, max_len: Optional[int] = None) -> Tuple[np.n
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def _prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache, slot,
-                  n_valid=None):
+                  n_valid=None, start=0):
     """Prefill one slot with a (1, S) prompt; other slots untouched.
 
     prompt may be right-padded; n_valid is the true token count (defaults
     to S). Compiles once per padded bucket length. Works for both the bf16
-    and the int8-quantized cache."""
+    and the int8-quantized cache. ``start`` places the new tokens at
+    positions start..start+S (prefix-cache reuse: the slot already holds
+    KV for the first ``start`` tokens of the request)."""
     S = prompt.shape[1]
     if n_valid is None:
         n_valid = jnp.full((1,), S, jnp.int32)
     else:
         n_valid = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    start = jnp.asarray(start, jnp.int32).reshape(1)
 
     def take(arrs):
         return [jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0) for a in arrs]
@@ -91,9 +94,9 @@ def _prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache, slot,
     if is_q8:
         sub = qmodel.KVCacheQ8(take(cache.k), take(cache.v),
                                take(cache.k_s), take(cache.v_s),
-                               jnp.zeros((1,), jnp.int32))
+                               start)
     else:
-        sub = KVCache(take(cache.k), take(cache.v), jnp.zeros((1,), jnp.int32))
+        sub = KVCache(take(cache.k), take(cache.v), start)
     logits, sub = qmodel.forward_cached(params, cfg, prompt, sub, n_valid=n_valid)
 
     def put(full, subs):
@@ -103,7 +106,7 @@ def _prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache, slot,
             for f, sl in zip(full, subs)
         ]
 
-    lengths = cache.lengths.at[slot].set(n_valid[0])
+    lengths = cache.lengths.at[slot].set(start[0] + n_valid[0])
     next_token = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
     if is_q8:
         out = qmodel.KVCacheQ8(put(cache.k, sub.k), put(cache.v, sub.v),
@@ -208,9 +211,15 @@ class ContinuousBatchingEngine:
                                        quantized=kv_quantized)
         self.tokens = jnp.zeros((num_slots,), jnp.int32)
         self.slot_req: List[Optional[Request]] = [None] * num_slots
+        # per-slot token history whose KV currently occupies positions
+        # 0..lengths-1; valid only until the slot sits idle through a decode
+        # step (idle slots keep being written by the batched decode program)
+        self.slot_hist: List[Optional[List[int]]] = [None] * num_slots
         self.queue: deque = deque()
         self._uid = 0
         self.completed: List[Request] = []
+        self.prefix_hits = 0
+        self.prefix_tokens_reused = 0
 
     def submit(self, prompt: np.ndarray, max_new_tokens: int = 64) -> int:
         self._uid += 1
@@ -219,21 +228,37 @@ class ContinuousBatchingEngine:
         self.queue.append(Request(self._uid, np.asarray(prompt).reshape(-1), max_new_tokens))
         return self._uid
 
+    def _admit_into(self, slot: int, req: Request) -> None:
+        """Prefill ``req`` into ``slot``, reusing any shared KV prefix the
+        slot's previous occupant left behind (llama.cpp prompt-cache
+        analogue: multi-turn chats re-send the conversation so far)."""
+        keep = max(1, self.max_len - req.max_new_tokens)
+        prompt = list(map(int, req.prompt[-keep:]))
+        hist = self.slot_hist[slot]
+        shared = 0
+        if hist:
+            limit = min(len(hist), len(prompt) - 1)
+            while shared < limit and hist[shared] == prompt[shared]:
+                shared += 1
+        if shared:
+            self.prefix_hits += 1
+            self.prefix_tokens_reused += shared
+        remainder = np.asarray(prompt[shared:], dtype=np.int64)
+        padded, n = _pad_prompt(remainder, self.max_len)
+        tok, cache = _prefill_slot(
+            self.params, self.cfg, jnp.asarray(padded)[None, :],
+            self.cache, slot, n, start=shared,
+        )
+        self.cache = cache
+        self.tokens = self.tokens.at[slot].set(tok)
+        req.output.append(int(tok))
+        self.slot_req[slot] = req
+        self.slot_hist[slot] = prompt
+
     def _admit(self) -> None:
         for slot in range(self.num_slots):
             if self.slot_req[slot] is None and self.queue:
-                req = self.queue.popleft()
-                keep = max(1, self.max_len - req.max_new_tokens)
-                prompt = req.prompt[-keep:]
-                padded, n = _pad_prompt(prompt, self.max_len)
-                tok, cache = _prefill_slot(
-                    self.params, self.cfg, jnp.asarray(padded)[None, :],
-                    self.cache, slot, n,
-                )
-                self.cache = cache
-                self.tokens = self.tokens.at[slot].set(tok)
-                req.output.append(int(tok))
-                self.slot_req[slot] = req
+                self._admit_into(slot, self.queue.popleft())
 
     def step(self) -> int:
         """Admit + one decode step; returns number of active slots."""
@@ -241,6 +266,7 @@ class ContinuousBatchingEngine:
         active = [s for s, r in enumerate(self.slot_req) if r is not None]
         if not active:
             return 0
+        fed = np.asarray(self.tokens)  # decode inputs land in the KV cache
         if self.temperature > 0:
             self.key, sub = jax.random.split(self.key)
             self.tokens, _, self.cache = _sample_step(
@@ -252,6 +278,14 @@ class ContinuousBatchingEngine:
             )
         host = np.asarray(self.tokens)
         lengths = np.asarray(self.cache.lengths)
+        for slot in range(self.num_slots):
+            if self.slot_req[slot] is not None:
+                if self.slot_hist[slot] is not None:
+                    self.slot_hist[slot].append(int(fed[slot]))
+            else:
+                # idle slots still get garbage KV writes from the batched
+                # decode program: their cached prefix is no longer trustworthy
+                self.slot_hist[slot] = None
         for slot in active:
             req = self.slot_req[slot]
             req.output.append(int(host[slot]))
@@ -263,10 +297,15 @@ class ContinuousBatchingEngine:
                 req.finished_at = time.time()
                 self.completed.append(req)
                 self.slot_req[slot] = None
-                # reset slot length so the next request starts fresh
-                self.cache = self.cache._replace(
-                    lengths=self.cache.lengths.at[slot].set(0)
-                )
+                if self.queue:
+                    # admit the queue head immediately: the retiring slot's
+                    # KV prefix is still intact and may be shared
+                    self._admit_into(slot, self.queue.popleft())
+                else:
+                    self.slot_hist[slot] = None
+                    self.cache = self.cache._replace(
+                        lengths=self.cache.lengths.at[slot].set(0)
+                    )
         return len(active)
 
     def run_until_done(self, max_steps: int = 100000) -> List[Request]:
