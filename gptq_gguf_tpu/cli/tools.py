@@ -345,7 +345,11 @@ def build_serve(p: argparse.ArgumentParser):
     p.add_argument("--draft-k", type=int, default=4,
                    help="draft tokens proposed per verification step")
     p.add_argument("--max-new-tokens", type=int, default=32)
-    p.add_argument("--benchmark", action="store_true")
+    p.add_argument("--benchmark", action="store_true",
+                   help="measure decode throughput on this GGUF: fill all "
+                        "slots, run timed decode steps, print one JSON line")
+    p.add_argument("--benchmark-steps", type=int, default=32)
+    p.add_argument("--benchmark-prompt-len", type=int, default=64)
     p.add_argument("--num-slots", type=int, default=8)
     p.add_argument("--max-len", type=int, default=2048)
     p.add_argument("--kv-quantized", action="store_true",
@@ -408,6 +412,41 @@ def run_serve(args):
                 kv_quantized=args.kv_quantized,
             )
         serve_http(eng, host=args.host, port=args.port, tokenizer=tokenizer)
+        return
+
+    if args.benchmark:
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        B, P = args.num_slots, args.benchmark_prompt_len
+        cache = qmodel.init_cache(cfg, B, args.max_len,
+                                  dtype=jnp.bfloat16,
+                                  quantized=args.kv_quantized)
+        prompt = jnp.asarray(
+            rng.integers(0, cfg.vocab_size, (1, P)).astype(np.int32))
+        t0 = time.time()
+        for slot in range(B):
+            tok, cache = engine._prefill_slot(
+                params, cfg, prompt, cache, slot)
+            np.asarray(tok)
+        prefill_s = time.time() - t0
+        tokens = jnp.asarray(
+            rng.integers(0, cfg.vocab_size, (B,)).astype(np.int32))
+        for _ in range(4):  # compile + warmup
+            tokens, _, cache = engine._decode_step(params, cfg, tokens, cache)
+            np.asarray(tokens)
+        t0 = time.time()
+        for _ in range(args.benchmark_steps):
+            tokens, _, cache = engine._decode_step(params, cfg, tokens, cache)
+            np.asarray(tokens)  # host readback forces execution
+        dt = (time.time() - t0) / args.benchmark_steps
+        print(json.dumps({
+            "tokens_per_s": round(B / dt, 2),
+            "ms_per_step": round(dt * 1e3, 3),
+            "batch": B, "prompt_len": P, "max_len": args.max_len,
+            "prefill_s_total": round(prefill_s, 2),
+            "kv_quantized": bool(args.kv_quantized),
+        }))
         return
 
     gg = None
