@@ -71,6 +71,7 @@ def load_calibration(args, cfg, tokenizer, train: bool = True):
         tokenizer,
         train=train,
         vocab_size=cfg.vocab_size,
+        seed=getattr(args, "seed", 0),
     )
 
 

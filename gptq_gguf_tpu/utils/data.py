@@ -94,14 +94,15 @@ def get_c4(num_samples: int, sequence_length: int, tokenizer, train: bool = True
     ]
 
 
-def get_fineweb_edu(num_tokens: int, sequence_length: int, tokenizer, train: bool = True):
+def get_fineweb_edu(num_tokens: int, sequence_length: int, tokenizer,
+                    train: bool = True, seed: int = 0):
     """Token-budgeted with split-long-sequences (reference data_utils.py:65-89)."""
     from datasets import load_dataset
 
     dataset = load_dataset("HuggingFaceFW/fineweb-edu", "sample-10BT", split="train")
     half = dataset.num_rows // 2
     dataset = dataset.select(range(half)) if train else dataset.select(range(half, dataset.num_rows))
-    dataset = dataset.shuffle(seed=0)
+    dataset = dataset.shuffle(seed=seed)
     data = []
     remaining = num_tokens
     it = iter(dataset)
@@ -160,8 +161,11 @@ def get_data(
     tokenizer=None,
     train: bool = True,
     vocab_size: int = 32000,
+    seed: int = 0,
 ) -> List[np.ndarray]:
-    """Dispatcher (reference data_utils.py:126-146 + synthetic)."""
+    """Dispatcher (reference data_utils.py:126-146 + synthetic). ``seed``
+    drives the calibration sampling (reference quant.py --seed)."""
+    random.seed(seed)
     if os.path.isfile(name_or_path):
         return load_token_file(name_or_path, num_tokens, sequence_length)
     if name_or_path == "wikitext2":
@@ -169,8 +173,9 @@ def get_data(
     if name_or_path == "c4":
         return get_c4(num_tokens // sequence_length, sequence_length, tokenizer, train)
     if name_or_path == "fineweb_edu":
-        return get_fineweb_edu(num_tokens, sequence_length, tokenizer, train)
+        return get_fineweb_edu(num_tokens, sequence_length, tokenizer, train,
+                               seed=seed)
     if name_or_path.startswith("synthetic"):
-        seed = 0 if train else 1
-        return get_synthetic(num_tokens, sequence_length, vocab_size, seed=seed)
+        return get_synthetic(num_tokens, sequence_length, vocab_size,
+                             seed=seed if train else seed + 1)
     raise ValueError(f"Unknown dataset: {name_or_path}")
