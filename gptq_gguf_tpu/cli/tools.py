@@ -14,21 +14,69 @@ from . import common
 
 
 def build_pack(p: argparse.ArgumentParser):
-    p.add_argument("--model_dir", required=True, help="HF checkpoint")
+    p.add_argument("--model_dir", help="HF checkpoint")
     p.add_argument("--quant_dir", default=None, help="calibration artifacts")
-    p.add_argument("--outfile", required=True)
-    p.add_argument("--outtype_fallback", default="f16", choices=["f16", "f32"])
+    p.add_argument("--outfile")
+    p.add_argument("--outtype", default=None,
+                   choices=["f32", "f16", "bf16", "q8_0", "auto"],
+                   help="format for non-artifact tensors (reference "
+                        "--outtype; 'auto' picks the 16-bit float matching "
+                        "the checkpoint dtype; tq1_0/tq2_0 ternary are not "
+                        "supported)")
+    p.add_argument("--outtype_fallback", default="f16", choices=["f16", "f32"],
+                   help="legacy alias of --outtype (f16/f32 only)")
+    p.add_argument("--vocab-only", action="store_true",
+                   help="write metadata + vocab, no tensors")
+    p.add_argument("--metadata", default=None,
+                   help="JSON file of extra general.* metadata overrides")
+    p.add_argument("--model-name", default=None,
+                   help="override general.name")
+    p.add_argument("--print-supported-models", action="store_true")
     p.add_argument("--mmproj", action="store_true",
                    help="write the vision tower + projector as an mmproj "
                         "GGUF instead of the text model (reference "
                         "--mmproj mode)")
 
 
+def _resolve_outtype(args):
+    from ..formats.ggml import GGMLQuantizationType as T
+
+    name = args.outtype or args.outtype_fallback
+    if name == "auto":
+        # highest-fidelity 16-bit type matching the checkpoint dtype
+        # (reference --outtype auto)
+        import json as _json
+        from pathlib import Path
+
+        idx = Path(args.model_dir) / "model.safetensors.index.json"
+        files = sorted(Path(args.model_dir).glob("*.safetensors"))
+        name = "f16"
+        if files:
+            from safetensors import safe_open
+
+            with safe_open(str(files[0]), framework="numpy") as f:
+                for k in f.keys():
+                    sl = f.get_slice(k)
+                    name = "bf16" if "BF16" in str(sl.get_dtype()).upper() else "f16"
+                    break
+    return {"f32": T.F32, "f16": T.F16, "bf16": T.BF16, "q8_0": T.Q8_0}[name]
+
+
 def run_pack(args):
     from ..export import packer
-    from ..formats.ggml import GGMLQuantizationType
     from ..utils.logging import StageTimer
 
+    if args.print_supported_models:
+        from ..export.mmproj import MMPROJ_REGISTRY
+
+        for mt in sorted(packer._ARCH_REGISTRY):
+            print(mt)
+        print("-- mmproj:")
+        for mt in sorted(MMPROJ_REGISTRY):
+            print(mt)
+        return
+    if not args.model_dir or not args.outfile:
+        raise SystemExit("--model_dir and --outfile are required")
     timer = StageTimer()
     if args.mmproj:
         from ..export import mmproj
@@ -36,14 +84,23 @@ def run_pack(args):
         with timer.stage("pack-mmproj"):
             out = mmproj.pack_mmproj(
                 args.model_dir, args.outfile,
-                use_f32=args.outtype_fallback == "f32")
+                use_f32=(args.outtype or args.outtype_fallback) == "f32")
         print(f"wrote {out}")
         return
-    if args.quant_dir is None:
-        raise SystemExit("--quant_dir is required unless --mmproj is given")
-    fallback = GGMLQuantizationType.F16 if args.outtype_fallback == "f16" else GGMLQuantizationType.F32
+    if args.quant_dir is None and not args.vocab_only:
+        raise SystemExit("--quant_dir is required unless --mmproj or "
+                         "--vocab-only is given")
+    extra = {}
+    if args.metadata:
+        with open(args.metadata) as f:
+            extra.update(json.load(f))
+    if args.model_name:
+        extra["general.name"] = args.model_name
     with timer.stage("pack"):
-        out = packer.pack_model(args.model_dir, args.quant_dir, args.outfile, default_float=fallback)
+        out = packer.pack_model(
+            args.model_dir, args.quant_dir or "/nonexistent", args.outfile,
+            default_float=_resolve_outtype(args),
+            extra_metadata=extra or None, vocab_only=args.vocab_only)
     print(f"wrote {out}")
 
 

@@ -35,6 +35,8 @@ FILE_TYPE_IDS = {
     GGMLQuantizationType.Q6_K: 18,
     GGMLQuantizationType.F16: 1,
     GGMLQuantizationType.F32: 0,
+    GGMLQuantizationType.BF16: 32,
+    GGMLQuantizationType.Q8_0: 7,
 }
 
 
@@ -4233,6 +4235,7 @@ def pack_model(
     *,
     default_float: GGMLQuantizationType = GGMLQuantizationType.F16,
     extra_metadata: Optional[Dict[str, Any]] = None,
+    vocab_only: bool = False,
 ) -> Path:
     """Produce a llama.cpp-loadable .gguf from an HF checkpoint + artifacts.
 
@@ -4280,6 +4283,12 @@ def pack_model(
         writer.add_kv(k, v)
     for k, v in (extra_metadata or {}).items():
         writer.add_kv(k, v)
+
+    if vocab_only:
+        # metadata + vocab, zero tensors (reference --vocab-only flag)
+        writer.add_kv("general.file_type", FILE_TYPE_IDS.get(default_float, 1))
+        writer.write()
+        return Path(out_path)
 
     spec_extras = list(spec.extra_tensors())
 
@@ -4333,6 +4342,17 @@ def pack_model(
                    or ".ssm_norm" in gguf_name)
         if is_norm or default_float == GGMLQuantizationType.F32:
             writer.add_tensor(gguf_name, arr.astype(np.float32))
+        elif default_float == GGMLQuantizationType.BF16:
+            import ml_dtypes
+
+            writer.add_tensor(gguf_name, arr.astype(ml_dtypes.bfloat16))
+        elif (default_float == GGMLQuantizationType.Q8_0
+              and arr.ndim == 2 and arr.shape[-1] % 32 == 0):
+            blocks = ggml.quantize_q8_0(
+                arr.astype(np.float32).reshape(-1, 32))
+            writer.add_tensor(gguf_name, blocks,
+                              raw_dtype=GGMLQuantizationType.Q8_0,
+                              raw_shape=arr.shape)
         else:
             writer.add_tensor(gguf_name, arr.astype(np.float16))
 

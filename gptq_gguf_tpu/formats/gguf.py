@@ -321,8 +321,9 @@ class GGUFWriter:
                 ggml_type = GGMLQuantizationType.I32
             elif data.dtype == np.int64:
                 ggml_type = GGMLQuantizationType.I64
-            elif data.dtype == np.uint16 and getattr(data.dtype, "name", "") == "bfloat16":
+            elif getattr(data.dtype, "name", "") == "bfloat16":
                 ggml_type = GGMLQuantizationType.BF16
+                data = data.view(np.uint16)
             else:
                 raise TypeError(f"tensor {name}: unsupported dtype {data.dtype}")
             shape = tuple(int(s) for s in data.shape)

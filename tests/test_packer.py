@@ -239,3 +239,70 @@ def test_gemma2_metadata_key_length():
     assert md["gemma2.attention.key_length"] == 256
     assert md["gemma2.attention.value_length"] == 256
     assert md["gemma2.attn_logit_softcapping"] == 50.0
+
+
+def test_pack_outtype_bf16_q8_and_vocab_only(tmp_path):
+    """Reference --outtype/--vocab-only parity: bf16 + q8_0 fallbacks and a
+    tensor-free vocab GGUF."""
+    import ml_dtypes
+    from gptq_gguf_tpu.formats.ggml import GGMLQuantizationType as T
+
+    cfg = {
+        "model_type": "llama", "architectures": ["LlamaForCausalLM"],
+        "vocab_size": 64, "hidden_size": 32, "intermediate_size": 64,
+        "num_hidden_layers": 1, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "rms_norm_eps": 1e-6,
+        "max_position_embeddings": 128,
+    }
+    rng = np.random.default_rng(9)
+    t = {"model.embed_tokens.weight": rng.normal(size=(64, 32)).astype(np.float32),
+         "model.norm.weight": rng.normal(size=(32,)).astype(np.float32),
+         "lm_head.weight": rng.normal(size=(64, 32)).astype(np.float32),
+         "model.layers.0.input_layernorm.weight": rng.normal(size=(32,)).astype(np.float32),
+         "model.layers.0.post_attention_layernorm.weight": rng.normal(size=(32,)).astype(np.float32),
+         "model.layers.0.self_attn.q_proj.weight": rng.normal(size=(32, 32)).astype(np.float32),
+         "model.layers.0.self_attn.k_proj.weight": rng.normal(size=(16, 32)).astype(np.float32),
+         "model.layers.0.self_attn.v_proj.weight": rng.normal(size=(16, 32)).astype(np.float32),
+         "model.layers.0.self_attn.o_proj.weight": rng.normal(size=(32, 32)).astype(np.float32),
+         "model.layers.0.mlp.gate_proj.weight": rng.normal(size=(64, 32)).astype(np.float32),
+         "model.layers.0.mlp.up_proj.weight": rng.normal(size=(64, 32)).astype(np.float32),
+         "model.layers.0.mlp.down_proj.weight": rng.normal(size=(32, 64)).astype(np.float32)}
+    d = tmp_path / "m"
+    d.mkdir()
+    with open(d / "config.json", "w") as f:
+        json.dump(cfg, f)
+    from safetensors.numpy import save_file
+    save_file(t, str(d / "model.safetensors"))
+    json.dump({"model": {"type": "BPE", "vocab": {f"<t{i}>": i for i in range(64)},
+                         "merges": []}, "added_tokens": []},
+              open(d / "tokenizer.json", "w"))
+
+    # bf16
+    out = tmp_path / "bf16.gguf"
+    packer.pack_model(d, tmp_path / "none", out, default_float=T.BF16)
+    r = GGUFReader(out)
+    assert r.tensors["blk.0.attn_q.weight"].ggml_type == T.BF16
+    assert r.get("general.file_type") == 32
+    got = r.tensor_float("blk.0.ffn_up.weight")  # unpermuted tensor
+    want = t["model.layers.0.mlp.up_proj.weight"].astype(
+        ml_dtypes.bfloat16).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    # q8_0: 32-divisible rows quantize, norms stay f32
+    out = tmp_path / "q8.gguf"
+    packer.pack_model(d, tmp_path / "none", out, default_float=T.Q8_0)
+    r = GGUFReader(out)
+    assert r.tensors["blk.0.attn_q.weight"].ggml_type == T.Q8_0
+    assert r.tensors["blk.0.attn_norm.weight"].ggml_type == T.F32
+    assert r.get("general.file_type") == 7
+    got = r.tensor_float("blk.0.ffn_up.weight")
+    np.testing.assert_allclose(got, t["model.layers.0.mlp.up_proj.weight"],
+                               rtol=2e-2, atol=2e-2)
+
+    # vocab-only: metadata + tokenizer, zero tensors
+    out = tmp_path / "vocab.gguf"
+    packer.pack_model(d, tmp_path / "none", out, vocab_only=True)
+    r = GGUFReader(out)
+    assert len(r.tensors) == 0
+    assert r.get("tokenizer.ggml.model") == "gpt2"
+    assert r.get("llama.block_count") == 1
