@@ -547,6 +547,40 @@ def run_serve(args):
         print(repr(gg.decode(out)))
 
 
+def build_gguf_split(p: argparse.ArgumentParser):
+    p.add_argument("--input", required=True, help="source .gguf (or first shard for --merge)")
+    p.add_argument("--output", required=True,
+                   help="shard prefix (split) or output .gguf (merge)")
+    p.add_argument("--split-max-tensors", type=int, default=0)
+    p.add_argument("--split-max-size", default=None,
+                   help="e.g. 500M or 2G (approximate, tensor payloads)")
+    p.add_argument("--no-tensor-first-split", action="store_true",
+                   help="first shard carries metadata only")
+    p.add_argument("--merge", action="store_true",
+                   help="reassemble a shard set into one file")
+
+
+def run_gguf_split(args):
+    from ..mapper import shards
+
+    if args.merge:
+        out = shards.merge_gguf_files(args.input, args.output)
+        print(f"wrote {out}")
+        return
+    max_size = 0
+    if args.split_max_size:
+        m = {"K": 1 << 10, "M": 1 << 20, "G": 1 << 30}
+        suffix = args.split_max_size[-1].upper()
+        max_size = (int(args.split_max_size[:-1]) * m[suffix]
+                    if suffix in m else int(args.split_max_size))
+    out = shards.split_gguf_file(
+        args.input, args.output, max_tensors=args.split_max_tensors,
+        max_size=max_size,
+        no_tensor_first_split=args.no_tensor_first_split)
+    for o in out:
+        print(f"wrote {o}")
+
+
 SUBCOMMANDS = {
     "pack": (build_pack, run_pack),
     "split": (build_split, run_split),
@@ -556,6 +590,7 @@ SUBCOMMANDS = {
     "ppl": (build_ppl, run_ppl),
     "search": (build_search, run_search),
     "serve": (build_serve, run_serve),
+    "gguf-split": (build_gguf_split, run_gguf_split),
 }
 
 

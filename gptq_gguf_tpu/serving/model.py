@@ -984,10 +984,10 @@ def load_gguf_for_serving(
     """
     from ..export.packer import gqa_permute_rows
     from ..formats import convert
-    from ..formats.gguf import GGUFReader
     from ..formats.ggml import K_QUANT_TYPES
+    from ..mapper.shards import open_gguf
 
-    r = GGUFReader(gguf_path)
+    r = open_gguf(gguf_path)  # plain file or -NNNNN-of-NNNNN shard set
     arch = r.get("general.architecture", "llama")
     if arch not in _GGUF_SERVING_ARCHES:
         raise NotImplementedError(
