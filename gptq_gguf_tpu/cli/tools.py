@@ -32,6 +32,11 @@ def build_pack(p: argparse.ArgumentParser):
     p.add_argument("--model-name", default=None,
                    help="override general.name")
     p.add_argument("--print-supported-models", action="store_true")
+    p.add_argument("--split-max-tensors", type=int, default=0,
+                   help="shard the output GGUF every N tensors")
+    p.add_argument("--split-max-size", default=None,
+                   help="shard the output GGUF at ~SIZE (e.g. 40G)")
+    p.add_argument("--no-tensor-first-split", action="store_true")
     p.add_argument("--mmproj", action="store_true",
                    help="write the vision tower + projector as an mmproj "
                         "GGUF instead of the text model (reference "
@@ -101,6 +106,27 @@ def run_pack(args):
             args.model_dir, args.quant_dir or "/nonexistent", args.outfile,
             default_float=_resolve_outtype(args),
             extra_metadata=extra or None, vocab_only=args.vocab_only)
+    if args.split_max_tensors or args.split_max_size:
+        import os
+
+        from ..mapper import shards
+
+        max_size = 0
+        if args.split_max_size:
+            m = {"K": 1 << 10, "M": 1 << 20, "G": 1 << 30}
+            sfx = args.split_max_size[-1].upper()
+            max_size = (int(args.split_max_size[:-1]) * m[sfx]
+                        if sfx in m else int(args.split_max_size))
+        prefix = str(out)[:-5] if str(out).endswith(".gguf") else str(out)
+        with timer.stage("shard"):
+            parts = shards.split_gguf_file(
+                out, prefix, max_tensors=args.split_max_tensors,
+                max_size=max_size,
+                no_tensor_first_split=args.no_tensor_first_split)
+        os.unlink(out)
+        for p_ in parts:
+            print(f"wrote {p_}")
+        return
     print(f"wrote {out}")
 
 
