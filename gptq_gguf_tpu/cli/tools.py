@@ -697,7 +697,9 @@ SUBCOMMANDS["pack-compressed"] = (build_pack_compressed, run_pack_compressed)
 def build_imatrix(p: argparse.ArgumentParser):
     common.add_model_args(p)
     common.add_data_args(p)
-    p.add_argument("--output", required=True, help=".npz of importance vectors")
+    p.add_argument("--output", required=True,
+                   help=".npz of importance vectors, or a llama.cpp-format "
+                        "binary when the name ends in .imatrix")
     p.add_argument("--batch_size", type=int, default=1)
 
 
@@ -717,8 +719,17 @@ def run_imatrix(args):
         gguf_name = hf_to_gguf_name(hf_name + ".weight")
         if gguf_name:
             out[gguf_name] = out[hf_name]
-    np.savez(args.output, **out)
-    print(f"wrote {len(im)} importance vectors (hf + gguf keys) to {args.output}")
+    if str(args.output).endswith(".imatrix"):
+        from ..quant.imatrix_io import save_imatrix
+
+        gguf_only = {k: v for k, v in out.items() if k.startswith(("blk.", "output", "token_embd"))}
+        save_imatrix(gguf_only, args.output,
+                     dataset=str(args.calibration_data))
+        print(f"wrote {len(gguf_only)} importance vectors "
+              f"(llama.cpp .imatrix) to {args.output}")
+    else:
+        np.savez(args.output, **out)
+        print(f"wrote {len(im)} importance vectors (hf + gguf keys) to {args.output}")
 
 
 SUBCOMMANDS["imatrix"] = (build_imatrix, run_imatrix)
@@ -735,7 +746,8 @@ def build_llama_quantize(p: argparse.ArgumentParser):
     p.add_argument("--ftype", required=True, choices=sorted(FTYPE_IDS),
                    help="recipe, e.g. Q4_K_M / IQ4_XS")
     p.add_argument("--imatrix", default=None,
-                   help=".npz of per-tensor importance vectors (GGUF tensor names)")
+                   help=".npz or llama.cpp .imatrix of per-tensor "
+                        "importance vectors (GGUF tensor names)")
     p.add_argument("--pure", action="store_true",
                    help="base type for every tensor (llama-quantize --pure)")
     p.add_argument("--summary", default=None, help="quantization_summary.json path")
@@ -749,8 +761,13 @@ def run_llama_quantize(args):
 
     imatrix = None
     if args.imatrix:
-        with np.load(args.imatrix) as z:
-            imatrix = {k: z[k] for k in z.files}
+        if str(args.imatrix).endswith(".imatrix"):
+            from ..quant.imatrix_io import load_imatrix
+
+            imatrix, _, _ = load_imatrix(args.imatrix)
+        else:
+            with np.load(args.imatrix) as z:
+                imatrix = {k: z[k] for k in z.files}
     progress = (lambda name, t: print(f"{name} -> {t}")) if args.verbose else None
     out = recipes.llama_quantize(
         args.input, args.output, args.ftype,

@@ -98,3 +98,32 @@ def test_llama_quantize_with_imatrix(f16_gguf):
     b1 = GGUFReader(dst).tensor_bytes("blk.0.attn_q.weight")
     b2 = GGUFReader(dst2).tensor_bytes("blk.0.attn_q.weight")
     assert (np.asarray(b1) != np.asarray(b2)).any()
+
+
+def test_imatrix_file_roundtrip(tmp_path):
+    """llama.cpp .imatrix binary: write means, read back means + trailer."""
+    import numpy as np
+    from gptq_gguf_tpu.quant.imatrix_io import load_imatrix, save_imatrix
+
+    rng = np.random.default_rng(5)
+    im = {"blk.0.ffn_up.weight": rng.random(64).astype(np.float32),
+          "blk.0.attn_q.weight": rng.random(32).astype(np.float32),
+          "output.weight": rng.random(16).astype(np.float32)}
+    path = tmp_path / "x.imatrix"
+    save_imatrix(im, path, ncall=7, dataset="wikitext2")
+    got, ncalls, ds = load_imatrix(path)
+    assert ds == "wikitext2"
+    assert set(got) == set(im)
+    assert all(n == 7 for n in ncalls.values())
+    for k in im:
+        np.testing.assert_allclose(got[k], im[k], rtol=1e-6)
+
+
+def test_imatrix_file_rejects_garbage(tmp_path):
+    import pytest
+    from gptq_gguf_tpu.quant.imatrix_io import load_imatrix
+
+    p = tmp_path / "bad.imatrix"
+    p.write_bytes(b"\xff\xff\xff\xff" + b"junk" * 4)
+    with pytest.raises(ValueError, match="not a llama.cpp imatrix"):
+        load_imatrix(p)
