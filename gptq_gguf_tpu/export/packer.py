@@ -3107,6 +3107,103 @@ class NomicBertArch(BertArch):
         return md
 
 
+class NeoBertArch(BertArch):
+    """NeoBERT (reference NeoBert pack_gptq_into_gguf.py:4882-4908):
+    RMS-norm pre-norm encoder with fused qkv and fused SwiGLU w12;
+    feed_forward_length is 2/3 of intermediate_size, rope base 10000,
+    CLS pooling; the decoder.* LM head is dropped and "model." stripped."""
+
+    gguf_arch = "neo-bert"
+
+    _fixed = {
+        "encoder.weight": "token_embd.weight",  # the embedding is "encoder"
+        "layer_norm.weight": "enc.output_norm.weight",
+        "dense.weight": "cls.weight",
+        "dense.bias": "cls.bias",
+        "classifier.weight": "cls.output.weight",
+        "classifier.bias": "cls.output.bias",
+    }
+    _layer = {
+        "attention_norm": "attn_norm",
+        "qkv": "attn_qkv",
+        "wo": "attn_output",
+        "ffn_norm": "ffn_norm",
+        "ffn.w12": "ffn_up",   # fused gate|up; llama.cpp splits via SWIGLU
+        "ffn.w3": "ffn_down",
+    }
+    _layer_prefix = "transformer_encoder."
+    _strip_prefixes = ("model.",)
+
+    def tensor_name(self, hf_name):
+        name = hf_name
+        for p in self._strip_prefixes:
+            if name.startswith(p):
+                name = name[len(p):]
+        if name.startswith("decoder."):
+            return None  # LM head (reference :4901-4902)
+        if name in self._fixed:
+            return self._fixed[name]
+        if name.startswith(self._layer_prefix):
+            parts = name[len(self._layer_prefix):].split(".")
+            i = parts[0]
+            head, kind = ".".join(parts[1:-1]), parts[-1]
+            if head in self._layer:
+                return f"blk.{i}.{self._layer[head]}.{kind}"
+        return None
+
+    def metadata(self):
+        md = super().metadata()
+        a, c = self.gguf_arch, self.hf
+        md[f"{a}.feed_forward_length"] = int(2 * c["intermediate_size"] / 3)
+        md[f"{a}.rope.freq_base"] = 10000.0
+        md[f"{a}.attention.layer_norm_rms_epsilon"] = float(
+            c.get("norm_eps", 1e-6))
+        del md[f"{a}.attention.layer_norm_epsilon"]
+        if "max_length" in c:  # NeoBERTConfig's context key
+            md[f"{a}.context_length"] = int(c["max_length"])
+        md[f"{a}.pooling_type"] = 2  # CLS (reference :4899)
+        return md
+
+    def final_metadata(self):
+        return {}  # pooling fixed at CLS; ignore sentence-transformers dirs
+
+
+class JinaBertV2Arch(BertArch):
+    """jina-embeddings-v2 (reference JinaBertV2Model
+    pack_gptq_into_gguf.py:6036-6052): ALiBi BERT with a GLU MLP — the
+    fused mlp.gated_layers tensor splits into ffn_gate|ffn_up at
+    intermediate_size (the -code variant ships up_gated_layer with the
+    halves swapped); mlp.wo/mlp.layernorm map to ffn_down /
+    layer_output_norm. Vocab: BertTokenizer -> WordPiece, RobertaTokenizer
+    -> BPE (tokenizer_metadata dispatches on tokenizer.json)."""
+
+    gguf_arch = "jina-bert-v2"
+
+    _layer = dict(BertArch._layer)
+    _layer.update({
+        "mlp.wo": "ffn_down",
+        "mlp.layernorm": "layer_output_norm",
+    })
+
+    def tensor_name(self, hf_name):
+        if "gated_layer" in hf_name:
+            return None  # split in special_tensors
+        return super().tensor_name(hf_name)
+
+    def special_tensors(self, hf_name, arr, get_artifact):
+        if "gated_layer" not in hf_name:
+            return None
+        i = hf_name.split(".")[2]
+        ff = int(self.hf["intermediate_size"])
+        first, second = arr[:ff], arr[ff:]
+        if "up_gated_layer" in hf_name:  # jina-v2-code ships up|gate
+            up, gate = first, second
+        else:  # gated_layers ships gate|up
+            gate, up = first, second
+        return [("float", f"blk.{i}.ffn_gate.weight", gate.astype(np.float16)),
+                ("float", f"blk.{i}.ffn_up.weight", up.astype(np.float16))]
+
+
 class ArcticArch(MoEArchSpec):
     """Snowflake Arctic (reference ArcticModel :6130-6279): llama GQA
     permute, mixtral-style w1/w3/w2 expert stacks, plus the parallel
@@ -3936,12 +4033,25 @@ _ARCH_REGISTRY.update(
      "gemma3n": Gemma3nArch, "gemma3n_text": Gemma3nArch,
      "plamo2": Plamo2Arch,
      "glm4v": Glm4Arch, "glm4v_text": Glm4Arch,
-     "qwen2_5_omni": Qwen2VLArch, "qwen2_5_omni_text": Qwen2VLArch}
+     "qwen2_5_omni": Qwen2VLArch, "qwen2_5_omni_text": Qwen2VLArch,
+     "neobert": NeoBertArch, "jina_bert": JinaBertV2Arch}
 )
 
 
 def register_arch(model_type: str, spec_cls) -> None:
     _ARCH_REGISTRY[model_type] = spec_cls
+
+
+# Some checkpoints reuse a generic model_type ("bert") but need their own
+# spec; the reference dispatches on config architectures[0] (ModelBase
+# registry keyed on HF class names, pack_gptq_into_gguf.py:513-536).
+_ARCH_CLASS_OVERRIDES: Dict[str, type] = {
+    "JinaBertModel": JinaBertV2Arch,
+    "JinaBertForMaskedLM": JinaBertV2Arch,
+    "NeoBERT": NeoBertArch,
+    "NeoBERTLMHead": NeoBertArch,
+    "NeoBERTForSequenceClassification": NeoBertArch,
+}
 
 
 # ---------------------------------------------------------------------------
@@ -3984,6 +4094,37 @@ PRE_TOKENIZER_BY_MODEL_TYPE = {
 
 _BYTE_PIECE = 6  # GGUF token types (== sentencepiece piece types)
 _NORMAL, _UNKNOWN, _CONTROL, _USER_DEFINED, _UNUSED = 1, 2, 3, 4, 5
+
+
+def _chat_template_metadata(model_dir: Path) -> Dict[str, Any]:
+    """tokenizer.chat_template keys from tokenizer_config.json (reference
+    SpecialVocab.chat_template handling: plain string, or a named list that
+    becomes tokenizer.chat_templates + per-name keys with "default"
+    promoted)."""
+    p = model_dir / "tokenizer_config.json"
+    if not p.exists():
+        return {}
+    with open(p) as f:
+        tc = json.load(f)
+    tmpl = tc.get("chat_template")
+    if tmpl is None:
+        return {}
+    if isinstance(tmpl, str):
+        return {"tokenizer.chat_template": tmpl}
+    md: Dict[str, Any] = {}
+    names = []
+    for entry in tmpl:
+        name, text = entry.get("name"), entry.get("template")
+        if not name or not isinstance(text, str):
+            continue
+        if name == "default":
+            md["tokenizer.chat_template"] = text
+        else:
+            names.append(name)
+            md[f"tokenizer.chat_template.{name}"] = text
+    if names:
+        md["tokenizer.chat_templates"] = names
+    return md
 
 
 def _special_token_ids(model_dir: Path) -> Dict[str, Any]:
@@ -4195,6 +4336,7 @@ def tokenizer_metadata(model_dir: Path, model_type: str = "llama") -> Dict[str, 
     else:
         return {}  # no tokenizer shipped (synthetic test checkpoints)
     md.update(_special_token_ids(model_dir))
+    md.update(_chat_template_metadata(model_dir))
     return md
 
 
@@ -4261,7 +4403,13 @@ def pack_model(
         mt = hf_cfg.get("model_type") or text_mt
         hf_cfg = {**hf_cfg, **hf_cfg["text_config"], "model_type": mt}
     model_type = hf_cfg.get("model_type", "llama")
-    spec_cls = _ARCH_REGISTRY.get(model_type)
+    spec_cls = None
+    for arch_cls in hf_cfg.get("architectures") or []:
+        if arch_cls in _ARCH_CLASS_OVERRIDES:
+            spec_cls = _ARCH_CLASS_OVERRIDES[arch_cls]
+            break
+    if spec_cls is None:
+        spec_cls = _ARCH_REGISTRY.get(model_type)
     if spec_cls is None and text_mt is not None:
         # multimodal wrappers (llava/mistral3/idefics3/smolvlm/kimi_vl/...)
         # pack their text model; vision tensors are dropped in the pre-pass

@@ -22,6 +22,10 @@ from typing import Dict, List, Optional, Sequence
 
 __all__ = ["GGUFTokenizer", "from_gguf"]
 
+
+def _raise_exception(msg):
+    raise ValueError(msg)
+
 # GGUF token types (== sentencepiece piece types)
 _NORMAL, _UNKNOWN, _CONTROL, _USER_DEFINED, _UNUSED, _BYTE = 1, 2, 3, 4, 5, 6
 
@@ -58,7 +62,8 @@ class GGUFTokenizer:
                  bos_id: Optional[int] = None, eos_id: Optional[int] = None,
                  unk_id: Optional[int] = None,
                  add_bos: Optional[bool] = None,
-                 add_space_prefix: bool = True):
+                 add_space_prefix: bool = True,
+                 chat_template: Optional[str] = None):
         self.model = model
         self.tokens = list(tokens)
         self.scores = list(scores) if scores is not None else None
@@ -80,6 +85,7 @@ class GGUFTokenizer:
             add_bos = model == "llama" and bos_id is not None
         self.add_bos = add_bos and bos_id is not None
         self.add_space_prefix = add_space_prefix
+        self.chat_template = chat_template
         # user-defined/control tokens split the raw text before tokenizing
         self._special = sorted(
             (t for t, i in self.vocab.items()
@@ -254,6 +260,23 @@ class GGUFTokenizer:
                 out.append(unk)
         return out
 
+    def apply_chat_template(self, messages, add_generation_prompt: bool = True
+                            ) -> str:
+        """Render tokenizer.chat_template over [{role, content}, ...]
+        (llama.cpp's minja equivalent, via jinja2)."""
+        if not self.chat_template:
+            raise ValueError("this GGUF carries no tokenizer.chat_template")
+        import jinja2
+
+        env = jinja2.Environment(trim_blocks=True, lstrip_blocks=True)
+        env.globals["raise_exception"] = _raise_exception
+        env.filters["tojson"] = lambda x, **kw: __import__("json").dumps(x, **kw)
+        bos = self.tokens[self.bos_id] if self.bos_id is not None else ""
+        eos = self.tokens[self.eos_id] if self.eos_id is not None else ""
+        return env.from_string(self.chat_template).render(
+            messages=messages, add_generation_prompt=add_generation_prompt,
+            bos_token=bos, eos_token=eos)
+
     # -- decode ---------------------------------------------------------
 
     def decode(self, ids: Sequence[int], skip_special: bool = True) -> str:
@@ -306,4 +329,5 @@ def from_gguf(reader) -> Optional[GGUFTokenizer]:
         unk_id=reader.get("tokenizer.ggml.unknown_token_id"),
         add_bos=reader.get("tokenizer.ggml.add_bos_token"),
         add_space_prefix=reader.get("tokenizer.ggml.add_space_prefix", True),
+        chat_template=reader.get("tokenizer.chat_template"),
     )

@@ -169,3 +169,130 @@ def test_distilbert_pack(tmp_path):
         r.tensor_float("blk.0.attn_output.weight"),
         sd["transformer.layer.0.attention.out_lin.weight"].numpy()
         .astype(np.float16).astype(np.float32), rtol=1e-3, atol=1e-4)
+
+
+def test_neobert_pack(tmp_path):
+    """NeoBERT (reference NeoBert :4882-4908): fused qkv + SwiGLU w12/w3,
+    RMS norms, ffn length 2/3 of intermediate, CLS pooling, class-name
+    dispatch (model_type is 'neobert' but architectures drives it too)."""
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(60)
+    h, ff, v = 32, 48, 32
+    cfg = {"model_type": "neobert", "architectures": ["NeoBERTLMHead"],
+           "vocab_size": v, "hidden_size": h, "num_hidden_layers": 1,
+           "num_attention_heads": 4, "intermediate_size": ff,
+           "norm_eps": 1e-6, "max_length": 4096}
+    t = {
+        "model.encoder.weight": rng.normal(size=(v, h)).astype(np.float32),
+        "model.transformer_encoder.0.attention_norm.weight":
+            rng.normal(size=(h,)).astype(np.float32),
+        "model.transformer_encoder.0.qkv.weight":
+            rng.normal(size=(3 * h, h)).astype(np.float32),
+        "model.transformer_encoder.0.wo.weight":
+            rng.normal(size=(h, h)).astype(np.float32),
+        "model.transformer_encoder.0.ffn_norm.weight":
+            rng.normal(size=(h,)).astype(np.float32),
+        "model.transformer_encoder.0.ffn.w12.weight":
+            rng.normal(size=(2 * ff, h)).astype(np.float32),
+        "model.transformer_encoder.0.ffn.w3.weight":
+            rng.normal(size=(h, ff)).astype(np.float32),
+        "model.layer_norm.weight": rng.normal(size=(h,)).astype(np.float32),
+        "decoder.weight": rng.normal(size=(v, h)).astype(np.float32),
+        "decoder.bias": rng.normal(size=(v,)).astype(np.float32),
+    }
+    d = tmp_path / "neo"
+    d.mkdir()
+    save_file(t, d / "model.safetensors")
+    json.dump(cfg, open(d / "config.json", "w"))
+    _wordpiece_tokenizer(d, [f"w{i}" for i in range(v)])
+    r = _pack(tmp_path, d, "neo")
+    assert r.get("general.architecture") == "neo-bert"
+    assert r.get("neo-bert.feed_forward_length") == 32  # 2/3 * 48
+    assert r.get("neo-bert.rope.freq_base") == 10000.0
+    assert abs(r.get("neo-bert.attention.layer_norm_rms_epsilon") - 1e-6) < 1e-12
+    assert r.get("neo-bert.pooling_type") == 2  # CLS
+    assert r.get("neo-bert.context_length") == 4096
+    assert r.get("neo-bert.attention.causal") is False
+    for name in ("token_embd.weight", "blk.0.attn_norm.weight",
+                 "blk.0.attn_qkv.weight", "blk.0.attn_output.weight",
+                 "blk.0.ffn_norm.weight", "blk.0.ffn_up.weight",
+                 "blk.0.ffn_down.weight", "enc.output_norm.weight"):
+        assert name in r.tensors, name
+    # decoder LM head dropped
+    assert not any("decoder" in n or n == "output.weight" for n in r.tensors)
+    np.testing.assert_allclose(
+        r.tensor_float("blk.0.ffn_up.weight"),
+        t["model.transformer_encoder.0.ffn.w12.weight"]
+        .astype(np.float16).astype(np.float32), rtol=1e-3, atol=1e-4)
+
+
+def test_jina_bert_v2_pack(tmp_path):
+    """jina-embeddings-v2 (reference JinaBertV2Model :6036-6052): ALiBi
+    BERT whose fused mlp.gated_layers splits gate|up at intermediate_size;
+    model_type is plain 'bert' — dispatch rides architectures[0]."""
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(61)
+    h, ff, v = 32, 48, 32
+    cfg = {"model_type": "bert", "architectures": ["JinaBertForMaskedLM"],
+           "vocab_size": v, "hidden_size": h, "num_hidden_layers": 2,
+           "num_attention_heads": 4, "intermediate_size": ff,
+           "layer_norm_eps": 1e-12, "type_vocab_size": 2,
+           "max_position_embeddings": 8192, "feed_forward_type": "geglu"}
+    t = {
+        "embeddings.word_embeddings.weight":
+            rng.normal(size=(v, h)).astype(np.float32),
+        "embeddings.token_type_embeddings.weight":
+            rng.normal(size=(2, h)).astype(np.float32),
+        "embeddings.LayerNorm.weight": rng.normal(size=(h,)).astype(np.float32),
+        "embeddings.LayerNorm.bias": rng.normal(size=(h,)).astype(np.float32),
+    }
+    for i in range(2):
+        p = f"encoder.layer.{i}"
+        gated = "mlp.gated_layers" if i == 0 else "mlp.up_gated_layer"
+        t.update({
+            f"{p}.attention.self.query.weight": rng.normal(size=(h, h)).astype(np.float32),
+            f"{p}.attention.self.query.bias": rng.normal(size=(h,)).astype(np.float32),
+            f"{p}.attention.self.key.weight": rng.normal(size=(h, h)).astype(np.float32),
+            f"{p}.attention.self.key.bias": rng.normal(size=(h,)).astype(np.float32),
+            f"{p}.attention.self.value.weight": rng.normal(size=(h, h)).astype(np.float32),
+            f"{p}.attention.self.value.bias": rng.normal(size=(h,)).astype(np.float32),
+            f"{p}.attention.output.dense.weight": rng.normal(size=(h, h)).astype(np.float32),
+            f"{p}.attention.output.dense.bias": rng.normal(size=(h,)).astype(np.float32),
+            f"{p}.attention.output.LayerNorm.weight": rng.normal(size=(h,)).astype(np.float32),
+            f"{p}.attention.output.LayerNorm.bias": rng.normal(size=(h,)).astype(np.float32),
+            f"{p}.{gated}.weight": rng.normal(size=(2 * ff, h)).astype(np.float32),
+            f"{p}.mlp.wo.weight": rng.normal(size=(h, ff)).astype(np.float32),
+            f"{p}.mlp.wo.bias": rng.normal(size=(h,)).astype(np.float32),
+            f"{p}.mlp.layernorm.weight": rng.normal(size=(h,)).astype(np.float32),
+            f"{p}.mlp.layernorm.bias": rng.normal(size=(h,)).astype(np.float32),
+        })
+    d = tmp_path / "jina"
+    d.mkdir()
+    save_file(t, d / "model.safetensors")
+    json.dump(cfg, open(d / "config.json", "w"))
+    _wordpiece_tokenizer(d, [f"w{i}" for i in range(v)])
+    r = _pack(tmp_path, d, "jina")
+    assert r.get("general.architecture") == "jina-bert-v2"
+    assert r.get("jina-bert-v2.context_length") == 8192
+    assert r.get("tokenizer.ggml.token_type_count") == 2
+    for name in ("token_embd.weight", "token_types.weight",
+                 "token_embd_norm.weight", "blk.0.attn_q.weight",
+                 "blk.1.attn_output_norm.weight", "blk.0.ffn_gate.weight",
+                 "blk.0.ffn_up.weight", "blk.1.ffn_down.weight",
+                 "blk.1.layer_output_norm.weight"):
+        assert name in r.tensors, name
+    # gated_layers ships gate|up; up_gated_layer ships up|gate
+    np.testing.assert_allclose(
+        r.tensor_float("blk.0.ffn_gate.weight"),
+        t["encoder.layer.0.mlp.gated_layers.weight"][:ff]
+        .astype(np.float16).astype(np.float32), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        r.tensor_float("blk.1.ffn_gate.weight"),
+        t["encoder.layer.1.mlp.up_gated_layer.weight"][ff:]
+        .astype(np.float16).astype(np.float32), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        r.tensor_float("blk.1.ffn_up.weight"),
+        t["encoder.layer.1.mlp.up_gated_layer.weight"][:ff]
+        .astype(np.float16).astype(np.float32), rtol=1e-3, atol=1e-4)

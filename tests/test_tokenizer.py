@@ -152,3 +152,36 @@ def test_serve_prompt_cli(tmp_path):
     rc = main(["serve", "--gguf-file", str(gguf), "--prompt", "ab",
                "--max-new-tokens", "3"])
     assert not rc
+
+
+def test_chat_template_pack_and_render(tmp_path):
+    """tokenizer.chat_template rides the GGUF and renders via jinja2."""
+    tmpl = ("{% for m in messages %}<|{{ m.role }}|>{{ m.content }}</s>"
+            "{% endfor %}{% if add_generation_prompt %}<|assistant|>{% endif %}")
+    json.dump({"model": {"type": "BPE", "vocab": {"a": 0, "b": 1},
+                         "merges": []}}, open(tmp_path / "tokenizer.json", "w"))
+    json.dump({"chat_template": tmpl, "bos_token_id": 0},
+              open(tmp_path / "tokenizer_config.json", "w"))
+    md = packer.tokenizer_metadata(tmp_path, "llama")
+    assert md["tokenizer.chat_template"] == tmpl
+    g = GGUFTokenizer("gpt2", ["a", "b"], merges=[], chat_template=tmpl)
+    out = g.apply_chat_template(
+        [{"role": "user", "content": "hi"},
+         {"role": "assistant", "content": "yo"}])
+    assert out == "<|user|>hi</s><|assistant|>yo</s><|assistant|>"
+    out = g.apply_chat_template([{"role": "user", "content": "x"}],
+                                add_generation_prompt=False)
+    assert out == "<|user|>x</s>"
+
+
+def test_chat_template_named_list(tmp_path):
+    json.dump({"model": {"type": "BPE", "vocab": {"a": 0}, "merges": []}},
+              open(tmp_path / "tokenizer.json", "w"))
+    json.dump({"chat_template": [
+        {"name": "default", "template": "D{{ messages[0].content }}"},
+        {"name": "tool_use", "template": "T"}]},
+        open(tmp_path / "tokenizer_config.json", "w"))
+    md = packer.tokenizer_metadata(tmp_path, "llama")
+    assert md["tokenizer.chat_template"] == "D{{ messages[0].content }}"
+    assert md["tokenizer.chat_template.tool_use"] == "T"
+    assert md["tokenizer.chat_templates"] == ["tool_use"]
