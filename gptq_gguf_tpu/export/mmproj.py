@@ -12,7 +12,9 @@ GGUFWriter.
 Projector families covered: gemma3 (SigLIP + input projection),
 qwen2_vl / qwen2_5_vl (ViT merger, fused qkv split, Conv3D patch split,
 window-attention pattern), pixtral (Mistral-3/Pixtral GQA-free ViT with
-2D rope and patch merger).
+2D rope and patch merger), idefics3/smolvlm, lfm2-vl, whisper-family
+audio (qwen2-audio/ultravox/voxtral), qwen2.5-omni (vision+audio),
+internvl / intern-s1, llama4, and kimi-vl.
 """
 
 from __future__ import annotations
@@ -376,6 +378,233 @@ class Lfm2VlMmproj(MmprojSpec):
         return []
 
 
+class InternVLMmproj(MmprojSpec):
+    """InternViT tower + mlp1 projector (reference InternVisionModel
+    pack_gptq_into_gguf.py:3505-3578): fused attn.qkv split three ways,
+    ls1/ls2 layer scales (".weight" appended), optional q/k norms, the
+    Intern-S1 "model.multi_modal_projector.*" -> mlp1.* aliasing, and
+    projector scale factor 1/downsample_ratio."""
+
+    projector_type = "internvl"
+
+    _blk = {
+        "attn.proj": "attn_out",
+        "attn.q_norm": "attn_q_norm",
+        "attn.k_norm": "attn_k_norm",
+        "norm1": "ln1",
+        "norm2": "ln2",
+        "mlp.fc1": "ffn_up",
+        "mlp.fc2": "ffn_down",
+        "ls1": "ls1",
+        "ls2": "ls2",
+        "self_attn.q_proj": "attn_q",
+        "self_attn.k_proj": "attn_k",
+        "self_attn.v_proj": "attn_v",
+    }
+    # Intern-S1 ships the projector under HF-style names (reference
+    # _mapping_interns1_name :3536-3547; pack_mmproj strips the "model.")
+    _interns1 = {
+        "multi_modal_projector.layer_norm": "mlp1.0",
+        "multi_modal_projector.linear_1": "mlp1.1",
+        "multi_modal_projector.linear_2": "mlp1.3",
+    }
+
+    def vision_config(self, cfg):
+        vc = super().vision_config(cfg)
+        for k in ("image_size", "patch_size"):  # list-valued on InternViT
+            if isinstance(vc.get(k), list):
+                vc = {**vc, k: vc[k][0]}
+        return vc
+
+    def metadata(self):
+        md = super().metadata()
+        v = self.vision
+        md["clip.vision.attention.layer_norm_epsilon"] = float(
+            v.get("layer_norm_eps", 1e-6))
+        act = v.get("hidden_act", "gelu")
+        if act == "silu":
+            md["clip.use_silu"] = True
+        elif act == "gelu":
+            md["clip.use_gelu"] = True
+        else:
+            raise ValueError(f"unsupported hidden_act {act!r}")
+        ratio = self.global_cfg.get("downsample_ratio")
+        if ratio:
+            md["clip.vision.projector.scale_factor"] = int(round(1.0 / ratio))
+        return md
+
+    def convert(self, name, arr):
+        head, _, kind = name.rpartition(".")
+        if head in self._interns1:
+            name = f"{self._interns1[head]}.{kind}"
+        if name.startswith("mlp1."):
+            _, bid, kind = name.split(".")
+            return [(f"mm.model.mlp.{bid}.{kind}", arr)]
+        for pre in ("vision_model.", "vision_tower."):
+            if name.startswith(pre):
+                rest = name[len(pre):]
+                break
+        else:
+            return []
+        fixed = {
+            "embeddings.class_embedding": "v.class_embd",
+            "embeddings.patch_embedding.weight": "v.patch_embd.weight",
+            "embeddings.patch_embedding.bias": "v.patch_embd.bias",
+            "embeddings.position_embedding": "v.position_embd.weight",
+        }
+        if rest in fixed:
+            if rest.endswith("position_embedding"):   # [1, N, C] -> [N, C]
+                arr = arr.reshape(arr.shape[-2:])
+            elif rest.endswith("class_embedding"):    # [1, 1, C] -> [C]
+                arr = arr.reshape(-1)
+            return [(fixed[rest], arr)]
+        if rest.startswith("encoder.layers."):
+            parts = rest.split(".")
+            i = parts[2]
+            tail = ".".join(parts[3:])
+            if tail.partition(".")[0] in ("ls1", "ls2"):  # no .weight in HF
+                tail = tail.partition(".")[0] + ".weight"
+            head, _, kind = tail.rpartition(".")
+            if head == "attn.qkv":
+                c = arr.shape[0] // 3
+                return [(f"v.blk.{i}.attn_{p}.{kind}", arr[j * c:(j + 1) * c])
+                        for j, p in enumerate("qkv")]
+            if head in self._blk:
+                return [(f"v.blk.{i}.{self._blk[head]}.{kind}", arr)]
+        return []
+
+
+class Llama4Mmproj(MmprojSpec):
+    """Llama-4 vision tower + pixel-shuffle adapter (reference
+    Llama4VisionModel pack_gptq_into_gguf.py:2475-2494): unfold-linear
+    patch embedding, positional_embedding_vlm (".weight" appended),
+    vision_adapter MLP -> mm.model.mlp.{1,2}, multi_modal_projector
+    linear_1 -> the single mm.model.fc despite the numbered name."""
+
+    projector_type = "llama4"
+
+    _blk = {
+        "self_attn.q_proj": "attn_q",
+        "self_attn.k_proj": "attn_k",
+        "self_attn.v_proj": "attn_v",
+        "self_attn.o_proj": "attn_out",
+        "input_layernorm": "ln1",
+        "post_attention_layernorm": "ln2",
+        "mlp.fc1": "ffn_up",
+        "mlp.fc2": "ffn_down",
+    }
+
+    def metadata(self):
+        md = super().metadata()
+        v = self.vision
+        md["clip.vision.attention.layer_norm_epsilon"] = float(
+            v.get("norm_eps", 1e-5))
+        md["clip.vision.projector.scale_factor"] = int(
+            round(1.0 / v.get("pixel_shuffle_ratio", 0.5)))
+        if v.get("hidden_act", "gelu") != "gelu":
+            raise ValueError("llama4 vision towers are gelu")
+        md["clip.use_gelu"] = True
+        return md
+
+    def convert(self, name, arr):
+        if name.startswith("multi_modal_projector.linear_1."):
+            # single fully-connected layer despite the numbered name
+            return [("mm.model.fc." + name.rsplit(".", 1)[1], arr)]
+        if not name.startswith("vision_model."):
+            return []
+        rest = name[len("vision_model."):]
+        fixed = {
+            "class_embedding": "v.class_embd",
+            "patch_embedding.linear.weight": "v.patch_embd.weight",
+            "patch_embedding.linear.bias": "v.patch_embd.bias",
+            "positional_embedding_vlm": "v.position_embd.weight",
+            "layernorm_pre.weight": "v.pre_ln.weight",
+            "layernorm_pre.bias": "v.pre_ln.bias",
+            "layernorm_post.weight": "v.post_ln.weight",
+            "layernorm_post.bias": "v.post_ln.bias",
+        }
+        if rest in fixed:
+            return [(fixed[rest], arr)]
+        if rest.startswith("vision_adapter.mlp.fc"):
+            bid = rest.partition(".fc")[2][0]
+            kind = rest.rsplit(".", 1)[1]
+            return [(f"mm.model.mlp.{bid}.{kind}", arr)]
+        if rest.startswith("model.layers."):
+            parts = rest.split(".")
+            i = parts[2]
+            head, kind = ".".join(parts[3:-1]), parts[-1]
+            if head in self._blk:
+                return [(f"v.blk.{i}.{self._blk[head]}.{kind}", arr)]
+        return []
+
+
+class KimiVLMmproj(MmprojSpec):
+    """Kimi-VL MoonViT tower + projector (reference KimiVLModel
+    pack_gptq_into_gguf.py:8678-8713): fused wqkv chunked three ways,
+    2D pos_emb flattened to (H*W, C), image_size pinned to 64*14 for
+    compatibility, scale factor 2."""
+
+    projector_type = "kimivl"
+
+    _blk = {
+        "wo": "attn_out",
+        "norm0": "ln1",
+        "norm1": "ln2",
+        "mlp.fc0": "ffn_up",
+        "mlp.fc1": "ffn_down",
+    }
+
+    def __init__(self, cfg, model_dir):
+        super().__init__(cfg, model_dir)
+        self.vision["image_size"] = 64 * 14  # reference :8683
+        self.vision.setdefault("patch_size", 14)
+
+    def metadata(self):
+        md = super().metadata()
+        md["clip.vision.attention.layer_norm_epsilon"] = float(
+            self.vision.get("layer_norm_eps", 1e-5))
+        md["clip.use_gelu"] = True
+        md["clip.vision.projector.scale_factor"] = 2
+        return md
+
+    def convert(self, name, arr):
+        proj = {
+            "multi_modal_projector.pre_norm.weight": "mm.input_norm.weight",
+            "multi_modal_projector.pre_norm.bias": "mm.input_norm.bias",
+            "multi_modal_projector.linear_1.weight": "mm.1.weight",
+            "multi_modal_projector.linear_1.bias": "mm.1.bias",
+            "multi_modal_projector.linear_2.weight": "mm.2.weight",
+            "multi_modal_projector.linear_2.bias": "mm.2.bias",
+        }
+        if name in proj:
+            return [(proj[name], arr)]
+        if not name.startswith("vision_tower."):
+            return []
+        rest = name[len("vision_tower."):]
+        fixed = {
+            "patch_embed.proj.weight": "v.patch_embd.weight",
+            "patch_embed.proj.bias": "v.patch_embd.bias",
+            "encoder.final_layernorm.weight": "v.post_ln.weight",
+            "encoder.final_layernorm.bias": "v.post_ln.bias",
+        }
+        if rest in fixed:
+            return [(fixed[rest], arr)]
+        if rest == "patch_embed.pos_emb.weight":
+            return [("v.position_embd.weight",
+                     arr.reshape(arr.shape[0] * arr.shape[1], arr.shape[2]))]
+        if rest.startswith("encoder.blocks."):
+            parts = rest.split(".")
+            i = parts[2]
+            head, kind = ".".join(parts[3:-1]), parts[-1]
+            if head == "wqkv":
+                c = arr.shape[0] // 3
+                return [(f"v.blk.{i}.attn_{p}.{kind}", arr[j * c:(j + 1) * c])
+                        for j, p in enumerate("qkv")]
+            if head in self._blk:
+                return [(f"v.blk.{i}.{self._blk[head]}.{kind}", arr)]
+        return []
+
+
 class WhisperAudioMmproj(MmprojSpec):
     """Whisper-style audio encoders (reference WhisperEncoderModel /
     Ultravox / Voxtral :7893-7955): audio tower + the per-family
@@ -578,6 +807,11 @@ MMPROJ_REGISTRY: Dict[str, type] = {
     "lfm2_vl": Lfm2VlMmproj,
     "lfm2-vl": Lfm2VlMmproj,
     "qwen2_5_omni": Qwen25OmniMmproj,
+    "internvl": InternVLMmproj,
+    "internvl_chat": InternVLMmproj,
+    "interns1": InternVLMmproj,
+    "llama4": Llama4Mmproj,
+    "kimi_vl": KimiVLMmproj,
 }
 
 

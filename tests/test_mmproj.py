@@ -337,3 +337,207 @@ def test_qwen2_5_omni_mmproj(tmp_path):
     np.testing.assert_allclose(pe[0, dm // 2:], 1.0, atol=1e-7)
     # bos/eos token dropped
     assert not any("bos_eos" in n for n in r.tensors)
+
+
+def test_internvl_mmproj(tmp_path):
+    """InternViT tower (reference InternVisionModel :3505-3578): fused qkv
+    split, ls1/ls2 layer scales, class/position embeddings reshaped, mlp1
+    projector -> mm.model.mlp.{0,1,3}."""
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(55)
+    h, ff, nh, th = 32, 48, 4, 24
+    cfg = {"model_type": "internvl_chat", "downsample_ratio": 0.5,
+           "llm_config": {"hidden_size": th},
+           "text_config": {"hidden_size": th},
+           "vision_config": {"hidden_size": h, "intermediate_size": ff,
+                             "num_hidden_layers": 2, "num_attention_heads": nh,
+                             "image_size": [56, 56], "patch_size": [14, 14],
+                             "hidden_act": "gelu", "layer_norm_eps": 1e-6}}
+    t = {
+        "vision_model.embeddings.class_embedding":
+            rng.normal(size=(1, 1, h)).astype(np.float32),
+        "vision_model.embeddings.patch_embedding.weight":
+            rng.normal(size=(h, 3, 14, 14)).astype(np.float32),
+        "vision_model.embeddings.patch_embedding.bias":
+            rng.normal(size=(h,)).astype(np.float32),
+        "vision_model.embeddings.position_embedding":
+            rng.normal(size=(1, 17, h)).astype(np.float32),
+        "mlp1.0.weight": rng.normal(size=(4 * h,)).astype(np.float32),
+        "mlp1.0.bias": rng.normal(size=(4 * h,)).astype(np.float32),
+        "mlp1.1.weight": rng.normal(size=(th, 4 * h)).astype(np.float32),
+        "mlp1.1.bias": rng.normal(size=(th,)).astype(np.float32),
+        "mlp1.3.weight": rng.normal(size=(th, th)).astype(np.float32),
+        "mlp1.3.bias": rng.normal(size=(th,)).astype(np.float32),
+    }
+    for i in range(2):
+        p = f"vision_model.encoder.layers.{i}"
+        t.update({
+            f"{p}.attn.qkv.weight": rng.normal(size=(3 * h, h)).astype(np.float32),
+            f"{p}.attn.qkv.bias": rng.normal(size=(3 * h,)).astype(np.float32),
+            f"{p}.attn.proj.weight": rng.normal(size=(h, h)).astype(np.float32),
+            f"{p}.attn.proj.bias": rng.normal(size=(h,)).astype(np.float32),
+            f"{p}.norm1.weight": rng.normal(size=(h,)).astype(np.float32),
+            f"{p}.norm2.weight": rng.normal(size=(h,)).astype(np.float32),
+            f"{p}.ls1": rng.normal(size=(h,)).astype(np.float32),
+            f"{p}.ls2": rng.normal(size=(h,)).astype(np.float32),
+            f"{p}.mlp.fc1.weight": rng.normal(size=(ff, h)).astype(np.float32),
+            f"{p}.mlp.fc1.bias": rng.normal(size=(ff,)).astype(np.float32),
+            f"{p}.mlp.fc2.weight": rng.normal(size=(h, ff)).astype(np.float32),
+            f"{p}.mlp.fc2.bias": rng.normal(size=(h,)).astype(np.float32),
+        })
+    d = tmp_path / "ivl"
+    d.mkdir()
+    save_file(t, d / "model.safetensors")
+    json.dump(cfg, open(d / "config.json", "w"))
+    out = mmproj.pack_mmproj(d, tmp_path / "ivl-mmproj.gguf")
+    r = GGUFReader(out)
+    assert r.get("clip.projector_type") == "internvl"
+    assert r.get("clip.use_gelu") is True
+    assert r.get("clip.vision.image_size") == 56
+    assert r.get("clip.vision.patch_size") == 14
+    assert r.get("clip.vision.projector.scale_factor") == 2
+    for n in ("v.class_embd", "v.patch_embd.weight", "v.position_embd.weight",
+              "v.blk.0.attn_q.weight", "v.blk.0.attn_q.bias",
+              "v.blk.1.attn_out.weight", "v.blk.0.ln1.weight",
+              "v.blk.1.ls1.weight", "v.blk.0.ls2.weight",
+              "v.blk.1.ffn_up.weight", "v.blk.0.ffn_down.bias",
+              "mm.model.mlp.0.weight", "mm.model.mlp.1.weight",
+              "mm.model.mlp.3.bias"):
+        assert n in r.tensors, n
+    # class/position embeddings reshaped, qkv second third is K
+    assert r.tensor_float("v.class_embd").shape == (h,)
+    assert r.tensor_float("v.position_embd.weight").shape == (17, h)
+    np.testing.assert_allclose(
+        r.tensor_float("v.blk.0.attn_k.weight"),
+        t["vision_model.encoder.layers.0.attn.qkv.weight"][h:2 * h]
+        .astype(np.float16).astype(np.float32), rtol=1e-3, atol=1e-4)
+
+
+def test_llama4_mmproj(tmp_path):
+    """Llama-4 vision tower (reference Llama4VisionModel :2475-2494):
+    unfold-linear patch embed, positional_embedding_vlm, vision_adapter
+    MLP, the numbered-but-single mm.model.fc projector."""
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(56)
+    h, ff, th = 32, 48, 24
+    cfg = {"model_type": "llama4",
+           "text_config": {"hidden_size": th},
+           "vision_config": {"hidden_size": h, "intermediate_size": ff,
+                             "num_hidden_layers": 1, "num_attention_heads": 4,
+                             "image_size": 56, "patch_size": 14,
+                             "pixel_shuffle_ratio": 0.5, "norm_eps": 1e-5,
+                             "hidden_act": "gelu"}}
+    t = {
+        "vision_model.class_embedding": rng.normal(size=(h,)).astype(np.float32),
+        "vision_model.patch_embedding.linear.weight":
+            rng.normal(size=(h, 3 * 14 * 14)).astype(np.float32),
+        "vision_model.positional_embedding_vlm":
+            rng.normal(size=(17, h)).astype(np.float32),
+        "vision_model.layernorm_pre.weight": rng.normal(size=(h,)).astype(np.float32),
+        "vision_model.layernorm_pre.bias": rng.normal(size=(h,)).astype(np.float32),
+        "vision_model.layernorm_post.weight": rng.normal(size=(h,)).astype(np.float32),
+        "vision_model.layernorm_post.bias": rng.normal(size=(h,)).astype(np.float32),
+        "vision_model.vision_adapter.mlp.fc1.weight":
+            rng.normal(size=(ff, h)).astype(np.float32),
+        "vision_model.vision_adapter.mlp.fc2.weight":
+            rng.normal(size=(h, ff)).astype(np.float32),
+        "multi_modal_projector.linear_1.weight":
+            rng.normal(size=(th, h)).astype(np.float32),
+    }
+    p = "vision_model.model.layers.0"
+    for nm, shp in (("self_attn.q_proj", (h, h)), ("self_attn.k_proj", (h, h)),
+                    ("self_attn.v_proj", (h, h)), ("self_attn.o_proj", (h, h)),
+                    ("mlp.fc1", (ff, h)), ("mlp.fc2", (h, ff))):
+        t[f"{p}.{nm}.weight"] = rng.normal(size=shp).astype(np.float32)
+        t[f"{p}.{nm}.bias"] = rng.normal(size=(shp[0],)).astype(np.float32)
+    for nm in ("input_layernorm", "post_attention_layernorm"):
+        t[f"{p}.{nm}.weight"] = rng.normal(size=(h,)).astype(np.float32)
+        t[f"{p}.{nm}.bias"] = rng.normal(size=(h,)).astype(np.float32)
+    d = tmp_path / "l4"
+    d.mkdir()
+    save_file(t, d / "model.safetensors")
+    json.dump(cfg, open(d / "config.json", "w"))
+    out = mmproj.pack_mmproj(d, tmp_path / "l4-mmproj.gguf")
+    r = GGUFReader(out)
+    assert r.get("clip.projector_type") == "llama4"
+    assert r.get("clip.vision.projector.scale_factor") == 2
+    assert r.get("clip.use_gelu") is True
+    for n in ("v.class_embd", "v.patch_embd.weight", "v.position_embd.weight",
+              "v.pre_ln.weight", "v.post_ln.bias",
+              "v.blk.0.attn_q.weight", "v.blk.0.attn_out.bias",
+              "v.blk.0.ln1.weight", "v.blk.0.ln2.bias",
+              "v.blk.0.ffn_up.weight", "v.blk.0.ffn_down.weight",
+              "mm.model.mlp.1.weight", "mm.model.mlp.2.weight",
+              "mm.model.fc.weight"):
+        assert n in r.tensors, n
+
+
+def test_kimi_vl_mmproj(tmp_path):
+    """Kimi-VL MoonViT tower (reference KimiVLModel :8678-8713): wqkv
+    chunk, 2D pos_emb flattened, image_size pinned to 896."""
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(57)
+    h, ff, th = 32, 48, 24
+    cfg = {"model_type": "kimi_vl",
+           "text_config": {"hidden_size": th},
+           "vision_config": {"hidden_size": h, "intermediate_size": ff,
+                             "num_hidden_layers": 1, "num_attention_heads": 4,
+                             "patch_size": 14}}
+    t = {
+        "vision_tower.patch_embed.proj.weight":
+            rng.normal(size=(h, 3, 14, 14)).astype(np.float32),
+        "vision_tower.patch_embed.proj.bias": rng.normal(size=(h,)).astype(np.float32),
+        "vision_tower.patch_embed.pos_emb.weight":
+            rng.normal(size=(4, 4, h)).astype(np.float32),
+        "vision_tower.encoder.final_layernorm.weight":
+            rng.normal(size=(h,)).astype(np.float32),
+        "vision_tower.encoder.final_layernorm.bias":
+            rng.normal(size=(h,)).astype(np.float32),
+        "multi_modal_projector.pre_norm.weight": rng.normal(size=(h,)).astype(np.float32),
+        "multi_modal_projector.pre_norm.bias": rng.normal(size=(h,)).astype(np.float32),
+        "multi_modal_projector.linear_1.weight":
+            rng.normal(size=(th, 4 * h)).astype(np.float32),
+        "multi_modal_projector.linear_1.bias": rng.normal(size=(th,)).astype(np.float32),
+        "multi_modal_projector.linear_2.weight":
+            rng.normal(size=(th, th)).astype(np.float32),
+        "multi_modal_projector.linear_2.bias": rng.normal(size=(th,)).astype(np.float32),
+    }
+    p = "vision_tower.encoder.blocks.0"
+    t.update({
+        f"{p}.wqkv.weight": rng.normal(size=(3 * h, h)).astype(np.float32),
+        f"{p}.wqkv.bias": rng.normal(size=(3 * h,)).astype(np.float32),
+        f"{p}.wo.weight": rng.normal(size=(h, h)).astype(np.float32),
+        f"{p}.wo.bias": rng.normal(size=(h,)).astype(np.float32),
+        f"{p}.norm0.weight": rng.normal(size=(h,)).astype(np.float32),
+        f"{p}.norm0.bias": rng.normal(size=(h,)).astype(np.float32),
+        f"{p}.norm1.weight": rng.normal(size=(h,)).astype(np.float32),
+        f"{p}.norm1.bias": rng.normal(size=(h,)).astype(np.float32),
+        f"{p}.mlp.fc0.weight": rng.normal(size=(ff, h)).astype(np.float32),
+        f"{p}.mlp.fc0.bias": rng.normal(size=(ff,)).astype(np.float32),
+        f"{p}.mlp.fc1.weight": rng.normal(size=(h, ff)).astype(np.float32),
+        f"{p}.mlp.fc1.bias": rng.normal(size=(h,)).astype(np.float32),
+    })
+    d = tmp_path / "kvl"
+    d.mkdir()
+    save_file(t, d / "model.safetensors")
+    json.dump(cfg, open(d / "config.json", "w"))
+    out = mmproj.pack_mmproj(d, tmp_path / "kvl-mmproj.gguf")
+    r = GGUFReader(out)
+    assert r.get("clip.projector_type") == "kimivl"
+    assert r.get("clip.vision.image_size") == 896
+    assert r.get("clip.vision.projector.scale_factor") == 2
+    for n in ("v.patch_embd.weight", "v.position_embd.weight",
+              "v.post_ln.weight", "v.blk.0.attn_q.weight",
+              "v.blk.0.attn_out.weight", "v.blk.0.ln1.weight",
+              "v.blk.0.ln2.bias", "v.blk.0.ffn_up.weight",
+              "v.blk.0.ffn_down.weight", "mm.input_norm.weight",
+              "mm.1.weight", "mm.2.bias"):
+        assert n in r.tensors, n
+    assert r.tensor_float("v.position_embd.weight").shape == (16, h)
+    np.testing.assert_allclose(
+        r.tensor_float("v.blk.0.attn_v.weight"),
+        t[f"{p}.wqkv.weight"][2 * h:].astype(np.float16).astype(np.float32),
+        rtol=1e-3, atol=1e-4)
