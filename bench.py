@@ -209,7 +209,7 @@ def bench_engine(B=8, max_len=2048, prompt_len=128, steps=32):
     t_prefill = []
     for slot in range(B):
         t0 = time.time()
-        tok, cache = engine._prefill_slot(params, cfg, prompt, cache, slot)
+        tok, _, cache = engine._prefill_slot(params, cfg, prompt, cache, slot)
         tok.block_until_ready()
         t_prefill.append(time.time() - t0)
 

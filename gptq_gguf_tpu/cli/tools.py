@@ -466,16 +466,20 @@ def run_serve(args):
         from ..serving.server import serve_http
 
         tokenizer = None
+        eos_id = None
         if args.tokenizer:
             from transformers import AutoTokenizer
 
             tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+            eos_id = tokenizer.eos_token_id
         else:  # fall back to the GGUF's own vocab (llama.cpp behavior)
             from ..formats.gguf import GGUFReader
             from ..serving import tokenizer as gtok
 
             gg = gtok.from_gguf(GGUFReader(args.gguf_file))
             if gg is not None:
+                eos_id = gg.eos_id
+
                 class _Wrap:  # match the HF callable/decodable shape
                     def __call__(self, text):
                         return {"input_ids": gg.encode(text)}
@@ -483,16 +487,19 @@ def run_serve(args):
                     def decode(self, ids):
                         return gg.decode(ids)
 
+                if gg.chat_template:
+                    _Wrap.apply_chat_template = staticmethod(
+                        gg.apply_chat_template)
                 tokenizer = _Wrap()
         if args.paged:
             eng = engine.PagedContinuousBatchingEngine(
                 params, cfg, num_slots=args.num_slots, max_len=args.max_len,
-                page_size=args.page_size,
+                page_size=args.page_size, eos_token_id=eos_id,
             )
         else:
             eng = engine.ContinuousBatchingEngine(
                 params, cfg, num_slots=args.num_slots, max_len=args.max_len,
-                kv_quantized=args.kv_quantized,
+                kv_quantized=args.kv_quantized, eos_token_id=eos_id,
             )
         serve_http(eng, host=args.host, port=args.port, tokenizer=tokenizer)
         return
@@ -509,7 +516,7 @@ def run_serve(args):
             rng.integers(0, cfg.vocab_size, (1, P)).astype(np.int32))
         t0 = time.time()
         for slot in range(B):
-            tok, cache = engine._prefill_slot(
+            tok, _, cache = engine._prefill_slot(
                 params, cfg, prompt, cache, slot)
             np.asarray(tok)
         prefill_s = time.time() - t0

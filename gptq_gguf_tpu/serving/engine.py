@@ -25,7 +25,9 @@ import numpy as np
 
 from ..models.llama import LlamaConfig
 from . import model as qmodel
+from . import sampling
 from .model import KVCache
+from .sampling import GREEDY, SamplingParams
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -45,6 +47,21 @@ def _sample_step(params, cfg: LlamaConfig, tokens, cache, key, temperature):
     key, sub = jax.random.split(key)
     next_tokens = jax.random.categorical(sub, logits / jnp.maximum(temperature, 1e-6))
     return next_tokens.astype(jnp.int32), logits, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",),
+                   donate_argnames=("sampler",))
+def _sampled_decode_step(params, cfg: LlamaConfig, tokens, cache, key,
+                         sampler: sampling.SlotSampling):
+    """Decode step through the per-slot sampler chain. The fed tokens are
+    counted here (each generated token is fed exactly once; prompt tokens
+    were counted at admit), keeping the penalty state on device."""
+    counts = sampler.counts.at[
+        jnp.arange(tokens.shape[0]), tokens].add(1)
+    sampler = sampler._replace(counts=counts)
+    logits, cache = qmodel.forward_cached(params, cfg, tokens[:, None], cache)
+    next_tokens = sampling.sample(logits, sampler, key)
+    return next_tokens, sampler, cache
 
 
 _PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
@@ -114,7 +131,7 @@ def _prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache, slot,
                                lengths)
     else:
         out = KVCache(put(cache.k, sub.k), put(cache.v, sub.v), lengths)
-    return next_token, out
+    return next_token, logits[0], out
 
 
 def generate(
@@ -140,7 +157,7 @@ def generate(
     cur_tokens = np.zeros((B,), np.int32)
     for b, p in enumerate(prompts):
         padded, n = _pad_prompt(p, max_len)
-        tok, cache = _prefill_slot(params, cfg, jnp.asarray(padded)[None, :], cache, b, n)
+        tok, _, cache = _prefill_slot(params, cfg, jnp.asarray(padded)[None, :], cache, b, n)
         cur_tokens[b] = int(tok)
 
     outputs: List[List[int]] = [[int(t)] for t in cur_tokens]
@@ -178,6 +195,8 @@ class Request:
     done: bool = False
     submitted_at: float = dataclasses.field(default_factory=time.time)
     finished_at: Optional[float] = None
+    sampling: SamplingParams = GREEDY
+    finish_reason: Optional[str] = None  # "stop" (eos) or "length"
 
 
 class ContinuousBatchingEngine:
@@ -206,7 +225,13 @@ class ContinuousBatchingEngine:
         self.max_len = max_len
         self.eos = eos_token_id
         self.temperature = temperature
+        # legacy engine-wide temperature becomes the default per-request
+        # sampler; submit(sampling=...) overrides per request
+        self.default_sampling = (
+            SamplingParams(temperature=temperature) if temperature > 0
+            else GREEDY)
         self.key = jax.random.PRNGKey(seed)
+        self.sampler = sampling.init_state(num_slots, cfg.vocab_size)
         self.cache = qmodel.init_cache(cfg, num_slots, max_len, dtype=jnp.bfloat16,
                                        quantized=kv_quantized)
         self.tokens = jnp.zeros((num_slots,), jnp.int32)
@@ -221,11 +246,14 @@ class ContinuousBatchingEngine:
         self.prefix_hits = 0
         self.prefix_tokens_reused = 0
 
-    def submit(self, prompt: np.ndarray, max_new_tokens: int = 64) -> int:
+    def submit(self, prompt: np.ndarray, max_new_tokens: int = 64,
+               sampling_params: Optional[SamplingParams] = None) -> int:
         self._uid += 1
         # the cache must hold at least one prompt token plus the new tokens
         max_new_tokens = min(max_new_tokens, self.max_len - 1)
-        self.queue.append(Request(self._uid, np.asarray(prompt).reshape(-1), max_new_tokens))
+        self.queue.append(Request(
+            self._uid, np.asarray(prompt).reshape(-1), max_new_tokens,
+            sampling=sampling_params or self.default_sampling))
         return self._uid
 
     def _admit_into(self, slot: int, req: Request) -> None:
@@ -245,11 +273,20 @@ class ContinuousBatchingEngine:
             self.prefix_tokens_reused += shared
         remainder = np.asarray(prompt[shared:], dtype=np.int64)
         padded, n = _pad_prompt(remainder, self.max_len)
-        tok, cache = _prefill_slot(
+        tok, logits, cache = _prefill_slot(
             self.params, self.cfg, jnp.asarray(padded)[None, :],
             self.cache, slot, n, start=shared,
         )
         self.cache = cache
+        # the sampler row is reset on EVERY admit: a stale non-greedy row
+        # would otherwise leak into a later trivial request through the
+        # batched sampled-decode program
+        self.sampler = sampling.set_slot(
+            self.sampler, slot, req.sampling, np.asarray(prompt))
+        if not req.sampling.is_greedy:
+            # the first generated token must honor the sampler too
+            self.key, sub = jax.random.split(self.key)
+            tok = sampling.sample_slot(logits, self.sampler, slot, sub)
         self.tokens = self.tokens.at[slot].set(tok)
         req.output.append(int(tok))
         self.slot_req[slot] = req
@@ -267,10 +304,11 @@ class ContinuousBatchingEngine:
         if not active:
             return 0
         fed = np.asarray(self.tokens)  # decode inputs land in the KV cache
-        if self.temperature > 0:
+        if any(not self.slot_req[s].sampling.is_trivial for s in active):
             self.key, sub = jax.random.split(self.key)
-            self.tokens, _, self.cache = _sample_step(
-                self.params, self.cfg, self.tokens, self.cache, sub, self.temperature
+            self.tokens, self.sampler, self.cache = _sampled_decode_step(
+                self.params, self.cfg, self.tokens, self.cache, sub,
+                self.sampler
             )
         else:
             self.tokens, _, self.cache = _decode_step(
@@ -294,6 +332,7 @@ class ContinuousBatchingEngine:
             out_of_cache = lengths[slot] >= self.max_len - 1
             if hit_eos or out_of_budget or out_of_cache:
                 req.done = True
+                req.finish_reason = "stop" if hit_eos else "length"
                 req.finished_at = time.time()
                 self.completed.append(req)
                 self.slot_req[slot] = None
@@ -330,6 +369,19 @@ def _paged_decode_step(params, cfg: LlamaConfig, tokens: jax.Array, cache):
     return next_tokens, logits, cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",),
+                   donate_argnames=("cache", "sampler"))
+def _paged_sampled_decode_step(params, cfg: LlamaConfig, tokens, cache, key,
+                               sampler: sampling.SlotSampling):
+    from . import paged
+
+    counts = sampler.counts.at[jnp.arange(tokens.shape[0]), tokens].add(1)
+    sampler = sampler._replace(counts=counts)
+    logits, cache = paged.forward_paged(params, cfg, tokens[:, None], cache)
+    next_tokens = sampling.sample(logits, sampler, key)
+    return next_tokens, sampler, cache
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def _paged_prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache, slot,
                         n_valid):
@@ -348,11 +400,10 @@ def _paged_prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache, slot
     nv = jnp.where(mask, n_valid, 1)
     logits, sub = paged.forward_paged(params, cfg, prompts, sub, n_valid=nv)
     lengths = jnp.where(mask, n_valid, cache.lengths)
-    next_token = jnp.argmax(
-        jnp.take(logits, slot, axis=0), axis=-1
-    ).astype(jnp.int32)
-    return next_token, paged.PagedKVCache(sub.k_pages, sub.v_pages,
-                                          cache.page_table, lengths)
+    slot_logits = jnp.take(logits, slot, axis=0)
+    next_token = jnp.argmax(slot_logits, axis=-1).astype(jnp.int32)
+    return next_token, slot_logits, paged.PagedKVCache(
+        sub.k_pages, sub.v_pages, cache.page_table, lengths)
 
 
 class PagedContinuousBatchingEngine:
@@ -372,6 +423,7 @@ class PagedContinuousBatchingEngine:
         page_size: int = 64,
         n_pages: Optional[int] = None,
         eos_token_id: Optional[int] = None,
+        seed: int = 0,
     ):
         from . import paged
 
@@ -381,6 +433,8 @@ class PagedContinuousBatchingEngine:
         self.max_len = max_len
         self.page_size = page_size
         self.eos = eos_token_id
+        self.key = jax.random.PRNGKey(seed)
+        self.sampler = sampling.init_state(num_slots, cfg.vocab_size)
         self.cache = paged.init_paged_cache(cfg, num_slots, max_len, page_size, n_pages)
         self.alloc = paged.PageAllocator(self.cache.k_pages[0].shape[0])
         self.slot_pages: List[List[int]] = [[] for _ in range(num_slots)]
@@ -390,10 +444,13 @@ class PagedContinuousBatchingEngine:
         self._uid = 0
         self.completed: List[Request] = []
 
-    def submit(self, prompt: np.ndarray, max_new_tokens: int = 64) -> int:
+    def submit(self, prompt: np.ndarray, max_new_tokens: int = 64,
+               sampling_params: Optional[SamplingParams] = None) -> int:
         self._uid += 1
         max_new_tokens = min(max_new_tokens, self.max_len - 1)
-        self.queue.append(Request(self._uid, np.asarray(prompt).reshape(-1), max_new_tokens))
+        self.queue.append(Request(
+            self._uid, np.asarray(prompt).reshape(-1), max_new_tokens,
+            sampling=sampling_params or GREEDY))
         return self._uid
 
     def _set_table_row(self, slot: int, pages: List[int]) -> None:
@@ -421,11 +478,16 @@ class PagedContinuousBatchingEngine:
                 self.slot_pages[slot] = pages
                 self._set_table_row(slot, pages)
                 padded, n = _pad_prompt(prompt, self.max_len)
-                tok, cache = _paged_prefill_slot(
+                tok, logits, cache = _paged_prefill_slot(
                     self.params, self.cfg, jnp.asarray(padded)[None, :],
                     self.cache, slot, n,
                 )
                 self.cache = cache
+                self.sampler = sampling.set_slot(
+                    self.sampler, slot, req.sampling, np.asarray(prompt))
+                if not req.sampling.is_greedy:
+                    self.key, sub = jax.random.split(self.key)
+                    tok = sampling.sample_slot(logits, self.sampler, slot, sub)
                 self.tokens = self.tokens.at[slot].set(tok)
                 req.output.append(int(tok))
                 self.slot_req[slot] = req
@@ -435,9 +497,16 @@ class PagedContinuousBatchingEngine:
         active = [s for s, r in enumerate(self.slot_req) if r is not None]
         if not active:
             return 0
-        self.tokens, _, self.cache = _paged_decode_step(
-            self.params, self.cfg, self.tokens, self.cache
-        )
+        if any(not self.slot_req[s].sampling.is_trivial for s in active):
+            self.key, sub = jax.random.split(self.key)
+            self.tokens, self.sampler, self.cache = _paged_sampled_decode_step(
+                self.params, self.cfg, self.tokens, self.cache, sub,
+                self.sampler
+            )
+        else:
+            self.tokens, _, self.cache = _paged_decode_step(
+                self.params, self.cfg, self.tokens, self.cache
+            )
         host = np.asarray(self.tokens)
         lengths = np.asarray(self.cache.lengths)
         for slot in active:
@@ -448,6 +517,7 @@ class PagedContinuousBatchingEngine:
             out_of_cache = lengths[slot] >= self.max_len - 1
             if hit_eos or out_of_budget or out_of_cache:
                 req.done = True
+                req.finish_reason = "stop" if hit_eos else "length"
                 req.finished_at = time.time()
                 self.completed.append(req)
                 self.slot_req[slot] = None

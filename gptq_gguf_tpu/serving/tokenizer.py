@@ -260,12 +260,15 @@ class GGUFTokenizer:
                 out.append(unk)
         return out
 
-    def apply_chat_template(self, messages, add_generation_prompt: bool = True
-                            ) -> str:
+    def apply_chat_template(self, messages, add_generation_prompt: bool = True,
+                            tokenize: bool = False) -> str:
         """Render tokenizer.chat_template over [{role, content}, ...]
         (llama.cpp's minja equivalent, via jinja2)."""
         if not self.chat_template:
             raise ValueError("this GGUF carries no tokenizer.chat_template")
+        if tokenize:
+            return self.encode(self.apply_chat_template(
+                messages, add_generation_prompt))
         import jinja2
 
         env = jinja2.Environment(trim_blocks=True, lstrip_blocks=True)
