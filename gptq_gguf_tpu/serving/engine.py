@@ -297,6 +297,26 @@ class ContinuousBatchingEngine:
             if self.slot_req[slot] is None and self.queue:
                 self._admit_into(slot, self.queue.popleft())
 
+    def cancel(self, uid: int) -> bool:
+        """Drop a queued or in-flight request (client disconnect / early
+        stop). Frees the slot immediately; the KV it leaves stays reusable
+        as a shared prefix for the next occupant."""
+        for i, r in enumerate(self.queue):
+            if r.uid == uid:
+                del self.queue[i]
+                return True
+        for slot, r in enumerate(self.slot_req):
+            if r is not None and r.uid == uid:
+                r.done = True
+                r.finish_reason = "cancelled"
+                r.finished_at = time.time()
+                self.slot_req[slot] = None
+                self.slot_hist[slot] = None
+                self.cache = self.cache._replace(
+                    lengths=self.cache.lengths.at[slot].set(0))
+                return True
+        return False
+
     def step(self) -> int:
         """Admit + one decode step; returns number of active slots."""
         self._admit()
@@ -491,6 +511,26 @@ class PagedContinuousBatchingEngine:
                 self.tokens = self.tokens.at[slot].set(tok)
                 req.output.append(int(tok))
                 self.slot_req[slot] = req
+
+    def cancel(self, uid: int) -> bool:
+        """Drop a queued or in-flight request, releasing its pages."""
+        for i, r in enumerate(self.queue):
+            if r.uid == uid:
+                del self.queue[i]
+                return True
+        for slot, r in enumerate(self.slot_req):
+            if r is not None and r.uid == uid:
+                r.done = True
+                r.finish_reason = "cancelled"
+                r.finished_at = time.time()
+                self.slot_req[slot] = None
+                self.alloc.release(self.slot_pages[slot])
+                self.slot_pages[slot] = []
+                self._set_table_row(slot, [])
+                self.cache = self.cache._replace(
+                    lengths=self.cache.lengths.at[slot].set(0))
+                return True
+        return False
 
     def step(self) -> int:
         self._admit()

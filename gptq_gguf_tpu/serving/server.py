@@ -20,12 +20,19 @@ Endpoints (JSON):
                      side carries a chat template.
   GET  /health       -> {"status": "ok", "active": n, "queued": m}
 
+Both POST endpoints accept "stream": true and then reply as server-sent
+events (text/event-stream): /completion streams {"tokens": [...]} chunks,
+/v1/chat/completions streams OpenAI chat.completion.chunk deltas; both
+terminate with "data: [DONE]". A stop-string hit cancels the in-flight
+request, freeing its slot immediately.
+
 stdlib-only (http.server + threading): no server framework dependency.
 """
 
 from __future__ import annotations
 
 import json
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -53,13 +60,20 @@ def _sampling_from_json(req: Dict[str, Any]) -> Optional[SamplingParams]:
 
 
 class EngineRunner:
-    """Background thread stepping the engine; completion events per uid."""
+    """Background thread stepping the engine; completion events per uid.
+
+    Streaming: submit(stream=True) attaches a per-uid queue that receives
+    (new_tokens, done_request_or_None) tuples after every engine step —
+    the SSE handlers drain it without blocking the step loop.
+    """
 
     def __init__(self, engine, poll_idle_s: float = 0.005):
         self.engine = engine
         self.lock = threading.Lock()
         self.events: Dict[int, threading.Event] = {}
         self.results: Dict[int, Any] = {}
+        self.streams: Dict[int, "queue.Queue"] = {}
+        self._sent: Dict[int, int] = {}
         self.poll_idle_s = poll_idle_s
         self._stop = False
         self.thread = threading.Thread(target=self._loop, daemon=True)
@@ -73,12 +87,16 @@ class EngineRunner:
         self.thread.join(timeout=5)
 
     def submit(self, prompt: np.ndarray, max_new_tokens: int,
-               sampling_params: Optional[SamplingParams] = None) -> int:
+               sampling_params: Optional[SamplingParams] = None,
+               stream: bool = False) -> int:
         ev = threading.Event()
         with self.lock:
             uid = self.engine.submit(prompt, max_new_tokens,
                                      sampling_params=sampling_params)
             self.events[uid] = ev
+            if stream:
+                self.streams[uid] = queue.Queue()
+                self._sent[uid] = 0
         return uid
 
     def wait(self, uid: int, timeout: Optional[float] = None):
@@ -89,11 +107,41 @@ class EngineRunner:
             self.events.pop(uid, None)
             return self.results.pop(uid)
 
+    def stream_queue(self, uid: int) -> "queue.Queue":
+        return self.streams[uid]
+
+    def cancel(self, uid: int) -> bool:
+        with self.lock:
+            ok = self.engine.cancel(uid)
+            self.events.pop(uid, None)
+            self.results.pop(uid, None)
+            self.streams.pop(uid, None)
+            self._sent.pop(uid, None)
+        return ok
+
+    def _push_stream(self, req, done: bool) -> None:
+        q = self.streams.get(req.uid)
+        if q is None:
+            return
+        sent = self._sent.get(req.uid, 0)
+        fresh = req.output[sent:]
+        self._sent[req.uid] = len(req.output)
+        if fresh or done:
+            q.put((fresh, req if done else None))
+        if done:
+            self.streams.pop(req.uid, None)
+            self._sent.pop(req.uid, None)
+
     def _loop(self):
         while not self._stop:
             with self.lock:
                 active = self.engine.step()
+                if self.streams:
+                    for req in self.engine.slot_req:
+                        if req is not None:
+                            self._push_stream(req, done=False)
                 for req in self.engine.completed:
+                    self._push_stream(req, done=True)
                     ev = self.events.get(req.uid)
                     if ev is not None and not ev.is_set():
                         self.results[req.uid] = req
@@ -115,6 +163,18 @@ def make_handler(runner: EngineRunner, tokenizer=None):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        # -- server-sent events ------------------------------------------
+        def _sse_start(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+
+        def _sse_send(self, payload):
+            data = payload if isinstance(payload, str) else json.dumps(payload)
+            self.wfile.write(f"data: {data}\n\n".encode())
+            self.wfile.flush()
 
         def do_GET(self):
             if self.path == "/health":
@@ -153,9 +213,25 @@ def make_handler(runner: EngineRunner, tokenizer=None):
                 self._json(400, {"error": "need prompt_tokens (or prompt with a tokenizer)"})
                 return
             max_new = int(req.get("max_new_tokens", 64))
+            timeout = float(req.get("timeout_s", 600))
             t0 = time.time()
+            if req.get("stream"):
+                uid = runner.submit(prompt, max_new, _sampling_from_json(req),
+                                    stream=True)
+                q = runner.stream_queue(uid)
+                self._sse_start()
+                while True:
+                    fresh, done = q.get(timeout=timeout)
+                    if fresh:
+                        self._sse_send({"tokens": fresh})
+                    if done is not None:
+                        self._sse_send({"finish_reason": done.finish_reason,
+                                        "latency_s": round(time.time() - t0, 3)})
+                        self._sse_send("[DONE]")
+                        runner.wait(uid, timeout=1)  # reap the result entry
+                        return
             uid = runner.submit(prompt, max_new, _sampling_from_json(req))
-            result = runner.wait(uid, timeout=float(req.get("timeout_s", 600)))
+            result = runner.wait(uid, timeout=timeout)
             out: Dict[str, Any] = {
                 "tokens": result.output,
                 "finish_reason": result.finish_reason,
@@ -181,7 +257,13 @@ def make_handler(runner: EngineRunner, tokenizer=None):
             prompt = np.asarray(tokenizer(text)["input_ids"], np.int64)
             max_new = int(req.get("max_tokens", req.get("max_new_tokens", 128)))
             sp = _sampling_from_json(req)
+            stops = req.get("stop") or []
+            if isinstance(stops, str):
+                stops = [stops]
             t0 = time.time()
+            if req.get("stream"):
+                self._chat_stream(req, prompt, max_new, sp, stops, t0)
+                return
             uid = runner.submit(prompt, max_new, sp)
             result = runner.wait(uid, timeout=float(req.get("timeout_s", 600)))
             out_tokens = list(result.output)
@@ -190,9 +272,6 @@ def make_handler(runner: EngineRunner, tokenizer=None):
             if eos is not None and out_tokens and out_tokens[-1] == eos:
                 out_tokens = out_tokens[:-1]
             content = tokenizer.decode(out_tokens)
-            stops = req.get("stop") or []
-            if isinstance(stops, str):
-                stops = [stops]
             for s in stops:
                 i = content.find(s)
                 if i >= 0:
@@ -213,6 +292,57 @@ def make_handler(runner: EngineRunner, tokenizer=None):
                     "total_tokens": int(prompt.size) + len(result.output),
                 },
             })
+
+        def _chat_stream(self, req, prompt, max_new, sp, stops, t0):
+            """OpenAI chat.completion.chunk SSE stream. Text already decoded
+            is held back by max(len(stop))-1 chars so a stop string straddling
+            two chunks is never partially emitted."""
+            uid = runner.submit(prompt, max_new, sp, stream=True)
+            q = runner.stream_queue(uid)
+            eos = getattr(runner.engine, "eos", None)
+            base = {"id": f"chatcmpl-{uid}", "object": "chat.completion.chunk",
+                    "created": int(t0), "model": req.get("model", "gptq-gguf-tpu")}
+            self._sse_start()
+            self._sse_send({**base, "choices": [{
+                "index": 0, "delta": {"role": "assistant"},
+                "finish_reason": None}]})
+            hold = max((len(s) for s in stops), default=0)
+            toks: list = []
+            emitted = 0
+            timeout = float(req.get("timeout_s", 600))
+            while True:
+                fresh, done = q.get(timeout=timeout)
+                toks.extend(fresh)
+                shown = list(toks)
+                if done is not None and eos is not None and shown \
+                        and shown[-1] == eos:
+                    shown = shown[:-1]
+                text = tokenizer.decode(shown)
+                finish = None
+                cut = -1
+                for s in stops:
+                    i = text.find(s)
+                    if i >= 0 and (cut < 0 or i < cut):
+                        cut = i
+                if cut >= 0:
+                    text, finish = text[:cut], "stop"
+                elif done is not None:
+                    finish = done.finish_reason or "length"
+                safe = len(text) if finish else max(emitted, len(text) - hold)
+                if safe > emitted:
+                    self._sse_send({**base, "choices": [{
+                        "index": 0, "delta": {"content": text[emitted:safe]},
+                        "finish_reason": None}]})
+                    emitted = safe
+                if finish:
+                    self._sse_send({**base, "choices": [{
+                        "index": 0, "delta": {}, "finish_reason": finish}]})
+                    self._sse_send("[DONE]")
+                    if done is not None:
+                        runner.wait(uid, timeout=1)
+                    else:  # stop-string hit: free the slot immediately
+                        runner.cancel(uid)
+                    return
 
     return Handler
 

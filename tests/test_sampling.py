@@ -222,3 +222,88 @@ def test_server_sampling_and_chat(tiny_model):
     finally:
         server.shutdown()
         runner.stop()
+
+
+def _sse_lines(resp):
+    out = []
+    for raw in resp:
+        line = raw.decode().strip()
+        if line.startswith("data: "):
+            out.append(line[len("data: "):])
+    return out
+
+
+def test_streaming_endpoints(tiny_model):
+    """SSE streaming: /completion token chunks reassemble to the blocking
+    result; chat chunks' deltas concatenate to the blocking content; a stop
+    string ends the stream early and cancels the request."""
+    from gptq_gguf_tpu.serving import server as server_mod
+    from gptq_gguf_tpu.serving.tokenizer import GGUFTokenizer
+
+    cfg, params = tiny_model
+    tmpl = "{% for m in messages %}{{ m.content }}{% endfor %}"
+    vocab = [f"<t{i}>" for i in range(64)]
+    gg = GGUFTokenizer("gpt2", vocab, merges=[], chat_template=tmpl)
+
+    class _Wrap:
+        def __call__(self, text):
+            return {"input_ids": gg.encode(text)}
+
+        def decode(self, ids):
+            return gg.decode(ids)
+
+        apply_chat_template = staticmethod(gg.apply_chat_template)
+
+    eng = eng_mod.ContinuousBatchingEngine(params, cfg, num_slots=2, max_len=64)
+    server, runner = server_mod.serve_http(eng, port=0, tokenizer=_Wrap(),
+                                           block=False)
+    try:
+        addr = server.server_address
+
+        def post(path, payload):
+            return urllib.request.urlopen(urllib.request.Request(
+                f"http://{addr[0]}:{addr[1]}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"}), timeout=120)
+
+        # /completion streaming == blocking tokens
+        ref = eng_mod.generate(params, cfg, [np.asarray([1, 2, 3])],
+                               max_new_tokens=6)[0]
+        lines = _sse_lines(post("/completion", {
+            "prompt_tokens": [1, 2, 3], "max_new_tokens": 6, "stream": True}))
+        assert lines[-1] == "[DONE]"
+        toks = []
+        for ln in lines[:-1]:
+            toks.extend(json.loads(ln).get("tokens", []))
+        assert toks == ref
+        assert json.loads(lines[-2])["finish_reason"] == "length"
+
+        # chat streaming deltas == blocking content
+        msgs = [{"role": "user", "content": "<t5><t6><t7>"}]
+        blocking = json.loads(post("/v1/chat/completions", {
+            "messages": msgs, "max_tokens": 6}).read())
+        content = blocking["choices"][0]["message"]["content"]
+        lines = _sse_lines(post("/v1/chat/completions", {
+            "messages": msgs, "max_tokens": 6, "stream": True}))
+        assert lines[-1] == "[DONE]"
+        chunks = [json.loads(ln) for ln in lines[:-1]]
+        assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+        assert chunks[0]["object"] == "chat.completion.chunk"
+        got = "".join(c["choices"][0]["delta"].get("content", "")
+                      for c in chunks)
+        assert got == content
+        assert chunks[-1]["choices"][0]["finish_reason"] == "length"
+
+        # stop string cuts the stream and frees the slot
+        stop_tok = content[:4] if len(content) >= 4 else content
+        lines = _sse_lines(post("/v1/chat/completions", {
+            "messages": msgs, "max_tokens": 6, "stream": True,
+            "stop": [stop_tok]}))
+        chunks = [json.loads(ln) for ln in lines[:-1]]
+        assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+        got = "".join(c["choices"][0]["delta"].get("content", "")
+                      for c in chunks)
+        assert stop_tok not in got
+    finally:
+        server.shutdown()
+        runner.stop()
