@@ -3204,6 +3204,92 @@ class JinaBertV2Arch(BertArch):
                 ("float", f"blk.{i}.ffn_up.weight", up.astype(np.float16))]
 
 
+class WavTokenizerArch(ArchSpec):
+    """WavTokenizer audio-codec decoder (reference WavTokenizerDecModel
+    pack_gptq_into_gguf.py:3580-3616): codebook embedding + Vocos-style
+    backbone (Conv1d embed, ConvNeXt stack, PosNet resnet/attention
+    blocks) + ISTFT head. Metadata keys replicate the reference's
+    set_gguf_parameters; the HF-side tensor names are RECONSTRUCTED from
+    the Vocos/WavTokenizer module structure (the reference delegates them
+    to gguf-py's TensorNameMap, which is not vendored and not installable
+    in this environment) — codebook bookkeeping tensors (cluster_size/
+    embed_avg/inited) are skipped exactly like the reference :3586-3592."""
+
+    gguf_arch = "wavtokenizer-dec"
+    permute_qk = False
+
+    _convnext = {"dwconv": "dw", "norm": "norm", "pwconv1": "pw1",
+                 "pwconv2": "pw2", "gamma": "gamma"}
+    _posnet = {"conv1": "conv1", "conv2": "conv2", "norm": "norm",
+               "norm1": "norm1", "norm2": "norm2", "q": "attn_q",
+               "k": "attn_k", "v": "attn_v", "proj_out": "attn_output",
+               "gamma": "gamma"}
+
+    def tensor_name(self, hf_name):
+        name = hf_name
+        if name.endswith((".cluster_size", ".embed_avg", ".inited")):
+            return None  # codebook EMA bookkeeping (reference :3586-3592)
+        if "_codebook.embed" in name or name.endswith("codebook.embed"):
+            return "token_embd.weight"
+        fixed = {
+            "backbone.embed.weight": "conv1d.weight",
+            "backbone.embed.bias": "conv1d.bias",
+            "backbone.norm.weight": "token_embd_norm.weight",
+            "backbone.norm.bias": "token_embd_norm.bias",
+            "backbone.final_layer_norm.weight": "output_norm.weight",
+            "backbone.final_layer_norm.bias": "output_norm.bias",
+            "head.out.weight": "output.weight",
+            "head.out.bias": "output.bias",
+        }
+        if name in fixed:
+            return fixed[name]
+        for pre, table, g in (("backbone.convnext.", self._convnext, "convnext"),
+                              ("backbone.pos_net.", self._posnet, "posnet"),
+                              ("backbone.posnet.", self._posnet, "posnet")):
+            if name.startswith(pre):
+                parts = name[len(pre):].split(".")
+                i = parts[0]
+                head, kind = ".".join(parts[1:-1]), parts[-1]
+                if kind == "gamma":  # bare parameter; llama.cpp loads .weight
+                    head, kind = "gamma", "weight"
+                if head in table:
+                    return f"{g}.{i}.{table[head]}.{kind}"
+        if name.startswith("head.istft"):
+            return None  # window buffer, no parameters
+        return None
+
+    def metadata(self):
+        c, a = self.hf, self.gguf_arch
+        # the reference writes standard text keys via TextModel plus the
+        # audio-specific ones (:3601-3616); the converted checkpoint's
+        # config carries n_embd/posnet/convnext sections
+        pos = c.get("posnet") or {}
+        cnx = c.get("convnext") or {}
+        return {
+            "general.architecture": a,
+            "general.name": c.get("_name_or_path", "model"),
+            "general.quantization_version": 2,
+            f"{a}.context_length": int(c.get("max_position_embeddings", 8192)),
+            f"{a}.embedding_length": int(c.get("n_embd", 1282)),
+            f"{a}.block_count": int(c.get("n_layer", 12)),
+            f"{a}.vocab_size": int(c["vocab_size"]),
+            f"{a}.features_length": int(c.get("n_embd_features", 512)),
+            f"{a}.feed_forward_length": int(c.get("n_ff", 2304)),
+            f"{a}.attention.group_norm_epsilon": float(
+                c.get("group_norm_epsilon", 1e-6)),
+            f"{a}.attention.group_norm_groups": int(
+                c.get("group_norm_groups", 32)),
+            f"{a}.posnet.embedding_length": int(pos.get("n_embd", 768)),
+            f"{a}.posnet.block_count": int(pos.get("n_layer", 6)),
+            f"{a}.convnext.embedding_length": int(cnx.get("n_embd", 768)),
+            f"{a}.convnext.block_count": int(cnx.get("n_layer", 12)),
+            f"{a}.attention.causal": False,
+            f"{a}.attention.layer_norm_epsilon": float(
+                c.get("layer_norm_epsilon", 1e-6)),
+            "tokenizer.ggml.model": "none",  # reference _set_vocab_none
+        }
+
+
 class ArcticArch(MoEArchSpec):
     """Snowflake Arctic (reference ArcticModel :6130-6279): llama GQA
     permute, mixtral-style w1/w3/w2 expert stacks, plus the parallel
@@ -4034,7 +4120,8 @@ _ARCH_REGISTRY.update(
      "plamo2": Plamo2Arch,
      "glm4v": Glm4Arch, "glm4v_text": Glm4Arch,
      "qwen2_5_omni": Qwen2VLArch, "qwen2_5_omni_text": Qwen2VLArch,
-     "neobert": NeoBertArch, "jina_bert": JinaBertV2Arch}
+     "neobert": NeoBertArch, "jina_bert": JinaBertV2Arch,
+     "wavtokenizer-dec": WavTokenizerArch, "wavtokenizer": WavTokenizerArch}
 )
 
 

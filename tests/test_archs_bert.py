@@ -296,3 +296,83 @@ def test_jina_bert_v2_pack(tmp_path):
         r.tensor_float("blk.1.ffn_up.weight"),
         t["encoder.layer.1.mlp.up_gated_layer.weight"][:ff]
         .astype(np.float16).astype(np.float32), rtol=1e-3, atol=1e-4)
+
+
+def test_wavtokenizer_pack(tmp_path):
+    """WavTokenizerDec (reference :3580-3616): codebook embed -> token_embd,
+    Vocos backbone convnext/posnet blocks, ISTFT head; EMA bookkeeping
+    tensors skipped; audio metadata keys."""
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(62)
+    feat, h = 16, 24
+    cfg = {"model_type": "wavtokenizer-dec", "vocab_size": 40,
+           "n_embd": h, "n_embd_features": feat, "n_ff": 32, "n_layer": 2,
+           "group_norm_epsilon": 1e-6, "group_norm_groups": 4,
+           "posnet": {"n_embd": h, "n_layer": 2},
+           "convnext": {"n_embd": h, "n_layer": 1}}
+    f32 = lambda *s: rng.normal(size=s).astype(np.float32)
+    t = {
+        "feature_extractor.encodec.quantizer.vq.layers.0._codebook.embed":
+            f32(40, feat),
+        "feature_extractor.encodec.quantizer.vq.layers.0._codebook.cluster_size":
+            f32(40),
+        "feature_extractor.encodec.quantizer.vq.layers.0._codebook.embed_avg":
+            f32(40, feat),
+        "feature_extractor.encodec.quantizer.vq.layers.0._codebook.inited":
+            np.ones((1,), np.float32),
+        "backbone.embed.weight": f32(h, feat, 7),
+        "backbone.embed.bias": f32(h),
+        "backbone.norm.weight": f32(h),
+        "backbone.norm.bias": f32(h),
+        "backbone.convnext.0.dwconv.weight": f32(h, 1, 7),
+        "backbone.convnext.0.dwconv.bias": f32(h),
+        "backbone.convnext.0.norm.weight": f32(h),
+        "backbone.convnext.0.norm.bias": f32(h),
+        "backbone.convnext.0.pwconv1.weight": f32(32, h),
+        "backbone.convnext.0.pwconv1.bias": f32(32),
+        "backbone.convnext.0.pwconv2.weight": f32(h, 32),
+        "backbone.convnext.0.pwconv2.bias": f32(h),
+        "backbone.convnext.0.gamma": f32(h),
+        "backbone.pos_net.0.norm1.weight": f32(h),
+        "backbone.pos_net.0.norm1.bias": f32(h),
+        "backbone.pos_net.0.conv1.weight": f32(h, h, 3),
+        "backbone.pos_net.0.conv1.bias": f32(h),
+        "backbone.pos_net.0.norm2.weight": f32(h),
+        "backbone.pos_net.0.norm2.bias": f32(h),
+        "backbone.pos_net.0.conv2.weight": f32(h, h, 3),
+        "backbone.pos_net.0.conv2.bias": f32(h),
+        "backbone.pos_net.1.norm.weight": f32(h),
+        "backbone.pos_net.1.norm.bias": f32(h),
+        "backbone.pos_net.1.q.weight": f32(h, h, 1),
+        "backbone.pos_net.1.k.weight": f32(h, h, 1),
+        "backbone.pos_net.1.v.weight": f32(h, h, 1),
+        "backbone.pos_net.1.proj_out.weight": f32(h, h, 1),
+        "backbone.final_layer_norm.weight": f32(h),
+        "backbone.final_layer_norm.bias": f32(h),
+        "head.out.weight": f32(18, h),
+        "head.out.bias": f32(18),
+    }
+    d = tmp_path / "wav"
+    d.mkdir()
+    save_file(t, d / "model.safetensors")
+    json.dump(cfg, open(d / "config.json", "w"))
+    r = _pack(tmp_path, d, "wav")
+    assert r.get("general.architecture") == "wavtokenizer-dec"
+    assert r.get("wavtokenizer-dec.vocab_size") == 40
+    assert r.get("wavtokenizer-dec.features_length") == feat
+    assert r.get("wavtokenizer-dec.posnet.block_count") == 2
+    assert r.get("wavtokenizer-dec.convnext.block_count") == 1
+    assert r.get("wavtokenizer-dec.attention.group_norm_groups") == 4
+    assert r.get("wavtokenizer-dec.attention.causal") is False
+    assert r.get("tokenizer.ggml.model") == "none"
+    for n in ("token_embd.weight", "conv1d.weight", "token_embd_norm.weight",
+              "convnext.0.dw.weight", "convnext.0.pw1.weight",
+              "convnext.0.gamma.weight",
+              "posnet.0.conv1.weight", "posnet.1.attn_q.weight",
+              "posnet.1.attn_output.weight", "output_norm.weight",
+              "output.weight"):
+        assert n in r.tensors, (n, sorted(r.tensors))
+    # EMA bookkeeping skipped
+    assert not any("cluster" in n or "embed_avg" in n or "inited" in n
+                   for n in r.tensors)
