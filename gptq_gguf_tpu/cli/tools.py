@@ -948,3 +948,113 @@ def run_estimate_errors(args):
 
 
 SUBCOMMANDS["estimate-errors"] = (build_estimate_errors, run_estimate_errors)
+
+
+# -- embed (encoder GGUFs -> sentence embeddings; llama.cpp llama-embedding
+# equivalent, OpenAI /v1/embeddings shape over --http) ----------------------
+
+
+def build_embed(p: argparse.ArgumentParser):
+    p.add_argument("--gguf-file", required=True,
+                   help="bert-arch GGUF (this repo's packer output)")
+    p.add_argument("--prompt", nargs="+", default=None)
+    p.add_argument("--input-file", default=None, help="one text per line")
+    p.add_argument("--no-normalize", action="store_true",
+                   help="skip L2 normalization")
+    p.add_argument("--json-out", default=None, help="write vectors to a file")
+    p.add_argument("--http", action="store_true",
+                   help="serve POST /v1/embeddings instead")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+
+
+def make_embedder(gguf_file, normalize=True):
+    """(texts) -> (vectors, token_count) over a bert-arch GGUF."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..formats.gguf import GGUFReader
+    from ..models import bert
+    from ..serving import tokenizer as gtok
+
+    params, cfg = bert.load_gguf_encoder(gguf_file)
+    gg = gtok.from_gguf(GGUFReader(gguf_file))
+    if gg is None:
+        raise ValueError(f"{gguf_file} carries no tokenizer.ggml vocab")
+    cls_id = gg.vocab.get("[CLS]")
+    sep_id = gg.vocab.get("[SEP]")
+
+    fwd = jax.jit(bert.pooled_embedding,
+                  static_argnames=("cfg", "normalize"))
+
+    @functools.lru_cache(maxsize=None)
+    def _bucket(n):
+        b = 16
+        while b < n:
+            b *= 2
+        return b
+
+    def embed(texts):
+        idss = []
+        for t in texts:
+            ids = gg.encode(t, add_bos=False)
+            if cls_id is not None:
+                ids = [cls_id] + ids
+            if sep_id is not None:
+                ids = ids + [sep_id]
+            idss.append(ids[:cfg.max_position_embeddings])
+        n_tok = sum(len(i) for i in idss)
+        S = _bucket(max(len(i) for i in idss))
+        ids_arr = np.zeros((len(idss), S), np.int32)
+        mask = np.zeros((len(idss), S), np.float32)
+        for r, ids in enumerate(idss):
+            ids_arr[r, :len(ids)] = ids
+            mask[r, :len(ids)] = 1.0
+        vecs = np.asarray(fwd(params, cfg, jnp.asarray(ids_arr),
+                              jnp.asarray(mask), normalize=normalize))
+        return vecs, n_tok
+
+    return embed
+
+
+def run_embed(args):
+    texts = list(args.prompt or [])
+    if args.input_file:
+        with open(args.input_file) as f:
+            texts += [ln.rstrip("\n") for ln in f if ln.strip()]
+    embedder = make_embedder(args.gguf_file, normalize=not args.no_normalize)
+    if args.http:
+        from ..serving.server import serve_http
+
+        class _NullEngine:  # embeddings-only server: no generation slots
+            slot_req: list = []
+            queue: list = []
+            completed: list = []
+
+            def step(self):
+                return 0
+
+            def submit(self, *a, **k):
+                raise ValueError("this server only hosts /v1/embeddings")
+
+        serve_http(_NullEngine(), host=args.host, port=args.port,
+                   embedder=embedder)
+        return
+    if not texts:
+        raise SystemExit("need --prompt or --input-file (or --http)")
+    vecs, n_tok = embedder(texts)
+    out = {"n_tokens": n_tok, "dim": int(vecs.shape[1]),
+           "embeddings": [[round(float(x), 7) for x in v] for v in vecs]}
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(out, f)
+        print(f"wrote {len(texts)} embeddings (dim {out['dim']}) "
+              f"to {args.json_out}")
+    else:
+        print(json.dumps(out))
+
+
+SUBCOMMANDS["embed"] = (build_embed, run_embed)

@@ -1,0 +1,242 @@
+"""BERT-family encoder forward + embeddings (TPU-native, jitted).
+
+The reference only *packs* encoder checkpoints into GGUFs (BertModel and
+friends, pack_gptq_into_gguf.py:4518-4594) and leaves running them to
+llama.cpp's embedding server. This repo's serving engine replaces
+llama.cpp, so the encoder forward lives here: a functional pytree model
+(token/type/position embeddings, post-LN bidirectional attention, GELU
+FFN) with CLS/MEAN pooling, loadable from either an HF checkpoint dir or
+a bert-arch GGUF produced by export/packer.py (tensor names follow
+llama.cpp's bert graph: token_embd/token_types/position_embd/
+token_embd_norm, blk.N.attn_{q,k,v,output}, attn_output_norm, ffn_up,
+ffn_down, layer_output_norm).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["BertConfig", "load_gguf_encoder", "load_hf_encoder",
+           "encode", "pooled_embedding"]
+
+# llama.cpp PoolingType values
+POOL_NONE, POOL_MEAN, POOL_CLS, POOL_LAST = 0, 1, 2, 3
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    pooling_type: int = POOL_CLS
+    dtype: Any = jnp.float32
+
+
+def _ln(x, w, b, eps):
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    v = jnp.var(x, axis=-1, keepdims=True)
+    return (x - m) / jnp.sqrt(v + eps) * w + b
+
+
+def encode(params: Dict[str, Any], cfg: BertConfig, ids: jax.Array,
+           mask: Optional[jax.Array] = None) -> jax.Array:
+    """Bidirectional encoder forward. ids/mask: (B, S). Returns (B, S, H)."""
+    B, S = ids.shape
+    if mask is None:
+        mask = jnp.ones((B, S), jnp.float32)
+    mask = mask.astype(jnp.float32)
+    h = params["token_embd"][ids]
+    if params.get("token_types") is not None:
+        h = h + params["token_types"][0]  # all-zero segment ids
+    if params.get("position_embd") is not None:
+        h = h + params["position_embd"][:S]
+    h = _ln(h, params["embd_norm_w"], params["embd_norm_b"],
+            cfg.layer_norm_eps)
+    nh = cfg.num_attention_heads
+    hd = cfg.hidden_size // nh
+    neg = jnp.finfo(jnp.float32).min
+    attn_bias = jnp.where(mask[:, None, None, :] > 0, 0.0, neg)
+    for layer in params["layers"]:
+        q = h @ layer["q_w"].T + layer["q_b"]
+        k = h @ layer["k_w"].T + layer["k_b"]
+        v = h @ layer["v_w"].T + layer["v_b"]
+        q = q.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd)
+        att = jax.nn.softmax(scores + attn_bias, axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, cfg.hidden_size)
+        h = _ln(h + ctx @ layer["o_w"].T + layer["o_b"],
+                layer["attn_norm_w"], layer["attn_norm_b"],
+                cfg.layer_norm_eps)
+        ff = jax.nn.gelu(h @ layer["up_w"].T + layer["up_b"],
+                         approximate=False)
+        h = _ln(h + ff @ layer["down_w"].T + layer["down_b"],
+                layer["out_norm_w"], layer["out_norm_b"],
+                cfg.layer_norm_eps)
+    return h
+
+
+def pooled_embedding(params: Dict[str, Any], cfg: BertConfig, ids: jax.Array,
+                     mask: Optional[jax.Array] = None,
+                     normalize: bool = True) -> jax.Array:
+    """(B, S) token ids -> (B, H) sentence embeddings (CLS or masked mean,
+    L2-normalized like llama.cpp's --embd-normalize default)."""
+    B, S = ids.shape
+    if mask is None:
+        mask = jnp.ones((B, S), jnp.float32)
+    mask = mask.astype(jnp.float32)
+    h = encode(params, cfg, ids, mask)
+    if cfg.pooling_type == POOL_MEAN:
+        out = jnp.sum(h * mask[..., None], axis=1) / jnp.maximum(
+            jnp.sum(mask, axis=1, keepdims=True), 1.0)
+    elif cfg.pooling_type == POOL_LAST:
+        last = jnp.maximum(jnp.sum(mask, axis=1).astype(jnp.int32) - 1, 0)
+        out = jnp.take_along_axis(h, last[:, None, None], axis=1)[:, 0]
+    else:  # CLS (also the fallback for NONE)
+        out = h[:, 0]
+    if normalize:
+        out = out / jnp.maximum(
+            jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Loaders
+# ---------------------------------------------------------------------------
+
+
+def _cfg_from_gguf(r) -> BertConfig:
+    a = r.get("general.architecture")
+    pool = r.get(f"{a}.pooling_type")
+    return BertConfig(
+        vocab_size=int(r.get(f"{a}.vocab_size")),
+        hidden_size=int(r.get(f"{a}.embedding_length")),
+        intermediate_size=int(r.get(f"{a}.feed_forward_length")),
+        num_hidden_layers=int(r.get(f"{a}.block_count")),
+        num_attention_heads=int(r.get(f"{a}.attention.head_count")),
+        max_position_embeddings=int(r.get(f"{a}.context_length", 512)),
+        type_vocab_size=int(r.get("tokenizer.ggml.token_type_count", 1)),
+        layer_norm_eps=float(r.get(f"{a}.attention.layer_norm_epsilon",
+                                   1e-12)),
+        pooling_type=int(pool) if pool is not None else POOL_CLS,
+    )
+
+
+def load_gguf_encoder(path: Union[str, Path]
+                      ) -> Tuple[Dict[str, Any], BertConfig]:
+    """Load a bert-arch GGUF (this repo's packer output / llama.cpp
+    convention) into the encoder pytree."""
+    from ..formats.gguf import GGUFReader
+
+    r = GGUFReader(path)
+    arch = r.get("general.architecture")
+    if arch not in ("bert",):
+        raise NotImplementedError(
+            f"encoder loading supports arch 'bert', got {arch!r}")
+    cfg = _cfg_from_gguf(r)
+
+    def t(name, required=True):
+        if name not in r.tensors:
+            if required:
+                raise KeyError(f"{path}: missing tensor {name}")
+            return None
+        return jnp.asarray(r.tensor_float(name))
+
+    params: Dict[str, Any] = {
+        "token_embd": t("token_embd.weight"),
+        "token_types": t("token_types.weight", required=False),
+        "position_embd": t("position_embd.weight", required=False),
+        "embd_norm_w": t("token_embd_norm.weight"),
+        "embd_norm_b": t("token_embd_norm.bias"),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"blk.{i}."
+        params["layers"].append({
+            "q_w": t(p + "attn_q.weight"), "q_b": t(p + "attn_q.bias"),
+            "k_w": t(p + "attn_k.weight"), "k_b": t(p + "attn_k.bias"),
+            "v_w": t(p + "attn_v.weight"), "v_b": t(p + "attn_v.bias"),
+            "o_w": t(p + "attn_output.weight"),
+            "o_b": t(p + "attn_output.bias"),
+            "attn_norm_w": t(p + "attn_output_norm.weight"),
+            "attn_norm_b": t(p + "attn_output_norm.bias"),
+            "up_w": t(p + "ffn_up.weight"), "up_b": t(p + "ffn_up.bias"),
+            "down_w": t(p + "ffn_down.weight"),
+            "down_b": t(p + "ffn_down.bias"),
+            "out_norm_w": t(p + "layer_output_norm.weight"),
+            "out_norm_b": t(p + "layer_output_norm.bias"),
+        })
+    return params, cfg
+
+
+def load_hf_encoder(model_dir: Union[str, Path]
+                    ) -> Tuple[Dict[str, Any], BertConfig]:
+    """Load an HF BERT checkpoint dir (safetensors) into the pytree."""
+    import json
+
+    from .loader import _iter_safetensors, _to_f32
+
+    model_dir = Path(model_dir)
+    with open(model_dir / "config.json") as f:
+        c = json.load(f)
+    cfg = BertConfig(
+        vocab_size=c["vocab_size"], hidden_size=c["hidden_size"],
+        intermediate_size=c["intermediate_size"],
+        num_hidden_layers=c["num_hidden_layers"],
+        num_attention_heads=c["num_attention_heads"],
+        max_position_embeddings=c.get("max_position_embeddings", 512),
+        type_vocab_size=c.get("type_vocab_size", 2),
+        layer_norm_eps=c.get("layer_norm_eps", 1e-12),
+    )
+    flat = {}
+    for name, arr in _iter_safetensors(model_dir):
+        for pre in ("bert.", "roberta."):
+            if name.startswith(pre):
+                name = name[len(pre):]
+        flat[name] = jnp.asarray(_to_f32(np.asarray(arr)))
+
+    def g(n):
+        return flat[n]
+
+    params: Dict[str, Any] = {
+        "token_embd": g("embeddings.word_embeddings.weight"),
+        "token_types": flat.get("embeddings.token_type_embeddings.weight"),
+        "position_embd": flat.get("embeddings.position_embeddings.weight"),
+        "embd_norm_w": g("embeddings.LayerNorm.weight"),
+        "embd_norm_b": g("embeddings.LayerNorm.bias"),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"encoder.layer.{i}."
+        params["layers"].append({
+            "q_w": g(p + "attention.self.query.weight"),
+            "q_b": g(p + "attention.self.query.bias"),
+            "k_w": g(p + "attention.self.key.weight"),
+            "k_b": g(p + "attention.self.key.bias"),
+            "v_w": g(p + "attention.self.value.weight"),
+            "v_b": g(p + "attention.self.value.bias"),
+            "o_w": g(p + "attention.output.dense.weight"),
+            "o_b": g(p + "attention.output.dense.bias"),
+            "attn_norm_w": g(p + "attention.output.LayerNorm.weight"),
+            "attn_norm_b": g(p + "attention.output.LayerNorm.bias"),
+            "up_w": g(p + "intermediate.dense.weight"),
+            "up_b": g(p + "intermediate.dense.bias"),
+            "down_w": g(p + "output.dense.weight"),
+            "down_b": g(p + "output.dense.bias"),
+            "out_norm_w": g(p + "output.LayerNorm.weight"),
+            "out_norm_b": g(p + "output.LayerNorm.bias"),
+        })
+    return params, cfg

@@ -151,7 +151,7 @@ class EngineRunner:
                 time.sleep(self.poll_idle_s)
 
 
-def make_handler(runner: EngineRunner, tokenizer=None):
+def make_handler(runner: EngineRunner, tokenizer=None, embedder=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -195,6 +195,8 @@ def make_handler(runner: EngineRunner, tokenizer=None):
                     self._completion(req)
                 elif self.path == "/v1/chat/completions":
                     self._chat(req)
+                elif self.path == "/v1/embeddings":
+                    self._embeddings(req)
                 else:
                     self._json(404, {"error": "unknown path"})
             except TimeoutError as e:
@@ -293,6 +295,28 @@ def make_handler(runner: EngineRunner, tokenizer=None):
                 },
             })
 
+        def _embeddings(self, req):
+            """OpenAI-compatible embeddings endpoint (encoder GGUFs)."""
+            if embedder is None:
+                self._json(400, {"error": "no embedding model loaded"})
+                return
+            inputs = req.get("input")
+            if inputs is None:
+                self._json(400, {"error": "need input"})
+                return
+            if isinstance(inputs, str):
+                inputs = [inputs]
+            vecs, n_tokens = embedder(inputs)
+            self._json(200, {
+                "object": "list",
+                "model": req.get("model", "gptq-gguf-tpu"),
+                "data": [{"object": "embedding", "index": i,
+                          "embedding": [float(x) for x in v]}
+                         for i, v in enumerate(vecs)],
+                "usage": {"prompt_tokens": n_tokens,
+                          "total_tokens": n_tokens},
+            })
+
         def _chat_stream(self, req, prompt, max_new, sp, stops, t0):
             """OpenAI chat.completion.chunk SSE stream. Text already decoded
             is held back by max(len(stop))-1 chars so a stop string straddling
@@ -348,11 +372,12 @@ def make_handler(runner: EngineRunner, tokenizer=None):
 
 
 def serve_http(engine, host: str = "127.0.0.1", port: int = 8080,
-               tokenizer=None, block: bool = True):
+               tokenizer=None, block: bool = True, embedder=None):
     """Start the engine thread + HTTP server. Returns (server, runner) when
     block=False (caller shuts down via server.shutdown(); runner.stop())."""
     runner = EngineRunner(engine).start()
-    server = ThreadingHTTPServer((host, port), make_handler(runner, tokenizer))
+    server = ThreadingHTTPServer(
+        (host, port), make_handler(runner, tokenizer, embedder))
     if not block:
         threading.Thread(target=server.serve_forever, daemon=True).start()
         return server, runner
