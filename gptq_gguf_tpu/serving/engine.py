@@ -61,7 +61,17 @@ def _sampled_decode_step(params, cfg: LlamaConfig, tokens, cache, key,
     sampler = sampler._replace(counts=counts)
     logits, cache = qmodel.forward_cached(params, cfg, tokens[:, None], cache)
     next_tokens = sampling.sample(logits, sampler, key)
-    return next_tokens, sampler, cache
+    return next_tokens, logits, sampler, cache
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_logprobs(logits, chosen, k: int):
+    """log-softmax top-k + the chosen token's logprob, on device (a host
+    transfer of the full (B, V) logits would be 100x the data)."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    vals, ids = jax.lax.top_k(lp, k)
+    chosen_lp = jnp.take_along_axis(lp, chosen[:, None], axis=-1)[:, 0]
+    return vals, ids, chosen_lp
 
 
 _PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
@@ -197,6 +207,10 @@ class Request:
     finished_at: Optional[float] = None
     sampling: SamplingParams = GREEDY
     finish_reason: Optional[str] = None  # "stop" (eos) or "length"
+    logprobs: int = 0  # top-k logprobs per generated token (0 = off)
+    # one (chosen_logprob, top_ids, top_logprobs) triple per output token
+    logprob_data: List[Tuple[float, List[int], List[float]]] = \
+        dataclasses.field(default_factory=list)
 
 
 class ContinuousBatchingEngine:
@@ -247,14 +261,26 @@ class ContinuousBatchingEngine:
         self.prefix_tokens_reused = 0
 
     def submit(self, prompt: np.ndarray, max_new_tokens: int = 64,
-               sampling_params: Optional[SamplingParams] = None) -> int:
+               sampling_params: Optional[SamplingParams] = None,
+               logprobs: int = 0) -> int:
         self._uid += 1
         # the cache must hold at least one prompt token plus the new tokens
         max_new_tokens = min(max_new_tokens, self.max_len - 1)
         self.queue.append(Request(
             self._uid, np.asarray(prompt).reshape(-1), max_new_tokens,
-            sampling=sampling_params or self.default_sampling))
+            sampling=sampling_params or self.default_sampling,
+            logprobs=int(logprobs)))
         return self._uid
+
+    @staticmethod
+    def _note_logprobs(req: Request, tok, logits_row) -> None:
+        k = 1 << max(req.logprobs - 1, 0).bit_length()  # bucket compiles
+        vals, ids, chosen = _topk_logprobs(
+            logits_row[None, :], jnp.asarray([tok], jnp.int32), k)
+        req.logprob_data.append((
+            float(chosen[0]),
+            np.asarray(ids[0])[:req.logprobs].tolist(),
+            np.asarray(vals[0])[:req.logprobs].tolist()))
 
     def _admit_into(self, slot: int, req: Request) -> None:
         """Prefill ``req`` into ``slot``, reusing any shared KV prefix the
@@ -289,6 +315,8 @@ class ContinuousBatchingEngine:
             tok = sampling.sample_slot(logits, self.sampler, slot, sub)
         self.tokens = self.tokens.at[slot].set(tok)
         req.output.append(int(tok))
+        if req.logprobs:
+            self._note_logprobs(req, int(tok), logits)
         self.slot_req[slot] = req
         self.slot_hist[slot] = prompt
 
@@ -326,14 +354,26 @@ class ContinuousBatchingEngine:
         fed = np.asarray(self.tokens)  # decode inputs land in the KV cache
         if any(not self.slot_req[s].sampling.is_trivial for s in active):
             self.key, sub = jax.random.split(self.key)
-            self.tokens, self.sampler, self.cache = _sampled_decode_step(
+            self.tokens, logits, self.sampler, self.cache = _sampled_decode_step(
                 self.params, self.cfg, self.tokens, self.cache, sub,
                 self.sampler
             )
         else:
-            self.tokens, _, self.cache = _decode_step(
+            self.tokens, logits, self.cache = _decode_step(
                 self.params, self.cfg, self.tokens, self.cache
             )
+        lp_slots = [s for s in active if self.slot_req[s].logprobs]
+        if lp_slots:
+            kmax = max(self.slot_req[s].logprobs for s in lp_slots)
+            k = 1 << max(kmax - 1, 0).bit_length()
+            vals, ids, chosen = _topk_logprobs(logits, self.tokens, k)
+            vals, ids, chosen = (np.asarray(vals), np.asarray(ids),
+                                 np.asarray(chosen))
+            for s in lp_slots:
+                n = self.slot_req[s].logprobs
+                self.slot_req[s].logprob_data.append((
+                    float(chosen[s]), ids[s, :n].tolist(),
+                    vals[s, :n].tolist()))
         host = np.asarray(self.tokens)
         lengths = np.asarray(self.cache.lengths)
         for slot in range(self.num_slots):
@@ -399,7 +439,7 @@ def _paged_sampled_decode_step(params, cfg: LlamaConfig, tokens, cache, key,
     sampler = sampler._replace(counts=counts)
     logits, cache = paged.forward_paged(params, cfg, tokens[:, None], cache)
     next_tokens = sampling.sample(logits, sampler, key)
-    return next_tokens, sampler, cache
+    return next_tokens, logits, sampler, cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
@@ -465,12 +505,13 @@ class PagedContinuousBatchingEngine:
         self.completed: List[Request] = []
 
     def submit(self, prompt: np.ndarray, max_new_tokens: int = 64,
-               sampling_params: Optional[SamplingParams] = None) -> int:
+               sampling_params: Optional[SamplingParams] = None,
+               logprobs: int = 0) -> int:
         self._uid += 1
         max_new_tokens = min(max_new_tokens, self.max_len - 1)
         self.queue.append(Request(
             self._uid, np.asarray(prompt).reshape(-1), max_new_tokens,
-            sampling=sampling_params or GREEDY))
+            sampling=sampling_params or GREEDY, logprobs=int(logprobs)))
         return self._uid
 
     def _set_table_row(self, slot: int, pages: List[int]) -> None:
@@ -510,6 +551,9 @@ class PagedContinuousBatchingEngine:
                     tok = sampling.sample_slot(logits, self.sampler, slot, sub)
                 self.tokens = self.tokens.at[slot].set(tok)
                 req.output.append(int(tok))
+                if req.logprobs:
+                    ContinuousBatchingEngine._note_logprobs(
+                        req, int(tok), logits)
                 self.slot_req[slot] = req
 
     def cancel(self, uid: int) -> bool:
@@ -539,14 +583,27 @@ class PagedContinuousBatchingEngine:
             return 0
         if any(not self.slot_req[s].sampling.is_trivial for s in active):
             self.key, sub = jax.random.split(self.key)
-            self.tokens, self.sampler, self.cache = _paged_sampled_decode_step(
-                self.params, self.cfg, self.tokens, self.cache, sub,
-                self.sampler
-            )
+            self.tokens, logits, self.sampler, self.cache = \
+                _paged_sampled_decode_step(
+                    self.params, self.cfg, self.tokens, self.cache, sub,
+                    self.sampler
+                )
         else:
-            self.tokens, _, self.cache = _paged_decode_step(
+            self.tokens, logits, self.cache = _paged_decode_step(
                 self.params, self.cfg, self.tokens, self.cache
             )
+        lp_slots = [s for s in active if self.slot_req[s].logprobs]
+        if lp_slots:
+            kmax = max(self.slot_req[s].logprobs for s in lp_slots)
+            k = 1 << max(kmax - 1, 0).bit_length()
+            vals, ids, chosen = _topk_logprobs(logits, self.tokens, k)
+            vals, ids, chosen = (np.asarray(vals), np.asarray(ids),
+                                 np.asarray(chosen))
+            for s in lp_slots:
+                n = self.slot_req[s].logprobs
+                self.slot_req[s].logprob_data.append((
+                    float(chosen[s]), ids[s, :n].tolist(),
+                    vals[s, :n].tolist()))
         host = np.asarray(self.tokens)
         lengths = np.asarray(self.cache.lengths)
         for slot in active:

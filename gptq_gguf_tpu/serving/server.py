@@ -88,11 +88,12 @@ class EngineRunner:
 
     def submit(self, prompt: np.ndarray, max_new_tokens: int,
                sampling_params: Optional[SamplingParams] = None,
-               stream: bool = False) -> int:
+               stream: bool = False, logprobs: int = 0) -> int:
         ev = threading.Event()
         with self.lock:
             uid = self.engine.submit(prompt, max_new_tokens,
-                                     sampling_params=sampling_params)
+                                     sampling_params=sampling_params,
+                                     logprobs=logprobs)
             self.events[uid] = ev
             if stream:
                 self.streams[uid] = queue.Queue()
@@ -232,13 +233,21 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None):
                         self._sse_send("[DONE]")
                         runner.wait(uid, timeout=1)  # reap the result entry
                         return
-            uid = runner.submit(prompt, max_new, _sampling_from_json(req))
+            uid = runner.submit(prompt, max_new, _sampling_from_json(req),
+                                logprobs=int(req.get("logprobs", 0)))
             result = runner.wait(uid, timeout=timeout)
             out: Dict[str, Any] = {
                 "tokens": result.output,
                 "finish_reason": result.finish_reason,
                 "latency_s": round(time.time() - t0, 3),
             }
+            if result.logprob_data:
+                out["logprobs"] = {
+                    "token_logprobs": [d[0] for d in result.logprob_data],
+                    "top": [[{"id": i, "logprob": v}
+                             for i, v in zip(d[1], d[2])]
+                            for d in result.logprob_data],
+                }
             if tokenizer is not None:
                 out["text"] = tokenizer.decode(result.output)
             self._json(200, out)
@@ -262,11 +271,13 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None):
             stops = req.get("stop") or []
             if isinstance(stops, str):
                 stops = [stops]
+            want_lp = int(req.get("top_logprobs", 1)) if req.get("logprobs") \
+                else 0
             t0 = time.time()
             if req.get("stream"):
                 self._chat_stream(req, prompt, max_new, sp, stops, t0)
                 return
-            uid = runner.submit(prompt, max_new, sp)
+            uid = runner.submit(prompt, max_new, sp, logprobs=want_lp)
             result = runner.wait(uid, timeout=float(req.get("timeout_s", 600)))
             out_tokens = list(result.output)
             finish = result.finish_reason or "length"
@@ -278,16 +289,24 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None):
                 i = content.find(s)
                 if i >= 0:
                     content, finish = content[:i], "stop"
+            choice: Dict[str, Any] = {
+                "index": 0,
+                "message": {"role": "assistant", "content": content},
+                "finish_reason": finish,
+            }
+            if result.logprob_data:
+                choice["logprobs"] = {"content": [
+                    {"token": tokenizer.decode([t]), "logprob": d[0],
+                     "top_logprobs": [
+                         {"token": tokenizer.decode([i]), "logprob": v}
+                         for i, v in zip(d[1], d[2])]}
+                    for t, d in zip(result.output, result.logprob_data)]}
             self._json(200, {
                 "id": f"chatcmpl-{result.uid}",
                 "object": "chat.completion",
                 "created": int(t0),
                 "model": req.get("model", "gptq-gguf-tpu"),
-                "choices": [{
-                    "index": 0,
-                    "message": {"role": "assistant", "content": content},
-                    "finish_reason": finish,
-                }],
+                "choices": [choice],
                 "usage": {
                     "prompt_tokens": int(prompt.size),
                     "completion_tokens": len(result.output),

@@ -307,3 +307,51 @@ def test_streaming_endpoints(tiny_model):
     finally:
         server.shutdown()
         runner.stop()
+
+
+def test_logprobs(tiny_model):
+    """Per-token top-k logprobs: chosen-token logprob consistency (greedy
+    choice must be the top-1 entry), shapes, and /completion plumbing."""
+    cfg, params = tiny_model
+    eng = eng_mod.ContinuousBatchingEngine(params, cfg, num_slots=2, max_len=64)
+    uid = eng.submit(RNG.integers(0, 64, size=(5,)), 5, logprobs=3)
+    done = {r.uid: r for r in eng.run_until_done()}
+    req = done[uid]
+    assert len(req.logprob_data) == len(req.output) == 5
+    for tok, (chosen_lp, ids, vals) in zip(req.output, req.logprob_data):
+        assert len(ids) == len(vals) == 3
+        assert ids[0] == tok          # greedy pick == top-1
+        assert abs(vals[0] - chosen_lp) < 1e-5
+        assert vals[0] >= vals[1] >= vals[2]
+        assert all(v <= 0.0 for v in vals)
+
+    # paged engine mirrors it
+    peng = eng_mod.PagedContinuousBatchingEngine(
+        params, cfg, num_slots=2, max_len=64, page_size=16)
+    uid = peng.submit(RNG.integers(0, 64, size=(5,)), 4, logprobs=2)
+    done = {r.uid: r for r in peng.run_until_done()}
+    assert len(done[uid].logprob_data) == 4
+    assert done[uid].logprob_data[0][1][0] == done[uid].output[0]
+
+
+def test_logprobs_http(tiny_model):
+    from gptq_gguf_tpu.serving import server as server_mod
+
+    cfg, params = tiny_model
+    eng = eng_mod.ContinuousBatchingEngine(params, cfg, num_slots=2, max_len=64)
+    server, runner = server_mod.serve_http(eng, port=0, block=False)
+    try:
+        addr = server.server_address
+        req = urllib.request.Request(
+            f"http://{addr[0]}:{addr[1]}/completion",
+            data=json.dumps({"prompt_tokens": [1, 2], "max_new_tokens": 3,
+                             "logprobs": 2}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert len(out["logprobs"]["token_logprobs"]) == 3
+        assert len(out["logprobs"]["top"][0]) == 2
+        assert out["logprobs"]["top"][0][0]["id"] == out["tokens"][0]
+    finally:
+        server.shutdown()
+        runner.stop()
