@@ -185,6 +185,10 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None):
                     "active": sum(r is not None for r in eng.slot_req),
                     "queued": len(eng.queue),
                 })
+            elif self.path == "/v1/models":
+                self._json(200, {"object": "list", "data": [{
+                    "id": "gptq-gguf-tpu", "object": "model",
+                    "owned_by": "gptq-gguf-tpu"}]})
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -194,10 +198,16 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None):
                 req = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/completion":
                     self._completion(req)
+                elif self.path == "/v1/completions":
+                    self._v1_completions(req)
                 elif self.path == "/v1/chat/completions":
                     self._chat(req)
                 elif self.path == "/v1/embeddings":
                     self._embeddings(req)
+                elif self.path == "/tokenize":
+                    self._tokenize(req)
+                elif self.path == "/detokenize":
+                    self._detokenize(req)
                 else:
                     self._json(404, {"error": "unknown path"})
             except TimeoutError as e:
@@ -312,6 +322,58 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None):
                     "completion_tokens": len(result.output),
                     "total_tokens": int(prompt.size) + len(result.output),
                 },
+            })
+
+        def _tokenize(self, req):
+            """llama.cpp /tokenize analogue."""
+            if tokenizer is None or "content" not in req:
+                self._json(400, {"error": "need content (and a tokenizer)"})
+                return
+            self._json(200, {
+                "tokens": list(map(int, tokenizer(req["content"])["input_ids"]))})
+
+        def _detokenize(self, req):
+            """llama.cpp /detokenize analogue."""
+            if tokenizer is None or "tokens" not in req:
+                self._json(400, {"error": "need tokens (and a tokenizer)"})
+                return
+            self._json(200, {"content": tokenizer.decode(
+                [int(t) for t in req["tokens"]])})
+
+        def _v1_completions(self, req):
+            """OpenAI legacy text-completions shape over the engine."""
+            prompt = req.get("prompt")
+            if prompt is None or tokenizer is None:
+                self._json(400, {"error": "need prompt (and a tokenizer)"})
+                return
+            ids = np.asarray(tokenizer(prompt)["input_ids"], np.int64)
+            max_new = int(req.get("max_tokens", 16))
+            t0 = time.time()
+            uid = runner.submit(ids, max_new, _sampling_from_json(req))
+            result = runner.wait(uid, timeout=float(req.get("timeout_s", 600)))
+            out_tokens = list(result.output)
+            finish = result.finish_reason or "length"
+            eos = getattr(runner.engine, "eos", None)
+            if eos is not None and out_tokens and out_tokens[-1] == eos:
+                out_tokens = out_tokens[:-1]
+            text = tokenizer.decode(out_tokens)
+            stops = req.get("stop") or []
+            if isinstance(stops, str):
+                stops = [stops]
+            for s in stops:
+                i = text.find(s)
+                if i >= 0:
+                    text, finish = text[:i], "stop"
+            self._json(200, {
+                "id": f"cmpl-{result.uid}",
+                "object": "text_completion",
+                "created": int(t0),
+                "model": req.get("model", "gptq-gguf-tpu"),
+                "choices": [{"index": 0, "text": text,
+                             "finish_reason": finish}],
+                "usage": {"prompt_tokens": int(ids.size),
+                          "completion_tokens": len(result.output),
+                          "total_tokens": int(ids.size) + len(result.output)},
             })
 
         def _embeddings(self, req):

@@ -355,3 +355,53 @@ def test_logprobs_http(tiny_model):
     finally:
         server.shutdown()
         runner.stop()
+
+
+def test_openai_aux_endpoints(tiny_model):
+    """/v1/models, /v1/completions, /tokenize, /detokenize."""
+    from gptq_gguf_tpu.serving import server as server_mod
+    from gptq_gguf_tpu.serving.tokenizer import GGUFTokenizer
+
+    cfg, params = tiny_model
+    # single-char BPE vocab (chars map straight through the byte encoder)
+    alphabet = [chr(ord("A") + i) for i in range(64)]
+    gg = GGUFTokenizer("gpt2", alphabet, merges=[])
+
+    class _Wrap:
+        def __call__(self, text):
+            return {"input_ids": gg.encode(text)}
+
+        def decode(self, ids):
+            return gg.decode(ids)
+
+    eng = eng_mod.ContinuousBatchingEngine(params, cfg, num_slots=2, max_len=64)
+    server, runner = server_mod.serve_http(eng, port=0, tokenizer=_Wrap(),
+                                           block=False)
+    try:
+        addr = server.server_address
+        base = f"http://{addr[0]}:{addr[1]}"
+        with urllib.request.urlopen(f"{base}/v1/models", timeout=30) as r:
+            models = json.loads(r.read())
+        assert models["data"][0]["object"] == "model"
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"{base}{path}", data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())
+
+        tok = post("/tokenize", {"content": "EF"})
+        assert tok["tokens"] == [4, 5]
+        detok = post("/detokenize", {"tokens": [4, 5]})
+        assert detok["content"] == "EF"
+
+        out = post("/v1/completions", {"prompt": "BC", "max_tokens": 4})
+        assert out["object"] == "text_completion"
+        ref = eng_mod.generate(params, cfg, [np.asarray([1, 2])],
+                               max_new_tokens=4)[0]
+        assert out["choices"][0]["text"] == gg.decode(ref)
+        assert out["usage"]["prompt_tokens"] == 2
+    finally:
+        server.shutdown()
+        runner.stop()
