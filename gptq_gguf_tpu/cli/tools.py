@@ -447,6 +447,14 @@ def build_serve(p: argparse.ArgumentParser):
                    help="HF tokenizer dir for text prompts over HTTP")
     p.add_argument("--profile-dir", dest="profile_dir", default=None,
                    help="write a jax.profiler trace here (TensorBoard/xprof)")
+    p.add_argument("--mmproj", default=None,
+                   help="mmproj GGUF (vision tower) for --image prompts")
+    p.add_argument("--image", default=None,
+                   help="image file; its soft tokens are spliced in front "
+                        "of the prompt (llama.cpp mtmd equivalent)")
+    p.add_argument("--image-token-id", type=int, default=None,
+                   help="decoder vocab id reserved for image soft tokens "
+                        "(default: looked up from the GGUF tokenizer)")
 
 
 def run_serve(args):
@@ -554,6 +562,43 @@ def run_serve(args):
         prompt = np.asarray(gg.encode(args.prompt), dtype=np.int64)
     else:
         prompt = np.asarray([1, 2, 3, 4], dtype=np.int64)
+    if args.image:
+        from ..serving import vlm
+
+        if not args.mmproj:
+            raise SystemExit("--image needs --mmproj <vision-tower.gguf>")
+        with timer.stage("load_mmproj"):
+            vp, vcfg = vlm.load_mmproj_gguf(args.mmproj)
+        img_tok = args.image_token_id
+        if img_tok is None:
+            if gg is None:
+                from ..formats.gguf import GGUFReader
+                from ..serving import tokenizer as gtok
+
+                gg = gtok.from_gguf(GGUFReader(args.gguf_file))
+            for cand in ("<start_of_image>", "<image_soft_token>", "<image>"):
+                if gg is not None and cand in gg.vocab:
+                    img_tok = gg.vocab[cand]
+                    break
+            if img_tok is None:
+                raise SystemExit("pass --image-token-id (no image token "
+                                 "found in the GGUF vocab)")
+        pixels = vlm.preprocess_image(args.image, vcfg)
+        # splice the image in front of the text (llama.cpp mtmd default)
+        ids = np.concatenate([
+            np.full((vcfg.mm_tokens_per_image,), img_tok, np.int64), prompt])
+        with profile_trace(args.profile_dir), timer.stage("generate"):
+            t0 = time.time()
+            out = vlm.generate_with_images(
+                params, cfg, vp, vcfg, ids, pixels, int(img_tok),
+                max_new_tokens=args.max_new_tokens)
+            dt = time.time() - t0
+        print(f"generated {len(out)} tokens in {dt:.2f}s "
+              f"({len(out) / dt:.1f} tok/s)")
+        print(out)
+        if gg is not None:
+            print(repr(gg.decode(out)))
+        return
     with profile_trace(args.profile_dir), timer.stage("generate"):
         t0 = time.time()
         if args.draft_gguf:

@@ -314,6 +314,8 @@ def forward_cached(
     n_valid: Optional[jax.Array] = None,
     psum_axis: Optional[str] = None,
     all_logits: bool = False,
+    embeds_override: Optional[jax.Array] = None,
+    override_mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Run S new tokens through the model with the KV cache.
 
@@ -361,6 +363,12 @@ def forward_cached(
         x = x * jnp.asarray(math.sqrt(cfg.hidden_size), dtype=cfg.dtype)
     if cfg.embedding_multiplier is not None:
         x = x * jnp.asarray(cfg.embedding_multiplier, dtype=cfg.dtype)
+    if embeds_override is not None:
+        # multimodal soft tokens replace the (scaled) text embeddings at the
+        # image-token positions (HF masked_scatter semantics: features are
+        # NOT embed-scaled)
+        x = jnp.where(override_mask[..., None],
+                      embeds_override.astype(x.dtype), x)
     au = cfg.rms_add_unit
     alibi = (jnp.asarray(llama.alibi_slopes(cfg.num_attention_heads))
              if cfg.pos_type == "alibi" else None)

@@ -1,0 +1,281 @@
+"""Multimodal (vision-language) serving: SigLIP tower + soft-token splice.
+
+The reference packs mmproj GGUFs and delegates running them to llama.cpp's
+mtmd runtime; this module is the TPU-native equivalent for the gemma3
+family (SigLIP encoder + pixel-pool projector): encode an image to
+mm_tokens_per_image soft tokens and splice them into the decoder prompt at
+the image-token positions (forward_cached's embeds_override). Loads the
+tower from either the HF checkpoint or an mmproj GGUF produced by
+export/mmproj.py (v.*/mm.* names). Oracle: transformers
+Gemma3ForConditionalGeneration logits parity (tests/test_vlm.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import LlamaConfig
+from . import engine as eng_mod
+from . import model as qmodel
+
+__all__ = ["VisionConfig", "load_hf_vision", "load_mmproj_gguf",
+           "siglip_encode", "image_soft_tokens", "generate_with_images",
+           "preprocess_image"]
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionConfig:
+    image_size: int
+    patch_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    layer_norm_eps: float = 1e-6
+    mm_tokens_per_image: int = 256
+    image_mean: Tuple[float, ...] = (0.5, 0.5, 0.5)
+    image_std: Tuple[float, ...] = (0.5, 0.5, 0.5)
+
+
+def _ln(x, w, b, eps):
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    v = jnp.var(x, axis=-1, keepdims=True)
+    return (x - m) / jnp.sqrt(v + eps) * w + b
+
+
+def siglip_encode(vp: Dict[str, Any], vcfg: VisionConfig,
+                  pixels: jax.Array) -> jax.Array:
+    """SigLIP vision encoder. pixels: (B, 3, H, W) normalized. -> (B, N, D)."""
+    B = pixels.shape[0]
+    D = vcfg.hidden_size
+    # patch conv == unfold + matmul (stride = kernel = patch)
+    p = vcfg.patch_size
+    n_side = vcfg.image_size // p
+    x = pixels.reshape(B, 3, n_side, p, n_side, p)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(B, n_side * n_side, 3 * p * p)
+    w = vp["patch_w"].reshape(D, 3 * p * p)  # (D, 3, p, p) conv kernel
+    x = x @ w.T + vp["patch_b"]
+    x = x + vp["pos_embd"][: x.shape[1]]
+    nh = vcfg.num_attention_heads
+    hd = D // nh
+    for layer in vp["layers"]:
+        h = _ln(x, layer["ln1_w"], layer["ln1_b"], vcfg.layer_norm_eps)
+        q = (h @ layer["q_w"].T + layer["q_b"]).reshape(B, -1, nh, hd)
+        k = (h @ layer["k_w"].T + layer["k_b"]).reshape(B, -1, nh, hd)
+        v = (h @ layer["v_w"].T + layer["v_b"]).reshape(B, -1, nh, hd)
+        att = jax.nn.softmax(
+            jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd), axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, -1, D)
+        x = x + ctx @ layer["o_w"].T + layer["o_b"]
+        h = _ln(x, layer["ln2_w"], layer["ln2_b"], vcfg.layer_norm_eps)
+        h = jax.nn.gelu(h @ layer["up_w"].T + layer["up_b"], approximate=True)
+        x = x + h @ layer["down_w"].T + layer["down_b"]
+    return _ln(x, vp["post_ln_w"], vp["post_ln_b"], vcfg.layer_norm_eps)
+
+
+def image_soft_tokens(vp: Dict[str, Any], vcfg: VisionConfig,
+                      pixels: jax.Array) -> jax.Array:
+    """(B, 3, H, W) -> (B, mm_tokens_per_image, text_hidden): SigLIP encode,
+    average-pool the patch grid to the soft-token grid, zero-centered RMS
+    norm (weights stored (1+w)-folded, the GGUF convention), project."""
+    feats = siglip_encode(vp, vcfg, pixels)  # (B, N, D)
+    B, N, D = feats.shape
+    p_side = vcfg.image_size // vcfg.patch_size
+    t_side = int(round(vcfg.mm_tokens_per_image ** 0.5))
+    k = p_side // t_side
+    g = feats.reshape(B, p_side, p_side, D)
+    g = g.reshape(B, t_side, k, t_side, k, D).mean(axis=(2, 4))
+    g = g.reshape(B, t_side * t_side, D)
+    rms = jnp.sqrt(jnp.mean(g.astype(jnp.float32) ** 2, axis=-1,
+                            keepdims=True) + vcfg.layer_norm_eps)
+    g = g / rms * vp["soft_emb_norm_w"]  # folded (1+w)
+    return g @ vp["input_projection"]  # (D, text_hidden)
+
+
+# ---------------------------------------------------------------------------
+# Loaders
+# ---------------------------------------------------------------------------
+
+
+def load_hf_vision(model_dir: Union[str, Path]
+                   ) -> Tuple[Dict[str, Any], VisionConfig]:
+    """Vision tower + projector from a gemma3-family HF checkpoint."""
+    import json
+
+    from ..models.loader import _iter_safetensors, _to_f32
+
+    model_dir = Path(model_dir)
+    with open(model_dir / "config.json") as f:
+        cfg = json.load(f)
+    v = cfg["vision_config"]
+    vcfg = VisionConfig(
+        image_size=v["image_size"], patch_size=v["patch_size"],
+        hidden_size=v["hidden_size"], intermediate_size=v["intermediate_size"],
+        num_hidden_layers=v["num_hidden_layers"],
+        num_attention_heads=v["num_attention_heads"],
+        layer_norm_eps=v.get("layer_norm_eps", 1e-6),
+        mm_tokens_per_image=cfg.get("mm_tokens_per_image", 256),
+    )
+    flat = {}
+    for name, arr in _iter_safetensors(model_dir):
+        if name.startswith("model."):
+            name = name[len("model."):]
+        flat[name] = jnp.asarray(_to_f32(np.asarray(arr)))
+    pre = "vision_tower.vision_model."
+    vp: Dict[str, Any] = {
+        "patch_w": flat[pre + "embeddings.patch_embedding.weight"],
+        "patch_b": flat[pre + "embeddings.patch_embedding.bias"],
+        "pos_embd": flat[pre + "embeddings.position_embedding.weight"],
+        "post_ln_w": flat[pre + "post_layernorm.weight"],
+        "post_ln_b": flat[pre + "post_layernorm.bias"],
+        "soft_emb_norm_w":
+            flat["multi_modal_projector.mm_soft_emb_norm.weight"] + 1.0,
+        "input_projection":
+            flat["multi_modal_projector.mm_input_projection_weight"],
+        "layers": [],
+    }
+    for i in range(vcfg.num_hidden_layers):
+        p = f"{pre}encoder.layers.{i}."
+        vp["layers"].append({
+            "q_w": flat[p + "self_attn.q_proj.weight"],
+            "q_b": flat[p + "self_attn.q_proj.bias"],
+            "k_w": flat[p + "self_attn.k_proj.weight"],
+            "k_b": flat[p + "self_attn.k_proj.bias"],
+            "v_w": flat[p + "self_attn.v_proj.weight"],
+            "v_b": flat[p + "self_attn.v_proj.bias"],
+            "o_w": flat[p + "self_attn.out_proj.weight"],
+            "o_b": flat[p + "self_attn.out_proj.bias"],
+            "ln1_w": flat[p + "layer_norm1.weight"],
+            "ln1_b": flat[p + "layer_norm1.bias"],
+            "ln2_w": flat[p + "layer_norm2.weight"],
+            "ln2_b": flat[p + "layer_norm2.bias"],
+            "up_w": flat[p + "mlp.fc1.weight"],
+            "up_b": flat[p + "mlp.fc1.bias"],
+            "down_w": flat[p + "mlp.fc2.weight"],
+            "down_b": flat[p + "mlp.fc2.bias"],
+        })
+    return vp, vcfg
+
+
+def load_mmproj_gguf(path: Union[str, Path]
+                     ) -> Tuple[Dict[str, Any], VisionConfig]:
+    """Vision tower + projector from an mmproj GGUF (export/mmproj.py)."""
+    from ..formats.gguf import GGUFReader
+
+    r = GGUFReader(path)
+    if r.get("clip.projector_type") != "gemma3":
+        raise NotImplementedError(
+            "vision serving currently supports the gemma3 projector, got "
+            f"{r.get('clip.projector_type')!r}")
+    n_side2 = (r.get("clip.vision.image_size")
+               // r.get("clip.vision.patch_size"))
+    scale = r.get("clip.vision.projector.scale_factor", 4)
+    vcfg = VisionConfig(
+        image_size=int(r.get("clip.vision.image_size")),
+        patch_size=int(r.get("clip.vision.patch_size")),
+        hidden_size=int(r.get("clip.vision.embedding_length")),
+        intermediate_size=int(r.get("clip.vision.feed_forward_length")),
+        num_hidden_layers=int(r.get("clip.vision.block_count")),
+        num_attention_heads=int(r.get("clip.vision.attention.head_count")),
+        layer_norm_eps=float(
+            r.get("clip.vision.attention.layer_norm_epsilon", 1e-6)),
+        mm_tokens_per_image=(n_side2 // scale) ** 2,
+        image_mean=tuple(r.get("clip.vision.image_mean", [0.5] * 3)),
+        image_std=tuple(r.get("clip.vision.image_std", [0.5] * 3)),
+    )
+
+    def t(name):
+        return jnp.asarray(r.tensor_float(name))
+
+    vp: Dict[str, Any] = {
+        "patch_w": t("v.patch_embd.weight"),
+        "patch_b": t("v.patch_embd.bias"),
+        "pos_embd": t("v.position_embd.weight"),
+        "post_ln_w": t("v.post_ln.weight"),
+        "post_ln_b": t("v.post_ln.bias"),
+        "soft_emb_norm_w": t("mm.soft_emb_norm.weight"),  # already folded
+        "input_projection": t("mm.input_projection.weight"),
+        "layers": [],
+    }
+    for i in range(vcfg.num_hidden_layers):
+        p = f"v.blk.{i}."
+        vp["layers"].append({
+            "q_w": t(p + "attn_q.weight"), "q_b": t(p + "attn_q.bias"),
+            "k_w": t(p + "attn_k.weight"), "k_b": t(p + "attn_k.bias"),
+            "v_w": t(p + "attn_v.weight"), "v_b": t(p + "attn_v.bias"),
+            "o_w": t(p + "attn_out.weight"), "o_b": t(p + "attn_out.bias"),
+            "ln1_w": t(p + "ln1.weight"), "ln1_b": t(p + "ln1.bias"),
+            "ln2_w": t(p + "ln2.weight"), "ln2_b": t(p + "ln2.bias"),
+            "up_w": t(p + "ffn_up.weight"), "up_b": t(p + "ffn_up.bias"),
+            "down_w": t(p + "ffn_down.weight"),
+            "down_b": t(p + "ffn_down.bias"),
+        })
+    return vp, vcfg
+
+
+def preprocess_image(path: Union[str, Path], vcfg: VisionConfig) -> np.ndarray:
+    """Image file -> (1, 3, S, S) normalized pixels (bilinear resize,
+    rescale 1/255, mean/std normalize — the gemma3 processor recipe)."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB").resize(
+        (vcfg.image_size, vcfg.image_size), Image.BILINEAR)
+    x = np.asarray(img, np.float32) / 255.0
+    x = (x - np.asarray(vcfg.image_mean)) / np.asarray(vcfg.image_std)
+    return x.transpose(2, 0, 1)[None]
+
+
+# ---------------------------------------------------------------------------
+# Generation
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _vlm_prefill(params, cfg: LlamaConfig, ids, cache, soft, mask):
+    logits, cache = qmodel.forward_cached(
+        params, cfg, ids, cache, embeds_override=soft, override_mask=mask)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+
+def generate_with_images(
+    params, cfg: LlamaConfig, vp, vcfg: VisionConfig,
+    input_ids: np.ndarray, pixel_values: np.ndarray,
+    image_token_id: int, max_new_tokens: int = 32,
+    eos_token_id: Optional[int] = None, max_len: Optional[int] = None,
+) -> List[int]:
+    """Greedy generation with images spliced at the image-token positions.
+
+    input_ids: (S,) containing n_images * mm_tokens_per_image occurrences of
+    image_token_id; pixel_values: (n_images, 3, S, S) normalized.
+    """
+    ids = np.asarray(input_ids).reshape(1, -1)
+    S = ids.shape[1]
+    max_len = max_len or (S + max_new_tokens)
+    soft = image_soft_tokens(vp, vcfg, jnp.asarray(pixel_values))
+    soft = soft.reshape(-1, soft.shape[-1])  # (n_img*T, H)
+    mask = ids[0] == image_token_id
+    if int(mask.sum()) != soft.shape[0]:
+        raise ValueError(
+            f"prompt has {int(mask.sum())} image tokens but images supply "
+            f"{soft.shape[0]} soft tokens")
+    # scatter soft tokens into a (1, S, H) override buffer
+    over = np.zeros((1, S, soft.shape[-1]), np.float32)
+    over[0, mask] = np.asarray(soft, np.float32)
+    cache = qmodel.init_cache(cfg, 1, max_len, dtype=jnp.bfloat16)
+    tok, cache = _vlm_prefill(params, cfg, jnp.asarray(ids), cache,
+                              jnp.asarray(over), jnp.asarray(mask)[None, :])
+    out = [int(tok[0])]
+    tokens = tok
+    for _ in range(max_new_tokens - 1):
+        if eos_token_id is not None and out[-1] == eos_token_id:
+            break
+        tokens, _, cache = eng_mod._decode_step(params, cfg, tokens, cache)
+        out.append(int(tokens[0]))
+    return out

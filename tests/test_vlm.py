@@ -1,0 +1,155 @@
+"""VLM serving (serving/vlm.py): SigLIP tower + gemma3 soft-token splice.
+
+Oracle: transformers Gemma3ForConditionalGeneration (no token_type_ids,
+i.e. fully causal masking — the mode this module implements).
+"""
+
+import json
+
+import numpy as np
+import pytest
+import torch
+
+from gptq_gguf_tpu.serving import vlm
+
+RNG = np.random.default_rng(95)
+
+IMG_TOK = 60  # image_token_index in the tiny config
+
+
+@pytest.fixture(scope="module")
+def tiny_vlm(tmp_path_factory):
+    from transformers import Gemma3Config, Gemma3ForConditionalGeneration
+
+    cfg = Gemma3Config(
+        text_config=dict(vocab_size=64, hidden_size=48, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=1, head_dim=12,
+                         hidden_activation="gelu_pytorch_tanh",
+                         sliding_window=8, rope_theta=1000000.0,
+                         rope_local_base_freq=10000.0,
+                         max_position_embeddings=128),
+        vision_config=dict(hidden_size=32, intermediate_size=48,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           image_size=56, patch_size=14, num_channels=3),
+        mm_tokens_per_image=4, image_token_index=IMG_TOK,
+        boi_token_index=58, eoi_token_index=59)
+    torch.manual_seed(21)
+    m = Gemma3ForConditionalGeneration(cfg).eval().float()
+    d = tmp_path_factory.mktemp("vlm") / "hf"
+    m.save_pretrained(d, safe_serialization=True)
+    json.dump({"image_mean": [0.5] * 3, "image_std": [0.5] * 3,
+               "image_seq_length": 4},
+              open(d / "preprocessor_config.json", "w"))
+
+    # text-only sibling checkpoint for the decoder loader
+    from transformers import Gemma3ForCausalLM
+
+    tm = Gemma3ForCausalLM(cfg.text_config).eval().float()
+    tm.model.load_state_dict(m.model.language_model.state_dict())
+    tm.lm_head.load_state_dict(m.lm_head.state_dict())
+    td = tmp_path_factory.mktemp("vlm") / "text"
+    tm.save_pretrained(td, safe_serialization=True)
+    return d, td, m
+
+
+def _prompt(n_img_tokens=4):
+    ids = RNG.integers(0, 56, size=(10,)).tolist()
+    return np.asarray(ids[:3] + [58] + [IMG_TOK] * n_img_tokens + [59]
+                      + ids[3:], np.int64)
+
+
+def test_soft_tokens_match_hf(tiny_vlm):
+    d, td, m = tiny_vlm
+    vp, vcfg = vlm.load_hf_vision(d)
+    assert vcfg.mm_tokens_per_image == 4
+    pixels = RNG.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    ours = np.asarray(vlm.image_soft_tokens(vp, vcfg, pixels))
+    with torch.no_grad():
+        ref = m.get_image_features(torch.from_numpy(pixels)).numpy()
+    np.testing.assert_allclose(ours, ref.reshape(ours.shape),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_vlm_logits_match_hf(tiny_vlm):
+    from gptq_gguf_tpu.models import loader
+    from gptq_gguf_tpu.serving import model as qmodel
+
+    import jax.numpy as jnp
+
+    d, td, m = tiny_vlm
+    vp, vcfg = vlm.load_hf_vision(d)
+    cfg = loader.load_config(td)
+    params = loader.load_params(td, cfg)
+    ids = _prompt()
+    pixels = RNG.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        ref = m(input_ids=torch.from_numpy(ids[None]),
+                pixel_values=torch.from_numpy(pixels)).logits.numpy()
+    soft = vlm.image_soft_tokens(vp, vcfg, jnp.asarray(pixels))
+    soft = np.asarray(soft).reshape(-1, cfg.hidden_size)
+    mask = ids == IMG_TOK
+    over = np.zeros((1, len(ids), cfg.hidden_size), np.float32)
+    over[0, mask] = soft
+    cache = qmodel.init_cache(cfg, 1, len(ids) + 4, dtype=jnp.float32)
+    logits, _ = qmodel.forward_cached(
+        params, cfg, jnp.asarray(ids[None]), cache,
+        embeds_override=jnp.asarray(over),
+        override_mask=jnp.asarray(mask)[None, :], all_logits=True)
+    got = np.asarray(logits)
+    np.testing.assert_allclose(got[0], ref[0], rtol=2e-3, atol=2e-3)
+
+
+def test_vlm_generate_matches_hf(tiny_vlm):
+    from gptq_gguf_tpu.models import loader
+
+    d, td, m = tiny_vlm
+    vp, vcfg = vlm.load_hf_vision(d)
+    cfg = loader.load_config(td)
+    params = loader.load_params(td, cfg)
+    ids = _prompt()
+    pixels = RNG.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        ref = m.generate(input_ids=torch.from_numpy(ids[None]),
+                         pixel_values=torch.from_numpy(pixels),
+                         max_new_tokens=6, do_sample=False).numpy()[0]
+    got = vlm.generate_with_images(params, cfg, vp, vcfg, ids, pixels,
+                                   IMG_TOK, max_new_tokens=6)
+    assert got == ref[len(ids):].tolist()
+
+
+def test_mmproj_gguf_roundtrip(tiny_vlm):
+    from gptq_gguf_tpu.export import mmproj
+
+    d, td, m = tiny_vlm
+    out = mmproj.pack_mmproj(d, d.parent / "mm.gguf")
+    vp_h, vc_h = vlm.load_hf_vision(d)
+    vp_g, vc_g = vlm.load_mmproj_gguf(out)
+    assert vc_g.mm_tokens_per_image == vc_h.mm_tokens_per_image == 4
+    assert vc_g.image_size == 56 and vc_g.patch_size == 14
+    pixels = RNG.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    a = np.asarray(vlm.image_soft_tokens(vp_h, vc_h, pixels))
+    b = np.asarray(vlm.image_soft_tokens(vp_g, vc_g, pixels))
+    np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-3)  # f16 pack
+
+
+def test_serve_image_cli(tiny_vlm, tmp_path):
+    """serve --mmproj --image end-to-end through the CLI (GGUF decoder +
+    mmproj GGUF + a PNG), matching the in-process generate path."""
+    from PIL import Image
+
+    from gptq_gguf_tpu.__main__ import main
+    from gptq_gguf_tpu.export import mmproj, packer
+
+    d, td, m = tiny_vlm
+    gguf = tmp_path / "text.gguf"
+    packer.pack_model(td, tmp_path / "none", gguf)
+    mm = tmp_path / "mm.gguf"
+    mmproj.pack_mmproj(d, mm)
+    img = tmp_path / "x.png"
+    Image.fromarray(
+        (RNG.random((56, 56, 3)) * 255).astype(np.uint8)).save(img)
+    rc = main(["serve", "--gguf-file", str(gguf), "--mmproj", str(mm),
+               "--image", str(img), "--image-token-id", str(IMG_TOK),
+               "--prompt-tokens", "1", "2", "3", "--max-new-tokens", "4"])
+    assert not rc
