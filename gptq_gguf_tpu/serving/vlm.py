@@ -1,13 +1,16 @@
 """Multimodal (vision-language) serving: SigLIP tower + soft-token splice.
 
 The reference packs mmproj GGUFs and delegates running them to llama.cpp's
-mtmd runtime; this module is the TPU-native equivalent for the gemma3
-family (SigLIP encoder + pixel-pool projector): encode an image to
+mtmd runtime; this module is the TPU-native equivalent for SigLIP-towered
+families — gemma3 (pixel-pool + zero-centered-RMS projector) and
+idefics3/SmolVLM (pixel-shuffle + linear projector): encode an image to
 mm_tokens_per_image soft tokens and splice them into the decoder prompt at
 the image-token positions (forward_cached's embeds_override). Loads the
 tower from either the HF checkpoint or an mmproj GGUF produced by
-export/mmproj.py (v.*/mm.* names). Oracle: transformers
-Gemma3ForConditionalGeneration logits parity (tests/test_vlm.py).
+export/mmproj.py (v.*/mm.* names). Oracles: transformers
+Gemma3ForConditionalGeneration / Idefics3 logits parity (tests/test_vlm.py).
+Masking is causal-only (HF's no-token_type_ids mode; no bidirectional
+image blocks).
 """
 
 from __future__ import annotations
@@ -42,6 +45,8 @@ class VisionConfig:
     mm_tokens_per_image: int = 256
     image_mean: Tuple[float, ...] = (0.5, 0.5, 0.5)
     image_std: Tuple[float, ...] = (0.5, 0.5, 0.5)
+    projector: str = "gemma3"   # "gemma3" (pool+RMS+proj) | "idefics3"
+    scale_factor: int = 2       # idefics3 pixel-shuffle factor
 
 
 def _ln(x, w, b, eps):
@@ -62,7 +67,10 @@ def siglip_encode(vp: Dict[str, Any], vcfg: VisionConfig,
     x = x.transpose(0, 2, 4, 1, 3, 5).reshape(B, n_side * n_side, 3 * p * p)
     w = vp["patch_w"].reshape(D, 3 * p * p)  # (D, 3, p, p) conv kernel
     x = x @ w.T + vp["patch_b"]
-    x = x + vp["pos_embd"][: x.shape[1]]
+    if "pos_ids" in vp:  # idefics3 bucketized ids (see _idefics3_pos_ids)
+        x = x + vp["pos_embd"][vp["pos_ids"]]
+    else:
+        x = x + vp["pos_embd"][: x.shape[1]]
     nh = vcfg.num_attention_heads
     hd = D // nh
     for layer in vp["layers"]:
@@ -82,12 +90,22 @@ def siglip_encode(vp: Dict[str, Any], vcfg: VisionConfig,
 
 def image_soft_tokens(vp: Dict[str, Any], vcfg: VisionConfig,
                       pixels: jax.Array) -> jax.Array:
-    """(B, 3, H, W) -> (B, mm_tokens_per_image, text_hidden): SigLIP encode,
-    average-pool the patch grid to the soft-token grid, zero-centered RMS
-    norm (weights stored (1+w)-folded, the GGUF convention), project."""
+    """(B, 3, H, W) -> (B, mm_tokens_per_image, text_hidden).
+
+    gemma3: SigLIP encode, average-pool the patch grid to the soft-token
+    grid, zero-centered RMS norm (weights stored (1+w)-folded, the GGUF
+    convention), project. idefics3/smolvlm: SigLIP encode, pixel shuffle
+    (space-to-depth by scale_factor), single linear projection."""
     feats = siglip_encode(vp, vcfg, pixels)  # (B, N, D)
     B, N, D = feats.shape
     p_side = vcfg.image_size // vcfg.patch_size
+    if vcfg.projector == "idefics3":
+        s = vcfg.scale_factor
+        g = feats.reshape(B, p_side, p_side, D)
+        g = g.reshape(B, p_side, p_side // s, D * s).transpose(0, 2, 1, 3)
+        g = g.reshape(B, p_side // s, p_side // s, D * s * s)
+        g = g.transpose(0, 2, 1, 3).reshape(B, N // (s * s), D * s * s)
+        return g @ vp["input_projection"].T  # Linear (text_h, D*s^2)
     t_side = int(round(vcfg.mm_tokens_per_image ** 0.5))
     k = p_side // t_side
     g = feats.reshape(B, p_side, p_side, D)
@@ -104,9 +122,19 @@ def image_soft_tokens(vp: Dict[str, Any], vcfg: VisionConfig,
 # ---------------------------------------------------------------------------
 
 
+def _idefics3_pos_ids(n_side: int) -> np.ndarray:
+    """Idefics3VisionEmbeddings bucketizes fractional patch coordinates
+    scaled by (1 - 1e-6); for a full square image the per-axis buckets come
+    out [0, 0, 1, ..., n-2] (the last position row is never used) — an HF
+    quirk we replicate for parity."""
+    axis = np.floor(np.arange(n_side) * (1 - 1e-6)).astype(np.int64)
+    return (axis[:, None] * n_side + axis[None, :]).reshape(-1)
+
+
 def load_hf_vision(model_dir: Union[str, Path]
                    ) -> Tuple[Dict[str, Any], VisionConfig]:
-    """Vision tower + projector from a gemma3-family HF checkpoint."""
+    """Vision tower + projector from a gemma3- or idefics3/smolvlm-family
+    HF checkpoint."""
     import json
 
     from ..models.loader import _iter_safetensors, _to_f32
@@ -115,32 +143,44 @@ def load_hf_vision(model_dir: Union[str, Path]
     with open(model_dir / "config.json") as f:
         cfg = json.load(f)
     v = cfg["vision_config"]
+    mt = cfg.get("model_type", "gemma3")
+    projector = "idefics3" if mt in ("idefics3", "smolvlm") else "gemma3"
+    scale = int(cfg.get("scale_factor", 2))
+    p_side = v["image_size"] // v["patch_size"]
     vcfg = VisionConfig(
         image_size=v["image_size"], patch_size=v["patch_size"],
         hidden_size=v["hidden_size"], intermediate_size=v["intermediate_size"],
         num_hidden_layers=v["num_hidden_layers"],
         num_attention_heads=v["num_attention_heads"],
         layer_norm_eps=v.get("layer_norm_eps", 1e-6),
-        mm_tokens_per_image=cfg.get("mm_tokens_per_image", 256),
+        mm_tokens_per_image=(
+            (p_side // scale) ** 2 if projector == "idefics3"
+            else cfg.get("mm_tokens_per_image", 256)),
+        projector=projector, scale_factor=scale,
     )
     flat = {}
     for name, arr in _iter_safetensors(model_dir):
         if name.startswith("model."):
             name = name[len("model."):]
         flat[name] = jnp.asarray(_to_f32(np.asarray(arr)))
-    pre = "vision_tower.vision_model."
+    pre = ("vision_model." if projector == "idefics3"
+           else "vision_tower.vision_model.")
     vp: Dict[str, Any] = {
         "patch_w": flat[pre + "embeddings.patch_embedding.weight"],
         "patch_b": flat[pre + "embeddings.patch_embedding.bias"],
         "pos_embd": flat[pre + "embeddings.position_embedding.weight"],
         "post_ln_w": flat[pre + "post_layernorm.weight"],
         "post_ln_b": flat[pre + "post_layernorm.bias"],
-        "soft_emb_norm_w":
-            flat["multi_modal_projector.mm_soft_emb_norm.weight"] + 1.0,
-        "input_projection":
-            flat["multi_modal_projector.mm_input_projection_weight"],
         "layers": [],
     }
+    if projector == "idefics3":
+        vp["input_projection"] = flat["connector.modality_projection.proj.weight"]
+        vp["pos_ids"] = jnp.asarray(_idefics3_pos_ids(p_side))
+    else:
+        vp["soft_emb_norm_w"] = \
+            flat["multi_modal_projector.mm_soft_emb_norm.weight"] + 1.0
+        vp["input_projection"] = \
+            flat["multi_modal_projector.mm_input_projection_weight"]
     for i in range(vcfg.num_hidden_layers):
         p = f"{pre}encoder.layers.{i}."
         vp["layers"].append({
@@ -170,13 +210,15 @@ def load_mmproj_gguf(path: Union[str, Path]
     from ..formats.gguf import GGUFReader
 
     r = GGUFReader(path)
-    if r.get("clip.projector_type") != "gemma3":
+    proj = r.get("clip.projector_type")
+    if proj not in ("gemma3", "idefics3"):
         raise NotImplementedError(
-            "vision serving currently supports the gemma3 projector, got "
-            f"{r.get('clip.projector_type')!r}")
+            "vision serving supports the gemma3/idefics3 projectors, got "
+            f"{proj!r}")
     n_side2 = (r.get("clip.vision.image_size")
                // r.get("clip.vision.patch_size"))
-    scale = r.get("clip.vision.projector.scale_factor", 4)
+    scale = r.get("clip.vision.projector.scale_factor",
+                  4 if proj == "gemma3" else 2)
     vcfg = VisionConfig(
         image_size=int(r.get("clip.vision.image_size")),
         patch_size=int(r.get("clip.vision.patch_size")),
@@ -189,6 +231,7 @@ def load_mmproj_gguf(path: Union[str, Path]
         mm_tokens_per_image=(n_side2 // scale) ** 2,
         image_mean=tuple(r.get("clip.vision.image_mean", [0.5] * 3)),
         image_std=tuple(r.get("clip.vision.image_std", [0.5] * 3)),
+        projector=proj, scale_factor=int(scale),
     )
 
     def t(name):
@@ -200,10 +243,14 @@ def load_mmproj_gguf(path: Union[str, Path]
         "pos_embd": t("v.position_embd.weight"),
         "post_ln_w": t("v.post_ln.weight"),
         "post_ln_b": t("v.post_ln.bias"),
-        "soft_emb_norm_w": t("mm.soft_emb_norm.weight"),  # already folded
-        "input_projection": t("mm.input_projection.weight"),
         "layers": [],
     }
+    if proj == "idefics3":
+        vp["input_projection"] = t("mm.model.fc.weight")
+        vp["pos_ids"] = jnp.asarray(_idefics3_pos_ids(n_side2))
+    else:
+        vp["soft_emb_norm_w"] = t("mm.soft_emb_norm.weight")  # folded
+        vp["input_projection"] = t("mm.input_projection.weight")
     for i in range(vcfg.num_hidden_layers):
         p = f"v.blk.{i}."
         vp["layers"].append({

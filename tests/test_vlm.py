@@ -153,3 +153,83 @@ def test_serve_image_cli(tiny_vlm, tmp_path):
                "--image", str(img), "--image-token-id", str(IMG_TOK),
                "--prompt-tokens", "1", "2", "3", "--max-new-tokens", "4"])
     assert not rc
+
+
+@pytest.fixture(scope="module")
+def tiny_idefics(tmp_path_factory):
+    from transformers import Idefics3Config, Idefics3ForConditionalGeneration
+
+    cfg = Idefics3Config(
+        text_config=dict(vocab_size=64, hidden_size=48, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, rms_norm_eps=1e-6,
+                         max_position_embeddings=128, rope_theta=10000.0),
+        vision_config=dict(hidden_size=32, intermediate_size=48,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           image_size=56, patch_size=14, num_channels=3),
+        scale_factor=2, image_token_id=61)
+    torch.manual_seed(23)
+    m = Idefics3ForConditionalGeneration(cfg).eval().float()
+    d = tmp_path_factory.mktemp("idef") / "hf"
+    m.save_pretrained(d, safe_serialization=True)
+    return d, m
+
+
+def test_idefics3_soft_tokens_match_hf(tiny_idefics):
+    d, m = tiny_idefics
+    vp, vcfg = vlm.load_hf_vision(d)
+    assert vcfg.projector == "idefics3"
+    assert vcfg.mm_tokens_per_image == 4  # (56/14/2)^2
+    pixels = RNG.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    ours = np.asarray(vlm.image_soft_tokens(vp, vcfg, pixels))
+    with torch.no_grad():
+        vis = m.model.vision_model(
+            torch.from_numpy(pixels)).last_hidden_state
+        ref = m.model.connector(vis).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_idefics3_generate_matches_hf(tiny_idefics):
+    from gptq_gguf_tpu.models import loader
+
+    d, m = tiny_idefics
+    vp, vcfg = vlm.load_hf_vision(d)
+    # text-only sibling (idefics3's decoder is a plain llama)
+    import tempfile
+
+    from transformers import LlamaConfig as HFLlamaCfg, LlamaForCausalLM
+
+    tm = LlamaForCausalLM(m.config.text_config).eval().float()
+    tm.model.load_state_dict(m.model.text_model.state_dict())
+    tm.lm_head.load_state_dict(m.lm_head.state_dict())
+    with tempfile.TemporaryDirectory() as td:
+        tm.save_pretrained(td, safe_serialization=True)
+        cfg = loader.load_config(td)
+        params = loader.load_params(td, cfg)
+    img_tok = 61
+    base = RNG.integers(0, 56, size=(8,)).tolist()
+    ids = np.asarray(base[:2] + [img_tok] * 4 + base[2:], np.int64)
+    pixels = RNG.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        ref = m.generate(input_ids=torch.from_numpy(ids[None]),
+                         pixel_values=torch.from_numpy(pixels[None]),
+                         max_new_tokens=5, do_sample=False).numpy()[0]
+    got = vlm.generate_with_images(params, cfg, vp, vcfg, ids, pixels,
+                                   img_tok, max_new_tokens=5)
+    assert got == ref[len(ids):].tolist()
+
+
+def test_idefics3_mmproj_gguf_roundtrip(tiny_idefics):
+    from gptq_gguf_tpu.export import mmproj
+
+    d, m = tiny_idefics
+    out = mmproj.pack_mmproj(d, d.parent / "idef-mm.gguf")
+    vp_h, vc_h = vlm.load_hf_vision(d)
+    vp_g, vc_g = vlm.load_mmproj_gguf(out)
+    assert vc_g.projector == "idefics3"
+    assert vc_g.scale_factor == 2
+    assert vc_g.mm_tokens_per_image == 4
+    pixels = RNG.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    a = np.asarray(vlm.image_soft_tokens(vp_h, vc_h, pixels))
+    b = np.asarray(vlm.image_soft_tokens(vp_g, vc_g, pixels))
+    np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-3)
