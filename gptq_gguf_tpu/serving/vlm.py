@@ -45,8 +45,9 @@ class VisionConfig:
     mm_tokens_per_image: int = 256
     image_mean: Tuple[float, ...] = (0.5, 0.5, 0.5)
     image_std: Tuple[float, ...] = (0.5, 0.5, 0.5)
-    projector: str = "gemma3"   # "gemma3" (pool+RMS+proj) | "idefics3"
-    scale_factor: int = 2       # idefics3 pixel-shuffle factor
+    projector: str = "gemma3"   # "gemma3" | "idefics3" | "mistral3"
+    scale_factor: int = 2       # idefics3 shuffle / mistral3 merge factor
+    rope_theta: float = 10000.0  # pixtral 2D rope base
 
 
 def _ln(x, w, b, eps):
@@ -88,6 +89,62 @@ def siglip_encode(vp: Dict[str, Any], vcfg: VisionConfig,
     return _ln(x, vp["post_ln_w"], vp["post_ln_b"], vcfg.layer_norm_eps)
 
 
+def _rms(x, w, eps):
+    return x / jnp.sqrt(jnp.mean(x.astype(jnp.float32) ** 2, axis=-1,
+                                 keepdims=True) + eps) * w
+
+
+def pixtral_encode(vp: Dict[str, Any], vcfg: VisionConfig,
+                   pixels: jax.Array) -> jax.Array:
+    """Pixtral ViT: RMS pre-norm blocks, 2D rope over the patch grid, silu
+    gated MLP, no position table and no post norm. -> (B, N, D)."""
+    B = pixels.shape[0]
+    D = vcfg.hidden_size
+    p = vcfg.patch_size
+    n_side = vcfg.image_size // p
+    x = pixels.reshape(B, 3, n_side, p, n_side, p)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(B, n_side * n_side, 3 * p * p)
+    x = x @ vp["patch_w"].reshape(D, 3 * p * p).T
+    if "patch_b" in vp and vp["patch_b"] is not None:
+        x = x + vp["patch_b"]
+    x = _rms(x, vp["pre_ln_w"], 1e-5)
+    nh = vcfg.num_attention_heads
+    hd = D // nh
+    # 2D rope (PixtralRotaryEmbedding): even inv-freqs take the row index,
+    # odd ones the column index; table then duplicated for rotate_half
+    freqs = 1.0 / (vcfg.rope_theta ** (
+        jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    pos = jnp.arange(n_side, dtype=jnp.float32)
+    fh = jnp.einsum("h,f->hf", pos, freqs[::2])
+    fw = jnp.einsum("w,f->wf", pos, freqs[1::2])
+    grid = jnp.concatenate([
+        jnp.broadcast_to(fh[:, None, :], (n_side, n_side, fh.shape[-1])),
+        jnp.broadcast_to(fw[None, :, :], (n_side, n_side, fw.shape[-1])),
+    ], axis=-1).reshape(n_side * n_side, hd // 2)
+    ang = jnp.concatenate([grid, grid], axis=-1)
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+    def rope(t):  # (B, S, nh, hd) rotate_half convention
+        t1, t2 = t[..., : hd // 2], t[..., hd // 2:]
+        rot = jnp.concatenate([-t2, t1], axis=-1)
+        return t * cos[None, :, None, :] + rot * sin[None, :, None, :]
+
+    for layer in vp["layers"]:
+        h = _rms(x, layer["ln1_w"], 1e-5)
+        q = (h @ layer["q_w"].T).reshape(B, -1, nh, hd)
+        k = (h @ layer["k_w"].T).reshape(B, -1, nh, hd)
+        v = (h @ layer["v_w"].T).reshape(B, -1, nh, hd)
+        q, k = rope(q), rope(k)
+        att = jax.nn.softmax(
+            jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd), axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, -1, D)
+        x = x + ctx @ layer["o_w"].T
+        h = _rms(x, layer["ln2_w"], 1e-5)
+        h = jax.nn.silu(h @ layer["gate_w"].T) * (h @ layer["up_w"].T)
+        x = x + h @ layer["down_w"].T
+    return x
+
+
 def image_soft_tokens(vp: Dict[str, Any], vcfg: VisionConfig,
                       pixels: jax.Array) -> jax.Array:
     """(B, 3, H, W) -> (B, mm_tokens_per_image, text_hidden).
@@ -96,9 +153,24 @@ def image_soft_tokens(vp: Dict[str, Any], vcfg: VisionConfig,
     grid, zero-centered RMS norm (weights stored (1+w)-folded, the GGUF
     convention), project. idefics3/smolvlm: SigLIP encode, pixel shuffle
     (space-to-depth by scale_factor), single linear projection."""
-    feats = siglip_encode(vp, vcfg, pixels)  # (B, N, D)
+    if vcfg.projector == "mistral3":
+        feats = pixtral_encode(vp, vcfg, pixels)
+    else:
+        feats = siglip_encode(vp, vcfg, pixels)  # (B, N, D)
     B, N, D = feats.shape
     p_side = vcfg.image_size // vcfg.patch_size
+    if vcfg.projector == "mistral3":
+        s = vcfg.scale_factor
+        g = _rms(feats, vp["input_norm_w"], 1e-5)
+        # PatchMerger: s x s unfold, CHANNEL-major feature order (torch
+        # unfold semantics), then merging_layer
+        g = g.reshape(B, p_side // s, s, p_side // s, s, D)
+        g = g.transpose(0, 1, 3, 5, 2, 4).reshape(
+            B, (p_side // s) ** 2, D * s * s)
+        g = g @ vp["patch_merger_w"].T
+        g = jax.nn.gelu(g @ vp["mm1_w"].T + vp.get("mm1_b", 0.0),
+                        approximate=False)
+        return g @ vp["mm2_w"].T + vp.get("mm2_b", 0.0)
     if vcfg.projector == "idefics3":
         s = vcfg.scale_factor
         g = feats.reshape(B, p_side, p_side, D)
@@ -144,8 +216,13 @@ def load_hf_vision(model_dir: Union[str, Path]
         cfg = json.load(f)
     v = cfg["vision_config"]
     mt = cfg.get("model_type", "gemma3")
-    projector = "idefics3" if mt in ("idefics3", "smolvlm") else "gemma3"
-    scale = int(cfg.get("scale_factor", 2))
+    if mt in ("idefics3", "smolvlm"):
+        projector = "idefics3"
+    elif mt in ("mistral3", "pixtral"):
+        projector = "mistral3"
+    else:
+        projector = "gemma3"
+    scale = int(cfg.get("scale_factor", cfg.get("spatial_merge_size", 2)))
     p_side = v["image_size"] // v["patch_size"]
     vcfg = VisionConfig(
         image_size=v["image_size"], patch_size=v["patch_size"],
@@ -154,15 +231,18 @@ def load_hf_vision(model_dir: Union[str, Path]
         num_attention_heads=v["num_attention_heads"],
         layer_norm_eps=v.get("layer_norm_eps", 1e-6),
         mm_tokens_per_image=(
-            (p_side // scale) ** 2 if projector == "idefics3"
+            (p_side // scale) ** 2 if projector in ("idefics3", "mistral3")
             else cfg.get("mm_tokens_per_image", 256)),
         projector=projector, scale_factor=scale,
+        rope_theta=float(v.get("rope_theta", 10000.0)),
     )
     flat = {}
     for name, arr in _iter_safetensors(model_dir):
         if name.startswith("model."):
             name = name[len("model."):]
         flat[name] = jnp.asarray(_to_f32(np.asarray(arr)))
+    if projector == "mistral3":
+        return _load_hf_pixtral(flat, vcfg), vcfg
     pre = ("vision_model." if projector == "idefics3"
            else "vision_tower.vision_model.")
     vp: Dict[str, Any] = {
@@ -204,6 +284,40 @@ def load_hf_vision(model_dir: Union[str, Path]
     return vp, vcfg
 
 
+def _load_hf_pixtral(flat: Dict[str, Any], vcfg: VisionConfig
+                     ) -> Dict[str, Any]:
+    pre = "vision_tower."
+    vp: Dict[str, Any] = {
+        "patch_w": flat[pre + "patch_conv.weight"],
+        "patch_b": flat.get(pre + "patch_conv.bias"),
+        "pre_ln_w": flat[pre + "ln_pre.weight"],
+        "input_norm_w": flat["multi_modal_projector.norm.weight"],
+        "patch_merger_w":
+            flat["multi_modal_projector.patch_merger.merging_layer.weight"],
+        "mm1_w": flat["multi_modal_projector.linear_1.weight"],
+        "mm2_w": flat["multi_modal_projector.linear_2.weight"],
+        "layers": [],
+    }
+    for opt, key in (("mm1_b", "multi_modal_projector.linear_1.bias"),
+                     ("mm2_b", "multi_modal_projector.linear_2.bias")):
+        if key in flat:
+            vp[opt] = flat[key]
+    for i in range(vcfg.num_hidden_layers):
+        p = f"{pre}transformer.layers.{i}."
+        vp["layers"].append({
+            "q_w": flat[p + "attention.q_proj.weight"],
+            "k_w": flat[p + "attention.k_proj.weight"],
+            "v_w": flat[p + "attention.v_proj.weight"],
+            "o_w": flat[p + "attention.o_proj.weight"],
+            "ln1_w": flat[p + "attention_norm.weight"],
+            "ln2_w": flat[p + "ffn_norm.weight"],
+            "gate_w": flat[p + "feed_forward.gate_proj.weight"],
+            "up_w": flat[p + "feed_forward.up_proj.weight"],
+            "down_w": flat[p + "feed_forward.down_proj.weight"],
+        })
+    return vp
+
+
 def load_mmproj_gguf(path: Union[str, Path]
                      ) -> Tuple[Dict[str, Any], VisionConfig]:
     """Vision tower + projector from an mmproj GGUF (export/mmproj.py)."""
@@ -211,14 +325,17 @@ def load_mmproj_gguf(path: Union[str, Path]
 
     r = GGUFReader(path)
     proj = r.get("clip.projector_type")
-    if proj not in ("gemma3", "idefics3"):
+    if proj not in ("gemma3", "idefics3", "pixtral"):
         raise NotImplementedError(
-            "vision serving supports the gemma3/idefics3 projectors, got "
-            f"{proj!r}")
+            "vision serving supports the gemma3/idefics3/pixtral "
+            f"projectors, got {proj!r}")
     n_side2 = (r.get("clip.vision.image_size")
                // r.get("clip.vision.patch_size"))
-    scale = r.get("clip.vision.projector.scale_factor",
-                  4 if proj == "gemma3" else 2)
+    if proj == "pixtral":
+        scale = r.get("clip.vision.spatial_merge_size", 2)
+    else:
+        scale = r.get("clip.vision.projector.scale_factor",
+                      4 if proj == "gemma3" else 2)
     vcfg = VisionConfig(
         image_size=int(r.get("clip.vision.image_size")),
         patch_size=int(r.get("clip.vision.patch_size")),
@@ -231,11 +348,38 @@ def load_mmproj_gguf(path: Union[str, Path]
         mm_tokens_per_image=(n_side2 // scale) ** 2,
         image_mean=tuple(r.get("clip.vision.image_mean", [0.5] * 3)),
         image_std=tuple(r.get("clip.vision.image_std", [0.5] * 3)),
-        projector=proj, scale_factor=int(scale),
+        projector="mistral3" if proj == "pixtral" else proj,
+        scale_factor=int(scale),
+        rope_theta=float(r.get("clip.vision.rope.freq_base", 10000.0)),
     )
 
     def t(name):
         return jnp.asarray(r.tensor_float(name))
+
+    if proj == "pixtral":
+        vp: Dict[str, Any] = {
+            "patch_w": t("v.patch_embd.weight"),
+            "pre_ln_w": t("v.pre_ln.weight"),
+            "input_norm_w": t("mm.input_norm.weight"),
+            "patch_merger_w": t("mm.patch_merger.weight"),
+            "mm1_w": t("mm.1.weight"),
+            "mm2_w": t("mm.2.weight"),
+            "layers": [],
+        }
+        for opt, key in (("mm1_b", "mm.1.bias"), ("mm2_b", "mm.2.bias")):
+            if key in r.tensors:
+                vp[opt] = t(key)
+        for i in range(vcfg.num_hidden_layers):
+            p = f"v.blk.{i}."
+            vp["layers"].append({
+                "q_w": t(p + "attn_q.weight"), "k_w": t(p + "attn_k.weight"),
+                "v_w": t(p + "attn_v.weight"), "o_w": t(p + "attn_out.weight"),
+                "ln1_w": t(p + "ln1.weight"), "ln2_w": t(p + "ln2.weight"),
+                "gate_w": t(p + "ffn_gate.weight"),
+                "up_w": t(p + "ffn_up.weight"),
+                "down_w": t(p + "ffn_down.weight"),
+            })
+        return vp, vcfg
 
     vp: Dict[str, Any] = {
         "patch_w": t("v.patch_embd.weight"),

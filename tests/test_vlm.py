@@ -233,3 +233,86 @@ def test_idefics3_mmproj_gguf_roundtrip(tiny_idefics):
     a = np.asarray(vlm.image_soft_tokens(vp_h, vc_h, pixels))
     b = np.asarray(vlm.image_soft_tokens(vp_g, vc_g, pixels))
     np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-3)
+
+
+@pytest.fixture(scope="module")
+def tiny_mistral3(tmp_path_factory):
+    from transformers import Mistral3Config, Mistral3ForConditionalGeneration
+
+    cfg = Mistral3Config(
+        text_config=dict(model_type="mistral", vocab_size=64, hidden_size=48,
+                         intermediate_size=64, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         rms_norm_eps=1e-6, max_position_embeddings=128,
+                         rope_theta=10000.0),
+        vision_config=dict(hidden_size=32, intermediate_size=48,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           image_size=56, patch_size=14, num_channels=3,
+                           rope_theta=10000.0, head_dim=8),
+        spatial_merge_size=2, image_token_index=62,
+        multimodal_projector_bias=False)
+    torch.manual_seed(29)
+    m = Mistral3ForConditionalGeneration(cfg).eval().float()
+    d = tmp_path_factory.mktemp("m3") / "hf"
+    m.save_pretrained(d, safe_serialization=True)
+    return d, m
+
+
+def test_mistral3_soft_tokens_match_hf(tiny_mistral3):
+    d, m = tiny_mistral3
+    vp, vcfg = vlm.load_hf_vision(d)
+    assert vcfg.projector == "mistral3"
+    assert vcfg.mm_tokens_per_image == 4
+    pixels = RNG.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    ours = np.asarray(vlm.image_soft_tokens(vp, vcfg, pixels))
+    with torch.no_grad():
+        vis = m.model.vision_tower(torch.from_numpy(pixels)).last_hidden_state
+        ref = m.model.multi_modal_projector(
+            vis.squeeze(0), torch.tensor([[56, 56]])).numpy()
+    np.testing.assert_allclose(ours.reshape(ref.shape), ref,
+                               rtol=2e-3, atol=3e-4)
+
+
+def test_mistral3_generate_matches_hf(tiny_mistral3):
+    import tempfile
+
+    from transformers import MistralForCausalLM
+
+    from gptq_gguf_tpu.models import loader
+
+    d, m = tiny_mistral3
+    vp, vcfg = vlm.load_hf_vision(d)
+    tm = MistralForCausalLM(m.config.text_config).eval().float()
+    tm.model.load_state_dict(m.model.language_model.state_dict())
+    tm.lm_head.load_state_dict(m.lm_head.state_dict())
+    with tempfile.TemporaryDirectory() as td:
+        tm.save_pretrained(td, safe_serialization=True)
+        cfg = loader.load_config(td)
+        params = loader.load_params(td, cfg)
+    img_tok = 62
+    base = RNG.integers(0, 56, size=(8,)).tolist()
+    ids = np.asarray(base[:2] + [img_tok] * 4 + base[2:], np.int64)
+    pixels = RNG.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        ref = m.generate(input_ids=torch.from_numpy(ids[None]),
+                         pixel_values=torch.from_numpy(pixels),
+                         image_sizes=torch.tensor([[56, 56]]),
+                         max_new_tokens=5, do_sample=False).numpy()[0]
+    got = vlm.generate_with_images(params, cfg, vp, vcfg, ids, pixels,
+                                   img_tok, max_new_tokens=5)
+    assert got == ref[len(ids):].tolist()
+
+
+def test_mistral3_mmproj_gguf_roundtrip(tiny_mistral3):
+    from gptq_gguf_tpu.export import mmproj
+
+    d, m = tiny_mistral3
+    out = mmproj.pack_mmproj(d, d.parent / "m3-mm.gguf")
+    vp_h, vc_h = vlm.load_hf_vision(d)
+    vp_g, vc_g = vlm.load_mmproj_gguf(out)
+    assert vc_g.projector == "mistral3"
+    assert vc_g.scale_factor == 2
+    pixels = RNG.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    a = np.asarray(vlm.image_soft_tokens(vp_h, vc_h, pixels))
+    b = np.asarray(vlm.image_soft_tokens(vp_g, vc_g, pixels))
+    np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-3)
