@@ -475,6 +475,7 @@ def run_serve(args):
 
         tokenizer = None
         eos_id = None
+        gg = None
         if args.tokenizer:
             from transformers import AutoTokenizer
 
@@ -499,6 +500,40 @@ def run_serve(args):
                     _Wrap.apply_chat_template = staticmethod(
                         gg.apply_chat_template)
                 tokenizer = _Wrap()
+        imager = None
+        if args.mmproj:
+            import io
+
+            import jax.numpy as jnp
+            from PIL import Image
+
+            from ..serving import vlm as vlm_mod
+
+            vp, vcfg = vlm_mod.load_mmproj_gguf(args.mmproj)
+            img_tok = args.image_token_id
+            if img_tok is None and gg is not None:
+                for cand in ("<start_of_image>", "<image_soft_token>",
+                             "<image>"):
+                    if cand in gg.vocab:
+                        img_tok = gg.vocab[cand]
+                        break
+            if img_tok is None:
+                raise SystemExit("--mmproj over HTTP needs --image-token-id "
+                                 "(or an image token in the GGUF vocab)")
+
+            def imager(blobs):
+                pix = []
+                for b in blobs:
+                    im = Image.open(io.BytesIO(b)).convert("RGB").resize(
+                        (vcfg.image_size, vcfg.image_size), Image.BILINEAR)
+                    x = np.asarray(im, np.float32) / 255.0
+                    x = ((x - np.asarray(vcfg.image_mean))
+                         / np.asarray(vcfg.image_std))
+                    pix.append(x.transpose(2, 0, 1))
+                soft = vlm_mod.image_soft_tokens(
+                    vp, vcfg, jnp.asarray(np.stack(pix)))
+                return (np.asarray(soft).reshape(-1, soft.shape[-1]),
+                        int(img_tok))
         if args.paged:
             eng = engine.PagedContinuousBatchingEngine(
                 params, cfg, num_slots=args.num_slots, max_len=args.max_len,
@@ -509,7 +544,8 @@ def run_serve(args):
                 params, cfg, num_slots=args.num_slots, max_len=args.max_len,
                 kv_quantized=args.kv_quantized, eos_token_id=eos_id,
             )
-        serve_http(eng, host=args.host, port=args.port, tokenizer=tokenizer)
+        serve_http(eng, host=args.host, port=args.port, tokenizer=tokenizer,
+                   imager=imager)
         return
 
     if args.benchmark:

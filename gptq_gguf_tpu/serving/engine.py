@@ -99,14 +99,16 @@ def _pad_prompt(prompt: np.ndarray, max_len: Optional[int] = None) -> Tuple[np.n
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def _prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache, slot,
-                  n_valid=None, start=0):
+                  n_valid=None, start=0, soft=None, soft_mask=None):
     """Prefill one slot with a (1, S) prompt; other slots untouched.
 
     prompt may be right-padded; n_valid is the true token count (defaults
     to S). Compiles once per padded bucket length. Works for both the bf16
     and the int8-quantized cache. ``start`` places the new tokens at
     positions start..start+S (prefix-cache reuse: the slot already holds
-    KV for the first ``start`` tokens of the request)."""
+    KV for the first ``start`` tokens of the request). ``soft``/``soft_mask``
+    ((1, S, H) / (1, S)) splice multimodal soft tokens over the embeddings
+    at the masked positions (VLM requests)."""
     S = prompt.shape[1]
     if n_valid is None:
         n_valid = jnp.full((1,), S, jnp.int32)
@@ -124,7 +126,9 @@ def _prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache, slot,
                                start)
     else:
         sub = KVCache(take(cache.k), take(cache.v), start)
-    logits, sub = qmodel.forward_cached(params, cfg, prompt, sub, n_valid=n_valid)
+    logits, sub = qmodel.forward_cached(
+        params, cfg, prompt, sub, n_valid=n_valid,
+        embeds_override=soft, override_mask=soft_mask)
 
     def put(full, subs):
         zero = jnp.zeros((), jnp.int32)
@@ -211,6 +215,10 @@ class Request:
     # one (chosen_logprob, top_ids, top_logprobs) triple per output token
     logprob_data: List[Tuple[float, List[int], List[float]]] = \
         dataclasses.field(default_factory=list)
+    # VLM: (n_soft, H) soft embeddings for the image-token positions of
+    # ``prompt`` (positions where prompt == soft_token_id)
+    soft_embeds: Optional[np.ndarray] = None
+    soft_token_id: Optional[int] = None
 
 
 class ContinuousBatchingEngine:
@@ -262,14 +270,17 @@ class ContinuousBatchingEngine:
 
     def submit(self, prompt: np.ndarray, max_new_tokens: int = 64,
                sampling_params: Optional[SamplingParams] = None,
-               logprobs: int = 0) -> int:
+               logprobs: int = 0,
+               soft_embeds: Optional[np.ndarray] = None,
+               soft_token_id: Optional[int] = None) -> int:
         self._uid += 1
         # the cache must hold at least one prompt token plus the new tokens
         max_new_tokens = min(max_new_tokens, self.max_len - 1)
         self.queue.append(Request(
             self._uid, np.asarray(prompt).reshape(-1), max_new_tokens,
             sampling=sampling_params or self.default_sampling,
-            logprobs=int(logprobs)))
+            logprobs=int(logprobs),
+            soft_embeds=soft_embeds, soft_token_id=soft_token_id))
         return self._uid
 
     @staticmethod
@@ -290,7 +301,9 @@ class ContinuousBatchingEngine:
         prompt = list(map(int, req.prompt[-keep:]))
         hist = self.slot_hist[slot]
         shared = 0
-        if hist:
+        if hist and req.soft_embeds is None:
+            # soft-token requests skip prefix reuse: equal image-token ids
+            # do not imply equal image embeddings
             limit = min(len(hist), len(prompt) - 1)
             while shared < limit and hist[shared] == prompt[shared]:
                 shared += 1
@@ -299,9 +312,21 @@ class ContinuousBatchingEngine:
             self.prefix_tokens_reused += shared
         remainder = np.asarray(prompt[shared:], dtype=np.int64)
         padded, n = _pad_prompt(remainder, self.max_len)
+        soft = soft_mask = None
+        if req.soft_embeds is not None:
+            mask = padded == req.soft_token_id
+            rows = np.asarray(req.soft_embeds, np.float32)
+            need = int(mask.sum())
+            if need != len(rows):
+                rows = rows[-need:]  # prompt tail-trim dropped leading ones
+            buf = np.zeros((len(padded), rows.shape[-1]), np.float32)
+            buf[mask] = rows
+            soft = jnp.asarray(buf)[None]
+            soft_mask = jnp.asarray(mask)[None]
         tok, logits, cache = _prefill_slot(
             self.params, self.cfg, jnp.asarray(padded)[None, :],
-            self.cache, slot, n, start=shared,
+            self.cache, slot, n, start=shared, soft=soft,
+            soft_mask=soft_mask,
         )
         self.cache = cache
         # the sampler row is reset on EVERY admit: a stale non-greedy row
@@ -506,7 +531,12 @@ class PagedContinuousBatchingEngine:
 
     def submit(self, prompt: np.ndarray, max_new_tokens: int = 64,
                sampling_params: Optional[SamplingParams] = None,
-               logprobs: int = 0) -> int:
+               logprobs: int = 0,
+               soft_embeds: Optional[np.ndarray] = None,
+               soft_token_id: Optional[int] = None) -> int:
+        if soft_embeds is not None:
+            raise NotImplementedError(
+                "soft-token (VLM) requests need the contiguous engine")
         self._uid += 1
         max_new_tokens = min(max_new_tokens, self.max_len - 1)
         self.queue.append(Request(

@@ -88,12 +88,15 @@ class EngineRunner:
 
     def submit(self, prompt: np.ndarray, max_new_tokens: int,
                sampling_params: Optional[SamplingParams] = None,
-               stream: bool = False, logprobs: int = 0) -> int:
+               stream: bool = False, logprobs: int = 0,
+               soft_embeds=None, soft_token_id=None) -> int:
         ev = threading.Event()
         with self.lock:
             uid = self.engine.submit(prompt, max_new_tokens,
                                      sampling_params=sampling_params,
-                                     logprobs=logprobs)
+                                     logprobs=logprobs,
+                                     soft_embeds=soft_embeds,
+                                     soft_token_id=soft_token_id)
             self.events[uid] = ev
             if stream:
                 self.streams[uid] = queue.Queue()
@@ -152,7 +155,8 @@ class EngineRunner:
                 time.sleep(self.poll_idle_s)
 
 
-def make_handler(runner: EngineRunner, tokenizer=None, embedder=None):
+def make_handler(runner: EngineRunner, tokenizer=None, embedder=None,
+                 imager=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -273,9 +277,42 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None):
             if not messages:
                 self._json(400, {"error": "need messages"})
                 return
+            # OpenAI multi-part content: extract data-URI images (VLM),
+            # flatten the text parts for the chat template
+            images = []
+            flat_msgs = []
+            for msg in messages:
+                content = msg.get("content")
+                if isinstance(content, list):
+                    texts = []
+                    for part in content:
+                        if part.get("type") == "image_url":
+                            url = part["image_url"]["url"]
+                            if not url.startswith("data:"):
+                                self._json(400, {"error":
+                                           "only data: image URLs supported"})
+                                return
+                            import base64
+
+                            images.append(base64.b64decode(
+                                url.split(",", 1)[1]))
+                        elif part.get("type") == "text":
+                            texts.append(part.get("text", ""))
+                    msg = {**msg, "content": "".join(texts)}
+                flat_msgs.append(msg)
+            if images and imager is None:
+                self._json(400, {"error": "no vision tower loaded "
+                                          "(serve --mmproj)"})
+                return
             text = tokenizer.apply_chat_template(
-                messages, add_generation_prompt=True, tokenize=False)
+                flat_msgs, add_generation_prompt=True, tokenize=False)
             prompt = np.asarray(tokenizer(text)["input_ids"], np.int64)
+            soft_embeds = soft_tok = None
+            if images:
+                soft_embeds, soft_tok = imager(images)
+                n_soft = soft_embeds.shape[0]
+                prompt = np.concatenate([
+                    np.full((n_soft,), soft_tok, np.int64), prompt])
             max_new = int(req.get("max_tokens", req.get("max_new_tokens", 128)))
             sp = _sampling_from_json(req)
             stops = req.get("stop") or []
@@ -285,9 +322,12 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None):
                 else 0
             t0 = time.time()
             if req.get("stream"):
-                self._chat_stream(req, prompt, max_new, sp, stops, t0)
+                self._chat_stream(req, prompt, max_new, sp, stops, t0,
+                                  soft_embeds, soft_tok)
                 return
-            uid = runner.submit(prompt, max_new, sp, logprobs=want_lp)
+            uid = runner.submit(prompt, max_new, sp, logprobs=want_lp,
+                                soft_embeds=soft_embeds,
+                                soft_token_id=soft_tok)
             result = runner.wait(uid, timeout=float(req.get("timeout_s", 600)))
             out_tokens = list(result.output)
             finish = result.finish_reason or "length"
@@ -398,11 +438,14 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None):
                           "total_tokens": n_tokens},
             })
 
-        def _chat_stream(self, req, prompt, max_new, sp, stops, t0):
+        def _chat_stream(self, req, prompt, max_new, sp, stops, t0,
+                         soft_embeds=None, soft_tok=None):
             """OpenAI chat.completion.chunk SSE stream. Text already decoded
             is held back by max(len(stop))-1 chars so a stop string straddling
             two chunks is never partially emitted."""
-            uid = runner.submit(prompt, max_new, sp, stream=True)
+            uid = runner.submit(prompt, max_new, sp, stream=True,
+                                soft_embeds=soft_embeds,
+                                soft_token_id=soft_tok)
             q = runner.stream_queue(uid)
             eos = getattr(runner.engine, "eos", None)
             base = {"id": f"chatcmpl-{uid}", "object": "chat.completion.chunk",
@@ -453,12 +496,13 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None):
 
 
 def serve_http(engine, host: str = "127.0.0.1", port: int = 8080,
-               tokenizer=None, block: bool = True, embedder=None):
+               tokenizer=None, block: bool = True, embedder=None,
+               imager=None):
     """Start the engine thread + HTTP server. Returns (server, runner) when
     block=False (caller shuts down via server.shutdown(); runner.stop())."""
     runner = EngineRunner(engine).start()
     server = ThreadingHTTPServer(
-        (host, port), make_handler(runner, tokenizer, embedder))
+        (host, port), make_handler(runner, tokenizer, embedder, imager))
     if not block:
         threading.Thread(target=server.serve_forever, daemon=True).start()
         return server, runner

@@ -316,3 +316,85 @@ def test_mistral3_mmproj_gguf_roundtrip(tiny_mistral3):
     a = np.asarray(vlm.image_soft_tokens(vp_h, vc_h, pixels))
     b = np.asarray(vlm.image_soft_tokens(vp_g, vc_g, pixels))
     np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-3)
+
+
+def test_vlm_http_chat(tiny_vlm, tmp_path):
+    """VLM over HTTP: chat messages with a data-URI image splice the soft
+    tokens through the continuous-batching engine (token parity with the
+    in-process path)."""
+    import base64
+    import io
+    import urllib.request
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gptq_gguf_tpu.models import loader
+    from gptq_gguf_tpu.serving import engine as eng_mod
+    from gptq_gguf_tpu.serving import server as server_mod
+    from gptq_gguf_tpu.serving.tokenizer import GGUFTokenizer
+
+    d, td, m = tiny_vlm
+    vp, vcfg = vlm.load_hf_vision(d)
+    cfg = loader.load_config(td)
+    params = loader.load_params(td, cfg)
+
+    alphabet = [chr(ord("A") + i) for i in range(64)]
+    tmpl = "{% for m in messages %}{{ m.content }}{% endfor %}"
+    gg = GGUFTokenizer("gpt2", alphabet, merges=[], chat_template=tmpl)
+
+    class _Wrap:
+        def __call__(self, text):
+            return {"input_ids": gg.encode(text)}
+
+        def decode(self, ids):
+            return gg.decode(ids)
+
+        apply_chat_template = staticmethod(gg.apply_chat_template)
+
+    img_file = io.BytesIO()
+    Image.fromarray((RNG.random((56, 56, 3)) * 255).astype(np.uint8)).save(
+        img_file, format="PNG")
+    blob = img_file.getvalue()
+
+    def imager(blobs):
+        pix = []
+        for b in blobs:
+            im = Image.open(io.BytesIO(b)).convert("RGB").resize(
+                (56, 56), Image.BILINEAR)
+            x = (np.asarray(im, np.float32) / 255.0 - 0.5) / 0.5
+            pix.append(x.transpose(2, 0, 1))
+        soft = vlm.image_soft_tokens(vp, vcfg, jnp.asarray(np.stack(pix)))
+        return np.asarray(soft).reshape(-1, soft.shape[-1]), IMG_TOK
+
+    eng = eng_mod.ContinuousBatchingEngine(params, cfg, num_slots=2,
+                                           max_len=64)
+    server, runner = server_mod.serve_http(eng, port=0, tokenizer=_Wrap(),
+                                           block=False, imager=imager)
+    try:
+        addr = server.server_address
+        payload = {"messages": [{"role": "user", "content": [
+            {"type": "image_url",
+             "image_url": {"url": "data:image/png;base64,"
+                           + base64.b64encode(blob).decode()}},
+            {"type": "text", "text": "BCD"},
+        ]}], "max_tokens": 5}
+        req = urllib.request.Request(
+            f"http://{addr[0]}:{addr[1]}/v1/chat/completions",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        # reference: the in-process path on the same pixels + prompt
+        soft, _ = imager([blob])
+        ids = np.concatenate([np.full((4,), IMG_TOK, np.int64),
+                              np.asarray(gg.encode("BCD"), np.int64)])
+        pix = ((np.asarray(Image.open(io.BytesIO(blob)).convert("RGB")
+                           .resize((56, 56), Image.BILINEAR), np.float32)
+                / 255.0 - 0.5) / 0.5).transpose(2, 0, 1)[None]
+        ref = vlm.generate_with_images(params, cfg, vp, vcfg, ids, pix,
+                                       IMG_TOK, max_new_tokens=5)
+        assert out["choices"][0]["message"]["content"] == gg.decode(ref)
+    finally:
+        server.shutdown()
+        runner.stop()
