@@ -51,16 +51,17 @@ def _sample_step(params, cfg: LlamaConfig, tokens, cache, key, temperature):
 
 @functools.partial(jax.jit, static_argnames=("cfg",),
                    donate_argnames=("sampler",))
-def _sampled_decode_step(params, cfg: LlamaConfig, tokens, cache, key,
+def _sampled_decode_step(params, cfg: LlamaConfig, tokens, cache,
                          sampler: sampling.SlotSampling):
     """Decode step through the per-slot sampler chain. The fed tokens are
     counted here (each generated token is fed exactly once; prompt tokens
-    were counted at admit), keeping the penalty state on device."""
+    were counted at admit), keeping the penalty state — and the per-slot
+    PRNG keys (SamplingParams.seed reproducibility) — on device."""
     counts = sampler.counts.at[
         jnp.arange(tokens.shape[0]), tokens].add(1)
     sampler = sampler._replace(counts=counts)
     logits, cache = qmodel.forward_cached(params, cfg, tokens[:, None], cache)
-    next_tokens = sampling.sample(logits, sampler, key)
+    next_tokens, sampler = sampling.sample_step(logits, sampler)
     return next_tokens, logits, sampler, cache
 
 
@@ -253,6 +254,7 @@ class ContinuousBatchingEngine:
             SamplingParams(temperature=temperature) if temperature > 0
             else GREEDY)
         self.key = jax.random.PRNGKey(seed)
+        self._seed_base = seed * 1000003  # per-request fallback seeds
         self.sampler = sampling.init_state(num_slots, cfg.vocab_size)
         self.cache = qmodel.init_cache(cfg, num_slots, max_len, dtype=jnp.bfloat16,
                                        quantized=kv_quantized)
@@ -333,11 +335,12 @@ class ContinuousBatchingEngine:
         # would otherwise leak into a later trivial request through the
         # batched sampled-decode program
         self.sampler = sampling.set_slot(
-            self.sampler, slot, req.sampling, np.asarray(prompt))
+            self.sampler, slot, req.sampling, np.asarray(prompt),
+            fallback_seed=self._seed_base + req.uid)
         if not req.sampling.is_greedy:
             # the first generated token must honor the sampler too
-            self.key, sub = jax.random.split(self.key)
-            tok = sampling.sample_slot(logits, self.sampler, slot, sub)
+            tok, self.sampler = sampling.sample_slot(
+                logits, self.sampler, slot)
         self.tokens = self.tokens.at[slot].set(tok)
         req.output.append(int(tok))
         if req.logprobs:
@@ -378,10 +381,8 @@ class ContinuousBatchingEngine:
             return 0
         fed = np.asarray(self.tokens)  # decode inputs land in the KV cache
         if any(not self.slot_req[s].sampling.is_trivial for s in active):
-            self.key, sub = jax.random.split(self.key)
             self.tokens, logits, self.sampler, self.cache = _sampled_decode_step(
-                self.params, self.cfg, self.tokens, self.cache, sub,
-                self.sampler
+                self.params, self.cfg, self.tokens, self.cache, self.sampler
             )
         else:
             self.tokens, logits, self.cache = _decode_step(
@@ -456,14 +457,14 @@ def _paged_decode_step(params, cfg: LlamaConfig, tokens: jax.Array, cache):
 
 @functools.partial(jax.jit, static_argnames=("cfg",),
                    donate_argnames=("cache", "sampler"))
-def _paged_sampled_decode_step(params, cfg: LlamaConfig, tokens, cache, key,
+def _paged_sampled_decode_step(params, cfg: LlamaConfig, tokens, cache,
                                sampler: sampling.SlotSampling):
     from . import paged
 
     counts = sampler.counts.at[jnp.arange(tokens.shape[0]), tokens].add(1)
     sampler = sampler._replace(counts=counts)
     logits, cache = paged.forward_paged(params, cfg, tokens[:, None], cache)
-    next_tokens = sampling.sample(logits, sampler, key)
+    next_tokens, sampler = sampling.sample_step(logits, sampler)
     return next_tokens, logits, sampler, cache
 
 
@@ -519,6 +520,7 @@ class PagedContinuousBatchingEngine:
         self.page_size = page_size
         self.eos = eos_token_id
         self.key = jax.random.PRNGKey(seed)
+        self._seed_base = seed * 1000003
         self.sampler = sampling.init_state(num_slots, cfg.vocab_size)
         self.cache = paged.init_paged_cache(cfg, num_slots, max_len, page_size, n_pages)
         self.alloc = paged.PageAllocator(self.cache.k_pages[0].shape[0])
@@ -575,10 +577,11 @@ class PagedContinuousBatchingEngine:
                 )
                 self.cache = cache
                 self.sampler = sampling.set_slot(
-                    self.sampler, slot, req.sampling, np.asarray(prompt))
+                    self.sampler, slot, req.sampling, np.asarray(prompt),
+                    fallback_seed=self._seed_base + req.uid)
                 if not req.sampling.is_greedy:
-                    self.key, sub = jax.random.split(self.key)
-                    tok = sampling.sample_slot(logits, self.sampler, slot, sub)
+                    tok, self.sampler = sampling.sample_slot(
+                        logits, self.sampler, slot)
                 self.tokens = self.tokens.at[slot].set(tok)
                 req.output.append(int(tok))
                 if req.logprobs:
@@ -612,10 +615,9 @@ class PagedContinuousBatchingEngine:
         if not active:
             return 0
         if any(not self.slot_req[s].sampling.is_trivial for s in active):
-            self.key, sub = jax.random.split(self.key)
             self.tokens, logits, self.sampler, self.cache = \
                 _paged_sampled_decode_step(
-                    self.params, self.cfg, self.tokens, self.cache, sub,
+                    self.params, self.cfg, self.tokens, self.cache,
                     self.sampler
                 )
         else:

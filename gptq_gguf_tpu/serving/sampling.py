@@ -27,14 +27,14 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["SamplingParams", "GREEDY", "SlotSampling", "init_state",
-           "set_slot", "sample", "sample_slot"]
+           "set_slot", "sample", "sample_step", "sample_slot"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +48,7 @@ class SamplingParams:
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     repetition_penalty: float = 1.0
+    seed: Optional[int] = None  # per-request RNG seed (reproducible sampling)
 
     @property
     def is_greedy(self) -> bool:
@@ -75,6 +76,7 @@ class SlotSampling(NamedTuple):
     frequency: jax.Array    # (B,) f32
     repetition: jax.Array   # (B,) f32
     counts: jax.Array       # (B, V) i32 token counts (prompt + generated)
+    keys: jax.Array         # (B, 2) u32 per-slot PRNG keys (seeded at admit)
 
 
 def init_state(num_slots: int, vocab_size: int) -> SlotSampling:
@@ -87,12 +89,14 @@ def init_state(num_slots: int, vocab_size: int) -> SlotSampling:
         presence=z(), frequency=z(),
         repetition=jnp.ones((num_slots,), jnp.float32),
         counts=jnp.zeros((num_slots, vocab_size), jnp.int32),
+        keys=jnp.zeros((num_slots, 2), jnp.uint32),
     )
 
 
 @functools.partial(jax.jit, donate_argnames=("state",))
 def _set_slot(state: SlotSampling, slot, temp, top_k, top_p, min_p,
-              presence, frequency, repetition, counts_row) -> SlotSampling:
+              presence, frequency, repetition, counts_row,
+              key_row) -> SlotSampling:
     return SlotSampling(
         temperature=state.temperature.at[slot].set(temp),
         top_k=state.top_k.at[slot].set(top_k),
@@ -102,41 +106,70 @@ def _set_slot(state: SlotSampling, slot, temp, top_k, top_p, min_p,
         frequency=state.frequency.at[slot].set(frequency),
         repetition=state.repetition.at[slot].set(repetition),
         counts=state.counts.at[slot].set(counts_row),
+        keys=state.keys.at[slot].set(key_row),
     )
 
 
 def set_slot(state: SlotSampling, slot: int, sp: SamplingParams,
-             prompt: Optional[np.ndarray] = None) -> SlotSampling:
+             prompt: Optional[np.ndarray] = None,
+             fallback_seed: int = 0) -> SlotSampling:
     """Reset one slot's row for a newly admitted request (single jitted
-    dispatch — eager per-field updates cost ~15ms each over the relay)."""
+    dispatch — eager per-field updates cost ~15ms each over the relay).
+    The slot's PRNG key comes from sp.seed (reproducible sampling) or
+    fallback_seed (engine-assigned, e.g. the request uid)."""
     V = state.counts.shape[1]
     counts = np.zeros((V,), np.int32)
     if prompt is not None and len(prompt):
         counts = np.bincount(
             np.asarray(prompt, np.int64) % V, minlength=V).astype(np.int32)
+    seed = sp.seed if sp.seed is not None else fallback_seed
+    key_row = np.asarray(
+        jax.random.key_data(jax.random.PRNGKey(seed)), np.uint32)
     return _set_slot(
         state, slot, np.float32(sp.temperature), np.int32(sp.top_k),
         np.float32(sp.top_p), np.float32(sp.min_p),
         np.float32(sp.presence_penalty), np.float32(sp.frequency_penalty),
-        np.float32(sp.repetition_penalty), counts)
+        np.float32(sp.repetition_penalty), counts, key_row)
 
 
-@jax.jit
-def sample_slot(logits_row: jax.Array, state: SlotSampling, slot,
-                key: jax.Array) -> jax.Array:
-    """Sample one token for a single slot (used for the prefill's first
-    generated token, which otherwise would always be the argmax)."""
+@functools.partial(jax.jit, donate_argnames=("state",))
+def sample_slot(logits_row: jax.Array, state: SlotSampling, slot
+                ) -> Tuple[jax.Array, SlotSampling]:
+    """Sample one token for a single slot using (and advancing) its own
+    key (the prefill's first generated token, which otherwise would always
+    be the argmax)."""
+    new_key, use = jax.random.split(state.keys[slot])
     one = jax.tree_util.tree_map(
         lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0), state)
-    return sample(logits_row[None, :], one, key)[0]
+    tok = sample(logits_row[None, :], one, use)[0]
+    return tok, state._replace(keys=state.keys.at[slot].set(new_key))
+
+
+def sample_step(logits: jax.Array, state: SlotSampling
+                ) -> Tuple[jax.Array, SlotSampling]:
+    """One decode-time sampling step driven by the per-slot keys
+    (reproducible per request via SamplingParams.seed). Returns
+    ((B,) tokens, state with advanced keys)."""
+    splits = jax.vmap(jax.random.split)(state.keys)  # (B, 2, 2)
+    masked, penalized, greedy = _chain(logits, state)
+    sampled = jax.vmap(jax.random.categorical)(splits[:, 1], masked)
+    toks = jnp.where(greedy, jnp.argmax(penalized, axis=-1),
+                     sampled).astype(jnp.int32)
+    return toks, state._replace(keys=splits[:, 0])
 
 
 def sample(logits: jax.Array, state: SlotSampling, key: jax.Array) -> jax.Array:
-    """One sampling step over (B, V) logits. Returns (B,) int32 tokens.
+    """One sampling step over (B, V) logits with a single shared key.
+    Returns (B,) int32 tokens. Pure function of the arrays."""
+    masked, penalized, greedy = _chain(logits, state)
+    sampled = jax.random.categorical(key, masked, axis=-1)
+    return jnp.where(greedy, jnp.argmax(penalized, axis=-1),
+                     sampled).astype(jnp.int32)
 
-    Pure function of the arrays — call it from inside the engine's jitted
-    decode step so the whole thing stays one XLA program.
-    """
+
+def _chain(logits: jax.Array, state: SlotSampling):
+    """The sampler chain up to (but excluding) the random draw: returns
+    (masked scaled logits, penalized logits, per-row greedy flags)."""
     V = logits.shape[-1]
     l = logits.astype(jnp.float32)
     counts = state.counts.astype(jnp.float32)
@@ -168,5 +201,4 @@ def sample(logits: jax.Array, state: SlotSampling, key: jax.Array) -> jax.Array:
                   + jnp.log(jnp.maximum(state.min_p, 1e-38))[:, None])
 
     masked = jnp.where(keep, s, jnp.finfo(jnp.float32).min)
-    sampled = jax.random.categorical(key, masked, axis=-1)
-    return jnp.where(greedy, jnp.argmax(l, axis=-1), sampled).astype(jnp.int32)
+    return masked, l, greedy

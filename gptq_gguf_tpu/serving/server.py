@@ -45,7 +45,7 @@ from .sampling import SamplingParams
 
 def _sampling_from_json(req: Dict[str, Any]) -> Optional[SamplingParams]:
     keys = ("temperature", "top_k", "top_p", "min_p", "presence_penalty",
-            "frequency_penalty", "repetition_penalty")
+            "frequency_penalty", "repetition_penalty", "seed")
     if not any(k in req for k in keys):
         return None
     return SamplingParams(
@@ -56,6 +56,7 @@ def _sampling_from_json(req: Dict[str, Any]) -> Optional[SamplingParams]:
         presence_penalty=float(req.get("presence_penalty", 0.0)),
         frequency_penalty=float(req.get("frequency_penalty", 0.0)),
         repetition_penalty=float(req.get("repetition_penalty", 1.0)),
+        seed=int(req["seed"]) if req.get("seed") is not None else None,
     )
 
 
@@ -325,42 +326,56 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None,
                 self._chat_stream(req, prompt, max_new, sp, stops, t0,
                                   soft_embeds, soft_tok)
                 return
-            uid = runner.submit(prompt, max_new, sp, logprobs=want_lp,
-                                soft_embeds=soft_embeds,
-                                soft_token_id=soft_tok)
-            result = runner.wait(uid, timeout=float(req.get("timeout_s", 600)))
-            out_tokens = list(result.output)
-            finish = result.finish_reason or "length"
+            import dataclasses as _dc
+
+            n = max(1, int(req.get("n", 1)))
+            uids = []
+            for i in range(n):
+                sp_i = sp
+                if n > 1 and sp is not None and sp.seed is not None:
+                    sp_i = _dc.replace(sp, seed=sp.seed + i)  # distinct draws
+                uids.append(runner.submit(
+                    prompt, max_new, sp_i, logprobs=want_lp,
+                    soft_embeds=soft_embeds, soft_token_id=soft_tok))
+            timeout = float(req.get("timeout_s", 600))
+            results = [runner.wait(u, timeout=timeout) for u in uids]
             eos = getattr(runner.engine, "eos", None)
-            if eos is not None and out_tokens and out_tokens[-1] == eos:
-                out_tokens = out_tokens[:-1]
-            content = tokenizer.decode(out_tokens)
-            for s in stops:
-                i = content.find(s)
-                if i >= 0:
-                    content, finish = content[:i], "stop"
-            choice: Dict[str, Any] = {
-                "index": 0,
-                "message": {"role": "assistant", "content": content},
-                "finish_reason": finish,
-            }
-            if result.logprob_data:
-                choice["logprobs"] = {"content": [
-                    {"token": tokenizer.decode([t]), "logprob": d[0],
-                     "top_logprobs": [
-                         {"token": tokenizer.decode([i]), "logprob": v}
-                         for i, v in zip(d[1], d[2])]}
-                    for t, d in zip(result.output, result.logprob_data)]}
+            choices = []
+            total_out = 0
+            for idx, result in enumerate(results):
+                out_tokens = list(result.output)
+                total_out += len(out_tokens)
+                finish = result.finish_reason or "length"
+                if eos is not None and out_tokens and out_tokens[-1] == eos:
+                    out_tokens = out_tokens[:-1]
+                content = tokenizer.decode(out_tokens)
+                for s in stops:
+                    i = content.find(s)
+                    if i >= 0:
+                        content, finish = content[:i], "stop"
+                choice: Dict[str, Any] = {
+                    "index": idx,
+                    "message": {"role": "assistant", "content": content},
+                    "finish_reason": finish,
+                }
+                if result.logprob_data:
+                    choice["logprobs"] = {"content": [
+                        {"token": tokenizer.decode([t]), "logprob": d[0],
+                         "top_logprobs": [
+                             {"token": tokenizer.decode([i]), "logprob": v}
+                             for i, v in zip(d[1], d[2])]}
+                        for t, d in zip(result.output, result.logprob_data)]}
+                choices.append(choice)
             self._json(200, {
-                "id": f"chatcmpl-{result.uid}",
+                "id": f"chatcmpl-{results[0].uid}",
                 "object": "chat.completion",
                 "created": int(t0),
                 "model": req.get("model", "gptq-gguf-tpu"),
-                "choices": [choice],
+                "choices": choices,
                 "usage": {
                     "prompt_tokens": int(prompt.size),
-                    "completion_tokens": len(result.output),
-                    "total_tokens": int(prompt.size) + len(result.output),
+                    "completion_tokens": total_out,
+                    "total_tokens": int(prompt.size) + total_out,
                 },
             })
 

@@ -114,9 +114,72 @@ def test_mixed_batch_greedy_rows_deterministic():
 def test_sample_slot_matches_row():
     logits = RNG.normal(size=(3, 16)).astype(np.float32)
     st = _state([GREEDY, SamplingParams(temperature=1.0, top_k=1), GREEDY], 16)
-    tok = sampling.sample_slot(jnp.asarray(logits[1]), st, 1,
-                               jax.random.PRNGKey(0))
+    tok, st2 = sampling.sample_slot(jnp.asarray(logits[1]), st, 1)
     assert int(tok) == int(logits[1].argmax())
+    # the sampled slot's key advanced; the others are untouched
+    assert not np.array_equal(np.asarray(st2.keys[1]), np.zeros(2))
+
+
+def test_seed_reproducibility(tiny_model):
+    """SamplingParams.seed makes sampled generation reproducible across
+    engines and request order; different seeds diverge."""
+    cfg, params = tiny_model
+
+    def run(seed, engine_seed):
+        eng = eng_mod.ContinuousBatchingEngine(
+            params, cfg, num_slots=2, max_len=64, seed=engine_seed)
+        uid = eng.submit(np.arange(5), 8, sampling_params=SamplingParams(
+            temperature=1.5, seed=seed))
+        return {r.uid: r for r in eng.run_until_done()}[uid].output
+
+    a = run(7, engine_seed=0)
+    b = run(7, engine_seed=123)  # engine seed must not matter
+    c = run(8, engine_seed=0)
+    assert a == b
+    assert a != c  # overwhelmingly likely at temperature 1.5
+
+
+def test_chat_n_choices(tiny_model):
+    import urllib.request
+
+    from gptq_gguf_tpu.serving import server as server_mod
+    from gptq_gguf_tpu.serving.tokenizer import GGUFTokenizer
+
+    cfg, params = tiny_model
+    tmpl = "{% for m in messages %}{{ m.content }}{% endfor %}"
+    gg = GGUFTokenizer("gpt2", [chr(ord("A") + i) for i in range(64)],
+                       merges=[], chat_template=tmpl)
+
+    class _Wrap:
+        def __call__(self, text):
+            return {"input_ids": gg.encode(text)}
+
+        def decode(self, ids):
+            return gg.decode(ids)
+
+        apply_chat_template = staticmethod(gg.apply_chat_template)
+
+    eng = eng_mod.ContinuousBatchingEngine(params, cfg, num_slots=4, max_len=64)
+    server, runner = server_mod.serve_http(eng, port=0, tokenizer=_Wrap(),
+                                           block=False)
+    try:
+        addr = server.server_address
+        req = urllib.request.Request(
+            f"http://{addr[0]}:{addr[1]}/v1/chat/completions",
+            data=json.dumps({"messages": [{"role": "user", "content": "BC"}],
+                             "max_tokens": 5, "n": 3,
+                             "temperature": 1.0, "seed": 5}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+        assert out["usage"]["completion_tokens"] >= 3
+        # seeds offset per choice: not all three identical (overwhelmingly)
+        texts = [c["message"]["content"] for c in out["choices"]]
+        assert len(set(texts)) >= 2
+    finally:
+        server.shutdown()
+        runner.stop()
 
 
 @pytest.fixture(scope="module")
