@@ -4,7 +4,7 @@ Subcommands map 1:1 onto the reference's CLI entry points (SURVEY.md §1):
 quantize (quant.py), pack (pack_gptq_into_gguf.py), split (gguf_splitter),
 stitch (gguf_stitcher), convert-config (config_converter), build-db
 (build_ep_database.sh), search (evo_quant_search), ppl (ppleval),
-serve (new TPU serving engine).
+serve (new TPU serving engine), embed (encoder embeddings).
 """
 
 import argparse
