@@ -455,6 +455,12 @@ def build_serve(p: argparse.ArgumentParser):
     p.add_argument("--image-token-id", type=int, default=None,
                    help="decoder vocab id reserved for image soft tokens "
                         "(default: looked up from the GGUF tokenizer)")
+    p.add_argument("--audio", default=None,
+                   help="audio file (16 kHz mono PCM16 .wav, or a .npy of "
+                        "precomputed log-mel features); soft tokens are "
+                        "spliced in front of the prompt")
+    p.add_argument("--audio-token-id", type=int, default=None,
+                   help="decoder vocab id reserved for audio soft tokens")
 
 
 def run_serve(args):
@@ -598,6 +604,59 @@ def run_serve(args):
         prompt = np.asarray(gg.encode(args.prompt), dtype=np.int64)
     else:
         prompt = np.asarray([1, 2, 3, 4], dtype=np.int64)
+    if args.audio:
+        from ..serving import audio as audio_mod
+
+        if not args.mmproj:
+            raise SystemExit("--audio needs --mmproj <audio-tower.gguf>")
+        with timer.stage("load_mmproj"):
+            ap, acfg = audio_mod.load_mmproj_audio_gguf(args.mmproj)
+        aud_tok = args.audio_token_id
+        if aud_tok is None:
+            if gg is None:
+                from ..formats.gguf import GGUFReader
+                from ..serving import tokenizer as gtok
+
+                gg = gtok.from_gguf(GGUFReader(args.gguf_file))
+            for cand in ("<|AUDIO|>", "<audio>", "<|audio_pad|>"):
+                if gg is not None and cand in gg.vocab:
+                    aud_tok = gg.vocab[cand]
+                    break
+            if aud_tok is None:
+                raise SystemExit("pass --audio-token-id (no audio token "
+                                 "found in the GGUF vocab)")
+        if args.audio.endswith(".npy"):
+            mel = np.load(args.audio)
+        else:
+            import wave
+
+            with wave.open(args.audio) as w:
+                assert w.getnchannels() == 1 and w.getsampwidth() == 2, \
+                    "expect 16 kHz mono PCM16 .wav"
+                pcm = np.frombuffer(w.readframes(w.getnframes()),
+                                    np.int16).astype(np.float32) / 32768.0
+            from transformers import WhisperFeatureExtractor
+
+            fe = WhisperFeatureExtractor(feature_size=acfg.num_mel_bins)
+            mel = fe(pcm, sampling_rate=16000,
+                     return_tensors="np")["input_features"]
+        if mel.ndim == 2:
+            mel = mel[None]
+        n_soft = mel.shape[-1] // 4  # conv2 stride 2 then x2 pool
+        ids = np.concatenate([
+            np.full((n_soft,), aud_tok, np.int64), prompt])
+        with profile_trace(args.profile_dir), timer.stage("generate"):
+            t0 = time.time()
+            out = audio_mod.generate_with_audio(
+                params, cfg, ap, acfg, ids, mel.astype(np.float32),
+                int(aud_tok), max_new_tokens=args.max_new_tokens)
+            dt = time.time() - t0
+        print(f"generated {len(out)} tokens in {dt:.2f}s "
+              f"({len(out) / dt:.1f} tok/s)")
+        print(out)
+        if gg is not None:
+            print(repr(gg.decode(out)))
+        return
     if args.image:
         from ..serving import vlm
 

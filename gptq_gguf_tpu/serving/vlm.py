@@ -435,27 +435,22 @@ def _vlm_prefill(params, cfg: LlamaConfig, ids, cache, soft, mask):
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
 
-def generate_with_images(
-    params, cfg: LlamaConfig, vp, vcfg: VisionConfig,
-    input_ids: np.ndarray, pixel_values: np.ndarray,
-    image_token_id: int, max_new_tokens: int = 32,
+def generate_with_soft_tokens(
+    params, cfg: LlamaConfig, input_ids: np.ndarray, soft: jax.Array,
+    token_id: int, max_new_tokens: int = 32,
     eos_token_id: Optional[int] = None, max_len: Optional[int] = None,
 ) -> List[int]:
-    """Greedy generation with images spliced at the image-token positions.
-
-    input_ids: (S,) containing n_images * mm_tokens_per_image occurrences of
-    image_token_id; pixel_values: (n_images, 3, S, S) normalized.
-    """
+    """Greedy generation with (n_soft, H) soft embeddings spliced at the
+    positions where input_ids == token_id."""
     ids = np.asarray(input_ids).reshape(1, -1)
     S = ids.shape[1]
     max_len = max_len or (S + max_new_tokens)
-    soft = image_soft_tokens(vp, vcfg, jnp.asarray(pixel_values))
-    soft = soft.reshape(-1, soft.shape[-1])  # (n_img*T, H)
-    mask = ids[0] == image_token_id
+    soft = soft.reshape(-1, soft.shape[-1])
+    mask = ids[0] == token_id
     if int(mask.sum()) != soft.shape[0]:
         raise ValueError(
-            f"prompt has {int(mask.sum())} image tokens but images supply "
-            f"{soft.shape[0]} soft tokens")
+            f"prompt has {int(mask.sum())} soft-token slots but the encoder "
+            f"supplied {soft.shape[0]} soft tokens")
     # scatter soft tokens into a (1, S, H) override buffer
     over = np.zeros((1, S, soft.shape[-1]), np.float32)
     over[0, mask] = np.asarray(soft, np.float32)
@@ -470,3 +465,21 @@ def generate_with_images(
         tokens, _, cache = eng_mod._decode_step(params, cfg, tokens, cache)
         out.append(int(tokens[0]))
     return out
+
+
+def generate_with_images(
+    params, cfg: LlamaConfig, vp, vcfg: VisionConfig,
+    input_ids: np.ndarray, pixel_values: np.ndarray,
+    image_token_id: int, max_new_tokens: int = 32,
+    eos_token_id: Optional[int] = None, max_len: Optional[int] = None,
+) -> List[int]:
+    """Greedy generation with images spliced at the image-token positions.
+
+    input_ids: (S,) containing n_images * mm_tokens_per_image occurrences of
+    image_token_id; pixel_values: (n_images, 3, S, S) normalized.
+    """
+    soft = image_soft_tokens(vp, vcfg, jnp.asarray(pixel_values))
+    return generate_with_soft_tokens(
+        params, cfg, input_ids, soft, image_token_id,
+        max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
+        max_len=max_len)
