@@ -658,26 +658,60 @@ def run_serve(args):
             print(repr(gg.decode(out)))
         return
     if args.image:
+        from ..formats.gguf import GGUFReader
         from ..serving import vlm
 
         if not args.mmproj:
             raise SystemExit("--image needs --mmproj <vision-tower.gguf>")
-        with timer.stage("load_mmproj"):
-            vp, vcfg = vlm.load_mmproj_gguf(args.mmproj)
         img_tok = args.image_token_id
         if img_tok is None:
             if gg is None:
-                from ..formats.gguf import GGUFReader
                 from ..serving import tokenizer as gtok
 
                 gg = gtok.from_gguf(GGUFReader(args.gguf_file))
-            for cand in ("<start_of_image>", "<image_soft_token>", "<image>"):
+            for cand in ("<start_of_image>", "<image_soft_token>", "<image>",
+                         "<|image_pad|>"):
                 if gg is not None and cand in gg.vocab:
                     img_tok = gg.vocab[cand]
                     break
             if img_tok is None:
                 raise SystemExit("pass --image-token-id (no image token "
                                  "found in the GGUF vocab)")
+        mm_proj_type = GGUFReader(args.mmproj).get("clip.projector_type")
+        if mm_proj_type in ("qwen2vl_merger",):
+            from transformers import Qwen2VLImageProcessor
+
+            from ..serving import qwen_vl
+
+            with timer.stage("load_mmproj"):
+                qvp, qvcfg = qwen_vl.load_mmproj_qwen_gguf(args.mmproj)
+            proc = Qwen2VLImageProcessor(
+                patch_size=qvcfg.patch_size,
+                temporal_patch_size=qvcfg.temporal_patch_size,
+                merge_size=qvcfg.spatial_merge_size)
+            from PIL import Image
+
+            feats = proc(Image.open(args.image).convert("RGB"),
+                         return_tensors="np")
+            patches = feats["pixel_values"].astype(np.float32)
+            _, gh, gw = feats["image_grid_thw"][0].tolist()
+            n_soft = (gh * gw) // (qvcfg.spatial_merge_size ** 2)
+            ids = np.concatenate([
+                np.full((n_soft,), img_tok, np.int64), prompt])
+            with profile_trace(args.profile_dir), timer.stage("generate"):
+                t0 = time.time()
+                out = qwen_vl.generate_with_images(
+                    params, cfg, qvp, qvcfg, ids, patches, (gh, gw),
+                    int(img_tok), max_new_tokens=args.max_new_tokens)
+                dt = time.time() - t0
+            print(f"generated {len(out)} tokens in {dt:.2f}s "
+                  f"({len(out) / dt:.1f} tok/s)")
+            print(out)
+            if gg is not None:
+                print(repr(gg.decode(out)))
+            return
+        with timer.stage("load_mmproj"):
+            vp, vcfg = vlm.load_mmproj_gguf(args.mmproj)
         pixels = vlm.preprocess_image(args.image, vcfg)
         # splice the image in front of the text (llama.cpp mtmd default)
         ids = np.concatenate([

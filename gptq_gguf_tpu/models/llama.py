@@ -637,7 +637,10 @@ def _rope_params(cfg: LlamaConfig, seq_len: Optional[int] = None) -> Tuple[np.nd
         smoothed = (1 - smooth) / factor * inv_freq + smooth * inv_freq
         is_mid = (wavelen >= high_wavelen) & (wavelen <= low_wavelen)
         inv_freq = np.where(is_mid, smoothed, scaled)
-    elif rope_type in (None, "default"):
+    elif rope_type in (None, "default", "mrope"):
+        # mrope's frequency table is plain NeoX; the t/h/w position streams
+        # are applied in mrope_cos_sin (text-only decoding uses equal
+        # streams, which reduces exactly to NeoX rope)
         pass
     elif rope_type == "linear":
         inv_freq = inv_freq / rs["factor"]
@@ -1107,6 +1110,29 @@ def rope_cos_sin_all(cfg: LlamaConfig, positions: jax.Array, seq_len=None):
     )
     cos_l, sin_l = rope_cos_sin(local_cfg, positions, seq_len)
     return (cos_g, cos_l), (sin_g, sin_l)
+
+
+def mrope_cos_sin(cfg: LlamaConfig, positions3: jax.Array
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """qwen2-vl multimodal rope: positions3 (3, B, S) carries the temporal/
+    height/width position streams; each frequency dim takes the stream its
+    mrope_section assigns it (HF apply_multimodal_rotary_pos_emb — the
+    section list splits the rd/2 frequency dims, repeated for the
+    duplicated half)."""
+    inv_freq_np, scaling = _rope_params(cfg)
+    rs = cfg.rope_scaling
+    rs = dict(rs) if rs is not None and not isinstance(rs, dict) else (rs or {})
+    sec = [int(s) for s in rs["mrope_section"]]
+    idx_half = np.concatenate(
+        [np.full(s, k, np.int32) for k, s in enumerate(sec)])
+    assert idx_half.shape[0] == inv_freq_np.shape[0], \
+        (idx_half.shape, inv_freq_np.shape)
+    idx = jnp.asarray(np.concatenate([idx_half, idx_half]))  # (rd,)
+    inv = jnp.asarray(inv_freq_np)
+    freqs = positions3[..., None].astype(jnp.float32) * inv  # (3, B, S, rd/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)           # (3, B, S, rd)
+    sel = sum(emb[k] * (idx == k) for k in range(3))  # (B, S, rd)
+    return jnp.cos(sel) * scaling, jnp.sin(sel) * scaling
 
 
 def _sliding_mask(mask: jax.Array, window: int) -> jax.Array:

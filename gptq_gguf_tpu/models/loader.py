@@ -29,7 +29,11 @@ SUPPORTED_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3", "phi3", "gemma",
                          "falcon", "hunyuan_v1_dense", "hunyuan_v1_moe",
                          "gpt_neox", "gptj", "gpt2", "bloom", "mpt",
                          "granitemoeshared", "smollm3", "glm",
-                         "gpt_bigcode", "dbrx")
+                         "gpt_bigcode", "dbrx",
+                         # qwen2/qwen3 twins (text side; mrope reduces to
+                         # NeoX for text, full streams via mrope_cos_sin)
+                         "qwen2_vl", "qwen2_5_vl", "qwen2_vl_text",
+                         "qwen2_5_vl_text")
 
 
 def load_config(model_dir: Union[str, Path], dtype=jnp.float32) -> LlamaConfig:

@@ -316,6 +316,7 @@ def forward_cached(
     all_logits: bool = False,
     embeds_override: Optional[jax.Array] = None,
     override_mask: Optional[jax.Array] = None,
+    rope_positions: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Run S new tokens through the model with the KV cache.
 
@@ -340,8 +341,15 @@ def forward_cached(
 
     positions = lengths[:, None] + jnp.arange(S)[None, :]
     # longrope models switch factors on the live context length; the cache
-    # capacity is the static upper bound of any position used here
-    cos, sin = llama.rope_cos_sin_all(cfg, positions, seq_len=cache.k[0].shape[2])
+    # capacity is the static upper bound of any position used here.
+    # rope_positions decouples the rotary position from the cache index:
+    # (B, S) plain override, or (3, B, S) qwen2-vl mrope t/h/w streams
+    if rope_positions is not None and rope_positions.ndim == 3:
+        cos, sin = llama.mrope_cos_sin(cfg, rope_positions)
+    else:
+        cos, sin = llama.rope_cos_sin_all(
+            cfg, positions if rope_positions is None else rope_positions,
+            seq_len=cache.k[0].shape[2])
 
     x = params["embed_tokens"]
     if psum_axis is not None and not isinstance(x, _QUANT_TYPES):
@@ -820,6 +828,16 @@ def _config_from_gguf(r, arch: str, dtype) -> LlamaConfig:
             rope_scaling = rope_scaling + (
                 ("truncate", bool(r.get(f"{arch}.rope.scaling.yarn_truncate"))),
             )
+    elif r.get(f"{arch}.rope.dimension_sections") is not None:
+        # qwen2vl mrope: 4-padded t/h/w frequency sections (strip the pad);
+        # text decoding reduces to NeoX, image prompts drive mrope_cos_sin
+        sec = [int(x) for x in r.get(f"{arch}.rope.dimension_sections")]
+        while sec and sec[-1] == 0:
+            sec.pop()
+        rope_scaling = (
+            ("rope_type", "mrope"),
+            ("mrope_section", tuple(sec)),
+        )
     moe_experts = r.get(f"{arch}.expert_count")
     # scalar multipliers: granite/minicpm store logit_scale as a divisor;
     # command-r stores a multiplier (llama.cpp semantics differ per arch)
