@@ -202,6 +202,8 @@ class Qwen2VLMmproj(MmprojSpec):
         if mt in ("qwen2_5_vl", "qwen2_5_omni"):
             md["clip.projector_type"] = "qwen2.5vl_merger"
             md["clip.use_silu"] = True
+            md["clip.vision.window_size"] = int(
+                self.vision.get("window_size", 112))
             fab = self.vision.get("fullatt_block_indexes")
             if fab:
                 n_wa = fab[0] + 1

@@ -162,3 +162,92 @@ def test_serve_image_cli_qwen2vl(tiny_qwen2vl, tmp_path):
                "--image", str(img), "--image-token-id", str(IMG_TOK),
                "--prompt-tokens", "1", "2", "3", "--max-new-tokens", "4"])
     assert not rc
+
+
+@pytest.fixture(scope="module")
+def tiny_qwen25vl(tmp_path_factory):
+    from transformers import (Qwen2_5_VLConfig,
+                              Qwen2_5_VLForConditionalGeneration)
+
+    cfg = Qwen2_5_VLConfig(
+        text_config=dict(vocab_size=64, hidden_size=48, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, rms_norm_eps=1e-6,
+                         max_position_embeddings=128, rope_theta=10000.0,
+                         rope_scaling={"type": "mrope",
+                                       "mrope_section": [2, 2, 2]}),
+        vision_config=dict(hidden_size=32, intermediate_size=48, depth=2,
+                           num_heads=4, in_channels=3, patch_size=14,
+                           spatial_merge_size=2, temporal_patch_size=2,
+                           window_size=56, fullatt_block_indexes=[1],
+                           out_hidden_size=48, hidden_act="silu"),
+        image_token_id=IMG_TOK, vision_start_token_id=VSTART,
+        vision_end_token_id=58)
+    torch.manual_seed(43)
+    m = Qwen2_5_VLForConditionalGeneration(cfg).eval().float()
+    d = tmp_path_factory.mktemp("q25vl") / "hf"
+    m.save_pretrained(d, safe_serialization=True)
+    return d, m
+
+
+def test_qwen25_tower_matches_hf(tiny_qwen25vl):
+    """8x8 patch grid with window_size 56 -> 2x2-merged-token windows, four
+    windows, full attention only at block 1."""
+    d, m = tiny_qwen25vl
+    vp, vcfg = qwen_vl.load_hf_qwen_vision(d)
+    assert vcfg.v25 and vcfg.fullatt == (1,)
+    assert vcfg.window_size == 56
+    patches = _patches(8, 8)
+    ours = np.asarray(qwen_vl.encode_patches(vp, vcfg, patches, (8, 8)))
+    with torch.no_grad():
+        ref = m.model.visual(torch.from_numpy(patches),
+                             grid_thw=torch.tensor([[1, 8, 8]])).numpy()
+    assert ours.shape == ref.shape == (16, 48)
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=3e-4)
+
+
+def test_qwen25_generate_matches_hf(tiny_qwen25vl, tmp_path):
+    from safetensors.numpy import save_file
+
+    from gptq_gguf_tpu.models import loader
+
+    d, m = tiny_qwen25vl
+    vp, vcfg = qwen_vl.load_hf_qwen_vision(d)
+    td = tmp_path / "text"
+    td.mkdir()
+    sd = {("model." + k): v.numpy()
+          for k, v in m.model.language_model.state_dict().items()}
+    sd["lm_head.weight"] = m.lm_head.weight.detach().numpy()
+    save_file(sd, td / "model.safetensors")
+    tc = m.config.text_config.to_dict()
+    tc["model_type"] = "qwen2_5_vl"
+    json.dump(tc, open(td / "config.json", "w"))
+    cfg = loader.load_config(td)
+    params = loader.load_params(td, cfg)
+    base = RNG.integers(0, 56, size=(6,)).tolist()
+    ids = np.asarray(base[:2] + [VSTART] + [IMG_TOK] * 16 + [58] + base[2:],
+                     np.int64)
+    patches = _patches(8, 8)
+    with torch.no_grad():
+        gen = m.generate(input_ids=torch.from_numpy(ids[None]),
+                         pixel_values=torch.from_numpy(patches),
+                         image_grid_thw=torch.tensor([[1, 8, 8]]),
+                         max_new_tokens=6, do_sample=False).numpy()[0]
+    got = qwen_vl.generate_with_images(params, cfg, vp, vcfg, ids, patches,
+                                       (8, 8), IMG_TOK, max_new_tokens=6)
+    assert got == gen[len(ids):].tolist()
+
+
+def test_qwen25_mmproj_gguf_roundtrip(tiny_qwen25vl):
+    from gptq_gguf_tpu.export import mmproj
+
+    d, m = tiny_qwen25vl
+    out = mmproj.pack_mmproj(d, d.parent / "q25-mm.gguf")
+    vp_h, vc_h = qwen_vl.load_hf_qwen_vision(d)
+    vp_g, vc_g = qwen_vl.load_mmproj_qwen_gguf(out)
+    assert vc_g.v25 and vc_g.fullatt == (1,)
+    assert vc_g.window_size == 56
+    patches = _patches(8, 8)
+    a = np.asarray(qwen_vl.encode_patches(vp_h, vc_h, patches, (8, 8)))
+    b = np.asarray(qwen_vl.encode_patches(vp_g, vc_g, patches, (8, 8)))
+    np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-3)
