@@ -192,7 +192,7 @@ def _quantize_kv(x: jax.Array):
 
 def _cached_attention(q, k_cache, v_cache, lengths, scale=None, logit_softcap=None,
                       sliding_window=None, k_scale=None, v_scale=None,
-                      sinks=None, alibi=None):
+                      sinks=None, alibi=None, bidir_spans=None):
     """q: (B, nH, S, hd); caches (B, nKV, L, hd); slot b's queries sit at
     positions lengths[b] + [0, S).
 
@@ -202,7 +202,7 @@ def _cached_attention(q, k_cache, v_cache, lengths, scale=None, logit_softcap=No
     B, nH, S, hd = q.shape
     nKV = k_cache.shape[1]
     L = k_cache.shape[2]
-    if L >= 2 * llama.FLASH_CHUNK:
+    if L >= 2 * llama.FLASH_CHUNK and bidir_spans is None:
         qpos = lengths[:, None] + jnp.arange(S)[None, :]
         # decode (S == 1): only read KV chunks up to the live fill level
         return llama.flash_attention(
@@ -231,6 +231,14 @@ def _cached_attention(q, k_cache, v_cache, lengths, scale=None, logit_softcap=No
     mask = pos <= qpos  # (B, S, L) causal per slot
     if sliding_window:
         mask = mask & ((qpos - pos) < sliding_window)
+    if bidir_spans is not None:
+        # multimodal image blocks attend bidirectionally within their span
+        # (gemma3 token_type_ids semantics); overrides causal AND sliding
+        span_k = jnp.zeros((bidir_spans.shape[0], L), bidir_spans.dtype
+                           ).at[:, :bidir_spans.shape[1]].set(bidir_spans)
+        bm = (bidir_spans[:, :, None] > 0) & (
+            bidir_spans[:, :, None] == span_k[:, None, :])
+        mask = mask | bm
     scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
     if sinks is not None:  # gpt-oss: sink logit joins the denominator
         sk = sinks.astype(jnp.float32).reshape(nKV, groups)[None, :, :, None]
@@ -317,6 +325,7 @@ def forward_cached(
     embeds_override: Optional[jax.Array] = None,
     override_mask: Optional[jax.Array] = None,
     rope_positions: Optional[jax.Array] = None,
+    bidir_spans: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Run S new tokens through the model with the KV cache.
 
@@ -472,7 +481,7 @@ def forward_cached(
             attn = _cached_attention(
                 q, k_cache, v_cache, lengths, att_scale, cfg.attn_logit_softcap, sliding,
                 k_scale=ks_cache, v_scale=vs_cache, sinks=layer.get("sinks"),
-                alibi=alibi,
+                alibi=alibi, bidir_spans=bidir_spans,
             )
             attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
         attn_out = _q_linear(attn, layer["o_proj"])

@@ -429,19 +429,38 @@ def preprocess_image(path: Union[str, Path], vcfg: VisionConfig) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _vlm_prefill(params, cfg: LlamaConfig, ids, cache, soft, mask):
+def _vlm_prefill(params, cfg: LlamaConfig, ids, cache, soft, mask,
+                 spans=None):
     logits, cache = qmodel.forward_cached(
-        params, cfg, ids, cache, embeds_override=soft, override_mask=mask)
+        params, cfg, ids, cache, embeds_override=soft, override_mask=mask,
+        bidir_spans=spans)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+
+def _image_spans(mask: np.ndarray) -> np.ndarray:
+    """1-based span ids for contiguous image-token runs, 0 for text."""
+    spans = np.zeros(mask.shape, np.int32)
+    run = 0
+    prev = False
+    for i, m in enumerate(mask):
+        if m:
+            if not prev:
+                run += 1
+            spans[i] = run
+        prev = bool(m)
+    return spans
 
 
 def generate_with_soft_tokens(
     params, cfg: LlamaConfig, input_ids: np.ndarray, soft: jax.Array,
     token_id: int, max_new_tokens: int = 32,
     eos_token_id: Optional[int] = None, max_len: Optional[int] = None,
+    bidirectional_images: bool = False,
 ) -> List[int]:
     """Greedy generation with (n_soft, H) soft embeddings spliced at the
-    positions where input_ids == token_id."""
+    positions where input_ids == token_id. bidirectional_images lets each
+    contiguous image run attend bidirectionally within itself (gemma3
+    token_type_ids semantics)."""
     ids = np.asarray(input_ids).reshape(1, -1)
     S = ids.shape[1]
     max_len = max_len or (S + max_new_tokens)
@@ -454,9 +473,12 @@ def generate_with_soft_tokens(
     # scatter soft tokens into a (1, S, H) override buffer
     over = np.zeros((1, S, soft.shape[-1]), np.float32)
     over[0, mask] = np.asarray(soft, np.float32)
+    spans = (jnp.asarray(_image_spans(mask))[None, :]
+             if bidirectional_images else None)
     cache = qmodel.init_cache(cfg, 1, max_len, dtype=jnp.bfloat16)
     tok, cache = _vlm_prefill(params, cfg, jnp.asarray(ids), cache,
-                              jnp.asarray(over), jnp.asarray(mask)[None, :])
+                              jnp.asarray(over), jnp.asarray(mask)[None, :],
+                              spans)
     out = [int(tok[0])]
     tokens = tok
     for _ in range(max_new_tokens - 1):
@@ -472,14 +494,19 @@ def generate_with_images(
     input_ids: np.ndarray, pixel_values: np.ndarray,
     image_token_id: int, max_new_tokens: int = 32,
     eos_token_id: Optional[int] = None, max_len: Optional[int] = None,
+    bidirectional_images: Optional[bool] = None,
 ) -> List[int]:
     """Greedy generation with images spliced at the image-token positions.
 
     input_ids: (S,) containing n_images * mm_tokens_per_image occurrences of
     image_token_id; pixel_values: (n_images, 3, S, S) normalized.
+    bidirectional_images defaults on for gemma3 (trained with token_type_ids
+    image blocks attending bidirectionally).
     """
+    if bidirectional_images is None:
+        bidirectional_images = vcfg.projector == "gemma3"
     soft = image_soft_tokens(vp, vcfg, jnp.asarray(pixel_values))
     return generate_with_soft_tokens(
         params, cfg, input_ids, soft, image_token_id,
         max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
-        max_len=max_len)
+        max_len=max_len, bidirectional_images=bidirectional_images)

@@ -109,9 +109,11 @@ def test_vlm_generate_matches_hf(tiny_vlm):
     params = loader.load_params(td, cfg)
     ids = _prompt()
     pixels = RNG.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    ttids = (ids == IMG_TOK).astype(np.int64)
     with torch.no_grad():
         ref = m.generate(input_ids=torch.from_numpy(ids[None]),
                          pixel_values=torch.from_numpy(pixels),
+                         token_type_ids=torch.from_numpy(ttids[None]),
                          max_new_tokens=6, do_sample=False).numpy()[0]
     got = vlm.generate_with_images(params, cfg, vp, vcfg, ids, pixels,
                                    IMG_TOK, max_new_tokens=6)
@@ -398,3 +400,49 @@ def test_vlm_http_chat(tiny_vlm, tmp_path):
     finally:
         server.shutdown()
         runner.stop()
+
+
+def test_vlm_bidirectional_image_attention(tiny_vlm):
+    """Image spans attend bidirectionally (gemma3 token_type_ids mode):
+    full-sequence logits match HF WITH token_type_ids, and the mask
+    genuinely differs from causal at image positions."""
+    import jax.numpy as jnp
+
+    from gptq_gguf_tpu.models import loader
+    from gptq_gguf_tpu.serving import model as qmodel
+    from gptq_gguf_tpu.serving.vlm import _image_spans
+
+    d, td, m = tiny_vlm
+    vp, vcfg = vlm.load_hf_vision(d)
+    cfg = loader.load_config(td)
+    params = loader.load_params(td, cfg)
+    ids = _prompt()
+    pixels = RNG.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    ttids = (ids == IMG_TOK).astype(np.int64)
+    with torch.no_grad():
+        ref = m(input_ids=torch.from_numpy(ids[None]),
+                pixel_values=torch.from_numpy(pixels),
+                token_type_ids=torch.from_numpy(ttids[None])).logits.numpy()
+    soft = np.asarray(vlm.image_soft_tokens(vp, vcfg, jnp.asarray(pixels)))
+    mask = ids == IMG_TOK
+    over = np.zeros((1, len(ids), cfg.hidden_size), np.float32)
+    over[0, mask] = soft.reshape(-1, cfg.hidden_size)
+    spans = jnp.asarray(_image_spans(mask))[None, :]
+    cache = qmodel.init_cache(cfg, 1, len(ids) + 4, dtype=jnp.float32)
+    logits, _ = qmodel.forward_cached(
+        params, cfg, jnp.asarray(ids[None]), cache,
+        embeds_override=jnp.asarray(over),
+        override_mask=jnp.asarray(mask)[None, :],
+        bidir_spans=spans, all_logits=True)
+    np.testing.assert_allclose(np.asarray(logits)[0], ref[0],
+                               rtol=2e-3, atol=2e-3)
+    # the bidirectional mask matters: logits at the FIRST image position
+    # must differ from the causal run (it now sees the later image tokens)
+    cache2 = qmodel.init_cache(cfg, 1, len(ids) + 4, dtype=jnp.float32)
+    causal, _ = qmodel.forward_cached(
+        params, cfg, jnp.asarray(ids[None]), cache2,
+        embeds_override=jnp.asarray(over),
+        override_mask=jnp.asarray(mask)[None, :], all_logits=True)
+    first_img = int(np.argmax(mask))
+    assert not np.allclose(np.asarray(logits)[0, first_img],
+                           np.asarray(causal)[0, first_img], atol=1e-4)
