@@ -513,33 +513,68 @@ def run_serve(args):
             import jax.numpy as jnp
             from PIL import Image
 
-            from ..serving import vlm as vlm_mod
+            from ..formats.gguf import GGUFReader
 
-            vp, vcfg = vlm_mod.load_mmproj_gguf(args.mmproj)
             img_tok = args.image_token_id
             if img_tok is None and gg is not None:
                 for cand in ("<start_of_image>", "<image_soft_token>",
-                             "<image>"):
+                             "<image>", "<|image_pad|>"):
                     if cand in gg.vocab:
                         img_tok = gg.vocab[cand]
                         break
             if img_tok is None:
                 raise SystemExit("--mmproj over HTTP needs --image-token-id "
                                  "(or an image token in the GGUF vocab)")
+            proj_type = GGUFReader(args.mmproj).get("clip.projector_type")
+            if proj_type in ("qwen2vl_merger", "qwen2.5vl_merger"):
+                from transformers import Qwen2VLImageProcessor
 
-            def imager(blobs):
-                pix = []
-                for b in blobs:
-                    im = Image.open(io.BytesIO(b)).convert("RGB").resize(
-                        (vcfg.image_size, vcfg.image_size), Image.BILINEAR)
-                    x = np.asarray(im, np.float32) / 255.0
-                    x = ((x - np.asarray(vcfg.image_mean))
-                         / np.asarray(vcfg.image_std))
-                    pix.append(x.transpose(2, 0, 1))
-                soft = vlm_mod.image_soft_tokens(
-                    vp, vcfg, jnp.asarray(np.stack(pix)))
-                return (np.asarray(soft).reshape(-1, soft.shape[-1]),
-                        int(img_tok))
+                from ..serving import qwen_vl
+
+                qvp, qvcfg = qwen_vl.load_mmproj_qwen_gguf(args.mmproj)
+                proc = Qwen2VLImageProcessor(
+                    patch_size=qvcfg.patch_size,
+                    temporal_patch_size=qvcfg.temporal_patch_size,
+                    merge_size=qvcfg.spatial_merge_size)
+                s2 = qvcfg.spatial_merge_size ** 2
+
+                def imager(blobs):
+                    softs, grids = [], []
+                    for b in blobs:
+                        feats = proc(Image.open(io.BytesIO(b)).convert("RGB"),
+                                     return_tensors="np")
+                        _, gh, gw = feats["image_grid_thw"][0].tolist()
+                        softs.append(np.asarray(qwen_vl.encode_patches(
+                            qvp, qvcfg,
+                            feats["pixel_values"].astype(np.float32),
+                            (gh, gw))))
+                        grids.append((gh // qvcfg.spatial_merge_size,
+                                      gw // qvcfg.spatial_merge_size))
+
+                    def pos_fn(prompt_ids):
+                        return qwen_vl.qwen2vl_positions(
+                            prompt_ids, int(img_tok), grids)
+
+                    return (np.concatenate(softs, axis=0), int(img_tok),
+                            pos_fn)
+            else:
+                from ..serving import vlm as vlm_mod
+
+                vp, vcfg = vlm_mod.load_mmproj_gguf(args.mmproj)
+
+                def imager(blobs):
+                    pix = []
+                    for b in blobs:
+                        im = Image.open(io.BytesIO(b)).convert("RGB").resize(
+                            (vcfg.image_size, vcfg.image_size), Image.BILINEAR)
+                        x = np.asarray(im, np.float32) / 255.0
+                        x = ((x - np.asarray(vcfg.image_mean))
+                             / np.asarray(vcfg.image_std))
+                        pix.append(x.transpose(2, 0, 1))
+                    soft = vlm_mod.image_soft_tokens(
+                        vp, vcfg, jnp.asarray(np.stack(pix)))
+                    return (np.asarray(soft).reshape(-1, soft.shape[-1]),
+                            int(img_tok))
         if args.paged:
             eng = engine.PagedContinuousBatchingEngine(
                 params, cfg, num_slots=args.num_slots, max_len=args.max_len,

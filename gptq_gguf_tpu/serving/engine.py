@@ -42,6 +42,20 @@ def _decode_step(params, cfg: LlamaConfig, tokens: jax.Array, cache: KVCache):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _decode_step_shifted(params, cfg: LlamaConfig, tokens, cache: KVCache,
+                         rope_delta):
+    """Greedy decode with per-slot rope offsets: qwen2-vl text after an
+    image resumes at max(position)+1, which trails the cache index by a
+    per-request delta (HF rope_deltas). Text-only mrope == NeoX, so plain
+    shifted positions are exact."""
+    pos = (cache.lengths + rope_delta)[:, None]
+    logits, cache = qmodel.forward_cached(
+        params, cfg, tokens[:, None], cache, rope_positions=pos)
+    next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return next_tokens, logits, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _sample_step(params, cfg: LlamaConfig, tokens, cache, key, temperature):
     logits, cache = qmodel.forward_cached(params, cfg, tokens[:, None], cache)
     key, sub = jax.random.split(key)
@@ -52,7 +66,7 @@ def _sample_step(params, cfg: LlamaConfig, tokens, cache, key, temperature):
 @functools.partial(jax.jit, static_argnames=("cfg",),
                    donate_argnames=("sampler",))
 def _sampled_decode_step(params, cfg: LlamaConfig, tokens, cache,
-                         sampler: sampling.SlotSampling):
+                         sampler: sampling.SlotSampling, rope_delta=None):
     """Decode step through the per-slot sampler chain. The fed tokens are
     counted here (each generated token is fed exactly once; prompt tokens
     were counted at admit), keeping the penalty state — and the per-slot
@@ -60,7 +74,10 @@ def _sampled_decode_step(params, cfg: LlamaConfig, tokens, cache,
     counts = sampler.counts.at[
         jnp.arange(tokens.shape[0]), tokens].add(1)
     sampler = sampler._replace(counts=counts)
-    logits, cache = qmodel.forward_cached(params, cfg, tokens[:, None], cache)
+    rope_pos = (None if rope_delta is None
+                else (cache.lengths + rope_delta)[:, None])
+    logits, cache = qmodel.forward_cached(params, cfg, tokens[:, None], cache,
+                                          rope_positions=rope_pos)
     next_tokens, sampler = sampling.sample_step(logits, sampler)
     return next_tokens, logits, sampler, cache
 
@@ -100,7 +117,8 @@ def _pad_prompt(prompt: np.ndarray, max_len: Optional[int] = None) -> Tuple[np.n
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def _prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache, slot,
-                  n_valid=None, start=0, soft=None, soft_mask=None):
+                  n_valid=None, start=0, soft=None, soft_mask=None,
+                  rope_pos=None):
     """Prefill one slot with a (1, S) prompt; other slots untouched.
 
     prompt may be right-padded; n_valid is the true token count (defaults
@@ -129,7 +147,8 @@ def _prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache, slot,
         sub = KVCache(take(cache.k), take(cache.v), start)
     logits, sub = qmodel.forward_cached(
         params, cfg, prompt, sub, n_valid=n_valid,
-        embeds_override=soft, override_mask=soft_mask)
+        embeds_override=soft, override_mask=soft_mask,
+        rope_positions=rope_pos)
 
     def put(full, subs):
         zero = jnp.zeros((), jnp.int32)
@@ -220,6 +239,10 @@ class Request:
     # ``prompt`` (positions where prompt == soft_token_id)
     soft_embeds: Optional[np.ndarray] = None
     soft_token_id: Optional[int] = None
+    # mrope (qwen2-vl): (3, len(prompt)) t/h/w position streams + the first
+    # decode position (max(position)+1, HF rope_deltas semantics)
+    rope_positions: Optional[np.ndarray] = None
+    rope_next: Optional[int] = None
 
 
 class ContinuousBatchingEngine:
@@ -264,6 +287,8 @@ class ContinuousBatchingEngine:
         # 0..lengths-1; valid only until the slot sits idle through a decode
         # step (idle slots keep being written by the batched decode program)
         self.slot_hist: List[Optional[List[int]]] = [None] * num_slots
+        # per-slot rope offset vs cache index (mrope/VLM requests)
+        self.rope_delta = np.zeros((num_slots,), np.int32)
         self.queue: deque = deque()
         self._uid = 0
         self.completed: List[Request] = []
@@ -274,7 +299,9 @@ class ContinuousBatchingEngine:
                sampling_params: Optional[SamplingParams] = None,
                logprobs: int = 0,
                soft_embeds: Optional[np.ndarray] = None,
-               soft_token_id: Optional[int] = None) -> int:
+               soft_token_id: Optional[int] = None,
+               rope_positions: Optional[np.ndarray] = None,
+               rope_next: Optional[int] = None) -> int:
         self._uid += 1
         # the cache must hold at least one prompt token plus the new tokens
         max_new_tokens = min(max_new_tokens, self.max_len - 1)
@@ -282,7 +309,8 @@ class ContinuousBatchingEngine:
             self._uid, np.asarray(prompt).reshape(-1), max_new_tokens,
             sampling=sampling_params or self.default_sampling,
             logprobs=int(logprobs),
-            soft_embeds=soft_embeds, soft_token_id=soft_token_id))
+            soft_embeds=soft_embeds, soft_token_id=soft_token_id,
+            rope_positions=rope_positions, rope_next=rope_next))
         return self._uid
 
     @staticmethod
@@ -303,7 +331,7 @@ class ContinuousBatchingEngine:
         prompt = list(map(int, req.prompt[-keep:]))
         hist = self.slot_hist[slot]
         shared = 0
-        if hist and req.soft_embeds is None:
+        if hist and req.soft_embeds is None and req.rope_positions is None:
             # soft-token requests skip prefix reuse: equal image-token ids
             # do not imply equal image embeddings
             limit = min(len(hist), len(prompt) - 1)
@@ -314,6 +342,15 @@ class ContinuousBatchingEngine:
             self.prefix_tokens_reused += shared
         remainder = np.asarray(prompt[shared:], dtype=np.int64)
         padded, n = _pad_prompt(remainder, self.max_len)
+        rope_pos = None
+        if req.rope_positions is not None:
+            rp = np.asarray(req.rope_positions)[:, -len(prompt):]
+            buf = np.zeros((3, len(padded)), np.int32)
+            buf[:, : rp.shape[1]] = rp
+            rope_pos = jnp.asarray(buf)[:, None, :]  # (3, 1, S)
+            self.rope_delta[slot] = np.int32(req.rope_next - len(prompt))
+        else:
+            self.rope_delta[slot] = 0
         soft = soft_mask = None
         if req.soft_embeds is not None:
             mask = padded == req.soft_token_id
@@ -328,7 +365,7 @@ class ContinuousBatchingEngine:
         tok, logits, cache = _prefill_slot(
             self.params, self.cfg, jnp.asarray(padded)[None, :],
             self.cache, slot, n, start=shared, soft=soft,
-            soft_mask=soft_mask,
+            soft_mask=soft_mask, rope_pos=rope_pos,
         )
         self.cache = cache
         # the sampler row is reset on EVERY admit: a stale non-greedy row
@@ -368,6 +405,7 @@ class ContinuousBatchingEngine:
                 r.finished_at = time.time()
                 self.slot_req[slot] = None
                 self.slot_hist[slot] = None
+                self.rope_delta[slot] = 0
                 self.cache = self.cache._replace(
                     lengths=self.cache.lengths.at[slot].set(0))
                 return True
@@ -380,9 +418,16 @@ class ContinuousBatchingEngine:
         if not active:
             return 0
         fed = np.asarray(self.tokens)  # decode inputs land in the KV cache
+        shifted = bool(self.rope_delta.any())
         if any(not self.slot_req[s].sampling.is_trivial for s in active):
             self.tokens, logits, self.sampler, self.cache = _sampled_decode_step(
-                self.params, self.cfg, self.tokens, self.cache, self.sampler
+                self.params, self.cfg, self.tokens, self.cache, self.sampler,
+                jnp.asarray(self.rope_delta) if shifted else None
+            )
+        elif shifted:
+            self.tokens, logits, self.cache = _decode_step_shifted(
+                self.params, self.cfg, self.tokens, self.cache,
+                jnp.asarray(self.rope_delta)
             )
         else:
             self.tokens, logits, self.cache = _decode_step(
@@ -422,6 +467,7 @@ class ContinuousBatchingEngine:
                 req.finished_at = time.time()
                 self.completed.append(req)
                 self.slot_req[slot] = None
+                self.rope_delta[slot] = 0
                 if self.queue:
                     # admit the queue head immediately: the retiring slot's
                     # KV prefix is still intact and may be shared
@@ -535,8 +581,10 @@ class PagedContinuousBatchingEngine:
                sampling_params: Optional[SamplingParams] = None,
                logprobs: int = 0,
                soft_embeds: Optional[np.ndarray] = None,
-               soft_token_id: Optional[int] = None) -> int:
-        if soft_embeds is not None:
+               soft_token_id: Optional[int] = None,
+               rope_positions: Optional[np.ndarray] = None,
+               rope_next: Optional[int] = None) -> int:
+        if soft_embeds is not None or rope_positions is not None:
             raise NotImplementedError(
                 "soft-token (VLM) requests need the contiguous engine")
         self._uid += 1

@@ -90,14 +90,17 @@ class EngineRunner:
     def submit(self, prompt: np.ndarray, max_new_tokens: int,
                sampling_params: Optional[SamplingParams] = None,
                stream: bool = False, logprobs: int = 0,
-               soft_embeds=None, soft_token_id=None) -> int:
+               soft_embeds=None, soft_token_id=None,
+               rope_positions=None, rope_next=None) -> int:
         ev = threading.Event()
         with self.lock:
             uid = self.engine.submit(prompt, max_new_tokens,
                                      sampling_params=sampling_params,
                                      logprobs=logprobs,
                                      soft_embeds=soft_embeds,
-                                     soft_token_id=soft_token_id)
+                                     soft_token_id=soft_token_id,
+                                     rope_positions=rope_positions,
+                                     rope_next=rope_next)
             self.events[uid] = ev
             if stream:
                 self.streams[uid] = queue.Queue()
@@ -308,12 +311,16 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None,
             text = tokenizer.apply_chat_template(
                 flat_msgs, add_generation_prompt=True, tokenize=False)
             prompt = np.asarray(tokenizer(text)["input_ids"], np.int64)
-            soft_embeds = soft_tok = None
+            soft_embeds = soft_tok = rope_positions = rope_next = None
             if images:
-                soft_embeds, soft_tok = imager(images)
+                out = imager(images)
+                soft_embeds, soft_tok = out[0], out[1]
+                pos_fn = out[2] if len(out) > 2 else None
                 n_soft = soft_embeds.shape[0]
                 prompt = np.concatenate([
                     np.full((n_soft,), soft_tok, np.int64), prompt])
+                if pos_fn is not None:  # mrope archs (qwen2-vl family)
+                    rope_positions, rope_next = pos_fn(prompt)
             max_new = int(req.get("max_tokens", req.get("max_new_tokens", 128)))
             sp = _sampling_from_json(req)
             stops = req.get("stop") or []
@@ -324,7 +331,8 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None,
             t0 = time.time()
             if req.get("stream"):
                 self._chat_stream(req, prompt, max_new, sp, stops, t0,
-                                  soft_embeds, soft_tok)
+                                  soft_embeds, soft_tok, rope_positions,
+                                  rope_next)
                 return
             import dataclasses as _dc
 
@@ -336,7 +344,8 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None,
                     sp_i = _dc.replace(sp, seed=sp.seed + i)  # distinct draws
                 uids.append(runner.submit(
                     prompt, max_new, sp_i, logprobs=want_lp,
-                    soft_embeds=soft_embeds, soft_token_id=soft_tok))
+                    soft_embeds=soft_embeds, soft_token_id=soft_tok,
+                    rope_positions=rope_positions, rope_next=rope_next))
             timeout = float(req.get("timeout_s", 600))
             results = [runner.wait(u, timeout=timeout) for u in uids]
             eos = getattr(runner.engine, "eos", None)
@@ -454,13 +463,16 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None,
             })
 
         def _chat_stream(self, req, prompt, max_new, sp, stops, t0,
-                         soft_embeds=None, soft_tok=None):
+                         soft_embeds=None, soft_tok=None,
+                         rope_positions=None, rope_next=None):
             """OpenAI chat.completion.chunk SSE stream. Text already decoded
             is held back by max(len(stop))-1 chars so a stop string straddling
             two chunks is never partially emitted."""
             uid = runner.submit(prompt, max_new, sp, stream=True,
                                 soft_embeds=soft_embeds,
-                                soft_token_id=soft_tok)
+                                soft_token_id=soft_tok,
+                                rope_positions=rope_positions,
+                                rope_next=rope_next)
             q = runner.stream_queue(uid)
             eos = getattr(runner.engine, "eos", None)
             base = {"id": f"chatcmpl-{uid}", "object": "chat.completion.chunk",

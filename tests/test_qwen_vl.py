@@ -251,3 +251,36 @@ def test_qwen25_mmproj_gguf_roundtrip(tiny_qwen25vl):
     a = np.asarray(qwen_vl.encode_patches(vp_h, vc_h, patches, (8, 8)))
     b = np.asarray(qwen_vl.encode_patches(vp_g, vc_g, patches, (8, 8)))
     np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-3)
+
+
+def test_engine_mrope_request(tiny_qwen2vl):
+    """A qwen2-vl image request through the continuous-batching engine
+    (rope_positions + rope_delta) is token-identical to the standalone
+    generate path, alongside a plain text request in the same batch."""
+    from gptq_gguf_tpu.models import loader
+    from gptq_gguf_tpu.serving import engine as eng_mod
+
+    d, td, m = tiny_qwen2vl
+    vp, vcfg = qwen_vl.load_hf_qwen_vision(d)
+    cfg = loader.load_config(td)
+    params = loader.load_params(td, cfg)
+    base = RNG.integers(0, 56, size=(7,)).tolist()
+    ids = np.asarray(base[:3] + [VSTART] + [IMG_TOK] * 4 + [58] + base[3:],
+                     np.int64)
+    patches = _patches()
+    ref = qwen_vl.generate_with_images(params, cfg, vp, vcfg, ids, patches,
+                                       (4, 4), IMG_TOK, max_new_tokens=6)
+    text_prompt = np.asarray(base, np.int64)
+    text_ref = eng_mod.generate(params, cfg, [text_prompt],
+                                max_new_tokens=6)[0]
+
+    soft = np.asarray(qwen_vl.encode_patches(vp, vcfg, patches, (4, 4)))
+    pos3, nxt = qwen_vl.qwen2vl_positions(ids, IMG_TOK, [(2, 2)])
+    eng = eng_mod.ContinuousBatchingEngine(params, cfg, num_slots=2,
+                                           max_len=64)
+    u_img = eng.submit(ids, 6, soft_embeds=soft, soft_token_id=IMG_TOK,
+                       rope_positions=pos3, rope_next=nxt)
+    u_txt = eng.submit(text_prompt, 6)
+    done = {r.uid: r for r in eng.run_until_done()}
+    assert done[u_img].output == ref
+    assert done[u_txt].output == text_ref
