@@ -37,7 +37,8 @@ class AudioConfig:
     num_mel_bins: int
     max_source_positions: int = 1500
     layer_norm_eps: float = 1e-5
-    projector: str = "qwen2a"
+    projector: str = "qwen2a"   # "qwen2a" (pool+linear) | "voxtral" (stack)
+    stack_factor: int = 4
 
 
 def _ln(x, w, b, eps):
@@ -85,11 +86,20 @@ def whisper_encode(ap: Dict[str, Any], acfg: AudioConfig,
 
 def audio_soft_tokens(ap: Dict[str, Any], acfg: AudioConfig,
                       mel: jax.Array) -> jax.Array:
-    """(B, mel_bins, T) -> (B, T//4, text_hidden): encode, x2 average pool
-    over time, post LayerNorm (qwen2-audio applies it AFTER pooling),
-    linear projection."""
+    """(B, mel_bins, T) mel -> (B, n_soft, text_hidden) soft tokens.
+
+    qwen2a: encode, x2 average pool over time, post LayerNorm (qwen2-audio
+    applies it AFTER pooling), linear projection. voxtral: encode,
+    standard whisper final LayerNorm, stack stack_factor consecutive
+    frames, bias-free linear -> GELU -> linear."""
     x = whisper_encode(ap, acfg, mel)
     B, T, D = x.shape
+    if acfg.projector == "voxtral":
+        x = _ln(x, ap["post_ln_w"], ap["post_ln_b"], acfg.layer_norm_eps)
+        s = acfg.stack_factor
+        x = x[:, : (T // s) * s].reshape(B, T // s, s * D)
+        x = jax.nn.gelu(x @ ap["proj_w"].T, approximate=False)
+        return x @ ap["proj2_w"].T
     x = x[:, : (T // 2) * 2].reshape(B, T // 2, 2, D).mean(axis=2)
     x = _ln(x, ap["post_ln_w"], ap["post_ln_b"], acfg.layer_norm_eps)
     return x @ ap["proj_w"].T + ap["proj_b"]
@@ -106,12 +116,22 @@ def load_hf_audio(model_dir: Union[str, Path]
     with open(model_dir / "config.json") as f:
         cfg = json.load(f)
     a = cfg["audio_config"]
+    voxtral = cfg.get("model_type") == "voxtral"
+    d_model = a.get("d_model", a.get("hidden_size"))
     acfg = AudioConfig(
-        d_model=a["d_model"], intermediate_size=a["encoder_ffn_dim"],
-        num_hidden_layers=a["encoder_layers"],
-        num_attention_heads=a["encoder_attention_heads"],
+        d_model=d_model,
+        intermediate_size=a.get("encoder_ffn_dim",
+                                a.get("intermediate_size")),
+        num_hidden_layers=a.get("encoder_layers", a.get("num_hidden_layers")),
+        num_attention_heads=a.get("encoder_attention_heads",
+                                  a.get("num_attention_heads")),
         num_mel_bins=a["num_mel_bins"],
         max_source_positions=a.get("max_source_positions", 1500),
+        projector="voxtral" if voxtral else "qwen2a",
+        # voxtral stacks intermediate_size/d_model frames (HF reshapes the
+        # encoder output straight to (-1, intermediate_size))
+        stack_factor=(int(a.get("intermediate_size", 4 * d_model)) // d_model
+                      if voxtral else 4),
     )
     flat = {}
     for name, arr in _iter_safetensors(model_dir):
@@ -127,10 +147,14 @@ def load_hf_audio(model_dir: Union[str, Path]
         "pos_embd": flat[pre + "embed_positions.weight"],
         "post_ln_w": flat[pre + "layer_norm.weight"],
         "post_ln_b": flat[pre + "layer_norm.bias"],
-        "proj_w": flat["multi_modal_projector.linear.weight"],
-        "proj_b": flat["multi_modal_projector.linear.bias"],
         "layers": [],
     }
+    if acfg.projector == "voxtral":
+        ap["proj_w"] = flat["multi_modal_projector.linear_1.weight"]
+        ap["proj2_w"] = flat["multi_modal_projector.linear_2.weight"]
+    else:
+        ap["proj_w"] = flat["multi_modal_projector.linear.weight"]
+        ap["proj_b"] = flat["multi_modal_projector.linear.bias"]
     for i in range(acfg.num_hidden_layers):
         p = f"{pre}layers.{i}."
         ap["layers"].append({
@@ -161,9 +185,9 @@ def load_mmproj_audio_gguf(path: Union[str, Path]
 
     r = GGUFReader(path)
     proj = r.get("clip.projector_type")
-    if proj != "qwen2a":
+    if proj not in ("qwen2a", "voxtral"):
         raise NotImplementedError(
-            f"audio serving supports the qwen2a projector, got {proj!r}")
+            f"audio serving supports qwen2a/voxtral projectors, got {proj!r}")
     acfg = AudioConfig(
         d_model=int(r.get("clip.audio.embedding_length")),
         intermediate_size=int(r.get("clip.audio.feed_forward_length")),
@@ -172,6 +196,8 @@ def load_mmproj_audio_gguf(path: Union[str, Path]
         num_mel_bins=int(r.get("clip.audio.num_mel_bins")),
         layer_norm_eps=float(
             r.get("clip.audio.attention.layer_norm_epsilon", 1e-5)),
+        projector=proj,
+        stack_factor=int(r.get("clip.audio.projector.stack_factor", 4)),
     )
 
     def t(name):
@@ -185,10 +211,14 @@ def load_mmproj_audio_gguf(path: Union[str, Path]
         "pos_embd": t("a.position_embd.weight"),
         "post_ln_w": t("a.post_ln.weight"),
         "post_ln_b": t("a.post_ln.bias"),
-        "proj_w": t("mm.a.fc.weight"),
-        "proj_b": t("mm.a.fc.bias"),
         "layers": [],
     }
+    if proj == "voxtral":
+        ap["proj_w"] = t("mm.a.mlp.1.weight")
+        ap["proj2_w"] = t("mm.a.mlp.2.weight")
+    else:
+        ap["proj_w"] = t("mm.a.fc.weight")
+        ap["proj_b"] = t("mm.a.fc.bias")
     for i in range(acfg.num_hidden_layers):
         p = f"a.blk.{i}."
         ap["layers"].append({

@@ -125,3 +125,79 @@ def test_serve_audio_cli(tiny_qwen2a, tmp_path):
                "--audio", str(mel), "--audio-token-id", str(AUD_TOK),
                "--prompt-tokens", "1", "2", "3", "--max-new-tokens", "4"])
     assert not rc
+
+
+@pytest.fixture(scope="module")
+def tiny_voxtral(tmp_path_factory):
+    from transformers import VoxtralConfig, VoxtralForConditionalGeneration
+
+    cfg = VoxtralConfig(
+        text_config=dict(model_type="llama", vocab_size=64, hidden_size=48,
+                         intermediate_size=64, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         rms_norm_eps=1e-6, max_position_embeddings=128),
+        audio_config=dict(num_mel_bins=16, num_hidden_layers=2,
+                          num_attention_heads=4, hidden_size=32,
+                          max_source_positions=20, intermediate_size=128),
+        audio_token_id=61)
+    torch.manual_seed(37)
+    m = VoxtralForConditionalGeneration(cfg).eval().float()
+    d = tmp_path_factory.mktemp("vox") / "hf"
+    m.save_pretrained(d, safe_serialization=True)
+    return d, m
+
+
+def test_voxtral_soft_tokens_match_hf(tiny_voxtral):
+    d, m = tiny_voxtral
+    ap, acfg = jaudio.load_hf_audio(d)
+    assert acfg.projector == "voxtral"
+    assert acfg.stack_factor == 4
+    mel = _mel()
+    ours = np.asarray(jaudio.audio_soft_tokens(ap, acfg, mel))
+    with torch.no_grad():
+        ref = m.get_audio_features(torch.from_numpy(mel)).numpy()
+    assert ours.reshape(-1, 48).shape == ref.shape  # 20 frames / 4 = 5
+    np.testing.assert_allclose(ours.reshape(ref.shape), ref,
+                               rtol=2e-3, atol=3e-4)
+
+
+def test_voxtral_generate_matches_hf(tiny_voxtral):
+    import tempfile
+
+    from transformers import LlamaForCausalLM
+
+    from gptq_gguf_tpu.models import loader
+
+    d, m = tiny_voxtral
+    ap, acfg = jaudio.load_hf_audio(d)
+    tm = LlamaForCausalLM(m.config.text_config).eval().float()
+    tm.load_state_dict(m.language_model.state_dict())
+    with tempfile.TemporaryDirectory() as td:
+        tm.save_pretrained(td, safe_serialization=True)
+        cfg = loader.load_config(td)
+        params = loader.load_params(td, cfg)
+    mel = _mel()
+    n_soft = 5  # 40 mel -> conv stride 2 -> 20 -> stack 4 -> 5
+    base = RNG.integers(0, 56, size=(6,)).tolist()
+    ids = np.asarray(base[:2] + [61] * n_soft + base[2:], np.int64)
+    with torch.no_grad():
+        ref = m.generate(input_ids=torch.from_numpy(ids[None]),
+                         input_features=torch.from_numpy(mel),
+                         max_new_tokens=5, do_sample=False).numpy()[0]
+    got = jaudio.generate_with_audio(params, cfg, ap, acfg, ids, mel,
+                                     61, max_new_tokens=5)
+    assert got == ref[len(ids):].tolist()
+
+
+def test_voxtral_mmproj_gguf_roundtrip(tiny_voxtral):
+    from gptq_gguf_tpu.export import mmproj
+
+    d, m = tiny_voxtral
+    out = mmproj.pack_mmproj(d, d.parent / "vox-mm.gguf")
+    ap_h, ac_h = jaudio.load_hf_audio(d)
+    ap_g, ac_g = jaudio.load_mmproj_audio_gguf(out)
+    assert ac_g.projector == "voxtral" and ac_g.stack_factor == 4
+    mel = _mel()
+    a = np.asarray(jaudio.audio_soft_tokens(ap_h, ac_h, mel))
+    b = np.asarray(jaudio.audio_soft_tokens(ap_g, ac_g, mel))
+    np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-3)
