@@ -574,7 +574,8 @@ def run_serve(args):
                     soft = vlm_mod.image_soft_tokens(
                         vp, vcfg, jnp.asarray(np.stack(pix)))
                     return (np.asarray(soft).reshape(-1, soft.shape[-1]),
-                            int(img_tok))
+                            int(img_tok), None,
+                            vcfg.projector == "gemma3")
         if args.paged:
             eng = engine.PagedContinuousBatchingEngine(
                 params, cfg, num_slots=args.num_slots, max_len=args.max_len,

@@ -118,7 +118,7 @@ def _pad_prompt(prompt: np.ndarray, max_len: Optional[int] = None) -> Tuple[np.n
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def _prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache, slot,
                   n_valid=None, start=0, soft=None, soft_mask=None,
-                  rope_pos=None):
+                  rope_pos=None, spans=None):
     """Prefill one slot with a (1, S) prompt; other slots untouched.
 
     prompt may be right-padded; n_valid is the true token count (defaults
@@ -148,7 +148,7 @@ def _prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache, slot,
     logits, sub = qmodel.forward_cached(
         params, cfg, prompt, sub, n_valid=n_valid,
         embeds_override=soft, override_mask=soft_mask,
-        rope_positions=rope_pos)
+        rope_positions=rope_pos, bidir_spans=spans)
 
     def put(full, subs):
         zero = jnp.zeros((), jnp.int32)
@@ -243,6 +243,8 @@ class Request:
     # decode position (max(position)+1, HF rope_deltas semantics)
     rope_positions: Optional[np.ndarray] = None
     rope_next: Optional[int] = None
+    # gemma3: contiguous image-token runs attend bidirectionally
+    soft_bidir: bool = False
 
 
 class ContinuousBatchingEngine:
@@ -301,7 +303,8 @@ class ContinuousBatchingEngine:
                soft_embeds: Optional[np.ndarray] = None,
                soft_token_id: Optional[int] = None,
                rope_positions: Optional[np.ndarray] = None,
-               rope_next: Optional[int] = None) -> int:
+               rope_next: Optional[int] = None,
+               soft_bidir: bool = False) -> int:
         self._uid += 1
         # the cache must hold at least one prompt token plus the new tokens
         max_new_tokens = min(max_new_tokens, self.max_len - 1)
@@ -310,7 +313,8 @@ class ContinuousBatchingEngine:
             sampling=sampling_params or self.default_sampling,
             logprobs=int(logprobs),
             soft_embeds=soft_embeds, soft_token_id=soft_token_id,
-            rope_positions=rope_positions, rope_next=rope_next))
+            rope_positions=rope_positions, rope_next=rope_next,
+            soft_bidir=bool(soft_bidir)))
         return self._uid
 
     @staticmethod
@@ -351,7 +355,7 @@ class ContinuousBatchingEngine:
             self.rope_delta[slot] = np.int32(req.rope_next - len(prompt))
         else:
             self.rope_delta[slot] = 0
-        soft = soft_mask = None
+        soft = soft_mask = spans = None
         if req.soft_embeds is not None:
             mask = padded == req.soft_token_id
             rows = np.asarray(req.soft_embeds, np.float32)
@@ -362,10 +366,14 @@ class ContinuousBatchingEngine:
             buf[mask] = rows
             soft = jnp.asarray(buf)[None]
             soft_mask = jnp.asarray(mask)[None]
+            if req.soft_bidir:
+                from .vlm import _image_spans
+
+                spans = jnp.asarray(_image_spans(mask))[None, :]
         tok, logits, cache = _prefill_slot(
             self.params, self.cfg, jnp.asarray(padded)[None, :],
             self.cache, slot, n, start=shared, soft=soft,
-            soft_mask=soft_mask, rope_pos=rope_pos,
+            soft_mask=soft_mask, rope_pos=rope_pos, spans=spans,
         )
         self.cache = cache
         # the sampler row is reset on EVERY admit: a stale non-greedy row
@@ -583,7 +591,8 @@ class PagedContinuousBatchingEngine:
                soft_embeds: Optional[np.ndarray] = None,
                soft_token_id: Optional[int] = None,
                rope_positions: Optional[np.ndarray] = None,
-               rope_next: Optional[int] = None) -> int:
+               rope_next: Optional[int] = None,
+               soft_bidir: bool = False) -> int:
         if soft_embeds is not None or rope_positions is not None:
             raise NotImplementedError(
                 "soft-token (VLM) requests need the contiguous engine")

@@ -91,7 +91,8 @@ class EngineRunner:
                sampling_params: Optional[SamplingParams] = None,
                stream: bool = False, logprobs: int = 0,
                soft_embeds=None, soft_token_id=None,
-               rope_positions=None, rope_next=None) -> int:
+               rope_positions=None, rope_next=None,
+               soft_bidir=False) -> int:
         ev = threading.Event()
         with self.lock:
             uid = self.engine.submit(prompt, max_new_tokens,
@@ -100,7 +101,8 @@ class EngineRunner:
                                      soft_embeds=soft_embeds,
                                      soft_token_id=soft_token_id,
                                      rope_positions=rope_positions,
-                                     rope_next=rope_next)
+                                     rope_next=rope_next,
+                                     soft_bidir=soft_bidir)
             self.events[uid] = ev
             if stream:
                 self.streams[uid] = queue.Queue()
@@ -312,10 +314,12 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None,
                 flat_msgs, add_generation_prompt=True, tokenize=False)
             prompt = np.asarray(tokenizer(text)["input_ids"], np.int64)
             soft_embeds = soft_tok = rope_positions = rope_next = None
+            soft_bidir = False
             if images:
                 out = imager(images)
                 soft_embeds, soft_tok = out[0], out[1]
                 pos_fn = out[2] if len(out) > 2 else None
+                soft_bidir = bool(out[3]) if len(out) > 3 else False
                 n_soft = soft_embeds.shape[0]
                 prompt = np.concatenate([
                     np.full((n_soft,), soft_tok, np.int64), prompt])
@@ -332,7 +336,7 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None,
             if req.get("stream"):
                 self._chat_stream(req, prompt, max_new, sp, stops, t0,
                                   soft_embeds, soft_tok, rope_positions,
-                                  rope_next)
+                                  rope_next, soft_bidir)
                 return
             import dataclasses as _dc
 
@@ -345,7 +349,8 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None,
                 uids.append(runner.submit(
                     prompt, max_new, sp_i, logprobs=want_lp,
                     soft_embeds=soft_embeds, soft_token_id=soft_tok,
-                    rope_positions=rope_positions, rope_next=rope_next))
+                    rope_positions=rope_positions, rope_next=rope_next,
+                    soft_bidir=soft_bidir))
             timeout = float(req.get("timeout_s", 600))
             results = [runner.wait(u, timeout=timeout) for u in uids]
             eos = getattr(runner.engine, "eos", None)
@@ -464,7 +469,8 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None,
 
         def _chat_stream(self, req, prompt, max_new, sp, stops, t0,
                          soft_embeds=None, soft_tok=None,
-                         rope_positions=None, rope_next=None):
+                         rope_positions=None, rope_next=None,
+                         soft_bidir=False):
             """OpenAI chat.completion.chunk SSE stream. Text already decoded
             is held back by max(len(stop))-1 chars so a stop string straddling
             two chunks is never partially emitted."""
@@ -472,7 +478,8 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None,
                                 soft_embeds=soft_embeds,
                                 soft_token_id=soft_tok,
                                 rope_positions=rope_positions,
-                                rope_next=rope_next)
+                                rope_next=rope_next,
+                                soft_bidir=soft_bidir)
             q = runner.stream_queue(uid)
             eos = getattr(runner.engine, "eos", None)
             base = {"id": f"chatcmpl-{uid}", "object": "chat.completion.chunk",

@@ -446,3 +446,29 @@ def test_vlm_bidirectional_image_attention(tiny_vlm):
     first_img = int(np.argmax(mask))
     assert not np.allclose(np.asarray(logits)[0, first_img],
                            np.asarray(causal)[0, first_img], atol=1e-4)
+
+
+def test_engine_bidir_soft_request(tiny_vlm):
+    """A gemma3 image request through the batched engine with
+    soft_bidir=True matches the standalone bidirectional generate path."""
+    import jax.numpy as jnp
+
+    from gptq_gguf_tpu.models import loader
+    from gptq_gguf_tpu.serving import engine as eng_mod
+
+    d, td, m = tiny_vlm
+    vp, vcfg = vlm.load_hf_vision(d)
+    cfg = loader.load_config(td)
+    params = loader.load_params(td, cfg)
+    ids = _prompt()
+    pixels = RNG.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    ref = vlm.generate_with_images(params, cfg, vp, vcfg, ids, pixels,
+                                   IMG_TOK, max_new_tokens=6)
+    soft = np.asarray(vlm.image_soft_tokens(vp, vcfg, jnp.asarray(pixels)))
+    soft = soft.reshape(-1, cfg.hidden_size)
+    eng = eng_mod.ContinuousBatchingEngine(params, cfg, num_slots=2,
+                                           max_len=64)
+    uid = eng.submit(ids, 6, soft_embeds=soft, soft_token_id=IMG_TOK,
+                     soft_bidir=True)
+    done = {r.uid: r for r in eng.run_until_done()}
+    assert done[uid].output == ref
