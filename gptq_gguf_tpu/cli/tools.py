@@ -1250,8 +1250,12 @@ def run_embed(args):
             def submit(self, *a, **k):
                 raise ValueError("this server only hosts /v1/embeddings")
 
+        try:
+            reranker = make_reranker(args.gguf_file)
+        except ValueError:
+            reranker = None  # plain embedder GGUF (no classifier head)
         serve_http(_NullEngine(), host=args.host, port=args.port,
-                   embedder=embedder)
+                   embedder=embedder, reranker=reranker)
         return
     if not texts:
         raise SystemExit("need --prompt or --input-file (or --http)")
@@ -1268,3 +1272,72 @@ def run_embed(args):
 
 
 SUBCOMMANDS["embed"] = (build_embed, run_embed)
+
+
+def make_reranker(gguf_file):
+    """(query, [docs]) -> relevance scores over a bert-arch classifier GGUF
+    (llama.cpp /rerank analogue: [CLS] query [SEP] doc [SEP] pairs through
+    the packed classification head)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..formats.gguf import GGUFReader
+    from ..models import bert
+    from ..serving import tokenizer as gtok
+
+    params, cfg = bert.load_gguf_encoder(gguf_file)
+    if params.get("cls_out_w") is None and params.get("cls_w") is None:
+        raise ValueError(f"{gguf_file} carries no classification head "
+                         "(cls/cls.output tensors)")
+    gg = gtok.from_gguf(GGUFReader(gguf_file))
+    if gg is None:
+        raise ValueError(f"{gguf_file} carries no tokenizer.ggml vocab")
+    cls_id = gg.vocab.get("[CLS]", gg.vocab.get("<s>"))
+    sep_id = gg.vocab.get("[SEP]", gg.vocab.get("</s>"))
+
+    fwd = jax.jit(bert.rank_score, static_argnames=("cfg",))
+
+    def rank(query, docs):
+        q_ids = gg.encode(query, add_bos=False)
+        idss = []
+        for doc in docs:
+            ids = []
+            if cls_id is not None:
+                ids.append(cls_id)
+            ids += q_ids
+            if sep_id is not None:
+                ids.append(sep_id)
+            ids += gg.encode(doc, add_bos=False)
+            if sep_id is not None:
+                ids.append(sep_id)
+            idss.append(ids[:cfg.max_position_embeddings])
+        S = max(16, max(len(i) for i in idss))
+        ids_arr = np.zeros((len(idss), S), np.int32)
+        mask = np.zeros((len(idss), S), np.float32)
+        for r, ids in enumerate(idss):
+            ids_arr[r, :len(ids)] = ids
+            mask[r, :len(ids)] = 1.0
+        return np.asarray(fwd(params, cfg, jnp.asarray(ids_arr),
+                              jnp.asarray(mask)))
+
+    return rank
+
+
+def build_rank(p: argparse.ArgumentParser):
+    p.add_argument("--gguf-file", required=True,
+                   help="bert-arch classifier GGUF (reranker)")
+    p.add_argument("--query", required=True)
+    p.add_argument("--documents", nargs="+", required=True)
+
+
+def run_rank(args):
+    scores = make_reranker(args.gguf_file)(args.query, args.documents)
+    out = sorted(
+        ({"index": i, "relevance_score": float(s)}
+         for i, s in enumerate(scores)),
+        key=lambda d: -d["relevance_score"])
+    print(json.dumps({"results": out}))
+
+
+SUBCOMMANDS["rank"] = (build_rank, run_rank)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["BertConfig", "load_gguf_encoder", "load_hf_encoder",
-           "encode", "pooled_embedding"]
+           "encode", "pooled_embedding", "rank_score"]
 
 # llama.cpp PoolingType values
 POOL_NONE, POOL_MEAN, POOL_CLS, POOL_LAST = 0, 1, 2, 3
@@ -113,6 +113,20 @@ def pooled_embedding(params: Dict[str, Any], cfg: BertConfig, ids: jax.Array,
     return out
 
 
+def rank_score(params: Dict[str, Any], cfg: BertConfig, ids: jax.Array,
+               mask: Optional[jax.Array] = None) -> jax.Array:
+    """Relevance score for rerankers: CLS token through the packed
+    classification head (Roberta-style dense+tanh then out_proj — the
+    llama.cpp RANK pooling path). Returns (B,) logits."""
+    h = encode(params, cfg, ids, mask)
+    x = h[:, 0]
+    if params.get("cls_w") is not None:
+        x = jnp.tanh(x @ params["cls_w"].T + params["cls_b"])
+    if params.get("cls_out_w") is not None:
+        x = x @ params["cls_out_w"].T + params["cls_out_b"]
+    return x[..., 0]
+
+
 # ---------------------------------------------------------------------------
 # Loaders
 # ---------------------------------------------------------------------------
@@ -163,6 +177,11 @@ def load_gguf_encoder(path: Union[str, Path]
         "embd_norm_b": t("token_embd_norm.bias"),
         "layers": [],
     }
+    # sequence-classifier head (rerankers): cls (+tanh) then cls.output
+    for k, name in (("cls_w", "cls.weight"), ("cls_b", "cls.bias"),
+                    ("cls_out_w", "cls.output.weight"),
+                    ("cls_out_b", "cls.output.bias")):
+        params[k] = t(name, required=False)
     for i in range(cfg.num_hidden_layers):
         p = f"blk.{i}."
         params["layers"].append({

@@ -162,7 +162,7 @@ class EngineRunner:
 
 
 def make_handler(runner: EngineRunner, tokenizer=None, embedder=None,
-                 imager=None):
+                 imager=None, reranker=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -214,6 +214,8 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None,
                     self._chat(req)
                 elif self.path == "/v1/embeddings":
                     self._embeddings(req)
+                elif self.path in ("/v1/rerank", "/rerank"):
+                    self._rerank(req)
                 elif self.path == "/tokenize":
                     self._tokenize(req)
                 elif self.path == "/detokenize":
@@ -467,6 +469,27 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None,
                           "total_tokens": n_tokens},
             })
 
+        def _rerank(self, req):
+            """llama.cpp /rerank analogue (Jina/Cohere-style JSON)."""
+            if reranker is None:
+                self._json(400, {"error": "no reranker model loaded"})
+                return
+            query = req.get("query")
+            docs = req.get("documents")
+            if not query or not docs:
+                self._json(400, {"error": "need query and documents"})
+                return
+            scores = reranker(query, list(docs))
+            results = sorted(
+                ({"index": i, "relevance_score": float(s)}
+                 for i, s in enumerate(scores)),
+                key=lambda d: -d["relevance_score"])
+            top_n = req.get("top_n")
+            if top_n:
+                results = results[: int(top_n)]
+            self._json(200, {"model": req.get("model", "gptq-gguf-tpu"),
+                             "results": results})
+
         def _chat_stream(self, req, prompt, max_new, sp, stops, t0,
                          soft_embeds=None, soft_tok=None,
                          rope_positions=None, rope_next=None,
@@ -531,12 +554,13 @@ def make_handler(runner: EngineRunner, tokenizer=None, embedder=None,
 
 def serve_http(engine, host: str = "127.0.0.1", port: int = 8080,
                tokenizer=None, block: bool = True, embedder=None,
-               imager=None):
+               imager=None, reranker=None):
     """Start the engine thread + HTTP server. Returns (server, runner) when
     block=False (caller shuts down via server.shutdown(); runner.stop())."""
     runner = EngineRunner(engine).start()
     server = ThreadingHTTPServer(
-        (host, port), make_handler(runner, tokenizer, embedder, imager))
+        (host, port),
+        make_handler(runner, tokenizer, embedder, imager, reranker))
     if not block:
         threading.Thread(target=server.serve_forever, daemon=True).start()
         return server, runner

@@ -144,3 +144,97 @@ def test_embeddings_endpoint(bert_gguf):
     finally:
         server.shutdown()
         runner.stop()
+
+
+@pytest.fixture(scope="module")
+def reranker_gguf(tmp_path_factory):
+    """Roberta-style classifier (bge-reranker shape): dense+tanh head,
+    packed via the class-dispatch packer path."""
+    from transformers import RobertaConfig, RobertaForSequenceClassification
+
+    from gptq_gguf_tpu.export import packer
+
+    cfg = RobertaConfig(vocab_size=48, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, intermediate_size=48,
+                        max_position_embeddings=66, pad_token_id=1,
+                        num_labels=1)
+    torch.manual_seed(79)
+    m = RobertaForSequenceClassification(cfg).eval().float()
+    d = tmp_path_factory.mktemp("rr") / "hf"
+    m.save_pretrained(d, safe_serialization=True)
+    vocab = (["<s>", "<pad>", "</s>", "[UNK]"]
+             + [f"w{i}" for i in range(44)])
+    json.dump({
+        "model": {"type": "WordPiece",
+                  "vocab": {t: i for i, t in enumerate(vocab)},
+                  "unk_token": "[UNK]"},
+        "added_tokens": [
+            {"id": 0, "content": "<s>", "special": True},
+            {"id": 2, "content": "</s>", "special": True},
+        ],
+    }, open(d / "tokenizer.json", "w"))
+    out = tmp_path_factory.mktemp("rr") / "rr.gguf"
+    packer.pack_model(d, d / "none", out)
+    return out, m
+
+
+def test_rank_score_matches_hf(reranker_gguf):
+    import jax.numpy as jnp
+
+    out, m = reranker_gguf
+    params, cfg = jbert.load_gguf_encoder(out)
+    assert params["cls_w"] is not None and params["cls_out_w"] is not None
+    ids = RNG.integers(4, 48, size=(2, 7)).astype(np.int32)
+    ours = np.asarray(jbert.rank_score(params, cfg, jnp.asarray(ids)))
+    # HF roberta positions start at pad+1; the packed GGUF table is chopped,
+    # so feed HF the same rows via position_ids
+    import torch as _t
+
+    pos = _t.arange(2, 9).expand(2, -1)
+    with _t.no_grad():
+        ref = m(input_ids=_t.tensor(ids, dtype=_t.long),
+                position_ids=pos).logits.numpy()[:, 0]
+    np.testing.assert_allclose(ours, ref, rtol=5e-2, atol=5e-3)  # f16 pack
+
+
+def test_rank_cli_and_endpoint(reranker_gguf, capsys):
+    import urllib.request
+
+    from gptq_gguf_tpu.__main__ import main
+    from gptq_gguf_tpu.cli.tools import make_reranker
+    from gptq_gguf_tpu.serving import server as server_mod
+
+    out, m = reranker_gguf
+    rc = main(["rank", "--gguf-file", str(out), "--query", "w1 w2",
+               "--documents", "w3 w4", "w5"])
+    assert not rc
+    res = json.loads(capsys.readouterr().out)
+    assert len(res["results"]) == 2
+    assert res["results"][0]["relevance_score"] >= \
+        res["results"][1]["relevance_score"]
+
+    class _NullEngine:
+        slot_req: list = []
+        queue: list = []
+        completed: list = []
+
+        def step(self):
+            return 0
+
+    server, runner = server_mod.serve_http(
+        _NullEngine(), port=0, block=False,
+        reranker=make_reranker(out))
+    try:
+        addr = server.server_address
+        req = urllib.request.Request(
+            f"http://{addr[0]}:{addr[1]}/v1/rerank",
+            data=json.dumps({"query": "w1", "documents": ["w2", "w3", "w4"],
+                             "top_n": 2}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out_json = json.loads(r.read())
+        assert len(out_json["results"]) == 2
+        assert "relevance_score" in out_json["results"][0]
+    finally:
+        server.shutdown()
+        runner.stop()
