@@ -1167,6 +1167,8 @@ SUBCOMMANDS["estimate-errors"] = (build_estimate_errors, run_estimate_errors)
 def build_embed(p: argparse.ArgumentParser):
     p.add_argument("--gguf-file", required=True,
                    help="bert-arch GGUF (this repo's packer output)")
+    p.add_argument("--lora", default=None,
+                   help="LoRA adapter GGUF to merge (jina-v3 task adapters)")
     p.add_argument("--prompt", nargs="+", default=None)
     p.add_argument("--input-file", default=None, help="one text per line")
     p.add_argument("--no-normalize", action="store_true",
@@ -1178,8 +1180,11 @@ def build_embed(p: argparse.ArgumentParser):
     p.add_argument("--port", type=int, default=8080)
 
 
-def make_embedder(gguf_file, normalize=True):
-    """(texts) -> (vectors, token_count) over a bert-arch GGUF."""
+def make_embedder(gguf_file, normalize=True, lora=None):
+    """(texts) -> (vectors, token_count) over a bert-arch GGUF, optionally
+    with a LoRA adapter GGUF merged (jina-v3 task adapters). The adapter's
+    prompt prefix, if any, is prepended to every input (reference
+    task_instructions semantics)."""
     import functools
 
     import jax
@@ -1191,6 +1196,10 @@ def make_embedder(gguf_file, normalize=True):
     from ..serving import tokenizer as gtok
 
     params, cfg = bert.load_gguf_encoder(gguf_file)
+    prefix = ""
+    if lora:
+        params = bert.apply_lora_gguf(params, cfg, lora)
+        prefix = GGUFReader(lora).get("adapter.lora.prompt_prefix", "") or ""
     gg = gtok.from_gguf(GGUFReader(gguf_file))
     if gg is None:
         raise ValueError(f"{gguf_file} carries no tokenizer.ggml vocab")
@@ -1210,7 +1219,7 @@ def make_embedder(gguf_file, normalize=True):
     def embed(texts):
         idss = []
         for t in texts:
-            ids = gg.encode(t, add_bos=False)
+            ids = gg.encode(prefix + t, add_bos=False)
             if cls_id is not None:
                 ids = [cls_id] + ids
             if sep_id is not None:
@@ -1235,7 +1244,8 @@ def run_embed(args):
     if args.input_file:
         with open(args.input_file) as f:
             texts += [ln.rstrip("\n") for ln in f if ln.strip()]
-    embedder = make_embedder(args.gguf_file, normalize=not args.no_normalize)
+    embedder = make_embedder(args.gguf_file, normalize=not args.no_normalize,
+                             lora=args.lora)
     if args.http:
         from ..serving.server import serve_http
 

@@ -2954,7 +2954,19 @@ class BertArch(ArchSpec):
 class RobertaArch(BertArch):
     """RoBERTa / XLM-R (reference RobertaModel :4758, XLMRobertaModel
     :4911): position embeddings start at pad_token_id+1, so the matrix is
-    chopped and the context shortened by the same offset."""
+    chopped and the context shortened by the same offset. With
+    lora_adaptations in the config (jina-embeddings-v3) the arch becomes
+    jina-bert-v3 and each LoRA task is written to its own sibling adapter
+    GGUF (reference :4996-5006; general.type=adapter + adapter.lora.*
+    keys; the stacked lora_A/lora_B tensors are split per task,
+    token_embd's lora_b transposed and token_types' a/b swapped —
+    reference quirks :4973-4977)."""
+
+    def __init__(self, hf_config):
+        super().__init__(hf_config)
+        self.lora_names = list(hf_config.get("lora_adaptations") or [])
+        if self.lora_names:
+            self.gguf_arch = "jina-bert-v3"
 
     @property
     def _offset(self) -> int:
@@ -2966,7 +2978,65 @@ class RobertaArch(BertArch):
         if self._offset:
             md[f"{self.gguf_arch}.context_length"] = int(
                 self.hf["max_position_embeddings"]) - self._offset
+        if self.hf.get("rotary_emb_base"):  # jina-v3 is rope-based
+            md[f"{self.gguf_arch}.rope.freq_base"] = float(
+                self.hf["rotary_emb_base"])
         return md
+
+    def tensor_name(self, hf_name):
+        name = hf_name
+        if ".parametrizations." in name:  # jina-v3 LoRA parametrization
+            if name.endswith((".0.lora_A", ".0.lora_B")):
+                return None  # routed to the adapter sidecars
+            name = name.replace(".parametrizations.", ".")
+            if name.endswith(".original"):
+                name = name[:-9]
+        return super().tensor_name(name)
+
+    def sidecars(self):
+        """{key: (filename prefix, metadata)} for per-task LoRA GGUFs."""
+        alpha = float(self.hf.get("lora_alpha") or 1.0)
+        prefixes = self.hf.get("task_instructions") or {}
+        out = {}
+        for name in self.lora_names:
+            md = {
+                "general.architecture": self.gguf_arch,
+                "general.type": "adapter",
+                "adapter.type": "lora",
+                "adapter.lora.alpha": alpha,
+                "adapter.lora.task_name": name,
+            }
+            if name in prefixes:
+                md["adapter.lora.prompt_prefix"] = prefixes[name]
+            out[name] = (f"lora-{name}-", md)
+        return out
+
+    def sidecar_tensors(self, hf_name, arr):
+        """Split the stacked (n_tasks, ...) lora_A/lora_B tensors."""
+        name = hf_name
+        for p in self._strip_prefixes:
+            if name.startswith(p):
+                name = name[len(p):]
+        if ".parametrizations." in name:
+            name = name.replace(".parametrizations.", ".")
+        if not name.endswith((".0.lora_A", ".0.lora_B")):
+            return []
+        if name.startswith("pooler.dense"):
+            return []
+        base = super().tensor_name(name[:-9])
+        if base is None:
+            return []
+        gname = base + name[-7:].lower()  # .lora_a / .lora_b
+        out = []
+        for i, task in enumerate(self.lora_names):
+            data = np.asarray(arr[i], np.float32)
+            n = gname
+            if n == "token_embd.weight.lora_b":
+                data = data.T
+            elif n.startswith("token_types.weight."):
+                n = n[:-1] + ("a" if n[-1] == "b" else "b")
+            out.append((task, n, data))
+        return out
 
     def special_tensors(self, hf_name, arr, get_artifact):
         name = hf_name
@@ -4626,7 +4696,26 @@ def pack_model(
 
     from ..models.adapters import iter_canonical_tensors
 
+    # sibling adapter GGUFs (jina-v3 LoRA tasks, reference :4996-5006)
+    sidecar_writers: Dict[str, GGUFWriter] = {}
+    sidecar_paths: Dict[str, Path] = {}
+    for key, (prefix, md) in (getattr(spec, "sidecars", dict)() or {}).items():
+        out_p = Path(out_path)
+        sp = out_p.with_name(prefix + out_p.name)
+        sidecar_paths[key] = sp
+        w = GGUFWriter(sp)
+        for k, v in md.items():
+            w.add_kv(k, v)
+        sidecar_writers[key] = w
+
     for name, arr in iter_canonical_tensors(_iter_safetensors(model_dir), hf_cfg):
+        if sidecar_writers:
+            routed = spec.sidecar_tensors(name, _to_f32(arr))
+            if routed:
+                for key, gname, data in routed:
+                    sidecar_writers[key].add_tensor(
+                        gname, data.astype(np.float32))
+                continue
         exp = spec.expert_tensor(name) if isinstance(spec, MoEArchSpec) else None
         if exp is not None:
             gguf_exps, e_idx, art_tpl = exp
@@ -4702,4 +4791,7 @@ def pack_model(
     dominant = max(type_counts, key=type_counts.get) if type_counts else default_float
     writer.add_kv("general.file_type", FILE_TYPE_IDS.get(dominant, 1))
     writer.write()
+    for key, w in sidecar_writers.items():
+        w.write()
+        print(f"wrote adapter {sidecar_paths[key]}")
     return Path(out_path)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["BertConfig", "load_gguf_encoder", "load_hf_encoder",
-           "encode", "pooled_embedding", "rank_score"]
+           "encode", "pooled_embedding", "rank_score", "apply_lora_gguf"]
 
 # llama.cpp PoolingType values
 POOL_NONE, POOL_MEAN, POOL_CLS, POOL_LAST = 0, 1, 2, 3
@@ -40,6 +40,7 @@ class BertConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     pooling_type: int = POOL_CLS
+    rope_theta: Optional[float] = None  # jina-bert-v3: NeoX rope, no table
     dtype: Any = jnp.float32
 
 
@@ -67,6 +68,19 @@ def encode(params: Dict[str, Any], cfg: BertConfig, ids: jax.Array,
     hd = cfg.hidden_size // nh
     neg = jnp.finfo(jnp.float32).min
     attn_bias = jnp.where(mask[:, None, None, :] > 0, 0.0, neg)
+    rope = None
+    if cfg.rope_theta:  # jina-bert-v3: NeoX rotary instead of a table
+        inv = 1.0 / (cfg.rope_theta ** (
+            jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+        ang = jnp.arange(S, dtype=jnp.float32)[:, None] * inv
+        ang = jnp.concatenate([ang, ang], axis=-1)
+        cos_r, sin_r = jnp.cos(ang), jnp.sin(ang)
+
+        def rope(t):  # (B, nh, S, hd)
+            t1, t2 = t[..., : hd // 2], t[..., hd // 2:]
+            rot = jnp.concatenate([-t2, t1], axis=-1)
+            return t * cos_r[None, None] + rot * sin_r[None, None]
+
     for layer in params["layers"]:
         q = h @ layer["q_w"].T + layer["q_b"]
         k = h @ layer["k_w"].T + layer["k_b"]
@@ -74,6 +88,8 @@ def encode(params: Dict[str, Any], cfg: BertConfig, ids: jax.Array,
         q = q.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
+        if rope is not None:
+            q, k = rope(q), rope(k)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd)
         att = jax.nn.softmax(scores + attn_bias, axis=-1)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", att, v)
@@ -157,10 +173,14 @@ def load_gguf_encoder(path: Union[str, Path]
 
     r = GGUFReader(path)
     arch = r.get("general.architecture")
-    if arch not in ("bert",):
+    if arch not in ("bert", "jina-bert-v3"):
         raise NotImplementedError(
-            f"encoder loading supports arch 'bert', got {arch!r}")
+            f"encoder loading supports bert/jina-bert-v3, got {arch!r}")
     cfg = _cfg_from_gguf(r)
+    if arch == "jina-bert-v3":
+        cfg = dataclasses.replace(
+            cfg, rope_theta=float(r.get(f"{arch}.rope.freq_base", 10000.0)),
+            pooling_type=int(r.get(f"{arch}.pooling_type", POOL_MEAN)))
 
     def t(name, required=True):
         if name not in r.tensors:
@@ -199,6 +219,70 @@ def load_gguf_encoder(path: Union[str, Path]
             "out_norm_b": t(p + "layer_output_norm.bias"),
         })
     return params, cfg
+
+
+def apply_lora_gguf(params: Dict[str, Any], cfg: BertConfig,
+                    adapter_path: Union[str, Path]) -> Dict[str, Any]:
+    """Merge a LoRA adapter GGUF (general.type=adapter, llama.cpp layout:
+    <base>.lora_a (r, in) / <base>.lora_b (out, r)) into the encoder
+    pytree: W' = W + (alpha / r) * B @ A. The jina-v3 embedding adapters
+    store token_embd's b transposed; orientation is resolved against the
+    target shape. Returns a new params dict."""
+    from ..formats.gguf import GGUFReader
+
+    r = GGUFReader(adapter_path)
+    if r.get("general.type") != "adapter" or r.get("adapter.type") != "lora":
+        raise ValueError(f"{adapter_path} is not a LoRA adapter GGUF")
+    alpha = float(r.get("adapter.lora.alpha", 1.0))
+
+    key_map = {"token_embd.weight": ("token_embd",),
+               "token_types.weight": ("token_types",),
+               "position_embd.weight": ("position_embd",)}
+    blk = {"attn_q": "q", "attn_k": "k", "attn_v": "v",
+           "attn_output": "o", "ffn_up": "up", "ffn_down": "down"}
+
+    def locate(base):
+        if base in key_map:
+            return key_map[base]
+        parts = base.split(".")  # blk.N.attn_q.weight
+        if parts[0] == "blk" and parts[2] in blk:
+            return ("layers", int(parts[1]), blk[parts[2]] + "_w")
+        return None
+
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
+    params["layers"] = [dict(l) for l in params["layers"]]
+    n_applied = 0
+    for name in list(r.tensors):
+        if not name.endswith(".lora_a"):
+            continue
+        base = name[: -len(".lora_a")]
+        where = locate(base)
+        if where is None:
+            continue
+        a = np.asarray(r.tensor_float(name), np.float32)
+        b = np.asarray(r.tensor_float(base + ".lora_b"), np.float32)
+        target = params
+        for k in where[:-1]:
+            target = target[k] if not isinstance(k, int) else target[k]
+        w = np.asarray(target[where[-1]], np.float32)
+        rank = min(a.shape + b.shape)
+        scale = alpha / rank
+        for delta in (lambda: b @ a, lambda: a @ b.T,
+                      lambda: a @ b, lambda: b.T @ a.T):
+            try:
+                d = delta()
+            except ValueError:
+                continue
+            if d.shape == w.shape:
+                target[where[-1]] = jnp.asarray(w + scale * d)
+                n_applied += 1
+                break
+        else:
+            raise ValueError(f"{base}: lora shapes {a.shape}/{b.shape} do "
+                             f"not compose to {w.shape}")
+    if n_applied == 0:
+        raise ValueError(f"{adapter_path}: no applicable LoRA tensors")
+    return params
 
 
 def load_hf_encoder(model_dir: Union[str, Path]

@@ -376,3 +376,119 @@ def test_wavtokenizer_pack(tmp_path):
     # EMA bookkeeping skipped
     assert not any("cluster" in n or "embed_avg" in n or "inited" in n
                    for n in r.tensors)
+
+
+def test_jina_v3_lora_adapters(tmp_path):
+    """jina-embeddings-v3 (reference XLMRobertaModel :4911-5006): the main
+    GGUF becomes jina-bert-v3 (rope-based, parametrizations unwrapped) and
+    each LoRA task gets a sibling adapter GGUF with the stacked lora_A/B
+    split per task — token_embd's lora_b transposed, token_types' a/b
+    swapped (reference quirks)."""
+    from safetensors.numpy import save_file
+
+    from gptq_gguf_tpu.export import packer
+    from gptq_gguf_tpu.formats.gguf import GGUFReader
+
+    rng = np.random.default_rng(63)
+    v, h, ff, r = 32, 24, 32, 4
+    cfg = {"model_type": "xlm-roberta", "architectures": ["XLMRobertaLoRA"],
+           "vocab_size": v, "hidden_size": h, "num_hidden_layers": 1,
+           "num_attention_heads": 4, "intermediate_size": ff,
+           "max_position_embeddings": 66, "pad_token_id": 1,
+           "type_vocab_size": 1, "rotary_emb_base": 20000.0,
+           "lora_adaptations": ["retrieval.query", "text-matching"],
+           "lora_alpha": 2.0,
+           "task_instructions": {"retrieval.query": "Represent the query: ",
+                                 "text-matching": ""}}
+    f32 = lambda *s: rng.normal(size=s).astype(np.float32)
+    P = ".parametrizations.weight"
+    t = {
+        f"roberta.embeddings.word_embeddings{P}.original": f32(v, h),
+        f"roberta.embeddings.word_embeddings{P}.0.lora_A": f32(2, v, r),
+        f"roberta.embeddings.word_embeddings{P}.0.lora_B": f32(2, r, h),
+        f"roberta.embeddings.token_type_embeddings{P}.original": f32(1, h),
+        f"roberta.embeddings.token_type_embeddings{P}.0.lora_A": f32(2, 1, r),
+        f"roberta.embeddings.token_type_embeddings{P}.0.lora_B": f32(2, r, h),
+        "roberta.embeddings.LayerNorm.weight": f32(h),
+        "roberta.embeddings.LayerNorm.bias": f32(h),
+    }
+    p = "roberta.encoder.layer.0"
+    for nm, shp in (("attention.self.query", (h, h)),
+                    ("attention.self.key", (h, h)),
+                    ("attention.self.value", (h, h)),
+                    ("attention.output.dense", (h, h)),
+                    ("intermediate.dense", (ff, h)),
+                    ("output.dense", (h, ff))):
+        t[f"{p}.{nm}{P}.original"] = f32(*shp)
+        t[f"{p}.{nm}{P}.0.lora_A"] = f32(2, r, shp[1])
+        t[f"{p}.{nm}{P}.0.lora_B"] = f32(2, shp[0], r)
+        t[f"{p}.{nm}.bias"] = f32(shp[0])
+    for nm in ("attention.output.LayerNorm", "output.LayerNorm"):
+        t[f"{p}.{nm}.weight"] = f32(h)
+        t[f"{p}.{nm}.bias"] = f32(h)
+    d = tmp_path / "jv3"
+    d.mkdir()
+    save_file(t, d / "model.safetensors")
+    json.dump(cfg, open(d / "config.json", "w"))
+    _wordpiece_tokenizer(d, [f"w{i}" for i in range(v)])
+    out = tmp_path / "jv3.gguf"
+    packer.pack_model(d, d / "none", out)
+    r_main = GGUFReader(out)
+    assert r_main.get("general.architecture") == "jina-bert-v3"
+    assert r_main.get("jina-bert-v3.rope.freq_base") == 20000.0
+    assert "token_embd.weight" in r_main.tensors  # .original unwrapped
+    assert "blk.0.attn_q.weight" in r_main.tensors
+    assert not any("lora" in n for n in r_main.tensors)
+    # per-task sidecars
+    for task in ("retrieval.query", "text-matching"):
+        rr = GGUFReader(tmp_path / f"lora-{task}-jv3.gguf")
+        assert rr.get("general.type") == "adapter"
+        assert rr.get("adapter.type") == "lora"
+        assert rr.get("adapter.lora.alpha") == 2.0
+        assert rr.get("adapter.lora.task_name") == task
+        for n in ("token_embd.weight.lora_a", "token_embd.weight.lora_b",
+                  "blk.0.attn_q.weight.lora_a", "blk.0.ffn_up.weight.lora_b"):
+            assert n in rr.tensors, (task, n)
+    rr = GGUFReader(tmp_path / "lora-retrieval.query-jv3.gguf")
+    assert rr.get("adapter.lora.prompt_prefix") == "Represent the query: "
+    # quirks: token_embd lora_b transposed; token_types a/b swapped
+    np.testing.assert_allclose(
+        rr.tensor_float("token_embd.weight.lora_b"),
+        t[f"roberta.embeddings.word_embeddings{P}.0.lora_B"][0].T, rtol=1e-6)
+    np.testing.assert_allclose(
+        rr.tensor_float("token_types.weight.lora_a"),
+        t[f"roberta.embeddings.token_type_embeddings{P}.0.lora_B"][0],
+        rtol=1e-6)
+
+
+def test_jina_v3_lora_apply(tmp_path):
+    """Merging a packed task adapter reproduces W + (alpha/r) * B @ A
+    (checked against a manual numpy merge through the encoder forward)."""
+    import jax.numpy as jnp
+
+    from gptq_gguf_tpu.models import bert as jbert
+
+    # reuse the structural fixture from the pack test
+    test_jina_v3_lora_adapters(tmp_path)
+    main = tmp_path / "jv3.gguf"
+    adapter = tmp_path / "lora-retrieval.query-jv3.gguf"
+    params, cfg = jbert.load_gguf_encoder(main)
+    merged = jbert.apply_lora_gguf(params, cfg, adapter)
+    r = GGUFReader(adapter)
+    a = r.tensor_float("blk.0.attn_q.weight.lora_a")
+    b = r.tensor_float("blk.0.attn_q.weight.lora_b")
+    expect = (np.asarray(params["layers"][0]["q_w"], np.float32)
+              + (2.0 / a.shape[0]) * (b @ a))
+    np.testing.assert_allclose(np.asarray(merged["layers"][0]["q_w"]),
+                               expect, rtol=1e-5, atol=1e-6)
+    ea = r.tensor_float("token_embd.weight.lora_a")
+    eb = r.tensor_float("token_embd.weight.lora_b")
+    expect_e = (np.asarray(params["token_embd"], np.float32)
+                + (2.0 / ea.shape[1]) * (ea @ eb.T))
+    np.testing.assert_allclose(np.asarray(merged["token_embd"]), expect_e,
+                               rtol=1e-5, atol=1e-6)
+    # merged weights change the embedding output
+    ids = RNG.integers(0, 32, size=(1, 6)).astype(np.int32)
+    base_out = np.asarray(jbert.pooled_embedding(params, cfg, ids))
+    lora_out = np.asarray(jbert.pooled_embedding(merged, cfg, ids))
+    assert not np.allclose(base_out, lora_out, atol=1e-4)
