@@ -23,17 +23,24 @@ import time
 import numpy as np
 
 
-def measure_stream_bw_gbs(n_mb=128, steps=20):
-    """Measured streaming HBM bandwidth (2 reads + 1 write per step)."""
+def measure_stream_bw_gbs(n_mb=256, steps_lo=8, steps_hi=72):
+    """Measured streaming HBM bandwidth (2 reads + 1 write per step).
+
+    Two-point differencing: time the same jitted scan at two lengths and
+    divide the *extra* bytes by the *extra* time. The relay's fixed
+    dispatch+readback latency (tens of ms on this target) cancels out —
+    a single-length measurement under-reads bandwidth by 2x here, which
+    round 2's pipelined engine exposed by "beating" that SOL."""
     import jax
     import jax.numpy as jnp
+    from functools import partial
 
     n = n_mb * 1024 * 1024 // 4
     x = jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.float32)
     y = jax.random.normal(jax.random.PRNGKey(1), (n,), jnp.float32)
 
-    @jax.jit
-    def run(x, y):
+    @partial(jax.jit, static_argnames=("steps",))
+    def run(x, y, steps):
         def body(c, _):
             a, b = c
             return (b, a + 0.5 * b), None
@@ -41,11 +48,19 @@ def measure_stream_bw_gbs(n_mb=128, steps=20):
         (a, b), _ = jax.lax.scan(body, (x, y), None, length=steps)
         return jnp.sum(b)
 
-    float(run(x, y))
-    t0 = time.time()
-    float(run(x, y))
-    dt = (time.time() - t0) / steps
-    return 3 * n_mb / 1024 / dt
+    float(run(x, y, steps_lo))  # compile both lengths
+    float(run(x, y, steps_hi))
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        float(run(x, y, steps_lo))
+        t_lo = time.time() - t0
+        t0 = time.time()
+        float(run(x, y, steps_hi))
+        t_hi = time.time() - t0
+        bw = 3 * n_mb * (steps_hi - steps_lo) / 1024 / max(t_hi - t_lo, 1e-9)
+        best = max(best, bw)
+    return best
 
 
 def synth_v2(rng, d_out, d_in, qtype=None):
@@ -217,10 +232,22 @@ def bench_engine(B=8, max_len=2048, prompt_len=128, steps=32):
     for _ in range(4):  # warmup + compile
         tokens, _, cache = engine._decode_step(params, cfg, tokens, cache)
         np.asarray(tokens)
+    # Pipelined loop, exactly as engine.generate runs it: token feedback is a
+    # device-side data dependency (step N+1 consumes step N's tokens+cache on
+    # device), while the host readback of step N overlaps step N+1's
+    # execution. Every step still executes for real — the drain at the end
+    # blocks on the full chain.
+    from collections import deque
+
+    pending = deque()
     t0 = time.time()
     for _ in range(steps):
         tokens, _, cache = engine._decode_step(params, cfg, tokens, cache)
-        np.asarray(tokens)  # host readback: forces execution, feeds next step
+        pending.append(tokens)
+        if len(pending) > 1:
+            np.asarray(pending.popleft())  # lagged readback, overlaps device
+    while pending:
+        np.asarray(pending.popleft())
     dt_step = (time.time() - t0) / steps
 
     return {

@@ -198,6 +198,21 @@ def generate(
     done = [False] * B
     key = jax.random.PRNGKey(seed)
     tokens = jnp.asarray(cur_tokens)
+
+    def record(host: np.ndarray) -> None:
+        for b in range(B):
+            if not done[b]:
+                outputs[b].append(int(host[b]))
+                if eos_token_id is not None and host[b] == eos_token_id:
+                    done[b] = True
+
+    # Pipelined decode (JetStream-style): token feedback stays on device, so
+    # step N+1 is dispatched before step N's tokens are read back — the relay
+    # round-trip and Python bookkeeping overlap the device step instead of
+    # idling it. Emission (and therefore the EOS early-exit) trails by one
+    # step; the at-most-one extra dispatched step only appends tokens for
+    # slots that are already done, which record() ignores.
+    pending: deque = deque()
     for _ in range(max_new_tokens - 1):
         if all(done):
             break
@@ -206,12 +221,11 @@ def generate(
             tokens, _, cache = _sample_step(params, cfg, tokens, cache, sub, temperature)
         else:
             tokens, _, cache = _decode_step(params, cfg, tokens, cache)
-        host = np.asarray(tokens)
-        for b in range(B):
-            if not done[b]:
-                outputs[b].append(int(host[b]))
-                if eos_token_id is not None and host[b] == eos_token_id:
-                    done[b] = True
+        pending.append(tokens)
+        if len(pending) > 1:
+            record(np.asarray(pending.popleft()))
+    while pending and not all(done):
+        record(np.asarray(pending.popleft()))
     return outputs
 
 
