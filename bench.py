@@ -23,21 +23,25 @@ import time
 import numpy as np
 
 
-def measure_stream_bw_gbs(n_mb=256, steps_lo=8, steps_hi=72):
+def measure_stream_bw_gbs(sizes_mb=(128, 256, 512), steps_lo=8, steps_hi=72,
+                          trials=5, detail=None):
     """Measured streaming HBM bandwidth (2 reads + 1 write per step).
 
     Two-point differencing: time the same jitted scan at two lengths and
     divide the *extra* bytes by the *extra* time. The relay's fixed
     dispatch+readback latency (tens of ms on this target) cancels out —
     a single-length measurement under-reads bandwidth by 2x here, which
-    round 2's pipelined engine exposed by "beating" that SOL."""
+    round 2's pipelined engine exposed by "beating" that SOL.
+
+    Round-3 robustness (VERDICT r2 #2/#3): the denominator swung 109-267
+    GB/s across rounds. Now sweeps three buffer sizes x best-of-N trials,
+    *skips* trials with non-positive time deltas (a clamped delta used to
+    produce ~1e13 GB/s which max() then selected), takes the median of the
+    per-size bests, and reports the spread in ``detail`` (a dict filled in
+    with per-size numbers when passed)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
-
-    n = n_mb * 1024 * 1024 // 4
-    x = jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.float32)
-    y = jax.random.normal(jax.random.PRNGKey(1), (n,), jnp.float32)
 
     @partial(jax.jit, static_argnames=("steps",))
     def run(x, y, steps):
@@ -48,19 +52,36 @@ def measure_stream_bw_gbs(n_mb=256, steps_lo=8, steps_hi=72):
         (a, b), _ = jax.lax.scan(body, (x, y), None, length=steps)
         return jnp.sum(b)
 
-    float(run(x, y, steps_lo))  # compile both lengths
-    float(run(x, y, steps_hi))
-    best = 0.0
-    for _ in range(3):
-        t0 = time.time()
-        float(run(x, y, steps_lo))
-        t_lo = time.time() - t0
-        t0 = time.time()
+    per_size = {}
+    for n_mb in sizes_mb:
+        n = n_mb * 1024 * 1024 // 4
+        x = jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.float32)
+        y = jax.random.normal(jax.random.PRNGKey(1), (n,), jnp.float32)
+        float(run(x, y, steps_lo))  # compile both lengths
         float(run(x, y, steps_hi))
-        t_hi = time.time() - t0
-        bw = 3 * n_mb * (steps_hi - steps_lo) / 1024 / max(t_hi - t_lo, 1e-9)
-        best = max(best, bw)
-    return best
+        bws = []
+        for _ in range(trials):
+            t0 = time.time()
+            float(run(x, y, steps_lo))
+            t_lo = time.time() - t0
+            t0 = time.time()
+            float(run(x, y, steps_hi))
+            t_hi = time.time() - t0
+            dt = t_hi - t_lo
+            if dt <= 1e-4:  # scheduling hiccup: skip, don't clamp
+                continue
+            bws.append(3 * n_mb * (steps_hi - steps_lo) / 1024 / dt)
+        if bws:
+            per_size[n_mb] = max(bws)
+        del x, y
+    if not per_size:
+        raise RuntimeError("all stream-BW trials had non-positive deltas")
+    vals = sorted(per_size.values())
+    med = vals[len(vals) // 2]
+    if detail is not None:
+        detail["per_size_gbs"] = {k: round(v, 1) for k, v in per_size.items()}
+        detail["spread_gbs"] = round(vals[-1] - vals[0], 1)
+    return med
 
 
 def synth_v2(rng, d_out, d_in, qtype=None):
@@ -276,7 +297,8 @@ def main():
     except Exception:
         pass
 
-    bw = measure_stream_bw_gbs()
+    bw_detail = {}
+    bw = measure_stream_bw_gbs(detail=bw_detail)
     matmul = bench_matmul_path()
     eng = bench_engine()
 
@@ -291,6 +313,7 @@ def main():
             "engine_tokens_per_s": eng["tokens_per_s"],
             "sol_tokens_per_s": round(sol_tokens_per_s, 2),
             "stream_bw_gbs": round(bw, 1),
+            "stream_bw_detail": bw_detail,
             "matmul_path": matmul,
             "platform": jax.devices()[0].platform,
         },

@@ -238,9 +238,10 @@ def selection(
     mesh=None,
 ):
     minibatch, tl = sample_minibatch(calibration_data, num_tokens, target_logits, fitness_fn)
-    if mesh is not None and fitness_fn == "ppl":
+    if mesh is not None:
         fitnesses = _parallel_candidate_fitness(
-            model, groups, available, candidates, minibatch, mesh
+            model, groups, available, candidates, minibatch, mesh,
+            fitness_fn=fitness_fn, tl_minibatch=tl,
         )
     else:
         fitnesses = []
@@ -251,45 +252,64 @@ def selection(
     return [candidates[i] for i in best], [fitnesses[i] for i in best]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "names"))
-def _stacked_candidate_nll(base_params, stacked, ids, mask, cfg: LlamaConfig,
-                           names: Tuple[str, ...]):
-    """vmapped masked token-mean NLL over a leading candidate axis.
+@functools.partial(jax.jit, static_argnames=("cfg", "names", "fitness_fn"))
+def _stacked_candidate_fitness_jit(base_params, stacked, ids, mask, teacher,
+                                   cfg: LlamaConfig, names: Tuple[str, ...],
+                                   fitness_fn: str):
+    """vmapped masked token-mean fitness over a leading candidate axis.
 
     stacked: tuple of (C, out, in) weight stacks aligned with ``names``; the
     candidate axis is sharded over the mesh's dp devices, so each device
     evaluates its own candidate (SURVEY §7.13: the reference leaves every
-    non-main rank idle here)."""
+    non-main rank idle here). fitness_fn selects the per-position score:
+    NLL (ppl), dense KL vs cached teacher logits, or top-k sparse KL —
+    teacher arrays are candidate-invariant, so they replicate across the
+    mesh while only the weight stacks shard."""
 
     def one(swaps):
         p = base_params
         for name, w in zip(names, swaps):
             p = llama.set_linear(p, name, w)
         logits = llama.forward(p, ids, cfg)
-        shift_logits = logits[:, :-1, :]
-        shift_labels = ids[:, 1:]
-        logz = jax.scipy.special.logsumexp(shift_logits, axis=-1)
-        tok = jnp.take_along_axis(shift_logits, shift_labels[..., None], axis=-1)[..., 0]
         m = mask[:, 1:].astype(jnp.float32)
-        return jnp.sum((logz - tok) * m) / jnp.sum(m)
+        if fitness_fn == "ppl":
+            shift_logits = logits[:, :-1, :]
+            shift_labels = ids[:, 1:]
+            logz = jax.scipy.special.logsumexp(shift_logits, axis=-1)
+            tok = jnp.take_along_axis(
+                shift_logits, shift_labels[..., None], axis=-1)[..., 0]
+            score = logz - tok
+        elif fitness_fn == "kl":
+            logp = jax.nn.log_softmax(logits[:, :-1, :], axis=-1)
+            logq = jax.nn.log_softmax(teacher[:, :-1, :], axis=-1)
+            score = jnp.sum(jnp.exp(logq) * (logq - logp), axis=-1)
+        else:  # sparse_kl: teacher = (top-k logits, top-k ids)
+            t_vals, t_ids = teacher
+            g = jnp.take_along_axis(logits, t_ids, axis=-1)[:, :-1, :]
+            logp = jax.nn.log_softmax(g, axis=-1)
+            logq = jax.nn.log_softmax(t_vals[:, :-1, :], axis=-1)
+            score = jnp.sum(jnp.exp(logq) * (logq - logp), axis=-1)
+        return jnp.sum(score * m) / jnp.sum(m)
 
-    return jax.vmap(one)(stacked)
+    return jax.vmap(one, in_axes=(0,))(stacked)
 
 
 def _parallel_candidate_fitness(
-    model: SearchModel, groups, available, candidates: List[State], minibatch, mesh
+    model: SearchModel, groups, available, candidates: List[State], minibatch,
+    mesh, fitness_fn: str = "ppl", tl_minibatch=None,
 ) -> List[float]:
     """Device-parallel candidate evaluation: stack each candidate's layer
     choices along a dp-sharded axis and evaluate all of them in one program.
 
-    Token-mean NLL over the padded minibatch orders candidates identically to
-    the sequential running-mean perplexity (exp is monotonic; equal-length
-    weighting matches batch_size=1 token-count weighting)."""
+    Token-mean scores over the padded minibatch order candidates identically
+    to the sequential loops (ppl: exp is monotonic and equal-length
+    weighting matches batch_size=1 token-count weighting; kl/sparse_kl:
+    the sequential total/count IS the masked token mean)."""
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     names = tuple(n for g in groups for n in g)
-    S = max(m.shape[1] for m in minibatch)
+    S = max(np.atleast_2d(np.asarray(m)).shape[1] for m in minibatch)
     ids = np.zeros((len(minibatch), S), np.int64)
     mask = np.zeros((len(minibatch), S), np.bool_)
     for i, m in enumerate(minibatch):
@@ -298,6 +318,25 @@ def _parallel_candidate_fitness(
         mask[i, : m.shape[1]] = True
     ids_j = jnp.asarray(ids)
     mask_j = jnp.asarray(mask)
+
+    teacher = None
+    if fitness_fn == "kl":
+        V = np.atleast_3d(np.asarray(tl_minibatch[0])).shape[-1]
+        t = np.zeros((len(minibatch), S, V), np.float32)
+        for i, tl in enumerate(tl_minibatch):
+            tl = np.asarray(tl).reshape(1, -1, V)
+            t[i, : tl.shape[1]] = tl[0]
+        teacher = jnp.asarray(t)
+    elif fitness_fn == "sparse_kl":
+        K = np.asarray(tl_minibatch[0][0]).shape[-1]
+        tv = np.zeros((len(minibatch), S, K), np.float32)
+        ti = np.zeros((len(minibatch), S, K), np.int32)
+        for i, (vals, idx) in enumerate(tl_minibatch):
+            vals = np.asarray(vals).reshape(1, -1, K)
+            idx = np.asarray(idx).reshape(1, -1, K)
+            tv[i, : vals.shape[1]] = vals[0]
+            ti[i, : idx.shape[1]] = idx[0]
+        teacher = (jnp.asarray(tv), jnp.asarray(ti))
 
     n_dev = int(mesh.shape.get("dp", 1))
     bw_index = {
@@ -324,8 +363,9 @@ def _parallel_candidate_fitness(
                 stacked.append(
                     jax.device_put(arr, NamedSharding(mesh, P("dp", None, None)))
                 )
-        fits = _stacked_candidate_nll(
-            model.params, tuple(stacked), ids_j, mask_j, model.cfg, names
+        fits = _stacked_candidate_fitness_jit(
+            model.params, tuple(stacked), ids_j, mask_j, teacher, model.cfg,
+            names, fitness_fn,
         )
         fitnesses.extend(np.asarray(fits)[:real].tolist())
     return fitnesses

@@ -224,7 +224,7 @@ def generate(
         pending.append(tokens)
         if len(pending) > 1:
             record(np.asarray(pending.popleft()))
-    while pending and not all(done):
+    while pending:  # drain unconditionally: record() ignores done slots
         record(np.asarray(pending.popleft()))
     return outputs
 

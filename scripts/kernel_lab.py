@@ -1,0 +1,199 @@
+"""Kernel lab: race fused dequant-matmul variants at Llama-8B decode shapes.
+
+Times each variant through a layer-chained lax.scan (token feedback keeps
+execution real; the relay's fixed dispatch latency amortizes over N layers),
+at the *fused* serving shapes the engine actually runs per layer:
+
+    qkv    4096 -> 6144     o     4096 -> 4096
+    gateup 4096 -> 28672    down 14336 -> 4096
+
+Prints one JSON line per variant: ms/layer, effective HBM GB/s (packed
+bytes / time), projected decode tokens/s for a 32-layer model (matmuls
+only), plus a numerics check (max rel err vs the exact XLA dequant) on a
+small shape.
+
+Usage: python scripts/kernel_lab.py [--variants v2,v4f,...] [--steps N]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def make_weights(rng, d_out, d_in, qtype=None):
+    """Fit RTN once, then pack into every runtime format (same codes)."""
+    import jax.numpy as jnp
+    from gptq_gguf_tpu.formats.ggml import GGMLQuantizationType as T
+    from gptq_gguf_tpu.ops import kquant, qmatmul, qmv4
+
+    qtype = qtype or T.Q4_K
+    wx = (rng.normal(size=(d_out, d_in)) * 0.04).astype(np.float32)
+    q, p = kquant.quantize_rtn(jnp.asarray(wx), qtype)
+    q = np.asarray(q)
+    return {
+        "v1": qmatmul.pack_runtime(q, p, qtype),
+        "v2": qmatmul.pack_runtime_v2(q, p, qtype),
+        "v4f": qmv4.pack_runtime_v4(q, p, qtype, scale_dtype=jnp.float32),
+        "v4b": qmv4.pack_runtime_v4(q, p, qtype, scale_dtype=jnp.bfloat16),
+    }
+
+
+def rql_bytes(r) -> int:
+    from gptq_gguf_tpu.ops.qmatmul import RuntimeQuantLinear, RuntimeQuantLinearV2
+    from gptq_gguf_tpu.ops.qmv4 import RuntimeQuantLinearV4
+
+    if isinstance(r, RuntimeQuantLinearV4):
+        n = int(r.qs.size) + r.scale.dtype.itemsize * int(r.scale.size)
+        if r.offc is not None:
+            n += 4 * int(r.offc.size)
+        return n
+    if isinstance(r, RuntimeQuantLinearV2):
+        n = int(r.qs.size) + 4 * int(r.d_sg.size) + int(r.sc_q.size)
+        if r.dmin_sg is not None:
+            n += 4 * int(r.dmin_sg.size) + int(r.mn_q.size)
+        return n
+    assert isinstance(r, RuntimeQuantLinear)
+    return int(r.qs.size) + 8 * int(r.scale_t.size)
+
+
+def mm_for(variant, tiles=None):
+    import functools
+    from gptq_gguf_tpu.ops import qmatmul, qmv4
+
+    if variant == "v1":
+        return lambda x, r: qmatmul.dequant_matmul_pallas(
+            x, r, tile_in=1024, tile_out=512)
+    if variant in ("v2", "v3"):
+        kv = "v2" if variant == "v2" else "v3"
+        def f(x, r):
+            t = qmatmul.select_tiles_v2(r.d_in_local, r.d_out)
+            return qmatmul.dequant_matmul_pallas_v2(
+                x, r, tile_in=t[0], tile_out=t[1], variant=kv)
+        return f
+    if variant.startswith("v4"):
+        ti, to = tiles or (2048, 512)
+        def f(x, r):
+            t = qmv4.select_tiles_v4(r.d_in_local, r.d_out)
+            return qmv4.dequant_matmul_v4(
+                x, r, tile_in=min(ti, t[0] if t[0] % ti else ti),
+                tile_out=min(to, t[1]))
+        return f
+    raise ValueError(variant)
+
+
+def numerics_check(variant, tiles=None):
+    """Max rel err of the fused kernel vs exact XLA dequant, small shape."""
+    import jax.numpy as jnp
+    from gptq_gguf_tpu.ops import qmv4
+
+    rng = np.random.default_rng(7)
+    packs = make_weights(rng, 512, 1024)
+    key = {"v1": "v1", "v2": "v2", "v3": "v2", "v4f": "v4f", "v4b": "v4b"}[variant]
+    r = packs[key]
+    x = jnp.asarray(rng.normal(size=(8, 1024)).astype(np.float32))
+    y = np.asarray(mm_for(variant, tiles)(x, r))
+    ref = np.asarray(qmv4.dequant_matmul_xla_v4(x, packs["v4f"]))
+    denom = np.maximum(np.abs(ref), np.abs(ref).mean())
+    return float(np.max(np.abs(y - ref) / denom))
+
+
+def bench_variant(variant, packs_by_name, B=8, N=24, tiles=None):
+    import jax
+    import jax.numpy as jnp
+
+    key = {"v1": "v1", "v2": "v2", "v3": "v2", "v4f": "v4f", "v4b": "v4b"}[variant]
+    layer = {n: p[key] for n, p in packs_by_name.items()}
+    bytes_layer = sum(rql_bytes(r) for r in layer.values())
+    mm = mm_for(variant, tiles)
+
+    H = layer["qkv"].d_in_local
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+
+    def layer_step(x):
+        qkv = mm(x, layer["qkv"])
+        a = mm(qkv[:, :H], layer["o"])
+        gu = mm(a, layer["gateup"])
+        I = gu.shape[1] // 2
+        d = mm(jax.nn.silu(gu[:, :I]) * gu[:, I:], layer["down"])
+        return d
+
+    @jax.jit
+    def run(x):
+        def body(x, _):
+            return layer_step(x) * 1e-3 + x, None
+
+        x, _ = jax.lax.scan(body, x, None, length=N)
+        return jnp.sum(x)
+
+    float(run(x0))  # compile
+    t_best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        float(run(x0))
+        t_best = min(t_best, time.time() - t0)
+    dt_layer = t_best / N
+    return {
+        "variant": variant,
+        "tiles": tiles,
+        "ms_per_layer": round(dt_layer * 1e3, 3),
+        "eff_bw_gbs": round(bytes_layer / dt_layer / 1e9, 1),
+        "bytes_per_layer": bytes_layer,
+        "proj_tokens_per_s_32L": round(B / (dt_layer * 32), 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="v1,v2,v3,v4f,v4b")
+    ap.add_argument("--steps", type=int, default=24)
+    ap.add_argument("--tile-sweep", default="",
+                    help="variant:ti,to;ti,to extra tile configs")
+    ap.add_argument("--skip-check", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    print(json.dumps({"platform": jax.devices()[0].platform,
+                      "device": str(jax.devices()[0])}), flush=True)
+
+    rng = np.random.default_rng(0)
+    H, I, KV = 4096, 14336, 1024
+    shapes = {"qkv": (H + 2 * KV, H), "o": (H, H),
+              "gateup": (2 * I, H), "down": (H, I)}
+    t0 = time.time()
+    packs_by_name = {n: make_weights(rng, do, di) for n, (do, di) in shapes.items()}
+    print(json.dumps({"pack_s": round(time.time() - t0, 1)}), flush=True)
+
+    for variant in args.variants.split(","):
+        try:
+            err = None if args.skip_check else numerics_check(variant)
+            res = bench_variant(variant, packs_by_name, N=args.steps)
+            res["max_rel_err"] = err
+            print(json.dumps(res), flush=True)
+        except Exception as e:
+            print(json.dumps({"variant": variant, "error": repr(e)[:500]}),
+                  flush=True)
+
+    if args.tile_sweep:
+        variant, configs = args.tile_sweep.split(":")
+        for cfg in configs.split(";"):
+            ti, to = (int(v) for v in cfg.split(","))
+            try:
+                res = bench_variant(variant, packs_by_name, N=args.steps,
+                                    tiles=(ti, to))
+                print(json.dumps(res), flush=True)
+            except Exception as e:
+                print(json.dumps({"variant": variant, "tiles": [ti, to],
+                                  "error": repr(e)[:500]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
