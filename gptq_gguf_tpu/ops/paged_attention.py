@@ -39,7 +39,7 @@ EXTENDED_ON_TPU = False
 
 def _kernel(table_ref, len_ref, q_ref, sinks_ref, kp_ref, vp_ref, out_ref,
             kbuf, vbuf, acc, m_sc, l_sc, ksem, vsem, *, page, pps, scale,
-            window, has_sinks):
+            window, has_sinks, softcap):
     b = pl.program_id(0)
     kv = pl.program_id(1)
     p = pl.program_id(2)
@@ -92,6 +92,8 @@ def _kernel(table_ref, len_ref, q_ref, sinks_ref, kp_ref, vp_ref, out_ref,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+        if softcap:  # gemma2 logit softcapping, before masking (HF order)
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
         pos = p * page + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         valid = pos <= length
         if window:
@@ -121,11 +123,11 @@ def _kernel(table_ref, len_ref, q_ref, sinks_ref, kp_ref, vp_ref, out_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "interpret", "window")
+    jax.jit, static_argnames=("scale", "interpret", "window", "softcap")
 )
 def paged_flash_decode(q, k_pages, v_pages, table, lengths, *,
                        scale: float, interpret: bool = False,
-                       window: int = 0, sinks=None):
+                       window: int = 0, sinks=None, softcap: float = 0.0):
     """Decode attention straight off the page pools.
 
     q: (B, nKV, G, hd) single query token per slot (pre-norm, un-scaled).
@@ -134,6 +136,7 @@ def paged_flash_decode(q, k_pages, v_pages, table, lengths, *,
     lengths: (B,) int32 query positions (cache holds [0, lengths[b]]).
     window: sliding-window size (0 = full attention) — pages wholly below
     the window are never fetched. sinks: optional (nH,) gpt-oss sink logits.
+    softcap: gemma2 attn logit softcapping (0 = off).
     Returns (B, nKV, G, hd) f32.
     """
     B, nKV, G, hd = q.shape
@@ -167,7 +170,8 @@ def paged_flash_decode(q, k_pages, v_pages, table, lengths, *,
         ],
     )
     kernel = functools.partial(_kernel, page=page, pps=pps, scale=scale,
-                               window=int(window or 0), has_sinks=has_sinks)
+                               window=int(window or 0), has_sinks=has_sinks,
+                               softcap=float(softcap or 0.0))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, nKV, G, hd), jnp.float32),

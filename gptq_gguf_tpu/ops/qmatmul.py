@@ -672,12 +672,21 @@ FORCE_PALLAS_INTERPRET = False
 
 
 def dequant_matmul(x: jax.Array, rql, force_xla: bool = False) -> jax.Array:
-    """Dispatch (v1 or v2 format): Pallas on TPU when shapes tile cleanly,
+    """Dispatch (v1/v2/v4 format): Pallas on TPU when shapes tile cleanly,
     XLA otherwise."""
+    from . import qmv4
+
     on_tpu = jax.devices()[0].platform == "tpu"
+    interpret = FORCE_PALLAS_INTERPRET and not on_tpu
+    if isinstance(rql, qmv4.RuntimeQuantLinearV4):
+        tiles = qmv4.select_tiles_v4(rql.d_in_local, rql.d_out)
+        if force_xla or tiles is None or (not on_tpu and not interpret):
+            return qmv4.dequant_matmul_xla_v4(x, rql)
+        return qmv4.dequant_matmul_v4(
+            x, rql, tile_in=tiles[0], tile_out=tiles[1], interpret=interpret
+        )
     v2 = isinstance(rql, RuntimeQuantLinearV2)
     tiles = (select_tiles_v2 if v2 else select_tiles)(rql.d_in_local, rql.d_out)
-    interpret = FORCE_PALLAS_INTERPRET and not on_tpu
     if force_xla or tiles is None or (not on_tpu and not interpret):
         return dequant_matmul_xla_v2(x, rql) if v2 else dequant_matmul_xla(x, rql)
     if v2:
@@ -838,12 +847,17 @@ def gathered_expert_matmul(x: jax.Array, stacked: StackedQuantLinearV2,
     return jax.vmap(one)(x, *gathered)
 
 
-# default runtime weight format for new packs ("v2" = compact scales)
+# default runtime weight format for new packs ("v2" = compact scales,
+# "v4" = plane-split + folded offsets, see ops/qmv4.py)
 RUNTIME_FORMAT = "v2"
 
 
 def pack_runtime_auto(qweight, params, qtype, fmt: Optional[str] = None):
     fmt = fmt or RUNTIME_FORMAT
+    if fmt == "v4":
+        from . import qmv4
+
+        return qmv4.pack_runtime_v4(qweight, params, qtype)
     if fmt == "v2":
         return pack_runtime_v2(qweight, params, qtype)
     return pack_runtime(qweight, params, qtype)

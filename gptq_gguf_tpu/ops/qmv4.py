@@ -375,6 +375,26 @@ def dequant_matmul_v4(
     return y
 
 
+def fuse_rql_v4(parts) -> Optional["RuntimeQuantLinearV4"]:
+    """Concatenate v4 packed weights along the output dim (same d_in): one
+    kernel launch for q/k/v or gate/up. Exact — every plane is per-output-
+    column. Returns None if the parts don't share a layout."""
+    if not all(isinstance(p, RuntimeQuantLinearV4) for p in parts):
+        return None
+    p0 = parts[0]
+    if not all(
+        (p.group_size, p.per_byte, p.d_in, p.has_off, p.scale.dtype)
+        == (p0.group_size, p0.per_byte, p0.d_in, p0.has_off, p0.scale.dtype)
+        for p in parts
+    ):
+        return None
+    cat = lambda attr: jnp.concatenate([getattr(p, attr) for p in parts], axis=1)
+    return RuntimeQuantLinearV4(
+        cat("qs"), cat("scale"), cat("offc") if p0.has_off else None,
+        p0.d_in, p0.group_size, p0.per_byte,
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _best_tile_v4(dim: int, cap: int, quantum: int) -> Optional[int]:
     start = (min(cap, dim) // quantum) * quantum

@@ -28,14 +28,17 @@ from ..formats import convert
 from ..formats.ggml import KQUANT_SPECS, K_QUANT_TYPES
 from ..models import llama
 from ..models.llama import LlamaConfig
-from ..ops import qmatmul
+from ..ops import qmatmul, qmv4
 from ..ops.kquant import SuperGroupParams
 
 
-_QUANT_TYPES = (qmatmul.RuntimeQuantLinear, qmatmul.RuntimeQuantLinearV2)
+_QUANT_TYPES = (qmatmul.RuntimeQuantLinear, qmatmul.RuntimeQuantLinearV2,
+                qmv4.RuntimeQuantLinearV4)
 
 
 def _dequant_any(w) -> jax.Array:
+    if isinstance(w, qmv4.RuntimeQuantLinearV4):
+        return qmv4.dequantize_runtime_v4(w)
     if isinstance(w, qmatmul.RuntimeQuantLinearV2):
         return qmatmul.dequantize_runtime_v2(w)
     return qmatmul.dequantize_runtime(w)
@@ -608,17 +611,19 @@ def fuse_layer_projections(layer: Dict[str, Any], cfg: Optional[LlamaConfig] = N
     out = dict(layer)
     if cfg is not None and cfg.kv_lora_rank:
         out = prepare_mla_layer(out, cfg)
+    def _fuse(parts):
+        fused = qmatmul.fuse_rql_v2(parts)
+        return fused if fused is not None else qmv4.fuse_rql_v4(parts)
+
     if ("q_proj" in out and out.get("q_bias") is None
             and "qkv_proj" not in out):
-        fused = qmatmul.fuse_rql_v2(
-            [out.get("q_proj"), out.get("k_proj"), out.get("v_proj")]
-        )
+        fused = _fuse([out.get("q_proj"), out.get("k_proj"), out.get("v_proj")])
         if fused is not None:
             out["qkv_proj"] = fused
             for k in ("q_proj", "k_proj", "v_proj"):
                 del out[k]
     if "gate_proj" in out and "gateup_proj" not in out:
-        fused = qmatmul.fuse_rql_v2([out.get("gate_proj"), out.get("up_proj")])
+        fused = _fuse([out.get("gate_proj"), out.get("up_proj")])
         if fused is not None:
             out["gateup_proj"] = fused
             del out["gate_proj"]

@@ -156,9 +156,9 @@ def forward_paged(
         # yet TPU-validated (relay was down); the TPU path dispatches them
         # only when paged_attention.EXTENDED_ON_TPU is flipped after a smoke
         ext_ok = interpret or paged_attention.EXTENDED_ON_TPU
-        plain = sliding is None and "sinks" not in layer
-        if S == 1 and not cfg.attn_logit_softcap and (on_tpu or interpret) \
-                and (plain or ext_ok):
+        plain = (sliding is None and "sinks" not in layer
+                 and not cfg.attn_logit_softcap)
+        if S == 1 and (on_tpu or interpret) and (plain or ext_ok):
             # Pallas flash-decode walks the block table: only live pages
             # leave HBM (the gather path below copies the full provisioned
             # cache every layer); sliding windows skip out-of-window pages
@@ -169,6 +169,7 @@ def forward_paged(
                             else 1.0 / math.sqrt(hd)),
                 interpret=interpret, window=int(sliding or 0),
                 sinks=layer.get("sinks"),
+                softcap=float(cfg.attn_logit_softcap or 0.0),
             ).reshape(B, nH, S, hd).astype(qr.dtype)
         else:
             k_all = _gather_slot_kv(k_pool, cache.page_table)

@@ -1,0 +1,135 @@
+"""HBM bandwidth ceilings by access pattern (carry-dependent, hoist-proof).
+
+Measures what this chip actually sustains for each pattern the serving
+engine uses, so the bench's speed-of-light denominator can be honest:
+
+  triad    : c' = a + s*c elementwise      (2 reads + 1 write per pass)
+  copy     : c' = a + c                    (1 read + 1 write counted 2x)
+  read_sum : c += sum(a * f(c))            (pure read, VPU reduction)
+  read_dot : c' = a @ ones + tiny(c)       (pure read, MXU reduction) —
+             the closest analogue of streaming packed weights into a GEMV
+  read_dot_u8 : same but uint8 operand widened in-kernel (XLA fuses)
+
+Each runs as an 8-step carry-dependent lax.scan (the relay's dispatch
+latency amortizes; carry dependence defeats loop-invariant hoisting).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def _time_scan(run, args, passes=8, reps=3):
+    """Two-point differenced seconds/pass: (t(5*passes) - t(passes)) /
+    (4*passes). The relay's fixed dispatch+readback latency cancels;
+    a synchronous single-length timing here under-reads BW ~2x."""
+    float(run(*args, steps=passes))
+    float(run(*args, steps=5 * passes))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        float(run(*args, steps=passes))
+        t_lo = time.time() - t0
+        t0 = time.time()
+        float(run(*args, steps=5 * passes))
+        t_hi = time.time() - t0
+        if t_hi - t_lo > 1e-4:
+            best = min(best, (t_hi - t_lo) / (4 * passes))
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    out = {"platform": jax.devices()[0].platform}
+    n_mb = 512
+    n = n_mb * 2**20 // 4
+
+    # triad
+    a = jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(1), (n,), jnp.float32)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("steps",))
+    def triad(a, b, steps):
+        def body(c, _):
+            x, y = c
+            return (y, x + 0.5 * y), None
+        (x, y), _ = jax.lax.scan(body, (a, b), None, length=steps)
+        return jnp.sum(y)
+
+    dt = _time_scan(triad, (a, b))
+    out["triad_3x_gbs"] = round(3 * n_mb / 1024 / dt, 1)
+
+    # copy (1R+1W)
+    @partial(jax.jit, static_argnames=("steps",))
+    def copy(a, steps):
+        def body(c, _):
+            return c + a * 1e-9, None
+        c, _ = jax.lax.scan(body, a, None, length=steps)
+        return jnp.sum(c)
+
+    dt = _time_scan(copy, (a,))
+    out["copy_2x_gbs"] = round(2 * n_mb / 1024 / dt, 1)
+
+    # pure read, VPU reduction
+    @partial(jax.jit, static_argnames=("steps",))
+    def read_sum(a, c0, steps):
+        def body(c, _):
+            return c + jnp.sum(a * (1.0 + c * 1e-30)), None
+        c, _ = jax.lax.scan(body, c0, None, length=steps)
+        return c
+
+    dt = _time_scan(read_sum, (a, jnp.float32(0)))
+    out["read_sum_gbs"] = round(n_mb / 1024 / dt, 1)
+
+    # pure read, MXU reduction (bf16 weights @ ones)
+    M = 16384
+    K = n // M  # f32 n elements -> use bf16 (M, 2K) for the same 512 MB
+    wbf = jax.random.normal(jax.random.PRNGKey(2), (M, 2 * K), jnp.bfloat16)
+    ones = jnp.ones((128, M), jnp.bfloat16)
+
+    @partial(jax.jit, static_argnames=("steps",))
+    def read_dot(w, c0, steps):
+        def body(c, _):
+            y = jnp.dot(c[:, :M] * 1e-30 + ones, w,
+                        preferred_element_type=jnp.float32)
+            return y[:, : c.shape[1]] * 1e-6 + c * 0.5, None
+        c, _ = jax.lax.scan(body, c0, None, length=steps)
+        return jnp.sum(c)
+
+    c0 = jnp.zeros((128, M), jnp.float32)
+    dt = _time_scan(read_dot, (wbf, c0))
+    out["read_dot_bf16_gbs"] = round(n_mb / 1024 / dt, 1)
+
+    # pure read, MXU reduction on uint8 codes widened in-kernel
+    wq = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (M, 4 * K), dtype=np.uint8))
+
+    @partial(jax.jit, static_argnames=("steps",))
+    def read_dot_u8(w, c0, steps):
+        def body(c, _):
+            wb = w.astype(jnp.bfloat16)
+            y = jnp.dot(c[:, :M] * 1e-30 + ones, wb,
+                        preferred_element_type=jnp.float32)
+            return y[:, : c.shape[1]] * 1e-6 + c * 0.5, None
+        c, _ = jax.lax.scan(body, c0, None, length=steps)
+        return jnp.sum(c)
+
+    dt = _time_scan(read_dot_u8, (wq, c0))
+    out["read_dot_u8_gbs"] = round(n_mb / 1024 / dt, 1)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

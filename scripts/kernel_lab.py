@@ -26,15 +26,26 @@ sys.path.insert(0, ".")
 
 
 def make_weights(rng, d_out, d_in, qtype=None):
-    """Fit RTN once, then pack into every runtime format (same codes)."""
+    """Fit RTN once (disk-cached), then pack into every runtime format."""
+    import os
     import jax.numpy as jnp
     from gptq_gguf_tpu.formats.ggml import GGMLQuantizationType as T
     from gptq_gguf_tpu.ops import kquant, qmatmul, qmv4
+    from gptq_gguf_tpu.ops.kquant import SuperGroupParams
 
     qtype = qtype or T.Q4_K
-    wx = (rng.normal(size=(d_out, d_in)) * 0.04).astype(np.float32)
-    q, p = kquant.quantize_rtn(jnp.asarray(wx), qtype)
-    q = np.asarray(q)
+    cache = f"/tmp/kernel_lab_{qtype.name}_{d_out}x{d_in}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        q = z["q"]
+        p = SuperGroupParams(z["ss"], z["sz"], z["sq"], z["zq"])
+    else:
+        wx = (rng.normal(size=(d_out, d_in)) * 0.04).astype(np.float32)
+        q, p = kquant.quantize_rtn(jnp.asarray(wx), qtype)
+        q = np.asarray(q)
+        np.savez(cache, q=q, ss=np.asarray(p.super_scale),
+                 sz=np.asarray(p.super_zero), sq=np.asarray(p.scale_q),
+                 zq=np.asarray(p.zero_q))
     return {
         "v1": qmatmul.pack_runtime(q, p, qtype),
         "v2": qmatmul.pack_runtime_v2(q, p, qtype),
@@ -61,27 +72,38 @@ def rql_bytes(r) -> int:
     return int(r.qs.size) + 8 * int(r.scale_t.size)
 
 
+def _fit_tiles(d_in, d_out, ti, to):
+    ti = ti if d_in % ti == 0 else d_in
+    to = to if d_out % to == 0 else min(to, d_out)
+    while d_out % to:
+        to //= 2
+    return ti, to
+
+
 def mm_for(variant, tiles=None):
-    import functools
     from gptq_gguf_tpu.ops import qmatmul, qmv4
 
     if variant == "v1":
-        return lambda x, r: qmatmul.dequant_matmul_pallas(
-            x, r, tile_in=1024, tile_out=512)
+        ti, to = tiles or (1024, 512)
+        def f(x, r):
+            t = _fit_tiles(r.d_in_local, r.d_out, ti, to)
+            return qmatmul.dequant_matmul_pallas(x, r, tile_in=t[0], tile_out=t[1])
+        return f
     if variant in ("v2", "v3"):
         kv = "v2" if variant == "v2" else "v3"
         def f(x, r):
-            t = qmatmul.select_tiles_v2(r.d_in_local, r.d_out)
+            if tiles:
+                t = _fit_tiles(r.d_in_local, r.d_out, *tiles)
+            else:
+                t = qmatmul.select_tiles_v2(r.d_in_local, r.d_out)
             return qmatmul.dequant_matmul_pallas_v2(
                 x, r, tile_in=t[0], tile_out=t[1], variant=kv)
         return f
     if variant.startswith("v4"):
         ti, to = tiles or (2048, 512)
         def f(x, r):
-            t = qmv4.select_tiles_v4(r.d_in_local, r.d_out)
-            return qmv4.dequant_matmul_v4(
-                x, r, tile_in=min(ti, t[0] if t[0] % ti else ti),
-                tile_out=min(to, t[1]))
+            t = _fit_tiles(r.d_in_local, r.d_out, ti, to)
+            return qmv4.dequant_matmul_v4(x, r, tile_in=t[0], tile_out=t[1])
         return f
     raise ValueError(variant)
 
@@ -129,15 +151,27 @@ def bench_variant(variant, packs_by_name, B=8, N=24, tiles=None):
             return layer_step(x) * 1e-3 + x, None
 
         x, _ = jax.lax.scan(body, x, None, length=N)
-        return jnp.sum(x)
+        return x
 
-    float(run(x0))  # compile
-    t_best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        float(run(x0))
-        t_best = min(t_best, time.time() - t0)
-    dt_layer = t_best / N
+    # Pipelined timing (same methodology as bench_engine): dispatch chained
+    # runs with lagged readback so the relay's dispatch latency overlaps the
+    # device; a synchronous per-call loop would add tens of ms of dispatch
+    # to every measurement and deflate GB/s.
+    from collections import deque
+
+    x = run(x0)
+    np.asarray(x)  # compile + settle
+    R = 6
+    pending = deque()
+    t0 = time.time()
+    for _ in range(R):
+        x = run(x)
+        pending.append(x)
+        if len(pending) > 1:
+            np.asarray(pending.popleft())
+    while pending:
+        np.asarray(pending.popleft())
+    dt_layer = (time.time() - t0) / (R * N)
     return {
         "variant": variant,
         "tiles": tiles,

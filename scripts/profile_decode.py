@@ -1,38 +1,61 @@
 """Per-component breakdown of the engine decode step on the TPU.
 
-VERDICT r2 #1 requires committed evidence attributing the SOL gap. The
-relay makes single-dispatch trace timings unreliable, so this uses the same
-methodology as bench.py: each component is timed through a layer-chained
-jitted loop with a host readback data dependency, and the full engine step
-is timed the way engine.generate runs it. Components:
+VERDICT r2 #1 requires committed evidence attributing the SOL gap. Two
+timing pitfalls on this relay-attached target shape the methodology:
+  * single-dispatch wall times include tens of ms of dispatch+readback
+    latency, so every component here is timed through PIPELINED chained
+    calls (dispatch R runs with lagged readback, drain at the end) — the
+    exact loop shape engine.generate uses;
+  * loop-invariant computations get hoisted out of lax.scan by XLA, so
+    every chained run carries a data dependency on the previous one.
 
-  * full engine decode step (B=8, Llama-3-8B shapes, Q4_K + Q6_K lm_head)
+Components (B=8, Llama-3-8B shapes, Q4_K + Q6_K lm_head):
+  * full engine decode step (bench.bench_engine)
   * fused matmul stack alone (qkv/o/gateup/down x 32 via lax.scan)
+  * each projection alone (x 32)
   * decode flash-attention alone (32 layers, fill ~= bench fill)
-  * KV cache update (scatter) alone
+  * KV cache update (scatter) alone (64 = k+v x 32)
   * lm_head (Q6_K 4096 -> 128256) alone
-  * rms norms + rope + embed + argmax (residual ops)
+  * rms norms + embed + argmax (residual ops)
 
-Writes docs/PROFILE_r03.md (a markdown table) and prints the JSON.
+Writes docs/PROFILE_r03.md and prints the JSON.
 """
 
 import json
 import sys
 import time
+from collections import deque
 
 import numpy as np
 
 sys.path.insert(0, ".")
 
 
-def timed(fn, *args, n=3, **kw):
-    """Best-of-n wall time of fn() (fn must block on the result)."""
-    fn(*args, **kw)  # compile/warmup
+def timed_pipelined(step, c0, R=6, probe=None):
+    """Seconds per call of step(carry)->carry, dispatch overlapped.
+
+    probe(carry) -> small array is what gets read back per step (pass one
+    when the carry itself is large, e.g. a KV cache)."""
+    import jax.numpy as jnp
+    import jax
+
+    probe = probe or jax.jit(lambda c: jnp.ravel(
+        jax.tree_util.tree_leaves(c)[0])[:8])
+    c = step(c0)
+    np.asarray(probe(c))  # compile + settle
     best = float("inf")
-    for _ in range(n):
+    for _ in range(2):
+        c = c0
+        pending = deque()
         t0 = time.time()
-        fn(*args, **kw)
-        best = min(best, time.time() - t0)
+        for _ in range(R):
+            c = step(c)
+            pending.append(probe(c))
+            if len(pending) > 1:
+                np.asarray(pending.popleft())
+        while pending:
+            np.asarray(pending.popleft())
+        best = min(best, (time.time() - t0) / R)
     return best
 
 
@@ -43,7 +66,6 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-    sys.path.insert(0, ".")
     import bench
     from gptq_gguf_tpu.formats.ggml import GGMLQuantizationType as T
     from gptq_gguf_tpu.models import llama
@@ -54,11 +76,11 @@ def main():
     V = 128256
     rows = {}
 
-    # --- full engine step (reuses bench harness) ---
+    # --- full engine step (bench harness, already pipeline-timed) ---
     eng = bench.bench_engine(B=B, steps=24)
     rows["full_engine_step"] = eng["ms_per_step"]
 
-    # --- matmul stack alone at fused shapes (same weights format as engine) ---
+    # --- matmul stack alone at fused shapes (same format as engine) ---
     mk = lambda do, di, qt=None: bench.synth_v2(rng, do, di, qt)
     layer = {"qkv": mk(H + 2 * KV, H), "o": mk(H, H),
              "gateup": mk(2 * I, H), "down": mk(H, I)}
@@ -67,18 +89,17 @@ def main():
 
     per_mm = {}
     for name, r in layer.items():
-        xin = x0 if r.d_in == H else jnp.asarray(
-            rng.normal(size=(B, r.d_in)).astype(np.float32))
+        xin = jnp.asarray(rng.normal(size=(B, r.d_in)).astype(np.float32))
 
         @jax.jit
-        def run_one(x, r=r):
+        def run_one(c, r=r, xin=xin):
             def body(c, _):
-                y = mm(x, r)
-                return c + jnp.sum(y) * 1e-9, None
-            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=32)
+                y = mm(xin * (1.0 + c * 1e-30), r)
+                return jnp.sum(y) * 1e-30, None
+            c, _ = jax.lax.scan(body, c, None, length=32)
             return c
 
-        per_mm[name] = timed(lambda: float(run_one(xin))) / 32 * 1e3
+        per_mm[name] = timed_pipelined(run_one, jnp.float32(0)) / 32 * 1e3
 
     @jax.jit
     def run_stack(x):
@@ -89,9 +110,9 @@ def main():
             d = mm(jax.nn.silu(gu[:, :I]) * gu[:, I:], layer["down"])
             return d * 1e-3 + x, None
         x, _ = jax.lax.scan(body, x, None, length=32)
-        return jnp.sum(x)
+        return x
 
-    rows["matmul_stack_32L"] = timed(lambda: float(run_stack(x0))) * 1e3
+    rows["matmul_stack_32L"] = timed_pipelined(run_stack, x0) * 1e3
     rows.update({f"matmul_{k}_32L": v * 32 for k, v in per_mm.items()})
 
     # --- decode attention alone (dynamic-length flash, fill like bench) ---
@@ -101,7 +122,7 @@ def main():
                                 jnp.bfloat16)
     v_cache = jax.random.normal(jax.random.PRNGKey(1), (B, 8, max_len, 128),
                                 jnp.bfloat16)
-    q = jax.random.normal(jax.random.PRNGKey(2), (B, 32, 1, 128), jnp.bfloat16)
+    q0 = jax.random.normal(jax.random.PRNGKey(2), (B, 32, 1, 128), jnp.bfloat16)
     lengths = jnp.full((B,), fill, jnp.int32)
 
     @jax.jit
@@ -112,9 +133,9 @@ def main():
                                       dynamic_length=True)
             return (c + o * 1e-6).astype(c.dtype), None
         c, _ = jax.lax.scan(body, q, None, length=32)
-        return jnp.sum(c)
+        return c
 
-    rows["attention_32L"] = timed(lambda: float(run_attn(q))) * 1e3
+    rows["attention_32L"] = timed_pipelined(run_attn, q0) * 1e3
 
     # --- KV scatter alone ---
     newk = jax.random.normal(jax.random.PRNGKey(3), (B, 8, 1, 128), jnp.bfloat16)
@@ -124,30 +145,31 @@ def main():
         bidx = jnp.arange(B)[:, None]
         def body(kc, _):
             kc = kc.at[bidx, :, lengths[:, None], :].set(
-                newk.transpose(0, 2, 1, 3), mode="drop")
+                newk.transpose(0, 2, 1, 3) + kc[:, :1, :1, :1] * 1e-30,
+                mode="drop")
             return kc, None
         kc, _ = jax.lax.scan(body, kc, None, length=64)  # 2 per layer (k+v)
-        return jnp.sum(kc[:, :, fill])
+        return kc
 
-    rows["kv_scatter_64x"] = timed(lambda: float(run_scatter(k_cache))) * 1e3
+    rows["kv_scatter_64x"] = timed_pipelined(run_scatter, k_cache) * 1e3
 
     # --- lm_head alone ---
     lm = bench.synth_v2(rng, V, H, T.Q6_K)
 
     @jax.jit
-    def run_lm(x):
+    def run_lm(c):
         def body(c, _):
-            y = mm(x, lm)
-            return c + jnp.sum(y) * 1e-9, None
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=8)
+            y = mm(x0 * (1.0 + c * 1e-30), lm)
+            return jnp.sum(y) * 1e-30, None
+        c, _ = jax.lax.scan(body, c, None, length=4)
         return c
 
-    rows["lm_head_x1"] = timed(lambda: float(run_lm(x0))) / 8 * 1e3
+    rows["lm_head_x1"] = timed_pipelined(run_lm, jnp.float32(0)) / 4 * 1e3
 
-    # --- residual ops: norms + rope + embed + argmax ---
+    # --- residual ops: norms + embed + argmax ---
     w = jnp.ones((H,), jnp.bfloat16)
     emb = jax.random.normal(jax.random.PRNGKey(4), (V, H), jnp.bfloat16) * 0.02
-    toks = jnp.asarray(rng.integers(0, V, (B,)).astype(np.int32))
+    toks0 = jnp.asarray(rng.integers(0, V, (B,)).astype(np.int32))
 
     @jax.jit
     def run_resid(toks):
@@ -157,9 +179,9 @@ def main():
             h = llama.rms_norm(h, w, 1e-5)
             return (x + h * 1e-3).astype(x.dtype), None
         x, _ = jax.lax.scan(body, x, None, length=32)
-        return jnp.argmax(jnp.sum(x, axis=1), axis=-1)
+        return jnp.argmax(jnp.sum(x, axis=1), axis=-1).astype(jnp.int32) % V
 
-    rows["resid_embed_argmax"] = timed(lambda: np.asarray(run_resid(toks))) * 1e3
+    rows["resid_embed_argmax"] = timed_pipelined(run_resid, toks0) * 1e3
 
     components = (rows["matmul_stack_32L"] + rows["attention_32L"]
                   + rows["kv_scatter_64x"] + rows["lm_head_x1"]
@@ -169,17 +191,18 @@ def main():
 
     out = {"ms": {k: round(v, 3) for k, v in rows.items()},
            "engine_detail": eng,
-           "note": "layer-chained best-of-3 timings; relay dispatch latency "
-                   "amortized over chained steps"}
+           "note": "pipelined chained timings (dispatch overlapped), "
+                   "best-of-2 medians; carry deps defeat scan hoisting"}
     print(json.dumps(out))
 
     with open("docs/PROFILE_r03.md", "w") as f:
         f.write("# Decode-step profile (round 3)\n\n")
         f.write("Per-component wall time of one B=8 decode step at "
                 "Llama-3-8B shapes (Q4_K weights, Q6_K lm_head), measured "
-                "on the TPU with the layer-chained methodology of bench.py "
-                "(single-dispatch timings are unreliable through the "
-                "relay).\n\n")
+                "on the TPU with pipelined chained dispatch (the loop shape "
+                "engine.generate runs; synchronous per-call timings on this "
+                "relay include tens of ms of dispatch latency and are not "
+                "comparable).\n\n")
         f.write("| component | ms/step | share of engine step |\n|---|---|---|\n")
         full = rows["full_engine_step"]
         order = ["matmul_stack_32L", "matmul_qkv_32L", "matmul_o_32L",
