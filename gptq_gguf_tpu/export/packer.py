@@ -4464,15 +4464,66 @@ def _spm_tokenizer_metadata(model_dir: Path) -> Dict[str, Any]:
     return md
 
 
+def _rwkv_world_tokenizer_metadata(model_dir: Path,
+                                   vocab_size: int) -> Dict[str, Any]:
+    """RWKV 'world' vocab from rwkv_vocab_v20230424.txt (reference
+    _set_vocab_rwkv_world, pack_gptq_into_gguf.py:1142-1185). Real RWKV
+    checkpoints ship this text file instead of a tokenizer.json; each line
+    is ``<id> <python-literal token> <byte length>``. Token text is stored
+    as the byte-repr body (``repr(b)[2:-1]``), padded to vocab_size with
+    [PADi] UNUSED entries; bos = eos = 0 (<s>) and eot = 261 ('\\n\\n'),
+    matching the reference's post-fix of SpecialVocab."""
+    import ast
+
+    tokens: List[str] = ["<s>"]
+    toktypes: List[int] = [_CONTROL]
+    with open(model_dir / "rwkv_vocab_v20230424.txt", encoding="utf-8") as f:
+        for line in f:
+            parts = line.split(" ")
+            if len(parts) < 3:
+                continue
+            token = ast.literal_eval(" ".join(parts[1:-1]))
+            blen = int(parts[-1])
+            b = token.encode("utf-8") if isinstance(token, str) else bytes(token)
+            assert len(b) == blen, f"vocab line length mismatch: {line!r}"
+            tokens.append(repr(b)[2:-1])
+            toktypes.append(_NORMAL)
+    assert vocab_size >= len(tokens), "vocab_size below world-vocab entries"
+    for i in range(len(tokens), vocab_size):
+        tokens.append(f"[PAD{i}]")
+        toktypes.append(_UNUSED)
+    return {
+        "tokenizer.ggml.model": "rwkv",
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.token_type": toktypes,
+    }
+
+
 def tokenizer_metadata(model_dir: Path, model_type: str = "llama") -> Dict[str, Any]:
     """Extract GGUF tokenizer keys from an HF checkpoint.
 
-    Handles SentencePiece (`tokenizer.model`: gemma/phi3/mistral lineage) and
-    fast tokenizers (`tokenizer.json`, BPE or Unigram). Raises on a tokenizer
-    that cannot be represented — a GGUF without vocab is unloadable by
-    llama.cpp, so silence would mis-serve downstream.
+    Handles SentencePiece (`tokenizer.model`: gemma/phi3/mistral lineage),
+    fast tokenizers (`tokenizer.json`, BPE or Unigram), and the RWKV world
+    vocab text file. Raises on a tokenizer that cannot be represented — a
+    GGUF without vocab is unloadable by llama.cpp, so silence would
+    mis-serve downstream.
     """
     md: Dict[str, Any] = {}
+    if (model_dir / "rwkv_vocab_v20230424.txt").exists():
+        vocab_size = 65536
+        cfg_path = model_dir / "config.json"
+        if cfg_path.exists():
+            with open(cfg_path) as f:
+                vocab_size = json.load(f).get("vocab_size", 65536)
+        md = _rwkv_world_tokenizer_metadata(model_dir, vocab_size)
+        md.update(_chat_template_metadata(model_dir))
+        # reference post-fix: bos/eos pinned to <s>, eot to '\n\n' (261),
+        # fallback chat template name when the checkpoint ships none
+        md.setdefault("tokenizer.chat_template", "rwkv-world")
+        md["tokenizer.ggml.bos_token_id"] = 0
+        md["tokenizer.ggml.eos_token_id"] = 0
+        md["tokenizer.ggml.eot_token_id"] = 261
+        return md
     if (model_dir / "tokenizer.model").exists():
         md = _spm_tokenizer_metadata(model_dir)
     elif (model_dir / "tokenizer.json").exists():

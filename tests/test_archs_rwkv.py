@@ -61,6 +61,16 @@ def _rwkv6_layer(i, h, ff, n_head, hs, extra=8, dextra=16):
     return t
 
 
+def _write_world_vocab(d: Path, entries):
+    """Write a tiny rwkv_vocab_v20230424.txt (id <literal> len per line)."""
+    lines = []
+    for i, tok in enumerate(entries, start=1):
+        b = tok.encode("utf-8") if isinstance(tok, str) else tok
+        lit = repr(tok)
+        lines.append(f"{i} {lit} {len(b)}")
+    (d / "rwkv_vocab_v20230424.txt").write_text("\n".join(lines))
+
+
 def test_rwkv6_pack(tmp_path):
     h, ff, n_head, hs, v = 32, 64, 4, 8, 64
     cfg = {"model_type": "rwkv6", "vocab_size": v, "hidden_size": h,
@@ -77,8 +87,26 @@ def test_rwkv6_pack(tmp_path):
     t.update(_rwkv6_layer(1, h, ff, n_head, hs))
     d = tmp_path / "rwkv6"
     _save(d, cfg, t)
+    # real RWKV checkpoints ship the world-vocab text file, no tokenizer.json
+    _write_world_vocab(d, ["a", " b", b"\xff\xfe", "hello"])
     r = _pack(tmp_path, d, "rwkv6")
     assert r.get("general.architecture") == "rwkv6"
+    # world vocab (reference _set_vocab_rwkv_world :1142-1185): <s> first,
+    # byte-repr token texts, [PADi] fill, bos=eos=0, eot=261
+    assert r.get("tokenizer.ggml.model") == "rwkv"
+    toks = r.get("tokenizer.ggml.tokens")
+    assert len(toks) == v
+    assert toks[0] == "<s>"
+    assert toks[1] == "a" and toks[2] == " b"
+    assert toks[3] == "\\xff\\xfe"  # repr(b'\xff\xfe')[2:-1]
+    assert toks[4] == "hello"
+    assert toks[5].startswith("[PAD")
+    types = r.get("tokenizer.ggml.token_type")
+    assert types[0] == 3 and types[1] == 1 and types[5] == 5
+    assert r.get("tokenizer.ggml.bos_token_id") == 0
+    assert r.get("tokenizer.ggml.eos_token_id") == 0
+    assert r.get("tokenizer.ggml.eot_token_id") == 261
+    assert r.get("tokenizer.chat_template") == "rwkv-world"
     assert r.get("rwkv6.context_length") == 1048576
     assert r.get("rwkv6.wkv.head_size") == hs
     assert r.get("rwkv6.rescale_every_n_layers") == 2
