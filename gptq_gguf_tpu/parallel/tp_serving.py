@@ -41,12 +41,20 @@ except ImportError:  # older jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.llama import LlamaConfig
-from ..ops.qmatmul import RuntimeQuantLinear, RuntimeQuantLinearV2
+from ..ops.qmatmul import (RuntimeQuantLinear, RuntimeQuantLinearV2,
+                           StackedQuantLinearV2)
+from ..ops.qmv4 import RuntimeQuantLinearV4
 from ..serving import model as qmodel
 from ..serving.model import KVCache
 
-_ROW_PARALLEL = {"q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"}
-_COL_PARALLEL = {"o_proj", "down_proj"}
+_ROW_PARALLEL = {"q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
+                 "shared_gate", "shared_up"}
+_COL_PARALLEL = {"o_proj", "down_proj", "shared_down"}
+# stacked MoE expert weights: sharded like dense TP within every expert
+# (routing weights replicate, so each device computes its slice of every
+# routed expert and the per-layer psum folds the partials — no all-to-all)
+_MOE_ROW = {"experts_gate", "experts_up"}
+_MOE_COL = {"experts_down"}
 
 # packed planes are input-dim-major: axis 0 = input dim, axis 1 = output dim
 _OUT_SHARDED = P(None, "tp")
@@ -63,6 +71,11 @@ def serving_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
 
     def rql_specs(rql, role: str):
         s = _rql_spec(role)
+        if isinstance(rql, RuntimeQuantLinearV4):
+            return RuntimeQuantLinearV4(
+                s, s, s if rql.offc is not None else None,
+                rql.d_in, rql.group_size, rql.per_byte,
+            )
         if isinstance(rql, RuntimeQuantLinearV2):
             return RuntimeQuantLinearV2(
                 s, s, s if rql.dmin_sg is not None else None,
@@ -71,6 +84,19 @@ def serving_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
             )
         return RuntimeQuantLinear(s, s, s, rql.d_in, rql.group_size, rql.per_byte)
 
+    def stacked_specs(st, role: str):
+        # leading expert axis replicated; per-expert planes sharded like
+        # the dense role (planes are input-dim x output-dim after axis 0)
+        s2 = _rql_spec("q_proj" if role in _MOE_ROW else "o_proj")
+        s = P(None, *s2)
+        return StackedQuantLinearV2(
+            s, s, s if st.dmin_sg is not None else None,
+            s, s if st.mn_q is not None else None,
+            st.d_in, st.group_size, st.per_byte, st.shift, st.d_rep,
+        )
+
+    _RQL = (RuntimeQuantLinear, RuntimeQuantLinearV2, RuntimeQuantLinearV4)
+
     specs: Dict[str, Any] = {}
     for key, val in params.items():
         if key == "layers":
@@ -78,7 +104,9 @@ def serving_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
             for layer in val:
                 ls = {}
                 for k, v in layer.items():
-                    if isinstance(v, (RuntimeQuantLinear, RuntimeQuantLinearV2)):
+                    if isinstance(v, StackedQuantLinearV2):
+                        ls[k] = stacked_specs(v, k)
+                    elif isinstance(v, _RQL):
                         ls[k] = rql_specs(v, k)
                     elif k.endswith("_bias"):
                         ls[k] = P("tp")
@@ -90,7 +118,7 @@ def serving_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
             specs["layers"] = out_layers
         elif key in ("embed_tokens", "lm_head"):
             v = params[key]
-            if isinstance(v, (RuntimeQuantLinear, RuntimeQuantLinearV2)):
+            if isinstance(v, _RQL):
                 specs[key] = rql_specs(v, "q_proj")  # vocab rows = out dim
             else:
                 specs[key] = P("tp", None)
@@ -143,6 +171,60 @@ def tp_decode_step(params, cfg: LlamaConfig, tokens: jax.Array, cache: KVCache,
 
     def step(params_l, tokens_l, cache_l):
         logits, new_cache = qmodel.forward_cached(
+            params_l, cfg, tokens_l[:, None], cache_l, psum_axis="tp"
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return nxt, logits, new_cache
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(pspecs, P(None), cspecs),
+        out_specs=(P(None), P(None), cspecs),
+        check_vma=False,
+    )
+    return fn(params, tokens, cache)
+
+
+def paged_cache_specs(cache):
+    """PagedKVCache specs: page pools sharded over the kv-head axis,
+    block table + lengths replicated."""
+    from ..serving.paged import PagedKVCache
+
+    return PagedKVCache(
+        [P(None, None, "tp", None) for _ in cache.k_pages],
+        [P(None, None, "tp", None) for _ in cache.v_pages],
+        P(None, None),
+        P(None),
+    )
+
+
+def shard_paged_cache(cache, mesh: Mesh):
+    from ..serving.paged import PagedKVCache
+
+    specs = paged_cache_specs(cache)
+    put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
+    return PagedKVCache(
+        [put(k, s) for k, s in zip(cache.k_pages, specs.k_pages)],
+        [put(v, s) for v, s in zip(cache.v_pages, specs.v_pages)],
+        put(cache.page_table, specs.page_table),
+        put(cache.lengths, specs.lengths),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def tp_paged_decode_step(params, cfg: LlamaConfig, tokens: jax.Array, cache,
+                         mesh: Mesh):
+    """One greedy decode step off the page pools, sharded over tp: each
+    device walks the (replicated) block table against its local kv-head
+    slice of the pools, running the Pallas paged flash-decode kernel on
+    local heads (round-3; VERDICT r2 #10)."""
+    pspecs = serving_param_specs(params)
+    cspecs = paged_cache_specs(cache)
+
+    def step(params_l, tokens_l, cache_l):
+        from ..serving import paged as paged_mod
+
+        logits, new_cache = paged_mod.forward_paged(
             params_l, cfg, tokens_l[:, None], cache_l, psum_axis="tp"
         )
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)

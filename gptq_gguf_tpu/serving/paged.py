@@ -98,11 +98,14 @@ def forward_paged(
     input_ids: jax.Array,
     cache: PagedKVCache,
     n_valid: Optional[jax.Array] = None,
+    psum_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, PagedKVCache]:
     """forward_cached over a paged cache — same numerics, block-table K/V.
 
     Mirrors serving/model.forward_cached; see that docstring for n_valid
-    semantics.
+    semantics. psum_axis: set inside a shard_map over a tensor-parallel
+    mesh axis (parallel/tp_serving.tp_paged_decode_step) — page pools are
+    sharded over the kv-head axis, projections Megatron-style.
     """
     B, S = input_ids.shape
     hd = cfg.head_dim_
@@ -111,8 +114,16 @@ def forward_paged(
     cos, sin = llama.rope_cos_sin_all(cfg, positions, seq_len=cache.max_len)
 
     x = params["embed_tokens"]
-    x = (x[input_ids] if not isinstance(x, _QUANT_TYPES)
-         else _dequant_any(x)[input_ids]).astype(cfg.dtype)
+    if psum_axis is not None and not isinstance(x, _QUANT_TYPES):
+        # vocab-row-sharded table: offset gather + psum
+        v_local = x.shape[0]
+        idx = input_ids - jax.lax.axis_index(psum_axis) * v_local
+        valid = (idx >= 0) & (idx < v_local)
+        x = jnp.where(valid[..., None], x[jnp.clip(idx, 0, v_local - 1)], 0)
+        x = jax.lax.psum(x, psum_axis).astype(cfg.dtype)
+    else:
+        x = (x[input_ids] if not isinstance(x, _QUANT_TYPES)
+             else _dequant_any(x)[input_ids]).astype(cfg.dtype)
     if cfg.embed_scale:
         x = x * jnp.asarray(math.sqrt(cfg.hidden_size), dtype=cfg.dtype)
     au = cfg.rms_add_unit
@@ -180,6 +191,8 @@ def forward_paged(
             )
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nH * hd)
         attn_out = _q_linear(attn, layer["o_proj"])
+        if psum_axis is not None:
+            attn_out = jax.lax.psum(attn_out, psum_axis)
         gemma2_norms = "pre_feedforward_layernorm" in layer
         if gemma2_norms:
             attn_out = llama.rms_norm(attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps, au)
@@ -194,6 +207,8 @@ def forward_paged(
             up = _q_linear(h, layer["up_proj"])
             act = llama._mlp_act(gate, up, cfg)
             mlp_out = _q_linear(act, layer["down_proj"])
+        if psum_axis is not None:
+            mlp_out = jax.lax.psum(mlp_out, psum_axis)
         if gemma2_norms:
             mlp_out = llama.rms_norm(mlp_out, layer["post_feedforward_layernorm"], cfg.rms_norm_eps, au)
         x = x + mlp_out
@@ -210,6 +225,9 @@ def forward_paged(
         logits = qmodel.qmatmul.dequant_matmul(h, head)
     else:
         logits = jnp.einsum("bi,oi->bo", h, head, preferred_element_type=jnp.float32)
+    if psum_axis is not None:
+        # vocab-sharded logits: tiled all_gather back to the full vocab
+        logits = jax.lax.all_gather(logits, psum_axis, axis=1, tiled=True)
     if cfg.final_logit_softcap:
         logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
     return logits, PagedKVCache(new_k, new_v, cache.page_table, lengths + advance)
