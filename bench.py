@@ -114,7 +114,52 @@ def synth_v2(rng, d_out, d_in, qtype=None):
                                 -spec.qmin, d_rep)
 
 
+def synth_v2_dev(key, d_out, d_in, qtype=None):
+    """synth_v2 generated ON DEVICE (jax.random): 32 distinct layer sets
+    would take minutes of host RNG + relay uploads otherwise."""
+    import jax
+    import jax.numpy as jnp
+
+    from gptq_gguf_tpu.formats.ggml import GGMLQuantizationType as T, KQUANT_SPECS
+    from gptq_gguf_tpu.ops.qmatmul import RuntimeQuantLinearV2
+
+    qtype = qtype or T.Q4_K
+    spec = KQUANT_SPECS[qtype]
+    gs = spec.group_size
+    per_byte = 2 if spec.bits <= 4 else 1
+    n_sg = d_in // 256
+    ng = d_in // gs
+    d_rep = 2
+    ks = jax.random.split(key, 5)
+    qs = jax.random.randint(ks[0], (d_in // per_byte, d_out), 0, 256,
+                            jnp.int32).astype(jnp.uint8)
+    d_sg = jnp.repeat(
+        jax.random.uniform(ks[1], (n_sg, d_out), jnp.float32) * 1e-3 + 1e-5,
+        d_rep, axis=0)
+    if spec.signed:
+        sc = jax.random.randint(ks[2], (ng, d_out), -32, 32, jnp.int32
+                                ).astype(jnp.int8)
+        dmin = mn = None
+    else:
+        sc = jax.random.randint(ks[2], (ng, d_out), 0, 64, jnp.int32
+                                ).astype(jnp.uint8)
+        dmin = jnp.repeat(
+            jax.random.uniform(ks[3], (n_sg, d_out), jnp.float32) * 1e-4,
+            d_rep, axis=0)
+        mn = jax.random.randint(ks[4], (ng, d_out), 0, 64, jnp.int32
+                                ).astype(jnp.uint8)
+    return RuntimeQuantLinearV2(qs, d_sg, dmin, sc, mn, d_in, gs, per_byte,
+                                -spec.qmin, d_rep)
+
+
 def rql_bytes(r) -> int:
+    from gptq_gguf_tpu.ops.qmv4 import RuntimeQuantLinearV4
+
+    if isinstance(r, RuntimeQuantLinearV4):
+        n = int(r.qs.size) + r.scale.dtype.itemsize * int(r.scale.size)
+        if r.offc is not None:
+            n += 4 * int(r.offc.size)
+        return n
     n = int(r.qs.size) + 4 * int(r.d_sg.size) + int(r.sc_q.size)
     if r.dmin_sg is not None:
         n += 4 * int(r.dmin_sg.size) + int(r.mn_q.size)
@@ -187,49 +232,97 @@ def bench_matmul_path(B=8, N=20):
     return results
 
 
-def bench_engine(B=8, max_len=2048, prompt_len=128, steps=32):
-    """End-to-end decode through engine's jitted step at Llama-3-8B shapes."""
+def synth_v4_dev(key, d_out, d_in, qtype=None, layout="i32"):
+    """synth_v2_dev's v4-format sibling (random codes/scales, on device)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gptq_gguf_tpu.formats.ggml import GGMLQuantizationType as T, KQUANT_SPECS
+    from gptq_gguf_tpu.ops.qmv4 import RuntimeQuantLinearV4
+
+    qtype = qtype or T.Q4_K
+    spec = KQUANT_SPECS[qtype]
+    gs = spec.group_size
+    per_byte = 2 if spec.bits <= 4 else 1
+    ng = d_in // gs
+    ks = jax.random.split(key, 3)
+    qs = jax.random.randint(ks[0], (d_in // per_byte, d_out), 0, 256,
+                            jnp.int32).astype(jnp.uint8)
+    scale = jax.random.uniform(ks[1], (ng, d_out), jnp.float32) * 1e-3 + 1e-5
+    offc = jax.random.uniform(ks[2], (ng, d_out), jnp.float32) * 1e-4
+    return RuntimeQuantLinearV4(qs, scale, offc, d_in, gs, per_byte, layout)
+
+
+# engine-bench weight format: "v2" | "v4" | "v4i8" (flipped by kernel races)
+BENCH_FORMAT = "v2"
+
+
+def _synth_dev(key, d_out, d_in, qtype=None):
+    if BENCH_FORMAT == "v2":
+        return synth_v2_dev(key, d_out, d_in, qtype)
+    layout = "i8" if BENCH_FORMAT == "v4i8" else "i32"
+    return synth_v4_dev(key, d_out, d_in, qtype, layout=layout)
+
+
+def build_8b_params(max_len=2048):
+    """Synthetic Llama-3-8B-shaped quantized serving params: 32 DISTINCT
+    weight sets, generated on device. Round-2 cycled 4 sets over 32 layers
+    to dodge host-side generation cost; round-3 replica measurements showed
+    re-reading a 0.5 GB working set streams ~20% faster than the honest
+    4.4 GB stream, so cycling flattered the bench."""
     import jax
     import jax.numpy as jnp
 
     from gptq_gguf_tpu.formats.ggml import GGMLQuantizationType as T
     from gptq_gguf_tpu.models.llama import LlamaConfig
-    from gptq_gguf_tpu.serving import engine, model as qmodel
+    from gptq_gguf_tpu.serving import model as qmodel
 
-    rng = np.random.default_rng(1)
     V, H, I, L = 128256, 4096, 14336, 32
     cfg = LlamaConfig(
         vocab_size=V, hidden_size=H, intermediate_size=I, num_hidden_layers=L,
         num_attention_heads=32, num_key_value_heads=8, head_dim=128,
         max_position_embeddings=max_len, rope_theta=500000.0, dtype=jnp.bfloat16,
     )
-    # 4 distinct weight sets cycled over 32 layers: full per-step HBM traffic
-    # without 4.8 GB of host-side generation
-    sets = []
-    for _ in range(4):
-        sets.append({
+    key = jax.random.PRNGKey(7)
+    layers = []
+    for li in range(L):
+        k = jax.random.fold_in(key, li)
+        ks = jax.random.split(k, 7)
+        lset = {
             "input_layernorm": jnp.ones((H,), jnp.bfloat16),
             "post_attention_layernorm": jnp.ones((H,), jnp.bfloat16),
-            "q_proj": synth_v2(rng, H, H),
-            "k_proj": synth_v2(rng, 1024, H),
-            "v_proj": synth_v2(rng, 1024, H),
-            "o_proj": synth_v2(rng, H, H),
-            "gate_proj": synth_v2(rng, I, H),
-            "up_proj": synth_v2(rng, I, H),
-            "down_proj": synth_v2(rng, H, I),
-        })
-    sets = [qmodel.fuse_layer_projections(l) for l in sets]  # qkv/gateup fusion
-    layers = [sets[i % 4] for i in range(L)]
+            "q_proj": _synth_dev(ks[0], H, H),
+            "k_proj": _synth_dev(ks[1], 1024, H),
+            "v_proj": _synth_dev(ks[2], 1024, H),
+            "o_proj": _synth_dev(ks[3], H, H),
+            "gate_proj": _synth_dev(ks[4], I, H),
+            "up_proj": _synth_dev(ks[5], I, H),
+            "down_proj": _synth_dev(ks[6], H, I),
+        }
+        layers.append(qmodel.fuse_layer_projections(lset))  # qkv/gateup fusion
     embed = jax.random.normal(jax.random.PRNGKey(2), (V, H), jnp.bfloat16) * 0.02
-    lm_head = synth_v2(rng, V, H, T.Q6_K)
-    params = {"embed_tokens": embed, "layers": layers, "norm": jnp.ones((H,), jnp.bfloat16),
-              "lm_head": lm_head}
-
+    lm_head = _synth_dev(jax.random.fold_in(key, 99), V, H, T.Q6_K)
+    params = {"embed_tokens": embed, "layers": layers,
+              "norm": jnp.ones((H,), jnp.bfloat16), "lm_head": lm_head}
     weight_bytes_layer = sum(
         rql_bytes(layers[0][k])
         for k in ("qkv_proj", "o_proj", "gateup_proj", "down_proj")
     )
     weight_bytes = weight_bytes_layer * L + rql_bytes(lm_head)
+    return params, cfg, weight_bytes
+
+
+def bench_engine(B=8, max_len=2048, prompt_len=128, steps=32,
+                 prebuilt=None):
+    """End-to-end decode through engine's jitted step at Llama-3-8B shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from gptq_gguf_tpu.serving import engine, model as qmodel
+
+    rng = np.random.default_rng(1)
+    params, cfg, weight_bytes = prebuilt or build_8b_params(max_len)
+    V, L = cfg.vocab_size, cfg.num_hidden_layers
     # decode attention is length-aware: it reads ceil(fill/chunk) KV chunks,
     # not the whole ring; account the average fill over the measured steps
     from gptq_gguf_tpu.models.llama import FLASH_CHUNK
@@ -282,6 +375,48 @@ def bench_engine(B=8, max_len=2048, prompt_len=128, steps=32):
         "prompt_len": prompt_len,
         "max_len": max_len,
         "batch": B,
+    }
+
+
+def bench_engine_mixed(n_requests=24, B=8, max_len=1024, prebuilt=None):
+    """Continuous-batching throughput under a steady mixed admit stream
+    (VERDICT r2 #8): n_requests with prompt lengths cycling 3 buckets
+    (64/192/448 -> pads to 64/256/512) and 24 new tokens each, run through
+    the real scheduler (prefill + decode interleaved, slot turnover).
+    Reports generated tokens/s and total (prompt+generated) tokens/s."""
+    import jax.numpy as jnp
+
+    from gptq_gguf_tpu.serving import engine
+
+    rng = np.random.default_rng(5)
+    params, cfg, _ = prebuilt or build_8b_params(max_len)
+    eng = engine.ContinuousBatchingEngine(
+        params, cfg, num_slots=B, max_len=max_len)
+    prompt_lens = [64, 192, 448]
+    new_tokens = 24
+
+    # warmup: compile the decode + all three prefill buckets
+    for pl_ in prompt_lens:
+        eng.submit(rng.integers(0, cfg.vocab_size, (pl_,)), 2)
+    eng.run_until_done()
+    eng.completed.clear()
+
+    prompts = [rng.integers(0, cfg.vocab_size, (prompt_lens[i % 3],))
+               for i in range(n_requests)]
+    t0 = time.time()
+    for p in prompts:
+        eng.submit(p, new_tokens)
+    done = eng.run_until_done()
+    dt = time.time() - t0
+    gen = sum(len(r.output) for r in done)
+    total = gen + sum(len(p) for p in prompts)
+    return {
+        "gen_tokens_per_s": round(gen / dt, 2),
+        "total_tokens_per_s": round(total / dt, 2),
+        "n_requests": n_requests,
+        "prompt_lens": prompt_lens,
+        "new_tokens": new_tokens,
+        "wall_s": round(dt, 2),
     }
 
 

@@ -63,22 +63,34 @@ _HALF = QK_K // 2  # 128
 class RuntimeQuantLinearV4:
     """Packed quantized weight, plane-split layout (input-dim-major).
 
-    qs      (d_in // per_byte, d_out) u8 — same bytes as the v2 format:
-            byte k of a 256-row supergroup holds rows k (low nibble) and
-            k + 128 (high nibble) for 4-bit types; one byte per code for
-            5/6-bit types.
+    qs      (d_in // per_byte, d_out) u8 — byte k of a 256-row supergroup
+            holds rows k (low nibble) and k + 128 (high nibble) for 4-bit
+            types; one byte per code for 5/6-bit types.
     scale   (n_groups, d_out) bf16/f32 per-group scale, natural group order.
     offc    (n_groups, d_out) f32 folded offset: dmin*mn + scale*shift.
             None when the type has neither a min nor a shift.
+    layout  "i32": qs bytes identical to the v2 format, kernel unpacks with
+            i32 masks + shifts.
+            "i8": shift-free layout (round 3) — measured i32 bitwise VPU ops
+            run ~10x slower than i8 ops on this target, so the kernel
+            bitcasts bytes to int8 and extracts both nibbles with two AND
+            masks: the hi nibble is stored BIASED by -8 in two's-complement
+            (byte = lo | ((hi - 8) & 0xF) << 4), so the signed value of
+            (byte & 0xF0) is exactly 16*(hi - 8); the x16 folds into the
+            stored hi-group scale (s/16) and the -8 bias into the exact
+            offc correction (offc_hi -= 8*s). 5/6-bit codes are stored
+            bias-shifted into int8 range with the same scale-side folds.
     """
 
-    def __init__(self, qs, scale, offc, d_in: int, group_size: int, per_byte: int):
+    def __init__(self, qs, scale, offc, d_in: int, group_size: int,
+                 per_byte: int, layout: str = "i32"):
         self.qs = qs
         self.scale = scale
         self.offc = offc
         self.d_in = int(d_in)
         self.group_size = int(group_size)
         self.per_byte = int(per_byte)
+        self.layout = str(layout)
 
     @property
     def d_out(self) -> int:
@@ -102,7 +114,7 @@ class RuntimeQuantLinearV4:
 
     def tree_flatten(self):
         return (self.qs, self.scale, self.offc), (
-            self.d_in, self.group_size, self.per_byte,
+            self.d_in, self.group_size, self.per_byte, self.layout,
         )
 
     @classmethod
@@ -115,6 +127,7 @@ def pack_runtime_v4(
     params: SuperGroupParams,
     qtype: GGMLQuantizationType,
     scale_dtype=jnp.float32,
+    layout: str = "i32",
 ) -> RuntimeQuantLinearV4:
     """Build the v4 runtime format from a layer artifact (host-side numpy)."""
     spec = KQUANT_SPECS[qtype]
@@ -136,20 +149,42 @@ def pack_runtime_v4(
     codes = np.asarray(qweight).astype(np.int16) + shift  # unsigned
     assert codes.min() >= 0
     codes_t = np.ascontiguousarray(codes.T).astype(np.uint8)  # (d_in, d_out)
+    scale_t = np.ascontiguousarray(scale.T)  # (ng, d_out)
+    offc_t = None if offc is None else np.ascontiguousarray(offc.T)
     if spec.bits <= 4:
         per_byte = 2
         c = codes_t.reshape(d_in // QK_K, QK_K, d_out)
-        qs = (c[:, :_HALF, :] | (c[:, _HALF:, :] << 4)).reshape(d_in // 2, d_out)
+        lo, hi = c[:, :_HALF, :], c[:, _HALF:, :]
+        if layout == "i8":
+            # hi nibble stored biased by -8 (two's complement in the high
+            # nibble): signed(byte & 0xF0) == 16*(hi - 8). Fold the x16
+            # into the hi-group scales and the +8 into the offsets:
+            #   w = s*hi = (s/16)*(16*(hi-8)) + 8*s
+            qs = (lo | (((hi.astype(np.int16) - 8) & 0xF) << 4).astype(
+                np.uint8)).reshape(d_in // 2, d_out)
+            gh = gpsg // 2  # groups per half-supergroup
+            sc3 = scale_t.reshape(d_in // QK_K, gpsg, d_out)
+            hi_s = sc3[:, gh:, :]
+            if offc_t is None:
+                offc_t = np.zeros_like(scale_t)
+            of3 = offc_t.reshape(d_in // QK_K, gpsg, d_out)
+            of3[:, gh:, :] -= 8.0 * hi_s
+            sc3 = np.concatenate([sc3[:, :gh], hi_s / 16.0], axis=1)
+            scale_t = sc3.reshape(d_in // gs, d_out)
+            offc_t = of3.reshape(d_in // gs, d_out)
+        else:
+            qs = (lo | (hi << 4)).reshape(d_in // 2, d_out)
     else:
         per_byte = 1
-        qs = codes_t
+        qs = codes_t  # 5/6-bit codes are < 128: int8-safe as stored
     return RuntimeQuantLinearV4(
         jnp.asarray(qs),
-        jnp.asarray(np.ascontiguousarray(scale.T), dtype=scale_dtype),
-        None if offc is None else jnp.asarray(np.ascontiguousarray(offc.T)),
+        jnp.asarray(scale_t, dtype=scale_dtype),
+        None if offc_t is None else jnp.asarray(offc_t),
         d_in,
         gs,
         per_byte,
+        layout,
     )
 
 
@@ -175,12 +210,24 @@ def v4_from_v2(rql2, scale_dtype=jnp.float32) -> RuntimeQuantLinearV4:
 
 
 def dequantize_runtime_v4(rql: RuntimeQuantLinearV4) -> jax.Array:
-    """Reference dequantization (XLA): returns (d_out, d_in) f32."""
+    """Reference dequantization (XLA): returns (d_out, d_in) f32.
+
+    Reproduces the kernel-visible code values per layout: for "i8" the hi
+    plane decodes as the signed value of (byte & 0xF0) = 16*(hi - 8), with
+    the x16 / -8 folds already in the stored scale/offc planes."""
     d_in = rql.d_in_local
     d_out = rql.d_out
     if rql.per_byte == 2:
-        b = rql.qs.astype(jnp.int32).reshape(d_in // QK_K, _HALF, d_out)
-        q = jnp.concatenate([b & 0x0F, b >> 4], axis=1).reshape(d_in, d_out)
+        if rql.layout == "i8":
+            s8 = rql.qs.astype(jnp.int8)
+            lo = (s8 & jnp.int8(0x0F)).astype(jnp.int32)
+            hi = (s8 & jnp.int8(-16)).astype(jnp.int32)
+        else:
+            b = rql.qs.astype(jnp.int32)
+            lo, hi = b & 0x0F, b >> 4
+        lo = lo.reshape(d_in // QK_K, _HALF, d_out)
+        hi = hi.reshape(d_in // QK_K, _HALF, d_out)
+        q = jnp.concatenate([lo, hi], axis=1).reshape(d_in, d_out)
     else:
         q = rql.qs.astype(jnp.int32)
     ng = rql.scale.shape[0]
@@ -255,17 +302,63 @@ def _kernel_v4_pb2(x_lo_ref, x_hi_ref, qs_ref, scale_ref, out_ref, *,
         out_ref[:] = out_ref[:] + acc
 
 
-def _kernel_v4_pb1(x_ref, qs_ref, scale_ref, out_ref, *,
-                   gs, tile_in, mxu_dtype, acc_steps):
-    """5/6-bit path: one byte per code, no planes."""
+def _kernel_v4_pb2_i8(x_lo_ref, x_hi_ref, qs_ref, scale_ref, out_ref, *,
+                      gs, tile_in, mxu_dtype, acc_steps):
+    """Shift-free 4-bit plane-split step (the round-3 hot kernel).
+
+    Measured on this target: i32 bitwise VPU ops run ~10x slower than i8
+    ops, so the whole unpack is two int8 AND masks on the bitcast bytes —
+    the hi nibble's x16 and -8 bias live in the stored scale/offc planes
+    (see RuntimeQuantLinearV4.layout)."""
     import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     j = pl.program_id(1)
-    q = qs_ref[:].astype(jnp.int32)
+    s8 = pltpu.bitcast(qs_ref[:], jnp.int8)  # (tile_in/2, T)
+    T = s8.shape[1]
+    tc = tile_in // 2
+    sg_t = tile_in // QK_K
+    gh = _HALF // gs
+    ng_h = sg_t * gh
+
+    s = scale_ref[:].astype(mxu_dtype).reshape(sg_t, 2, gh, 1, T)
+    lo = (s8 & jnp.int8(0x0F)).astype(mxu_dtype).reshape(ng_h, gs, T)
+    hi = (s8 & jnp.int8(-16)).astype(mxu_dtype).reshape(ng_h, gs, T)
+    w_lo = (lo * s[:, 0].reshape(ng_h, 1, T)).reshape(tc, T)
+    w_hi = (hi * s[:, 1].reshape(ng_h, 1, T)).reshape(tc, T)
+
+    acc = jnp.dot(
+        x_lo_ref[:].astype(mxu_dtype), w_lo, preferred_element_type=jnp.float32
+    )
+    acc = acc + jnp.dot(
+        x_hi_ref[:].astype(mxu_dtype), w_hi, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+def _kernel_v4_pb1(x_ref, qs_ref, scale_ref, out_ref, *,
+                   gs, tile_in, mxu_dtype, acc_steps, layout="i32"):
+    """5/6-bit path: one byte per code, no planes. Codes are < 128, so the
+    i8 layout converts the bitcast bytes directly (no i32 widen)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    j = pl.program_id(1)
+    if layout == "i8":
+        q = pltpu.bitcast(qs_ref[:], jnp.int8).astype(mxu_dtype)
+    else:
+        q = qs_ref[:].astype(jnp.int32).astype(mxu_dtype)
     T = q.shape[1]
     ng = tile_in // gs
     w = (
-        q.astype(mxu_dtype).reshape(ng, gs, T)
+        q.reshape(ng, gs, T)
         * scale_ref[:].astype(mxu_dtype).reshape(ng, 1, T)
     ).reshape(tile_in, T)
     acc = jnp.dot(
@@ -309,7 +402,8 @@ def _main_dot_v4(
 
     common = dict(gs=gs, tile_in=tile_in, mxu_dtype=mxu_dtype, acc_steps=n_j)
     if per_byte == 2:
-        kernel = functools.partial(_kernel_v4_pb2, **common)
+        kfn = _kernel_v4_pb2_i8 if rql.layout == "i8" else _kernel_v4_pb2
+        kernel = functools.partial(kfn, **common)
         x_lo, x_hi = _split_planes(x, d_in)
         operands = [x_lo, x_hi, rql.qs, rql.scale]
         in_specs = [
@@ -319,7 +413,7 @@ def _main_dot_v4(
             pl.BlockSpec((ng_t, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         ]
     else:
-        kernel = functools.partial(_kernel_v4_pb1, **common)
+        kernel = functools.partial(_kernel_v4_pb1, layout=rql.layout, **common)
         operands = [x, rql.qs, rql.scale]
         in_specs = [
             pl.BlockSpec((B, tile_in), lambda i, j: (0, j), memory_space=pltpu.VMEM),
@@ -383,15 +477,16 @@ def fuse_rql_v4(parts) -> Optional["RuntimeQuantLinearV4"]:
         return None
     p0 = parts[0]
     if not all(
-        (p.group_size, p.per_byte, p.d_in, p.has_off, p.scale.dtype)
-        == (p0.group_size, p0.per_byte, p0.d_in, p0.has_off, p0.scale.dtype)
+        (p.group_size, p.per_byte, p.d_in, p.has_off, p.scale.dtype, p.layout)
+        == (p0.group_size, p0.per_byte, p0.d_in, p0.has_off, p0.scale.dtype,
+            p0.layout)
         for p in parts
     ):
         return None
     cat = lambda attr: jnp.concatenate([getattr(p, attr) for p in parts], axis=1)
     return RuntimeQuantLinearV4(
         cat("qs"), cat("scale"), cat("offc") if p0.has_off else None,
-        p0.d_in, p0.group_size, p0.per_byte,
+        p0.d_in, p0.group_size, p0.per_byte, p0.layout,
     )
 
 

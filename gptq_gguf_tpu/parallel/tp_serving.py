@@ -74,7 +74,7 @@ def serving_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
         if isinstance(rql, RuntimeQuantLinearV4):
             return RuntimeQuantLinearV4(
                 s, s, s if rql.offc is not None else None,
-                rql.d_in, rql.group_size, rql.per_byte,
+                rql.d_in, rql.group_size, rql.per_byte, rql.layout,
             )
         if isinstance(rql, RuntimeQuantLinearV2):
             return RuntimeQuantLinearV2(

@@ -92,6 +92,27 @@ def main():
     dt = _time_scan(read_sum, (a, jnp.float32(0)))
     out["read_sum_gbs"] = round(n_mb / 1024 / dt, 1)
 
+    # read BW vs interleaved stream count (memory-level parallelism probe):
+    # one fusion reading k arrays element-interleaved, pure-read totals.
+    # NOTE: arrays must be jit ARGUMENTS — closures embed them in the
+    # remote-compile request body on this relay (HTTP 413 past ~0.5 GB).
+    @partial(jax.jit, static_argnames=("steps",))
+    def read_sum_k(c0, parts, steps):
+        def body(c, _):
+            prod = parts[0] * (1.0 + c * 1e-30)
+            for p in parts[1:]:
+                prod = prod * p
+            return c + jnp.sum(prod), None
+        c, _ = jax.lax.scan(body, c0, None, length=steps)
+        return c
+
+    for k in (2, 4):
+        parts = tuple(jax.random.normal(jax.random.PRNGKey(10 + i), (n // k,),
+                                        jnp.float32) for i in range(k))
+        dt = _time_scan(read_sum_k, (jnp.float32(0), parts))
+        out[f"read_sum_{k}streams_gbs"] = round(n_mb / 1024 / dt, 1)
+        del parts
+
     # pure read, MXU reduction (bf16 weights @ ones)
     M = 16384
     K = n // M  # f32 n elements -> use bf16 (M, 2K) for the same 512 MB

@@ -51,6 +51,10 @@ def make_weights(rng, d_out, d_in, qtype=None):
         "v2": qmatmul.pack_runtime_v2(q, p, qtype),
         "v4f": qmv4.pack_runtime_v4(q, p, qtype, scale_dtype=jnp.float32),
         "v4b": qmv4.pack_runtime_v4(q, p, qtype, scale_dtype=jnp.bfloat16),
+        "v4x": qmv4.pack_runtime_v4(q, p, qtype, scale_dtype=jnp.float32,
+                                    layout="i8"),
+        "v4xb": qmv4.pack_runtime_v4(q, p, qtype, scale_dtype=jnp.bfloat16,
+                                     layout="i8"),
     }
 
 
@@ -115,7 +119,7 @@ def numerics_check(variant, tiles=None):
 
     rng = np.random.default_rng(7)
     packs = make_weights(rng, 512, 1024)
-    key = {"v1": "v1", "v2": "v2", "v3": "v2", "v4f": "v4f", "v4b": "v4b"}[variant]
+    key = {"v1": "v1", "v2": "v2", "v3": "v2"}.get(variant, variant)
     r = packs[key]
     x = jnp.asarray(rng.normal(size=(8, 1024)).astype(np.float32))
     y = np.asarray(mm_for(variant, tiles)(x, r))
@@ -128,7 +132,7 @@ def bench_variant(variant, packs_by_name, B=8, N=24, tiles=None):
     import jax
     import jax.numpy as jnp
 
-    key = {"v1": "v1", "v2": "v2", "v3": "v2", "v4f": "v4f", "v4b": "v4b"}[variant]
+    key = {"v1": "v1", "v2": "v2", "v3": "v2"}.get(variant, variant)
     layer = {n: p[key] for n, p in packs_by_name.items()}
     bytes_layer = sum(rql_bytes(r) for r in layer.values())
     mm = mm_for(variant, tiles)
