@@ -41,6 +41,47 @@ def _decode_step(params, cfg: LlamaConfig, tokens: jax.Array, cache: KVCache):
     return next_tokens, logits, cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "k"))
+def _decode_steps_scan(params, cfg: LlamaConfig, tokens: jax.Array,
+                       cache: KVCache, k: int):
+    """k greedy decode steps in ONE program via lax.scan: one dispatch and
+    one (k, B) token readback instead of k round trips. On dispatch-latency
+    bound targets (this environment's relay adds ~25 ms per program round
+    trip) this is the difference between serving at device speed and
+    serving at network speed; on bare TPU it still cuts per-step dispatch
+    overhead k-fold. EOS handling happens host-side after the block (at
+    most k-1 wasted slot-steps per finished request)."""
+
+    def body(carry, _):
+        toks, cache = carry
+        logits, cache = qmodel.forward_cached(params, cfg, toks[:, None], cache)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, cache), nxt
+
+    (tokens, cache), toks = jax.lax.scan(body, (tokens, cache), None, length=k)
+    return tokens, toks, cache  # toks: (k, B)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "k"),
+                   donate_argnames=("sampler",))
+def _sampled_decode_steps_scan(params, cfg: LlamaConfig, tokens, cache,
+                               sampler: sampling.SlotSampling, k: int):
+    """k sampled decode steps in one program (scan over the per-slot
+    sampler chain; penalties/keys stay on device across the block)."""
+
+    def body(carry, _):
+        toks, cache, smp = carry
+        counts = smp.counts.at[jnp.arange(toks.shape[0]), toks].add(1)
+        smp = smp._replace(counts=counts)
+        logits, cache = qmodel.forward_cached(params, cfg, toks[:, None], cache)
+        nxt, smp = sampling.sample_step(logits, smp)
+        return (nxt, cache, smp), nxt
+
+    (tokens, cache, sampler), toks = jax.lax.scan(
+        body, (tokens, cache, sampler), None, length=k)
+    return tokens, toks, sampler, cache
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _decode_step_shifted(params, cfg: LlamaConfig, tokens, cache: KVCache,
                          rope_delta):
@@ -280,6 +321,7 @@ class ContinuousBatchingEngine:
         kv_quantized: bool = False,
         temperature: float = 0.0,
         seed: int = 0,
+        multi_step: int = 1,
     ):
         self.params = params
         self.cfg = cfg
@@ -287,6 +329,14 @@ class ContinuousBatchingEngine:
         self.max_len = max_len
         self.eos = eos_token_id
         self.temperature = temperature
+        # multi_step > 1: decode in k-step scan blocks (one program dispatch
+        # + one (k, B) readback per k tokens). On this environment's relay
+        # every program execution costs ~25 ms of serialized round trip, so
+        # blocks are the difference between network-bound and device-bound
+        # serving; on bare TPU they still amortize dispatch. Costs: EOS is
+        # detected at block granularity (<= k-1 wasted slot-steps per
+        # finished request) and slot turnover waits for the block edge.
+        self.multi_step = max(1, int(multi_step))
         # legacy engine-wide temperature becomes the default per-request
         # sampler; submit(sampling=...) overrides per request
         self.default_sampling = (
@@ -299,6 +349,9 @@ class ContinuousBatchingEngine:
                                        quantized=kv_quantized)
         self.tokens = jnp.zeros((num_slots,), jnp.int32)
         self.slot_req: List[Optional[Request]] = [None] * num_slots
+        # host-side mirror of cache.lengths (saves a device readback per
+        # step and powers the multi_step block's out-of-cache checks)
+        self._fill = np.zeros((num_slots,), np.int64)
         # per-slot token history whose KV currently occupies positions
         # 0..lengths-1; valid only until the slot sits idle through a decode
         # step (idle slots keep being written by the batched decode program)
@@ -401,6 +454,7 @@ class ContinuousBatchingEngine:
             tok, self.sampler = sampling.sample_slot(
                 logits, self.sampler, slot)
         self.tokens = self.tokens.at[slot].set(tok)
+        self._fill[slot] = shared + n
         req.output.append(int(tok))
         if req.logprobs:
             self._note_logprobs(req, int(tok), logits)
@@ -428,19 +482,24 @@ class ContinuousBatchingEngine:
                 self.slot_req[slot] = None
                 self.slot_hist[slot] = None
                 self.rope_delta[slot] = 0
+                self._fill[slot] = 0
                 self.cache = self.cache._replace(
                     lengths=self.cache.lengths.at[slot].set(0))
                 return True
         return False
 
     def step(self) -> int:
-        """Admit + one decode step; returns number of active slots."""
+        """Admit + one decode step (or one multi_step block); returns the
+        number of active slots."""
         self._admit()
         active = [s for s, r in enumerate(self.slot_req) if r is not None]
         if not active:
             return 0
-        fed = np.asarray(self.tokens)  # decode inputs land in the KV cache
         shifted = bool(self.rope_delta.any())
+        if (self.multi_step > 1 and not shifted
+                and not any(self.slot_req[s].logprobs for s in active)):
+            return self._step_block(active, self.multi_step)
+        fed = np.asarray(self.tokens)  # decode inputs land in the KV cache
         if any(not self.slot_req[s].sampling.is_trivial for s in active):
             self.tokens, logits, self.sampler, self.cache = _sampled_decode_step(
                 self.params, self.cfg, self.tokens, self.cache, self.sampler,
@@ -468,7 +527,8 @@ class ContinuousBatchingEngine:
                     float(chosen[s]), ids[s, :n].tolist(),
                     vals[s, :n].tolist()))
         host = np.asarray(self.tokens)
-        lengths = np.asarray(self.cache.lengths)
+        self._fill += 1
+        lengths = self._fill
         for slot in range(self.num_slots):
             if self.slot_req[slot] is not None:
                 if self.slot_hist[slot] is not None:
@@ -496,9 +556,54 @@ class ContinuousBatchingEngine:
                     self._admit_into(slot, self.queue.popleft())
                 else:
                     self.slot_hist[slot] = None
+                    self._fill[slot] = 0
                     self.cache = self.cache._replace(
                         lengths=self.cache.lengths.at[slot].set(0)
                     )
+        return len(active)
+
+    def _step_block(self, active, k: int) -> int:
+        """k decode steps as ONE scan program (see multi_step). Host-side
+        bookkeeping replays the block rows; retired slots keep decoding
+        garbage for the rest of the block (their outputs are dropped and
+        their KV prefix below the retire point stays intact, so the next
+        occupant still gets prefix reuse). Admits happen at block edges."""
+        fed_prev = np.asarray(self.tokens)  # (B,) inputs of the first row
+        if any(not self.slot_req[s].sampling.is_trivial for s in active):
+            self.tokens, toks, self.sampler, self.cache = (
+                _sampled_decode_steps_scan(
+                    self.params, self.cfg, self.tokens, self.cache,
+                    self.sampler, k))
+        else:
+            self.tokens, toks, self.cache = _decode_steps_scan(
+                self.params, self.cfg, self.tokens, self.cache, k)
+        host = np.asarray(toks)  # (k, B) — one readback per block
+        for j in range(k):
+            for slot in range(self.num_slots):
+                if self.slot_req[slot] is not None:
+                    if self.slot_hist[slot] is not None:
+                        self.slot_hist[slot].append(int(fed_prev[slot]))
+            for slot in range(self.num_slots):
+                req = self.slot_req[slot]
+                if req is None:
+                    continue
+                tok = int(host[j][slot])
+                req.output.append(tok)
+                hit_eos = self.eos is not None and tok == self.eos
+                out_of_budget = len(req.output) >= req.max_new_tokens
+                out_of_cache = self._fill[slot] + j + 1 >= self.max_len - 1
+                if hit_eos or out_of_budget or out_of_cache:
+                    req.done = True
+                    req.finish_reason = "stop" if hit_eos else "length"
+                    req.finished_at = time.time()
+                    self.completed.append(req)
+                    self.slot_req[slot] = None
+                    self.rope_delta[slot] = 0
+                    # lengths keep advancing through the rest of the block
+                    # (garbage writes land beyond the prefix), so slot_hist
+                    # stays valid for prefix reuse at the next admit
+            fed_prev = host[j]
+        self._fill += k
         return len(active)
 
     def run_until_done(self, max_steps: int = 100000) -> List[Request]:
@@ -595,6 +700,9 @@ class PagedContinuousBatchingEngine:
         self.slot_pages: List[List[int]] = [[] for _ in range(num_slots)]
         self.tokens = jnp.zeros((num_slots,), jnp.int32)
         self.slot_req: List[Optional[Request]] = [None] * num_slots
+        # host-side mirror of cache.lengths (saves a device readback per
+        # step and powers the multi_step block's out-of-cache checks)
+        self._fill = np.zeros((num_slots,), np.int64)
         self.queue: deque = deque()
         self._uid = 0
         self.completed: List[Request] = []

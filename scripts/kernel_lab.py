@@ -128,9 +128,16 @@ def numerics_check(variant, tiles=None):
     return float(np.max(np.abs(y - ref) / denom))
 
 
-def bench_variant(variant, packs_by_name, B=8, N=24, tiles=None):
+def bench_variant(variant, packs_by_name, B=8, N=None, tiles=None):
+    """Two-point-over-scan-length timing: per-layer device time =
+    (t(N_hi) - t(N_lo)) / (N_hi - N_lo). The relay costs a serialized
+    ~25-55 ms per PROGRAM execution that neither synchronous nor depth-1
+    pipelined loops can hide (round-3 scan_k probe: block time is linear in
+    k with a ~55 ms intercept), so per-call loop timings are contaminated;
+    differencing two program lengths cancels the intercept exactly."""
     import jax
     import jax.numpy as jnp
+    from functools import partial
 
     key = {"v1": "v1", "v2": "v2", "v3": "v2"}.get(variant, variant)
     layer = {n: p[key] for n, p in packs_by_name.items()}
@@ -149,33 +156,28 @@ def bench_variant(variant, packs_by_name, B=8, N=24, tiles=None):
         d = mm(jax.nn.silu(gu[:, :I]) * gu[:, I:], layer["down"])
         return d
 
-    @jax.jit
-    def run(x):
+    @partial(jax.jit, static_argnames=("n",))
+    def run(x, n):
         def body(x, _):
             return layer_step(x) * 1e-3 + x, None
 
-        x, _ = jax.lax.scan(body, x, None, length=N)
-        return x
+        x, _ = jax.lax.scan(body, x, None, length=n)
+        return jnp.sum(x)
 
-    # Pipelined timing (same methodology as bench_engine): dispatch chained
-    # runs with lagged readback so the relay's dispatch latency overlaps the
-    # device; a synchronous per-call loop would add tens of ms of dispatch
-    # to every measurement and deflate GB/s.
-    from collections import deque
-
-    x = run(x0)
-    np.asarray(x)  # compile + settle
-    R = 6
-    pending = deque()
-    t0 = time.time()
-    for _ in range(R):
-        x = run(x)
-        pending.append(x)
-        if len(pending) > 1:
-            np.asarray(pending.popleft())
-    while pending:
-        np.asarray(pending.popleft())
-    dt_layer = (time.time() - t0) / (R * N)
+    n_lo, n_hi = 16, 80
+    float(run(x0, n_lo))
+    float(run(x0, n_hi))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        float(run(x0, n_lo))
+        t_lo = time.time() - t0
+        t0 = time.time()
+        float(run(x0, n_hi))
+        t_hi = time.time() - t0
+        if t_hi - t_lo > 1e-4:
+            best = min(best, (t_hi - t_lo) / (n_hi - n_lo))
+    dt_layer = best
     return {
         "variant": variant,
         "tiles": tiles,
