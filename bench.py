@@ -1,20 +1,29 @@
 """Benchmark driver: one JSON line on stdout.
 
-Primary metric (round 2, honest end-to-end): decode tokens/s through the
-serving engine's jitted decode step at Llama-3-8B shapes with synthetic
-Q4_K-packed weights — attention scores, KV-cache reads/writes, norms and the
-(Q6_K) lm_head all included, exactly the program `engine.generate` runs.
-``vs_baseline`` is the fraction of the weight+KV-bound speed of light at the
-chip's *measured* streaming bandwidth (weights read once per step, the full
-KV ring read once per step at the benchmarked fill level).
+Primary metric (round 4): decode tokens/s through the serving engine's
+k-step scan-block decode (`engine._decode_steps_scan`, the `multi_step`
+serving mode) at Llama-3-8B shapes with synthetic Q4_K-packed weights —
+attention scores, KV-cache reads/writes, norms and the (Q6_K) lm_head all
+included. Wall-clock includes program dispatch: it is the throughput a
+server running multi_step blocks actually delivers.
 
-detail also carries the matmul-path microbench for the v1 (f32-scale) and
-v2 (compact-scale, bf16-MXU) kernels so kernel-level regressions stay
-visible.
+``vs_baseline`` is the fraction of the READ-bound speed of light: decode
+traffic is read-dominated (weights + KV in, ~64 KB of KV written per
+step), so the ceiling is the measured read-only HBM bandwidth (f32
+reduce, two-point). Rounds 1-3 scored against an axpy (2R+1W) stream
+that measures 267 GB/s on this chip vs 743 GB/s read-only — a 2.8x-lax
+denominator; the axpy SOL is still reported in detail for continuity.
+Full methodology + the round-3 correction: docs/KERNELS_r04.md.
 
-Timing notes: this environment's relay makes isolated dispatch wall-times
-unreliable; every measured loop carries a host readback data dependency
-(argmax token fed back in), which forces real execution.
+detail also carries the matmul-path microbench (v1/v2/v4 kernels,
+two-point differenced) and the continuous-batching mixed-stream numbers
+(real scheduler: interleaved prefill + decode, slot turnover).
+
+Timing notes: this environment's relay serializes a ~25-55 ms fixed cost
+per program execution that pipelined dispatch cannot hide. All kernel
+timings here difference two scan lengths of the SAME program to cancel
+it; the engine score does NOT difference it away — it amortizes it with
+k=64 blocks, exactly as the multi_step engine does in production.
 """
 
 import json
@@ -82,6 +91,45 @@ def measure_stream_bw_gbs(sizes_mb=(128, 256, 512), steps_lo=8, steps_hi=72,
         detail["per_size_gbs"] = {k: round(v, 1) for k, v in per_size.items()}
         detail["spread_gbs"] = round(vals[-1] - vals[0], 1)
     return med
+
+
+def measure_read_bw_gbs(n_mb=512, steps_lo=8, steps_hi=72, trials=5):
+    """Measured read-only HBM bandwidth (f32 reduce, two-point differenced).
+
+    Decode is read-dominated, so this — not the axpy 2R+1W stream — is the
+    honest SOL denominator (scripts/read_bw_probe.py: 743 GB/s read vs
+    267 GB/s axpy on this chip; the fused kernels measure 486-543 GB/s
+    effective, impossible under a 267 GB/s 'ceiling')."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("steps",))
+    def run(x, steps):
+        def body(c, _):
+            return c + jnp.sum(x * (1.0 + c * 1e-30)), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=steps)
+        return c
+
+    n = n_mb * 1024 * 1024 // 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.float32)
+    float(run(x, steps_lo))
+    float(run(x, steps_hi))
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.time()
+        float(run(x, steps_lo))
+        t_lo = time.time() - t0
+        t0 = time.time()
+        float(run(x, steps_hi))
+        t_hi = time.time() - t0
+        dt = t_hi - t_lo
+        if dt > 1e-4:
+            best = min(best, dt / (steps_hi - steps_lo))
+    if best == float("inf"):
+        raise RuntimeError("all read-BW trials had non-positive deltas")
+    return n_mb / 1024 / best
 
 
 def synth_v2(rng, d_out, d_in, qtype=None):
@@ -152,7 +200,29 @@ def synth_v2_dev(key, d_out, d_in, qtype=None):
                                 -spec.qmin, d_rep)
 
 
+def synth_v1_dev(key, d_out, d_in, qtype=None):
+    """Random weights in the v1 runtime format, generated on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from gptq_gguf_tpu.formats.ggml import GGMLQuantizationType as T, KQUANT_SPECS
+    from gptq_gguf_tpu.ops.qmatmul import RuntimeQuantLinear
+
+    qtype = qtype or T.Q4_K
+    spec = KQUANT_SPECS[qtype]
+    gs = spec.group_size
+    per_byte = 2 if spec.bits <= 4 else 1
+    ng = d_in // gs
+    ks = jax.random.split(key, 3)
+    qs = jax.random.randint(ks[0], (d_in // per_byte, d_out), 0, 256,
+                            jnp.int32).astype(jnp.uint8)
+    scale_t = jax.random.uniform(ks[1], (ng, d_out), jnp.float32) * 1e-3 + 1e-5
+    offset_t = jax.random.uniform(ks[2], (ng, d_out), jnp.float32) * 1e-4
+    return RuntimeQuantLinear(qs, scale_t, offset_t, d_in, gs, per_byte)
+
+
 def rql_bytes(r) -> int:
+    from gptq_gguf_tpu.ops.qmatmul import RuntimeQuantLinearV2
     from gptq_gguf_tpu.ops.qmv4 import RuntimeQuantLinearV4
 
     if isinstance(r, RuntimeQuantLinearV4):
@@ -160,69 +230,70 @@ def rql_bytes(r) -> int:
         if r.offc is not None:
             n += 4 * int(r.offc.size)
         return n
-    n = int(r.qs.size) + 4 * int(r.d_sg.size) + int(r.sc_q.size)
-    if r.dmin_sg is not None:
-        n += 4 * int(r.dmin_sg.size) + int(r.mn_q.size)
-    return n
+    if isinstance(r, RuntimeQuantLinearV2):
+        n = int(r.qs.size) + 4 * int(r.d_sg.size) + int(r.sc_q.size)
+        if r.dmin_sg is not None:
+            n += 4 * int(r.dmin_sg.size) + int(r.mn_q.size)
+        return n
+    return int(r.qs.size) + 8 * int(r.scale_t.size)
 
 
-def bench_matmul_path(B=8, N=20):
-    """Layer-chained matmul microbench: v1 (f32-scale) vs v2 kernels."""
+def bench_matmul_path(B=8, n_lo=16, n_hi=80, variants=("v1", "v2", "v4")):
+    """Layer-chained matmul microbench at FUSED serving shapes (qkv/o/
+    gateup/down — the projections the engine actually launches), two-point
+    differenced over scan length so the relay's fixed per-program cost
+    cancels (round-3 single-length timings under-read the kernels ~5x,
+    docs/KERNELS_r04.md)."""
     import jax
     import jax.numpy as jnp
+    from functools import partial
 
-    from gptq_gguf_tpu.formats.ggml import GGMLQuantizationType as T
-    from gptq_gguf_tpu.ops import kquant, qmatmul
+    from gptq_gguf_tpu.ops import qmatmul
 
-    rng = np.random.default_rng(0)
     H, I, KV = 4096, 14336, 1024
     n_layers = 32
+    shapes = {"qkv": (H + 2 * KV, H), "o": (H, H),
+              "gateup": (2 * I, H), "down": (H, I)}
+    synth = {"v1": synth_v1_dev, "v2": synth_v2_dev,
+             "v4": lambda k, do, di: synth_v4_dev(k, do, di)}
 
-    def mk_v1(d_out, d_in):
-        wx = (rng.normal(size=(d_out, d_in)) * 0.04).astype(np.float32)
-        q, p = kquant.quantize_rtn(jnp.asarray(wx), T.Q4_K)
-        return qmatmul.pack_runtime(np.asarray(q), p, T.Q4_K)
+    import jax.random as jrandom
 
     results = {}
-    for name in ("v1", "v2"):
-        if name == "v1":
-            qp, kp, vp, op = mk_v1(H, H), mk_v1(KV, H), mk_v1(KV, H), mk_v1(H, H)
-            gp, up, dp = mk_v1(I, H), mk_v1(I, H), mk_v1(H, I)
-            bytes_layer = sum(
-                int(r.qs.size) + 8 * int(r.scale_t.size)
-                for r in (qp, kp, vp, op, gp, up, dp)
-            )
-        else:
-            qp, kp, vp, op = (synth_v2(rng, H, H), synth_v2(rng, KV, H),
-                              synth_v2(rng, KV, H), synth_v2(rng, H, H))
-            gp, up, dp = synth_v2(rng, I, H), synth_v2(rng, I, H), synth_v2(rng, H, I)
-            bytes_layer = sum(rql_bytes(r) for r in (qp, kp, vp, op, gp, up, dp))
-
-        x0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    for name in variants:
+        key = jrandom.PRNGKey(11)
+        layer = {}
+        for idx, (nm, (do, di)) in enumerate(shapes.items()):
+            layer[nm] = synth[name](jrandom.fold_in(key, idx), do, di)
+        bytes_layer = sum(rql_bytes(r) for r in layer.values())
+        x0 = jax.random.normal(jrandom.fold_in(key, 9), (B, H), jnp.float32)
         mm = qmatmul.dequant_matmul
 
-        def layer_step(x):
-            q = mm(x, qp)
-            k = mm(x, kp)
-            v = mm(x, vp)
-            a = mm(q, op)
-            g = mm(a, gp)
-            u = mm(a, up)
-            d = mm(jax.nn.silu(g) * u, dp)
-            return d + jnp.sum(k) * 1e-9 + jnp.sum(v) * 1e-9
-
-        @jax.jit
-        def run(x):
+        @partial(jax.jit, static_argnames=("n",))
+        def run(x, n, layer=layer):
             def body(x, _):
-                return layer_step(x) * 1e-3 + x, None
+                qkv = mm(x, layer["qkv"])
+                a = mm(qkv[:, :H], layer["o"])
+                gu = mm(a, layer["gateup"])
+                d = mm(jax.nn.silu(gu[:, :I]) * gu[:, I:], layer["down"])
+                return d * 1e-3 + x, None
 
-            x, _ = jax.lax.scan(body, x, None, length=N)
+            x, _ = jax.lax.scan(body, x, None, length=n)
             return jnp.sum(x)
 
-        float(run(x0))
-        t0 = time.time()
-        float(run(x0))
-        dt_layer = (time.time() - t0) / N
+        float(run(x0, n_lo))
+        float(run(x0, n_hi))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            float(run(x0, n_lo))
+            t_lo = time.time() - t0
+            t0 = time.time()
+            float(run(x0, n_hi))
+            t_hi = time.time() - t0
+            if t_hi - t_lo > 1e-4:
+                best = min(best, (t_hi - t_lo) / (n_hi - n_lo))
+        dt_layer = best
         results[name] = {
             "tokens_per_s": round(B / (dt_layer * n_layers), 2),
             "ms_per_layer": round(dt_layer * 1e3, 3),
@@ -312,9 +383,15 @@ def build_8b_params(max_len=2048):
     return params, cfg, weight_bytes
 
 
-def bench_engine(B=8, max_len=2048, prompt_len=128, steps=32,
+def bench_engine(B=8, max_len=2048, prompt_len=128, k=64, blocks=3,
                  prebuilt=None):
-    """End-to-end decode through engine's jitted step at Llama-3-8B shapes."""
+    """End-to-end decode at Llama-3-8B shapes through the engine's k-step
+    scan block (`engine._decode_steps_scan` — the `multi_step` serving
+    mode). Wall-clock per step INCLUDES the per-block dispatch + token
+    readback: it is what a multi_step server delivers. The per-token
+    `_decode_step` loop round 1-3 scored pays this environment's ~42 ms
+    relay cost once per TOKEN (31 ms/step observed); blocks pay it once
+    per k tokens (12.6 ms/step at k=64, docs/KERNELS_r04.md)."""
     import jax
     import jax.numpy as jnp
 
@@ -327,7 +404,9 @@ def bench_engine(B=8, max_len=2048, prompt_len=128, steps=32,
     # not the whole ring; account the average fill over the measured steps
     from gptq_gguf_tpu.models.llama import FLASH_CHUNK
 
-    fills = [prompt_len + 4 + t for t in range(steps)]
+    steps = blocks * k
+    fill0 = prompt_len + 1 + k  # after prefill + the warmup block
+    fills = [fill0 + t for t in range(steps)]
     avg_chunks = float(np.mean([-(-f // FLASH_CHUNK) for f in fills]))
     kv_bytes = int(2 * L * B * 8 * FLASH_CHUNK * avg_chunks * 128 * 2)
     bytes_per_step = weight_bytes + kv_bytes
@@ -343,30 +422,21 @@ def bench_engine(B=8, max_len=2048, prompt_len=128, steps=32,
         t_prefill.append(time.time() - t0)
 
     tokens = jnp.asarray(rng.integers(0, V, (B,)).astype(np.int32))
-    for _ in range(4):  # warmup + compile
-        tokens, _, cache = engine._decode_step(params, cfg, tokens, cache)
-        np.asarray(tokens)
-    # Pipelined loop, exactly as engine.generate runs it: token feedback is a
-    # device-side data dependency (step N+1 consumes step N's tokens+cache on
-    # device), while the host readback of step N overlaps step N+1's
-    # execution. Every step still executes for real — the drain at the end
-    # blocks on the full chain.
-    from collections import deque
-
-    pending = deque()
+    # warmup block: compile + settle (also advances fill to fill0)
+    tokens, toks, cache = engine._decode_steps_scan(params, cfg, tokens, cache, k)
+    np.asarray(toks)
     t0 = time.time()
-    for _ in range(steps):
-        tokens, _, cache = engine._decode_step(params, cfg, tokens, cache)
-        pending.append(tokens)
-        if len(pending) > 1:
-            np.asarray(pending.popleft())  # lagged readback, overlaps device
-    while pending:
-        np.asarray(pending.popleft())
+    for _ in range(blocks):
+        tokens, toks, cache = engine._decode_steps_scan(
+            params, cfg, tokens, cache, k)
+        np.asarray(toks)  # per-block token emit, exactly as the server does
     dt_step = (time.time() - t0) / steps
 
     return {
         "tokens_per_s": round(B / dt_step, 2),
-        "ms_per_step": round(dt_step * 1e3, 2),
+        "ms_per_step": round(dt_step * 1e3, 3),
+        "multi_step_k": k,
+        "blocks": blocks,
         "weight_gb_per_step": round(weight_bytes / 1e9, 3),
         "kv_gb_per_step": round(kv_bytes / 1e9, 3),
         "bytes_per_step": bytes_per_step,
@@ -391,7 +461,7 @@ def bench_engine_mixed(n_requests=24, B=8, max_len=1024, prebuilt=None):
     rng = np.random.default_rng(5)
     params, cfg, _ = prebuilt or build_8b_params(max_len)
     eng = engine.ContinuousBatchingEngine(
-        params, cfg, num_slots=B, max_len=max_len)
+        params, cfg, num_slots=B, max_len=max_len, multi_step=8)
     prompt_lens = [64, 192, 448]
     new_tokens = 24
 
@@ -433,23 +503,36 @@ def main():
         pass
 
     bw_detail = {}
-    bw = measure_stream_bw_gbs(detail=bw_detail)
+    axpy_bw = measure_stream_bw_gbs(detail=bw_detail)
+    read_bw = measure_read_bw_gbs()
     matmul = bench_matmul_path()
-    eng = bench_engine()
+    prebuilt = build_8b_params(2048)
+    eng = bench_engine(prebuilt=prebuilt)
+    mixed = bench_engine_mixed(prebuilt=prebuilt)
 
-    sol_tokens_per_s = eng["batch"] * bw * 1e9 / eng["bytes_per_step"]
+    # Two ceilings (docs/KERNELS_r04.md): the read-bound SOL at measured
+    # read-only HBM bandwidth is the strict, honest one for read-dominated
+    # decode and is what vs_baseline scores against; the legacy axpy SOL
+    # (rounds 1-3's denominator) stays in detail for continuity.
+    sol_read = eng["batch"] * read_bw * 1e9 / eng["bytes_per_step"]
+    sol_axpy = eng["batch"] * axpy_bw * 1e9 / eng["bytes_per_step"]
     result = {
         "metric": "engine_decode_tokens_per_s_q4k_llama8b_shapes",
         "value": eng["tokens_per_s"],
-        "unit": "tokens/s/chip (B=8 decode via engine step: matmuls+attention+KV+lm_head)",
-        "vs_baseline": round(eng["tokens_per_s"] / max(sol_tokens_per_s, 1e-9), 4),
+        "unit": "tokens/s/chip (B=8 multi_step decode blocks: matmuls+attention+KV+lm_head)",
+        "vs_baseline": round(eng["tokens_per_s"] / max(sol_read, 1e-9), 4),
         "detail": {
             "engine": eng,
             "engine_tokens_per_s": eng["tokens_per_s"],
-            "sol_tokens_per_s": round(sol_tokens_per_s, 2),
-            "stream_bw_gbs": round(bw, 1),
+            "sol_tokens_per_s_read_bound": round(sol_read, 2),
+            "sol_tokens_per_s_axpy_legacy": round(sol_axpy, 2),
+            "vs_axpy_sol_legacy": round(
+                eng["tokens_per_s"] / max(sol_axpy, 1e-9), 4),
+            "read_bw_gbs": round(read_bw, 1),
+            "stream_bw_gbs": round(axpy_bw, 1),
             "stream_bw_detail": bw_detail,
             "matmul_path": matmul,
+            "engine_mixed": mixed,
             "platform": jax.devices()[0].platform,
         },
     }

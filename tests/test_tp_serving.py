@@ -199,3 +199,119 @@ def test_tp_pallas_interpret_path(tp_setup):
     finally:
         qmatmul.FORCE_PALLAS_INTERPRET = False
     np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref), rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# 70B-shapes validation (VERDICT r3 #6): real Llama-3-70B layer dimensions
+# (h=8192, I=28672, 64 q heads / 8 kv heads) at tp=8 on the virtual mesh.
+# Catches plane-divisibility/sharding constraints the toy shapes above can't,
+# and pins serving/memory_plan.py's byte math to the actual packed buffers.
+# Weights are synthetic (random codes/scales in the v2 layout — identical
+# shapes and bytes to fitted weights); vocab is shrunk to keep the test's
+# embed/logits small, which does not affect the layer-shape constraints.
+# ---------------------------------------------------------------------------
+
+def _synth_v2_np(rng, d_out, d_in, qtype=T.Q4_K):
+    from gptq_gguf_tpu.formats.ggml import KQUANT_SPECS
+
+    spec = KQUANT_SPECS[qtype]
+    gs = spec.group_size
+    per_byte = 2 if spec.bits <= 4 else 1
+    n_sg, ng, d_rep = d_in // 256, d_in // gs, 2
+    qs = jnp.asarray(rng.integers(0, 256, (d_in // per_byte, d_out), dtype=np.uint8))
+    d_sg = jnp.asarray(np.repeat(
+        rng.random((n_sg, d_out), np.float32) * 1e-3 + 1e-5, d_rep, axis=0))
+    if spec.signed:
+        sc = jnp.asarray(rng.integers(-32, 32, (ng, d_out)).astype(np.int8))
+        dmin = mn = None
+    else:
+        sc = jnp.asarray(rng.integers(0, 64, (ng, d_out), dtype=np.uint8))
+        dmin = jnp.asarray(np.repeat(
+            rng.random((n_sg, d_out), np.float32) * 1e-4, d_rep, axis=0))
+        mn = jnp.asarray(rng.integers(0, 64, (ng, d_out), dtype=np.uint8))
+    return qmatmul.RuntimeQuantLinearV2(
+        qs, d_sg, dmin, sc, mn, d_in, gs, per_byte, -spec.qmin, d_rep)
+
+
+def _rql_nbytes(r):
+    n = r.qs.nbytes + r.d_sg.nbytes + r.sc_q.nbytes
+    if r.dmin_sg is not None:
+        n += r.dmin_sg.nbytes + r.mn_q.nbytes
+    return int(n)
+
+
+def test_tp8_llama70b_layer_shapes():
+    from gptq_gguf_tpu.serving import memory_plan, paged
+
+    rng = np.random.default_rng(7)
+    V = 1024  # shrunk (embed/logits only); layer shapes are exact 70B
+    cfg = LlamaConfig(
+        vocab_size=V, hidden_size=8192, intermediate_size=28672,
+        num_hidden_layers=2, num_attention_heads=64, num_key_value_heads=8,
+        head_dim=128, max_position_embeddings=256, rope_theta=500000.0,
+    )
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    kvd = cfg.num_key_value_heads * cfg.head_dim_
+    shapes = {
+        "q_proj": (H, H), "k_proj": (kvd, H), "v_proj": (kvd, H),
+        "o_proj": (H, H), "gate_proj": (I, H), "up_proj": (I, H),
+        "down_proj": (H, I),
+    }
+    params = {
+        "embed_tokens": jnp.asarray(
+            rng.normal(size=(V, H)).astype(np.float32) * 0.02),
+        "norm": jnp.ones((H,), jnp.float32),
+        "lm_head": _synth_v2_np(rng, V, H, T.Q6_K),
+        "layers": [],
+    }
+    for _ in range(cfg.num_hidden_layers):
+        ld = {
+            "input_layernorm": jnp.ones((H,), jnp.float32),
+            "post_attention_layernorm": jnp.ones((H,), jnp.float32),
+        }
+        for key, (dout, din) in shapes.items():
+            ld[key] = _synth_v2_np(rng, dout, din)
+        params["layers"].append(ld)
+
+    # memory_plan's analytic bytes == the actual packed buffers, per tensor
+    for key, (dout, din) in shapes.items():
+        assert memory_plan.rql_v2_bytes(dout, din, T.Q4_K) == \
+            _rql_nbytes(params["layers"][0][key]), key
+    assert memory_plan.rql_v2_bytes(V, H, T.Q6_K) == _rql_nbytes(params["lm_head"])
+    plan = memory_plan.plan_serving_memory(cfg, tp=8, chip="v5e")
+    measured_layer = sum(_rql_nbytes(params["layers"][0][k]) for k in shapes)
+    assert plan.detail["layer_bytes"] == measured_layer + 4 * H * 4  # + norms
+
+    mesh = mesh_mod.make_mesh(dp=1, tp=8, devices=jax.devices()[:8])
+    B = 2
+    sparams = tp_serving.shard_serving_tree(params, mesh)
+    # every packed plane actually splits 8 ways (no silent replication)
+    q0 = sparams["layers"][0]["q_proj"].qs
+    assert q0.addressable_shards[0].data.size * 8 == q0.size
+    d0 = sparams["layers"][0]["down_proj"].qs
+    assert d0.addressable_shards[0].data.size * 8 == d0.size
+
+    tokens = jnp.asarray(rng.integers(0, V, size=(B,)).astype(np.int32))
+    cache = tp_serving.shard_cache(
+        qmodel.init_cache(cfg, B, 64, dtype=jnp.float32), mesh)
+    nxt, logits, cache2 = tp_serving.tp_decode_step(
+        sparams, cfg, tokens, cache, mesh)
+    assert logits.shape == (B, V)
+    assert bool(jnp.isfinite(logits).all())
+    assert np.asarray(cache2.lengths).tolist() == [1, 1]
+    # kv cache sharded over the 8 kv heads: 1 head per device
+    assert cache2.k[0].addressable_shards[0].data.shape[1] == 1
+
+    # paged decode at the same shapes (pools sharded over kv heads)
+    pcache = paged.init_paged_cache(cfg, B, 64, page_size=32, dtype=jnp.float32)
+    table = jnp.asarray(np.arange(B * 2, dtype=np.int32).reshape(B, 2))
+    pcache = pcache._replace(page_table=table)
+    scache = tp_serving.shard_paged_cache(pcache, mesh)
+    nxt_p, logits_p, scache2 = tp_serving.tp_paged_decode_step(
+        sparams, cfg, tokens, scache, mesh)
+    assert logits_p.shape == (B, V)
+    assert bool(jnp.isfinite(logits_p).all())
+    assert np.asarray(scache2.lengths).tolist() == [1, 1]
+    # dense and paged decode from an empty cache agree exactly
+    np.testing.assert_allclose(np.asarray(logits_p), np.asarray(logits),
+                               rtol=2e-4, atol=2e-4)
