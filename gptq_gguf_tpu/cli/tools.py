@@ -437,6 +437,11 @@ def build_serve(p: argparse.ArgumentParser):
     p.add_argument("--max-len", type=int, default=2048)
     p.add_argument("--kv-quantized", action="store_true",
                    help="int8 KV cache (halves KV memory/traffic)")
+    p.add_argument("--kv-dtype", default=None,
+                   choices=["bf16", "int8", "int4"],
+                   help="KV cache dtype (int4: packed codes + group scales, "
+                        "3.2x less KV memory/traffic); overrides "
+                        "--kv-quantized")
     p.add_argument("--paged", action="store_true",
                    help="block-table paged KV cache")
     p.add_argument("--page-size", type=int, default=64)
@@ -584,7 +589,8 @@ def run_serve(args):
         else:
             eng = engine.ContinuousBatchingEngine(
                 params, cfg, num_slots=args.num_slots, max_len=args.max_len,
-                kv_quantized=args.kv_quantized, eos_token_id=eos_id,
+                kv_quantized=args.kv_dtype or args.kv_quantized,
+                eos_token_id=eos_id,
             )
         serve_http(eng, host=args.host, port=args.port, tokenizer=tokenizer,
                    imager=imager)
@@ -597,7 +603,8 @@ def run_serve(args):
         B, P = args.num_slots, args.benchmark_prompt_len
         cache = qmodel.init_cache(cfg, B, args.max_len,
                                   dtype=jnp.bfloat16,
-                                  quantized=args.kv_quantized)
+                                  kv_dtype=args.kv_dtype or
+                                  ("int8" if args.kv_quantized else None))
         prompt = jnp.asarray(
             rng.integers(0, cfg.vocab_size, (1, P)).astype(np.int32))
         t0 = time.time()
@@ -621,7 +628,7 @@ def run_serve(args):
             "ms_per_step": round(dt * 1e3, 3),
             "batch": B, "prompt_len": P, "max_len": args.max_len,
             "prefill_s_total": round(prefill_s, 2),
-            "kv_quantized": bool(args.kv_quantized),
+            "kv_dtype": args.kv_dtype or ("int8" if args.kv_quantized else "bf16"),
         }))
         return
 
@@ -638,6 +645,11 @@ def run_serve(args):
                 "--prompt needs a GGUF with tokenizer.ggml.* metadata; "
                 "use --prompt-tokens for vocab-less files")
         prompt = np.asarray(gg.encode(args.prompt), dtype=np.int64)
+        if prompt.size == 0:
+            raise SystemExit(
+                "--prompt tokenized to 0 tokens with this GGUF's vocab "
+                "(out-of-vocab text and no byte-fallback tokens); pass "
+                "--prompt-tokens instead")
     else:
         prompt = np.asarray([1, 2, 3, 4], dtype=np.int64)
     if args.audio:
@@ -1048,6 +1060,9 @@ def build_plan(p: argparse.ArgumentParser):
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--chip", default="v5e", choices=["v5e", "v5p", "v4", "v6e"])
     p.add_argument("--kv-quantized", action="store_true")
+    p.add_argument("--kv-dtype", default=None,
+                   choices=["bf16", "int8", "int4"],
+                   help="overrides --kv-quantized")
 
 
 def run_plan(args):
@@ -1065,7 +1080,7 @@ def run_plan(args):
     plan = mp.plan_serving_memory(
         cfg, qtype=GGMLQuantizationType[args.qtype], batch=args.batch,
         max_len=args.max_len, tp=args.tp, chip=args.chip,
-        kv_quantized=args.kv_quantized,
+        kv_quantized=args.kv_dtype or args.kv_quantized,
     )
     print(json.dumps(plan.summary(), indent=2))
     if not plan.fits:

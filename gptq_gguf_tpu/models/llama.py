@@ -766,6 +766,20 @@ def _linear(x, w, b=None):
 # >= this length streams chunks instead of materializing (S, L) scores
 FLASH_CHUNK = 512
 
+# int4 KV group size: one symmetric f32 scale per KV_Q4_GROUP consecutive
+# head-dim features (serving/model.KVCacheQ4)
+KV_Q4_GROUP = 32
+
+
+def dequant_kv_q4(codes: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """Unpack a split-layout int4 KV chunk: (..., hd//2) u8 codes (low
+    nibbles = first hd/2 features) + (..., hd//KV_Q4_GROUP) f32 group
+    scales -> (..., hd) f32."""
+    lo = (codes & 0xF).astype(jnp.int32) - 8
+    hi = (codes >> 4).astype(jnp.int32) - 8
+    w = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+    return w * jnp.repeat(scales, KV_Q4_GROUP, axis=-1)
+
 
 def flash_attention(q, k, v, qpos, scale=None, logit_softcap=None, sinks=None,
                     sliding_window=None, chunk: int = FLASH_CHUNK,
@@ -784,11 +798,15 @@ def flash_attention(q, k, v, qpos, scale=None, logit_softcap=None, sinks=None,
     saving for partially full caches).
 
     k_scale/v_scale: (B, nKV, L) per-entry dequantization scales for int8
-    KV caches; chunks are dequantized in-register.
+    KV caches, or (B, nKV, L, hd // KV_Q4_GROUP) group scales for packed
+    int4 caches (k/v then hold two codes per byte); chunks are dequantized
+    in-register.
     """
     B, nH, S, hd = q.shape
     nKV, L = k.shape[1], k.shape[2]
-    vd = v.shape[-1]  # MLA: value head dim may differ from qk head dim
+    q4 = k_scale is not None and k_scale.ndim == 4
+    # packed int4 stores hd/2 bytes; MLA's value head dim may differ from qk
+    vd = v.shape[-1] * (2 if q4 else 1)
     G = nH // nKV
     scale = scale if scale is not None else 1.0 / math.sqrt(hd)
     qg = (q.reshape(B, nKV, G, S, hd).astype(jnp.float32)) * scale
@@ -799,8 +817,10 @@ def flash_attention(q, k, v, qpos, scale=None, logit_softcap=None, sinks=None,
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
         if k_scale is not None:
-            k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, pad)))
-            v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, pad)))
+            spad = (((0, 0), (0, 0), (0, pad), (0, 0)) if q4
+                    else ((0, 0), (0, 0), (0, pad)))
+            k_scale = jnp.pad(k_scale, spad)
+            v_scale = jnp.pad(v_scale, spad)
 
     m0 = jnp.full((B, nKV, G, S), -1e30, jnp.float32)
     l0 = jnp.zeros((B, nKV, G, S), jnp.float32)
@@ -808,11 +828,15 @@ def flash_attention(q, k, v, qpos, scale=None, logit_softcap=None, sinks=None,
 
     def step(carry_mla, kc, vc, kp, ksc=None, vsc=None):
         m, l, acc = carry_mla
-        kc = kc.astype(jnp.float32)
-        vc = vc.astype(jnp.float32)
-        if ksc is not None:
-            kc = kc * ksc[..., None]
-            vc = vc * vsc[..., None]
+        if q4:
+            kc = dequant_kv_q4(kc, ksc)
+            vc = dequant_kv_q4(vc, vsc)
+        else:
+            kc = kc.astype(jnp.float32)
+            vc = vc.astype(jnp.float32)
+            if ksc is not None:
+                kc = kc * ksc[..., None]
+                vc = vc * vsc[..., None]
         s = jnp.einsum("bkgsh,bkth->bkgst", qg, kc,
                        preferred_element_type=jnp.float32)
         if logit_softcap:
@@ -853,11 +877,18 @@ def flash_attention(q, k, v, qpos, scale=None, logit_softcap=None, sinks=None,
 
         _, m, l, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), m0, l0, a0))
     else:
-        ks = k.reshape(B, nKV, n_chunks, chunk, hd).transpose(2, 0, 1, 3, 4)
-        vs = v.reshape(B, nKV, n_chunks, chunk, hd).transpose(2, 0, 1, 3, 4)
+        ks = k.reshape(B, nKV, n_chunks, chunk, k.shape[-1]).transpose(2, 0, 1, 3, 4)
+        vs = v.reshape(B, nKV, n_chunks, chunk, v.shape[-1]).transpose(2, 0, 1, 3, 4)
         kpos = jnp.arange(n_chunks * chunk).reshape(n_chunks, chunk)
         xs = (ks, vs, kpos)
-        if k_scale is not None:
+        if k_scale is not None and q4:
+            xs = xs + (
+                k_scale.reshape(B, nKV, n_chunks, chunk, k_scale.shape[-1]
+                                ).transpose(2, 0, 1, 3, 4),
+                v_scale.reshape(B, nKV, n_chunks, chunk, v_scale.shape[-1]
+                                ).transpose(2, 0, 1, 3, 4),
+            )
+        elif k_scale is not None:
             xs = xs + (
                 k_scale.reshape(B, nKV, n_chunks, chunk).transpose(2, 0, 1, 3),
                 v_scale.reshape(B, nKV, n_chunks, chunk).transpose(2, 0, 1, 3),

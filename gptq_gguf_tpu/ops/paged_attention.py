@@ -31,10 +31,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# The sliding-window / attention-sink kernel variants are exact in interpret
-# mode; flip this after a real-TPU smoke run of those variants (the plain
-# variant is TPU-validated at 7e-7 max err).
-EXTENDED_ON_TPU = False
+# All kernel variants (plain, sliding-window, sinks, softcap, combinations)
+# are TPU-validated: scripts/paged_smoke_tpu.py on TPU v5 lite, 2026-08-20,
+# max rel err 2e-6 vs the f32 gather reference (docs/PAGED_SMOKE_r04.json).
+EXTENDED_ON_TPU = True
 
 
 def _kernel(table_ref, len_ref, q_ref, sinks_ref, kp_ref, vp_ref, out_ref,
@@ -117,9 +117,179 @@ def _kernel(table_ref, len_ref, q_ref, sinks_ref, kp_ref, vp_ref, out_ref,
     def _():
         l = l_sc[0:G, 0:1]
         if has_sinks:  # gpt-oss: per-head sink mass joins the denominator
-            sk = sinks_ref[0, 0:G].astype(jnp.float32)[:, None]
+            # sinks arrive (G, nKV) — kv heads on lanes — because Mosaic
+            # requires whole-array (or 8x128-tiled) blocks; select this
+            # kv head's column with a lane mask + lane reduction
+            sk_all = sinks_ref[...].astype(jnp.float32)          # (G, nKV)
+            sel = jax.lax.broadcasted_iota(jnp.int32, sk_all.shape, 1) == kv
+            sk = jnp.sum(jnp.where(sel, sk_all, 0.0), axis=1, keepdims=True)
             l = l + jnp.exp(sk - m_sc[0:G, 0:1])
         out_ref[0, 0] = acc[0:G, :] / jnp.maximum(l, 1e-30)
+
+
+def _kernel_q4(table_ref, len_ref, q_ref, sinks_ref, kp_ref, vp_ref,
+               ksp_ref, vsp_ref, out_ref, kbuf, vbuf, ksbuf, vsbuf, acc,
+               m_sc, l_sc, ksem, vsem, kssem, vssem, *, page, pps, scale,
+               window, has_sinks, softcap):
+    """_kernel over int4-packed page pools: codes (page, hd//2) u8 and
+    group scales (page, hd//KV_Q4_GROUP) f32 are DMA'd per page and
+    dequantized in VMEM (split layout: low nibbles = first hd/2 features,
+    models/llama.dequant_kv_q4)."""
+    b = pl.program_id(0)
+    kv = pl.program_id(1)
+    p = pl.program_id(2)
+    G = q_ref.shape[2]
+    length = len_ref[b]
+    n_live = length // page + 1
+    p_start = (jnp.maximum(length - window + 1, 0) // page) if window else 0
+
+    def start_copy(i, slot):
+        pid = jnp.maximum(table_ref[b * pps + i], 0)
+        for src, dst, sem in (
+            (kp_ref, kbuf, ksem), (vp_ref, vbuf, vsem),
+            (ksp_ref, ksbuf, kssem), (vsp_ref, vsbuf, vssem),
+        ):
+            pltpu.make_async_copy(
+                src.at[pid, :, kv, :], dst.at[slot], sem.at[slot]
+            ).start()
+
+    @pl.when(p == 0)
+    def _():
+        m_sc[...] = jnp.full_like(m_sc, -1e30)
+        l_sc[...] = jnp.zeros_like(l_sc)
+        acc[...] = jnp.zeros_like(acc)
+
+    @pl.when(p == p_start)
+    def _():
+        start_copy(p, jax.lax.rem(p, 2))
+
+    @pl.when((p >= p_start) & (p < n_live))
+    def _():
+        slot = jax.lax.rem(p, 2)
+        for src, dst, sem in (
+            (kp_ref, kbuf, ksem), (vp_ref, vbuf, vsem),
+            (ksp_ref, ksbuf, kssem), (vsp_ref, vsbuf, vssem),
+        ):
+            pltpu.make_async_copy(
+                src.at[0, :, kv, :], dst.at[slot], sem.at[slot]
+            ).wait()
+
+        @pl.when(p + 1 < n_live)
+        def _():
+            start_copy(p + 1, jax.lax.rem(p + 1, 2))
+
+        def deq(codes, scales):
+            # (page, hd/2) u8 + (page, hd/32) f32 -> (page, hd) f32
+            lo = (codes & 0xF).astype(jnp.int32) - 8
+            hi = (codes >> 4).astype(jnp.int32) - 8
+            w = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+            ng = scales.shape[-1]
+            s = jnp.repeat(scales, w.shape[-1] // ng, axis=-1)
+            return w * s
+
+        qv = q_ref[0, 0].astype(jnp.float32) * scale            # (G, hd)
+        k = deq(kbuf[slot], ksbuf[slot])                        # (page, hd)
+        v = deq(vbuf[slot], vsbuf[slot])
+        s = jax.lax.dot_general(
+            qv, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if softcap:
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
+        pos = p * page + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = pos <= length
+        if window:
+            valid = valid & (pos > length - window)
+        s = jnp.where(valid, s, -1e30)
+
+        m_old = m_sc[0:G, 0:1]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+        corr = jnp.exp(m_old - m_new)
+        probs = jnp.exp(s - m_new)
+        l_sc[0:G, 0:1] = l_sc[0:G, 0:1] * corr + jnp.sum(
+            probs, axis=1, keepdims=True
+        )
+        acc[0:G, :] = acc[0:G, :] * corr + jnp.dot(
+            probs, v, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        m_sc[0:G, 0:1] = m_new
+
+    @pl.when(p == pps - 1)
+    def _():
+        l = l_sc[0:G, 0:1]
+        if has_sinks:
+            sk_all = sinks_ref[...].astype(jnp.float32)          # (G, nKV)
+            sel = jax.lax.broadcasted_iota(jnp.int32, sk_all.shape, 1) == kv
+            sk = jnp.sum(jnp.where(sel, sk_all, 0.0), axis=1, keepdims=True)
+            l = l + jnp.exp(sk - m_sc[0:G, 0:1])
+        out_ref[0, 0] = acc[0:G, :] / jnp.maximum(l, 1e-30)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret", "window", "softcap")
+)
+def paged_flash_decode_q4(q, k_pages, v_pages, k_s_pages, v_s_pages, table,
+                          lengths, *, scale: float, interpret: bool = False,
+                          window: int = 0, sinks=None, softcap: float = 0.0):
+    """paged_flash_decode over int4-packed pools (VERDICT r3 #7).
+
+    k_pages/v_pages: (n_pages, page, nKV, hd//2) uint8 packed codes;
+    k_s_pages/v_s_pages: (n_pages, page, nKV, hd//KV_Q4_GROUP) f32 group
+    scales. Decode KV traffic drops to (hd/2 + hd/8) bytes per entry vs
+    2*hd bf16 — 3.2x. Returns (B, nKV, G, hd) f32."""
+    B, nKV, G, hd = q.shape
+    n_pages, page, _, half = k_pages.shape
+    ng = k_s_pages.shape[-1]
+    assert half * 2 == hd
+    pps = table.shape[1]
+    rows = max(8, G)
+    has_sinks = sinks is not None
+    sk = (jnp.asarray(sinks, jnp.float32).reshape(nKV, G).T if has_sinks
+          else jnp.zeros((G, nKV), jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, nKV, pps),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, hd), lambda b, kv, p, *_: (b, kv, 0, 0)),
+            pl.BlockSpec((G, nKV), lambda b, kv, p, *_: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, G, hd), lambda b, kv, p, *_: (b, kv, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, page, half), k_pages.dtype),
+            pltpu.VMEM((2, page, half), v_pages.dtype),
+            pltpu.VMEM((2, page, ng), jnp.float32),
+            pltpu.VMEM((2, page, ng), jnp.float32),
+            pltpu.VMEM((rows, hd), jnp.float32),
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_kernel_q4, page=page, pps=pps, scale=scale,
+                               window=int(window or 0), has_sinks=has_sinks,
+                               softcap=float(softcap or 0.0))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, nKV, G, hd), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+    )(table.reshape(-1), lengths, q, sk, k_pages, v_pages,
+      k_s_pages, v_s_pages)
 
 
 @functools.partial(
@@ -144,15 +314,17 @@ def paged_flash_decode(q, k_pages, v_pages, table, lengths, *,
     pps = table.shape[1]
     rows = max(8, G)
     has_sinks = sinks is not None
-    sk = (jnp.asarray(sinks, jnp.float32).reshape(nKV, G) if has_sinks
-          else jnp.zeros((nKV, G), jnp.float32))
+    # (G, nKV): kv heads on the lane axis — the whole array is one block
+    # (Mosaic rejects sub-8-sublane blocks like the old (1, G) row view)
+    sk = (jnp.asarray(sinks, jnp.float32).reshape(nKV, G).T if has_sinks
+          else jnp.zeros((G, nKV), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, nKV, pps),
         in_specs=[
             pl.BlockSpec((1, 1, G, hd), lambda b, kv, p, *_: (b, kv, 0, 0)),
-            pl.BlockSpec((1, G), lambda b, kv, p, *_: (kv, 0)),
+            pl.BlockSpec((G, nKV), lambda b, kv, p, *_: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],

@@ -186,15 +186,20 @@ def tp_decode_step(params, cfg: LlamaConfig, tokens: jax.Array, cache: KVCache,
 
 
 def paged_cache_specs(cache):
-    """PagedKVCache specs: page pools sharded over the kv-head axis,
-    block table + lengths replicated."""
+    """PagedKVCache specs: page pools (and int4 scale pools) sharded over
+    the kv-head axis, block table + lengths replicated."""
     from ..serving.paged import PagedKVCache
 
+    pool = P(None, None, "tp", None)
     return PagedKVCache(
-        [P(None, None, "tp", None) for _ in cache.k_pages],
-        [P(None, None, "tp", None) for _ in cache.v_pages],
+        [pool for _ in cache.k_pages],
+        [pool for _ in cache.v_pages],
         P(None, None),
         P(None),
+        ([pool for _ in cache.k_s_pages]
+         if cache.k_s_pages is not None else None),
+        ([pool for _ in cache.v_s_pages]
+         if cache.v_s_pages is not None else None),
     )
 
 
@@ -208,6 +213,10 @@ def shard_paged_cache(cache, mesh: Mesh):
         [put(v, s) for v, s in zip(cache.v_pages, specs.v_pages)],
         put(cache.page_table, specs.page_table),
         put(cache.lengths, specs.lengths),
+        ([put(k, s) for k, s in zip(cache.k_s_pages, specs.k_s_pages)]
+         if cache.k_s_pages is not None else None),
+        ([put(v, s) for v, s in zip(cache.v_s_pages, specs.v_s_pages)]
+         if cache.v_s_pages is not None else None),
     )
 
 

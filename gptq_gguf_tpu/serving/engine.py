@@ -30,6 +30,14 @@ from .model import KVCache
 from .sampling import GREEDY, SamplingParams
 
 
+def _kv_dtype(kv_quantized) -> Optional[str]:
+    """Normalize the engine-facing kv_quantized knob: bools keep the legacy
+    int8 meaning, strings name a cache dtype ("bf16" | "int8" | "int4")."""
+    if isinstance(kv_quantized, str):
+        return kv_quantized
+    return "int8" if kv_quantized else None
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _decode_step(params, cfg: LlamaConfig, tokens: jax.Array, cache: KVCache):
     # NOTE: no cache donation — measured 15% slower decode steps with a
@@ -179,11 +187,14 @@ def _prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache, slot,
     def take(arrs):
         return [jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0) for a in arrs]
 
-    is_q8 = isinstance(cache, qmodel.KVCacheQ8)
-    if is_q8:
-        sub = qmodel.KVCacheQ8(take(cache.k), take(cache.v),
-                               take(cache.k_s), take(cache.v_s),
-                               start)
+    qcls = None
+    if isinstance(cache, qmodel.KVCacheQ8):
+        qcls = qmodel.KVCacheQ8
+    elif isinstance(cache, qmodel.KVCacheQ4):
+        qcls = qmodel.KVCacheQ4
+    if qcls is not None:
+        sub = qcls(take(cache.k), take(cache.v),
+                   take(cache.k_s), take(cache.v_s), start)
     else:
         sub = KVCache(take(cache.k), take(cache.v), start)
     logits, sub = qmodel.forward_cached(
@@ -200,10 +211,10 @@ def _prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache, slot,
 
     lengths = cache.lengths.at[slot].set(start[0] + n_valid[0])
     next_token = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
-    if is_q8:
-        out = qmodel.KVCacheQ8(put(cache.k, sub.k), put(cache.v, sub.v),
-                               put(cache.k_s, sub.k_s), put(cache.v_s, sub.v_s),
-                               lengths)
+    if qcls is not None:
+        out = qcls(put(cache.k, sub.k), put(cache.v, sub.v),
+                   put(cache.k_s, sub.k_s), put(cache.v_s, sub.v_s),
+                   lengths)
     else:
         out = KVCache(put(cache.k, sub.k), put(cache.v, sub.v), lengths)
     return next_token, logits[0], out
@@ -221,13 +232,20 @@ def generate(
     seed: int = 0,
     kv_quantized: bool = False,
 ) -> List[List[int]]:
-    """Batch generation (greedy or sampled). Prompts may differ in length."""
+    """Batch generation (greedy or sampled). Prompts may differ in length.
+
+    kv_quantized: False/True (legacy int8 switch) or a kv_dtype string
+    ("bf16" | "int8" | "int4")."""
     B = len(prompts)
     prompts = [np.atleast_1d(np.asarray(p)).reshape(-1) for p in prompts]
+    if any(len(p) == 0 for p in prompts):
+        # an empty prompt otherwise dies deep in XLA with an opaque gather
+        # error (a GGUF tokenizer can return [] for out-of-vocab text)
+        raise ValueError("empty prompt: every prompt needs >= 1 token")
     max_prompt = max(len(p) for p in prompts)
     max_len = max_len or (max_prompt + max_new_tokens)
     cache = qmodel.init_cache(cfg, B, max_len, dtype=jnp.bfloat16,
-                              quantized=kv_quantized)
+                              kv_dtype=_kv_dtype(kv_quantized))
 
     cur_tokens = np.zeros((B,), np.int32)
     for b, p in enumerate(prompts):
@@ -346,7 +364,7 @@ class ContinuousBatchingEngine:
         self._seed_base = seed * 1000003  # per-request fallback seeds
         self.sampler = sampling.init_state(num_slots, cfg.vocab_size)
         self.cache = qmodel.init_cache(cfg, num_slots, max_len, dtype=jnp.bfloat16,
-                                       quantized=kv_quantized)
+                                       kv_dtype=_kv_dtype(kv_quantized))
         self.tokens = jnp.zeros((num_slots,), jnp.int32)
         self.slot_req: List[Optional[Request]] = [None] * num_slots
         # host-side mirror of cache.lengths (saves a device readback per
@@ -373,6 +391,8 @@ class ContinuousBatchingEngine:
                rope_next: Optional[int] = None,
                soft_bidir: bool = False) -> int:
         self._uid += 1
+        if np.asarray(prompt).size == 0:
+            raise ValueError("empty prompt: every request needs >= 1 token")
         # the cache must hold at least one prompt token plus the new tokens
         max_new_tokens = min(max_new_tokens, self.max_len - 1)
         self.queue.append(Request(
@@ -655,14 +675,16 @@ def _paged_prefill_slot(params, cfg: LlamaConfig, prompt: jax.Array, cache, slot
     # page tables to -1 (writes drop) and keeping their lengths
     table = jnp.where(mask[:, None], cache.page_table, -1)
     sub = paged.PagedKVCache(cache.k_pages, cache.v_pages, table,
-                             jnp.where(mask, 0, cache.lengths))
+                             jnp.where(mask, 0, cache.lengths),
+                             cache.k_s_pages, cache.v_s_pages)
     nv = jnp.where(mask, n_valid, 1)
     logits, sub = paged.forward_paged(params, cfg, prompts, sub, n_valid=nv)
     lengths = jnp.where(mask, n_valid, cache.lengths)
     slot_logits = jnp.take(logits, slot, axis=0)
     next_token = jnp.argmax(slot_logits, axis=-1).astype(jnp.int32)
     return next_token, slot_logits, paged.PagedKVCache(
-        sub.k_pages, sub.v_pages, cache.page_table, lengths)
+        sub.k_pages, sub.v_pages, cache.page_table, lengths,
+        sub.k_s_pages, sub.v_s_pages)
 
 
 class PagedContinuousBatchingEngine:
@@ -683,6 +705,7 @@ class PagedContinuousBatchingEngine:
         n_pages: Optional[int] = None,
         eos_token_id: Optional[int] = None,
         seed: int = 0,
+        kv_quantized=False,  # False | "int4" (paged int8 is not offered)
     ):
         from . import paged
 
@@ -695,7 +718,9 @@ class PagedContinuousBatchingEngine:
         self.key = jax.random.PRNGKey(seed)
         self._seed_base = seed * 1000003
         self.sampler = sampling.init_state(num_slots, cfg.vocab_size)
-        self.cache = paged.init_paged_cache(cfg, num_slots, max_len, page_size, n_pages)
+        self.cache = paged.init_paged_cache(cfg, num_slots, max_len, page_size,
+                                            n_pages,
+                                            kv_dtype=_kv_dtype(kv_quantized))
         self.alloc = paged.PageAllocator(self.cache.k_pages[0].shape[0])
         self.slot_pages: List[List[int]] = [[] for _ in range(num_slots)]
         self.tokens = jnp.zeros((num_slots,), jnp.int32)

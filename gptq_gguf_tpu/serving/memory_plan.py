@@ -81,7 +81,7 @@ def plan_serving_memory(
     batch: int = 8,
     max_len: int = 4096,
     tp: int = 1,
-    kv_quantized: bool = False,
+    kv_quantized=False,  # bool (legacy int8 switch) or "bf16"|"int8"|"int4"
     chip: str = "v5e",
     workspace_frac: float = 0.08,
 ) -> MemoryPlan:
@@ -113,8 +113,13 @@ def plan_serving_memory(
     embed_per_chip = V * H * 2  # bf16, replicated (gather path)
 
     kv_entries = 2 * L * batch * nKV * max_len * hd
-    if kv_quantized:
+    kv_dtype = (kv_quantized if isinstance(kv_quantized, str)
+                else ("int8" if kv_quantized else "bf16"))
+    if kv_dtype == "int8":
         kv = kv_entries + 2 * L * batch * nKV * max_len * 4  # int8 + f32 scale
+    elif kv_dtype == "int4":
+        # packed codes (hd/2 bytes) + f32 scale per 32-feature group
+        kv = kv_entries // 2 + 4 * kv_entries // 32
     else:
         kv = kv_entries * 2  # bf16
     kv_per_chip = kv // tp

@@ -34,6 +34,10 @@ class PagedKVCache(NamedTuple):
     v_pages: List[jax.Array]
     page_table: jax.Array     # (B, pages_per_slot) int32, -1 = unassigned
     lengths: jax.Array        # (B,) int32
+    # int4 caches: k/v_pages hold packed codes (..., hd//2) u8 and these
+    # hold the per-group f32 scales (..., hd//KV_Q4_GROUP); None otherwise
+    k_s_pages: Optional[List[jax.Array]] = None
+    v_s_pages: Optional[List[jax.Array]] = None
 
     @property
     def page_size(self) -> int:
@@ -51,18 +55,42 @@ def init_paged_cache(
     page_size: int = 64,
     n_pages: Optional[int] = None,
     dtype=jnp.bfloat16,
+    kv_dtype: Optional[str] = None,
 ) -> PagedKVCache:
     """n_pages defaults to full provisioning (batch * max_len / page_size);
-    pass less to oversubscribe — the engine then admits only what fits."""
+    pass less to oversubscribe — the engine then admits only what fits.
+    kv_dtype="int4": packed-code pools + group-scale pools (3.2x less page
+    memory; the paged analogue of serving/model.KVCacheQ4)."""
     assert max_len % page_size == 0
     pages_per_slot = max_len // page_size
     if n_pages is None:
         n_pages = batch * pages_per_slot
     hd = cfg.head_dim_
+    n = cfg.num_hidden_layers
+    if kv_dtype == "int4":
+        from ..models.llama import KV_Q4_GROUP
+
+        if hd % (2 * KV_Q4_GROUP):
+            raise NotImplementedError(
+                f"int4 paged KV needs head_dim divisible by "
+                f"{2 * KV_Q4_GROUP}, got {hd}")
+        shape_q = (n_pages, page_size, cfg.num_key_value_heads, hd // 2)
+        shape_s = (n_pages, page_size, cfg.num_key_value_heads,
+                   hd // KV_Q4_GROUP)
+        return PagedKVCache(
+            [jnp.zeros(shape_q, jnp.uint8) for _ in range(n)],
+            [jnp.zeros(shape_q, jnp.uint8) for _ in range(n)],
+            jnp.full((batch, pages_per_slot), -1, jnp.int32),
+            jnp.zeros((batch,), jnp.int32),
+            [jnp.zeros(shape_s, jnp.float32) for _ in range(n)],
+            [jnp.zeros(shape_s, jnp.float32) for _ in range(n)],
+        )
+    elif kv_dtype not in (None, "bf16"):
+        raise ValueError(f"unsupported paged kv_dtype {kv_dtype!r}")
     shape = (n_pages, page_size, cfg.num_key_value_heads, hd)
     return PagedKVCache(
-        [jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)],
-        [jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)],
+        [jnp.zeros(shape, dtype) for _ in range(n)],
+        [jnp.zeros(shape, dtype) for _ in range(n)],
         jnp.full((batch, pages_per_slot), -1, jnp.int32),
         jnp.zeros((batch,), jnp.int32),
     )
@@ -128,7 +156,7 @@ def forward_paged(
         x = x * jnp.asarray(math.sqrt(cfg.hidden_size), dtype=cfg.dtype)
     au = cfg.rms_add_unit
 
-    new_k, new_v = [], []
+    new_k, new_v, new_ks, new_vs = [], [], [], []
     for li, layer in enumerate(params["layers"]):
         sliding = cfg.sliding_window if llama.is_sliding_layer(cfg, li) else None
         h = llama.rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, au)
@@ -151,8 +179,19 @@ def forward_paged(
         qr, kr = llama.apply_rope(q, k.transpose(0, 2, 1, 3), cos_l, sin_l)
         k = kr.transpose(0, 2, 1, 3)
 
-        k_pool = _write_paged(cache.k_pages[li], cache.page_table, positions, k)
-        v_pool = _write_paged(cache.v_pages[li], cache.page_table, positions, v)
+        q4 = cache.k_s_pages is not None
+        if q4:
+            kq, ks = qmodel._quantize_kv_q4(k)
+            vq, vs = qmodel._quantize_kv_q4(v)
+            k_pool = _write_paged(cache.k_pages[li], cache.page_table, positions, kq)
+            v_pool = _write_paged(cache.v_pages[li], cache.page_table, positions, vq)
+            ks_pool = _write_paged(cache.k_s_pages[li], cache.page_table, positions, ks)
+            vs_pool = _write_paged(cache.v_s_pages[li], cache.page_table, positions, vs)
+            new_ks.append(ks_pool)
+            new_vs.append(vs_pool)
+        else:
+            k_pool = _write_paged(cache.k_pages[li], cache.page_table, positions, k)
+            v_pool = _write_paged(cache.v_pages[li], cache.page_table, positions, v)
         new_k.append(k_pool)
         new_v.append(v_pool)
 
@@ -163,9 +202,10 @@ def forward_paged(
         )
         on_tpu = jax.devices()[0].platform == "tpu"
         interpret = qmodel.qmatmul.FORCE_PALLAS_INTERPRET and not on_tpu
-        # the window/sinks kernel variants are interpret-validated but not
-        # yet TPU-validated (relay was down); the TPU path dispatches them
-        # only when paged_attention.EXTENDED_ON_TPU is flipped after a smoke
+        # every kernel variant (window/sinks/softcap) is TPU-validated
+        # (scripts/paged_smoke_tpu.py, docs/PAGED_SMOKE_r04.json), so
+        # gemma2/gpt-oss-style paged decode takes the Pallas path on TPU;
+        # the gate stays as an escape hatch for new variants
         ext_ok = interpret or paged_attention.EXTENDED_ON_TPU
         plain = (sliding is None and "sinks" not in layer
                  and not cfg.attn_logit_softcap)
@@ -174,17 +214,32 @@ def forward_paged(
             # leave HBM (the gather path below copies the full provisioned
             # cache every layer); sliding windows skip out-of-window pages
             qk = qr[:, :, 0].reshape(B, nKV, nH // nKV, hd)
-            attn = paged_attention.paged_flash_decode(
-                qk, k_pool, v_pool, cache.page_table, lengths,
+            fd_kw = dict(
                 scale=float(att_scale if att_scale is not None
                             else 1.0 / math.sqrt(hd)),
                 interpret=interpret, window=int(sliding or 0),
                 sinks=layer.get("sinks"),
                 softcap=float(cfg.attn_logit_softcap or 0.0),
-            ).reshape(B, nH, S, hd).astype(qr.dtype)
+            )
+            if q4:
+                attn = paged_attention.paged_flash_decode_q4(
+                    qk, k_pool, v_pool, ks_pool, vs_pool,
+                    cache.page_table, lengths, **fd_kw)
+            else:
+                attn = paged_attention.paged_flash_decode(
+                    qk, k_pool, v_pool, cache.page_table, lengths, **fd_kw)
+            attn = attn.reshape(B, nH, S, hd).astype(qr.dtype)
         else:
-            k_all = _gather_slot_kv(k_pool, cache.page_table)
-            v_all = _gather_slot_kv(v_pool, cache.page_table)
+            if q4:
+                k_all = llama.dequant_kv_q4(
+                    _gather_slot_kv(k_pool, cache.page_table),
+                    _gather_slot_kv(ks_pool, cache.page_table))
+                v_all = llama.dequant_kv_q4(
+                    _gather_slot_kv(v_pool, cache.page_table),
+                    _gather_slot_kv(vs_pool, cache.page_table))
+            else:
+                k_all = _gather_slot_kv(k_pool, cache.page_table)
+                v_all = _gather_slot_kv(v_pool, cache.page_table)
             attn = qmodel._cached_attention(
                 qr, k_all, v_all, lengths, att_scale, cfg.attn_logit_softcap,
                 sliding, sinks=layer.get("sinks"),
@@ -230,7 +285,9 @@ def forward_paged(
         logits = jax.lax.all_gather(logits, psum_axis, axis=1, tiled=True)
     if cfg.final_logit_softcap:
         logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
-    return logits, PagedKVCache(new_k, new_v, cache.page_table, lengths + advance)
+    return logits, PagedKVCache(new_k, new_v, cache.page_table,
+                                lengths + advance,
+                                new_ks or None, new_vs or None)
 
 
 class PageAllocator:

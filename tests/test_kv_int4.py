@@ -1,0 +1,340 @@
+"""int4 KV cache (VERDICT r3 #7): packed codes + per-group scales through
+prefill/decode, the flash path, generate(), and memory_plan accounting.
+
+The llama.cpp analogue is --cache-type-k/v q4_0 (group size 32 there too);
+the reference itself has no serving KV quantization at all (it hands GGUFs
+to llama.cpp, SURVEY.md §0)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gptq_gguf_tpu.models import llama
+from gptq_gguf_tpu.serving import engine, model as qmodel
+
+RNG = np.random.default_rng(31)
+
+
+def _cfg(hd=64, layers=2, max_pos=4096):
+    return llama.LlamaConfig(
+        vocab_size=128, hidden_size=2 * hd, intermediate_size=4 * hd,
+        num_hidden_layers=layers, num_attention_heads=2,
+        num_key_value_heads=2, max_position_embeddings=max_pos,
+    )
+
+
+def test_quantize_kv_q4_roundtrip_error_bound():
+    """Per-group symmetric int4: |deq - x| <= scale/2 = group amax/14."""
+    x = jnp.asarray(RNG.normal(size=(2, 3, 2, 64)).astype(np.float32))
+    codes, scales = qmodel._quantize_kv_q4(x)
+    assert codes.dtype == jnp.uint8 and codes.shape == (2, 3, 2, 32)
+    assert scales.shape == (2, 3, 2, 2)
+    deq = qmodel._dequant_kv_q4(codes, scales)
+    err = np.abs(np.asarray(deq) - np.asarray(x))
+    bound = np.repeat(np.asarray(scales) / 2 + 1e-7, 32, axis=-1)
+    assert (err <= bound).all()
+
+
+def test_int4_kv_cache_matches_float():
+    cfg = _cfg()
+    params = llama.init_params(cfg, seed=7)
+    ids = RNG.integers(0, cfg.vocab_size, size=(2, 12))
+    cache_f = qmodel.init_cache(cfg, 2, 16, dtype=jnp.float32)
+    cache_q = qmodel.init_cache(cfg, 2, 16, kv_dtype="int4")
+    assert isinstance(cache_q, qmodel.KVCacheQ4)
+    assert cache_q.k[0].dtype == jnp.uint8
+    assert cache_q.k[0].shape[-1] == cfg.head_dim_ // 2
+
+    lf, cache_f = qmodel.forward_cached(params, cfg, jnp.asarray(ids[:, :8]), cache_f)
+    lq, cache_q = qmodel.forward_cached(params, cfg, jnp.asarray(ids[:, :8]), cache_q)
+    scale = float(np.abs(np.asarray(lf)).max())
+    assert np.abs(np.asarray(lq) - np.asarray(lf)).max() < 0.25 * scale
+    for t in range(8, 12):
+        lf, cache_f = qmodel.forward_cached(params, cfg, jnp.asarray(ids[:, t:t+1]), cache_f)
+        lq, cache_q = qmodel.forward_cached(params, cfg, jnp.asarray(ids[:, t:t+1]), cache_q)
+        assert np.abs(np.asarray(lq) - np.asarray(lf)).max() < 0.25 * scale
+    assert np.asarray(cache_q.lengths).tolist() == [12, 12]
+    # memory: hd/2 code bytes + 4*hd/32 scale bytes per entry vs 2*hd bf16
+    hd = cfg.head_dim_
+    q4_bytes = cache_q.k[0].nbytes + cache_q.k_s[0].nbytes
+    bf16_bytes = 2 * hd * (cache_q.k[0].size // (hd // 2))
+    assert q4_bytes / bf16_bytes == (hd // 2 + 4 * hd // 32) / (2 * hd)
+
+
+def test_int4_kv_cache_flash_path():
+    """Long-context path: scan-over-chunks prefill + dynamic-length decode
+    both dequantize packed chunks in-register."""
+    cfg = _cfg(layers=1)
+    params = llama.init_params(cfg, seed=23)
+    L = 2 * llama.FLASH_CHUNK
+    ids = RNG.integers(0, cfg.vocab_size, size=(1, 32))
+    cache_f = qmodel.init_cache(cfg, 1, L, dtype=jnp.float32)
+    cache_q = qmodel.init_cache(cfg, 1, L, kv_dtype="int4")
+    lf, cache_f = qmodel.forward_cached(params, cfg, jnp.asarray(ids), cache_f)
+    lq, cache_q = qmodel.forward_cached(params, cfg, jnp.asarray(ids), cache_q)
+    scale = float(np.abs(np.asarray(lf)).max())
+    assert np.abs(np.asarray(lq) - np.asarray(lf)).max() < 0.25 * scale
+    tok = jnp.argmax(lf, -1).astype(jnp.int32)[:, None]
+    lf2, _ = qmodel.forward_cached(params, cfg, tok, cache_f)
+    lq2, _ = qmodel.forward_cached(params, cfg, tok, cache_q)
+    assert np.abs(np.asarray(lq2) - np.asarray(lf2)).max() < 0.25 * scale
+
+
+def test_generate_with_int4_kv():
+    cfg = _cfg()
+    params = llama.init_params(cfg, seed=11)
+    prompt = RNG.integers(0, cfg.vocab_size, size=(6,))
+    out_f = engine.generate(params, cfg, [prompt], max_new_tokens=5)[0]
+    out_q = engine.generate(params, cfg, [prompt], max_new_tokens=5,
+                            kv_quantized="int4")[0]
+    assert len(out_q) == len(out_f)
+    assert out_q[0] == out_f[0]  # prefill parity on the first token
+
+
+def test_int4_kv_ppl_delta_toy():
+    """Sliding one-token scoring with int4 vs float cache: average NLL must
+    stay within a small delta (the ppl acceptance analogue at toy scale)."""
+    cfg = _cfg(layers=1)
+    params = llama.init_params(cfg, seed=5)
+    ids = RNG.integers(0, cfg.vocab_size, size=(1, 24))
+
+    def nll(kv_dtype):
+        cache = qmodel.init_cache(cfg, 1, 32, dtype=jnp.float32,
+                                  kv_dtype=kv_dtype)
+        tot = 0.0
+        logits, cache = qmodel.forward_cached(
+            params, cfg, jnp.asarray(ids[:, :1]), cache)
+        for t in range(1, ids.shape[1]):
+            logp = jax.nn.log_softmax(logits, -1)
+            tot -= float(logp[0, ids[0, t]])
+            logits, cache = qmodel.forward_cached(
+                params, cfg, jnp.asarray(ids[:, t:t+1]), cache)
+        return tot / (ids.shape[1] - 1)
+
+    base, q4 = nll(None), nll("int4")
+    assert abs(q4 - base) < 0.05  # nats/token on a random tiny model
+    # (measured 0.009 on this seed; int4 group-32 intrinsic error is
+    # amax/14 per entry, ~11-14% of peak logit on random weights, which is
+    # why the logit checks above use a 0.25 ratio)
+
+
+def test_int4_kv_guards():
+    cfg = _cfg()
+    # head_dim not divisible by 64
+    bad = llama.LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    with pytest.raises(NotImplementedError):
+        qmodel.init_cache(bad, 1, 16, kv_dtype="int4")
+    with pytest.raises(ValueError):
+        qmodel.init_cache(cfg, 1, 16, kv_dtype="int3")
+    # empty prompts fail loudly, not with an XLA gather error
+    params = llama.init_params(cfg, seed=3)
+    with pytest.raises(ValueError, match="empty prompt"):
+        engine.generate(params, cfg, [np.asarray([], np.int64)],
+                        max_new_tokens=2)
+
+
+def test_memory_plan_int4():
+    from gptq_gguf_tpu.serving import memory_plan as mp
+
+    kw = dict(batch=8, max_len=4096, tp=1, chip="v5e")
+    bf16 = mp.plan_serving_memory(mp.LLAMA3_8B, **kw)
+    i8 = mp.plan_serving_memory(mp.LLAMA3_8B, kv_quantized="int8", **kw)
+    i4 = mp.plan_serving_memory(mp.LLAMA3_8B, kv_quantized="int4", **kw)
+    legacy = mp.plan_serving_memory(mp.LLAMA3_8B, kv_quantized=True, **kw)
+    assert i8.kv_per_chip == legacy.kv_per_chip
+    assert i4.kv_per_chip < i8.kv_per_chip < bf16.kv_per_chip
+    # exact ratios: (0.5 + 0.125) / 2 and (1 + 4/128) / 2
+    assert i4.kv_per_chip / bf16.kv_per_chip == pytest.approx(0.3125)
+    hd = mp.LLAMA3_8B.head_dim_
+    assert i8.kv_per_chip / bf16.kv_per_chip == pytest.approx((hd + 4) / (2 * hd))
+
+
+# ---------------------------------------------------------------------------
+# paged int4 (block-table pools + Pallas q4 flash-decode kernel)
+# ---------------------------------------------------------------------------
+
+def _q4_pools(rng, n_pages, page, nKV, hd, scale=1.0):
+    """Random float pages quantized into (codes, scales) pools + the exact
+    dequantized reference pages."""
+    from gptq_gguf_tpu.serving import model as qm
+
+    x = jnp.asarray(rng.normal(size=(n_pages, page, nKV, hd)).astype(np.float32)) * scale
+    codes, scales = qm._quantize_kv_q4(x)
+    from gptq_gguf_tpu.models import llama as ll
+
+    deq = ll.dequant_kv_q4(codes, scales)
+    return codes, scales, deq
+
+
+def _masked_ref(q, k_all, v_all, lengths, scale, window=0, sinks=None,
+                softcap=0.0):
+    s = np.einsum("bkgh,bkth->bkgt", np.asarray(q), np.asarray(k_all)) * scale
+    if softcap:
+        s = softcap * np.tanh(s / softcap)
+    B, nKV, G, _ = s.shape
+    pos = np.arange(k_all.shape[2])[None, :]
+    L = np.asarray(lengths)[:, None]
+    mask = pos <= L
+    if window:
+        mask &= pos > L - window
+    s = np.where(mask[:, None, None, :], s, -1e30)
+    if sinks is not None:
+        sk = np.asarray(sinks).reshape(nKV, G)[None]
+        m = np.maximum(s.max(-1), sk)
+        e = np.exp(s - m[..., None])
+        p = e / (e.sum(-1) + np.exp(sk - m))[..., None]
+    else:
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p = p / p.sum(-1, keepdims=True)
+    return np.einsum("bkgt,bkth->bkgh", p, np.asarray(v_all))
+
+
+def test_paged_flash_decode_q4_kernel():
+    """Pallas q4 paged flash-decode (interpret) == masked-softmax reference
+    over gathered+dequantized pages, incl. partial last pages and -1 table
+    entries."""
+    from gptq_gguf_tpu.ops import paged_attention
+    from gptq_gguf_tpu.serving import paged
+
+    rng = np.random.default_rng(41)
+    B, nKV, G, hd, page, pps = 3, 2, 4, 128, 64, 4
+    n_pages = B * pps
+    lengths = jnp.asarray([5, 63, 170], jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, nKV, G, hd)).astype(np.float32))
+    kq, ks, k_deq = _q4_pools(rng, n_pages, page, nKV, hd)
+    vq, vs, v_deq = _q4_pools(rng, n_pages, page, nKV, hd)
+    table = np.full((B, pps), -1, np.int32)
+    nxt = 0
+    for b in range(B):
+        for p in range(int(lengths[b]) // page + 1):
+            table[b, p] = nxt
+            nxt += 1
+    table = jnp.asarray(table)
+    scale = 1.0 / np.sqrt(hd)
+
+    out = paged_attention.paged_flash_decode_q4(
+        q, kq, vq, ks, vs, table, lengths, scale=scale, interpret=True)
+
+    k_all = paged._gather_slot_kv(k_deq, table)
+    v_all = paged._gather_slot_kv(v_deq, table)
+    ref = _masked_ref(q, k_all, v_all, lengths, scale)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-5, atol=3e-5)
+
+
+def test_paged_flash_decode_q4_window_sinks_softcap():
+    """q4 kernel with sliding window + sinks + logit softcap together."""
+    from gptq_gguf_tpu.ops import paged_attention
+    from gptq_gguf_tpu.serving import paged
+
+    rng = np.random.default_rng(43)
+    B, nKV, G, hd, page, pps = 2, 2, 4, 128, 32, 6
+    n_pages = B * pps
+    lengths = jnp.asarray([70, 150], jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, nKV, G, hd)).astype(np.float32))
+    kq, ks, k_deq = _q4_pools(rng, n_pages, page, nKV, hd, scale=0.2)
+    vq, vs, v_deq = _q4_pools(rng, n_pages, page, nKV, hd)
+    table = jnp.asarray(np.arange(n_pages, dtype=np.int32).reshape(B, pps))
+    scale = 1.0 / np.sqrt(hd)
+    sinks = jnp.asarray(rng.normal(size=(nKV * G,)).astype(np.float32))
+
+    out = paged_attention.paged_flash_decode_q4(
+        q, kq, vq, ks, vs, table, lengths, scale=scale, interpret=True,
+        window=48, sinks=sinks, softcap=30.0)
+
+    k_all = paged._gather_slot_kv(k_deq, table)
+    v_all = paged._gather_slot_kv(v_deq, table)
+    ref = _masked_ref(q, k_all, v_all, lengths, scale, window=48,
+                      sinks=sinks, softcap=30.0)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-5, atol=3e-5)
+
+
+def test_paged_int4_forward_matches_contiguous_int4():
+    """forward_paged over int4 pools == forward_cached over the contiguous
+    KVCacheQ4 (identical group quantization, different storage layout),
+    prefill + decode across a page boundary."""
+    from gptq_gguf_tpu.serving import paged
+
+    cfg = _cfg()
+    params = llama.init_params(cfg, seed=19)
+    B, S, page, max_len = 2, 12, 8, 32
+    ids = RNG.integers(0, cfg.vocab_size, size=(B, S))
+
+    cache_c = qmodel.init_cache(cfg, B, max_len, kv_dtype="int4")
+    logits_c, cache_c = qmodel.forward_cached(params, cfg, jnp.asarray(ids), cache_c)
+
+    cache_p = paged.init_paged_cache(cfg, B, max_len, page, kv_dtype="int4")
+    assert cache_p.k_pages[0].dtype == jnp.uint8
+    assert cache_p.k_s_pages is not None
+    table = jnp.asarray([[2, 0, 3, 1], [5, 7, 4, 6]], jnp.int32)
+    cache_p = cache_p._replace(page_table=table)
+    logits_p, cache_p = paged.forward_paged(params, cfg, jnp.asarray(ids), cache_p)
+    np.testing.assert_allclose(np.asarray(logits_p), np.asarray(logits_c),
+                               rtol=2e-4, atol=2e-4)
+
+    toks = jnp.asarray(RNG.integers(0, cfg.vocab_size, size=(B, 1)))
+    for _ in range(page + 2):
+        lc, cache_c = qmodel.forward_cached(params, cfg, toks, cache_c)
+        lp, cache_p = paged.forward_paged(params, cfg, toks, cache_p)
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(lc),
+                                   rtol=2e-4, atol=2e-4)
+        toks = jnp.argmax(lc, -1).astype(jnp.int32)[:, None]
+
+
+def test_paged_int4_decode_kernel_matches_gather(monkeypatch):
+    """forward_paged int4 decode through the Pallas q4 kernel (interpret)
+    matches the gather+dequant XLA path."""
+    from gptq_gguf_tpu.ops import qmatmul
+    from gptq_gguf_tpu.serving import paged
+
+    cfg = _cfg()
+    params = llama.init_params(cfg, seed=29)
+    rng = np.random.default_rng(9)
+    cache = paged.init_paged_cache(cfg, 2, 64, page_size=16, kv_dtype="int4")
+    cache = cache._replace(
+        page_table=jnp.asarray(np.arange(8, dtype=np.int32).reshape(2, 4)))
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 7)))
+    _, cache = paged.forward_paged(params, cfg, ids, cache)
+    step = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 1)))
+    ref, _ = paged.forward_paged(params, cfg, step, cache)
+    monkeypatch.setattr(qmatmul, "FORCE_PALLAS_INTERPRET", True)
+    got, _ = paged.forward_paged(params, cfg, step, cache)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_paged_engine_int4_matches_generate():
+    """PagedContinuousBatchingEngine with kv_quantized='int4' reproduces
+    generate(kv_quantized='int4') greedy outputs."""
+    cfg = _cfg()
+    params = llama.init_params(cfg, seed=13)
+    prompts = [RNG.integers(0, cfg.vocab_size, size=(n,)) for n in (5, 9, 6)]
+    singles = [engine.generate(params, cfg, [p], max_new_tokens=6,
+                               kv_quantized="int4")[0] for p in prompts]
+
+    eng = engine.PagedContinuousBatchingEngine(
+        params, cfg, num_slots=2, max_len=64, page_size=8,
+        kv_quantized="int4")
+    uids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    done = eng.run_until_done(max_steps=300)
+    by_uid = {r.uid: r for r in done}
+    for uid, want in zip(uids, singles):
+        assert by_uid[uid].output == want
+
+
+def test_paged_int4_memory_ratio():
+    """int4 pools hold (hd/2 + 4*hd/32) bytes per entry vs 2*hd bf16."""
+    from gptq_gguf_tpu.serving import paged
+
+    cfg = _cfg()
+    bf16 = paged.init_paged_cache(cfg, 2, 64, 16)
+    i4 = paged.init_paged_cache(cfg, 2, 64, 16, kv_dtype="int4")
+    hd = cfg.head_dim_
+    b_bytes = bf16.k_pages[0].nbytes
+    q_bytes = i4.k_pages[0].nbytes + i4.k_s_pages[0].nbytes
+    assert q_bytes / b_bytes == (hd // 2 + 4 * hd // 32) / (2 * hd)
