@@ -128,6 +128,33 @@ def test_tp_paged_decode_matches_unsharded(tp_setup):
     assert np.asarray(scache2.lengths).tolist() == [6, 6]
 
 
+def test_tp_paged_int4_decode_matches_unsharded(tp_setup):
+    """int4 paged pools (packed codes + group-scale pools) sharded over kv
+    heads: TP decode through the q4 kernel path matches the single-device
+    int4 paged forward."""
+    from gptq_gguf_tpu.serving import paged
+
+    cfg, params, mesh = tp_setup
+    B = 2
+    pcache = paged.init_paged_cache(cfg, B, 16, page_size=8, kv_dtype="int4")
+    assert pcache.k_s_pages is not None
+    table = jnp.asarray(np.arange(2 * 2, dtype=np.int32).reshape(B, 2))
+    pcache = pcache._replace(page_table=table)
+    prompts = jnp.asarray(RNG.integers(0, cfg.vocab_size, size=(B, 5)))
+    _, pcache = paged.forward_paged(params, cfg, prompts, pcache)
+    tok = jnp.asarray(RNG.integers(0, cfg.vocab_size, size=(B,)).astype(np.int32))
+    logits_ref, _ = paged.forward_paged(params, cfg, tok[:, None], pcache)
+
+    sparams = tp_serving.shard_serving_tree(params, mesh)
+    scache = tp_serving.shard_paged_cache(pcache, mesh)
+    nxt, logits, scache2 = tp_serving.tp_paged_decode_step(
+        sparams, cfg, tok, scache, mesh)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
+                               rtol=2e-4, atol=2e-4)
+    assert scache2.k_s_pages is not None
+    assert np.asarray(scache2.lengths).tolist() == [6, 6]
+
+
 def test_tp_moe_decode_matches_unsharded(tp_setup):
     """Stacked packed MoE experts sharded Megatron-style within every
     expert: TP decode matches the single-device quantized MoE forward
