@@ -492,7 +492,117 @@ def _kernel_v3(refs, *, gs, per_byte, tile_in, shift, has_min, mxu_dtype, d_rep)
         out_ref[:] = out_ref[:] + acc
 
 
-_V2_KERNELS = {"v2": _kernel_v2, "v3": _kernel_v3}
+def _kernel_v2f(refs, *, gs, per_byte, tile_in, shift, has_min, mxu_dtype,
+                d_rep):
+    """_kernel_v2 with the signed-code shift folded into the group offset
+    plane: w = scale*q - (scale*shift + dmin*mn), computed per GROUP (ng, T)
+    instead of per weight — saves the per-weight `q - shift` subtract while
+    keeping everything else f32 and avoiding v3's correction-dot machinery
+    (whose tiny gmat/xsum MXU dots measured slower than the op they saved,
+    docs/KERNELS_r04.md)."""
+    import jax.experimental.pallas as pl
+
+    if has_min:
+        x_ref, qs_ref, d_ref, sc_ref, dmin_ref, mn_ref, out_ref = refs
+    else:
+        x_ref, qs_ref, d_ref, sc_ref, out_ref = refs
+    j = pl.program_id(1)
+
+    qs = qs_ref[:].astype(jnp.int32)
+    T = qs.shape[1]
+    if per_byte == 2:
+        b = qs.reshape(tile_in // QK_K, _HALF, T)
+        q = jnp.concatenate([b & 0x0F, b >> 4], axis=1).reshape(tile_in, T)
+    else:
+        q = qs
+    ng = tile_in // gs
+    sg_t = tile_in // QK_K
+    gpsg = QK_K // gs
+
+    d = d_ref[:].reshape(sg_t, d_rep, T)[:, 0].reshape(sg_t, 1, T)
+    sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)
+    scale = jnp.broadcast_to(d, (sg_t, gpsg, T)).reshape(ng, T) * sc
+    off2 = scale * float(shift) if shift else None
+    if has_min:
+        dmin = dmin_ref[:].reshape(sg_t, d_rep, T)[:, 0].reshape(sg_t, 1, T)
+        mn = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
+        off = jnp.broadcast_to(dmin, (sg_t, gpsg, T)).reshape(ng, T) * mn
+        off2 = off if off2 is None else off2 + off
+    qf = q.astype(jnp.float32).reshape(ng, gs, T)
+    w = scale.reshape(ng, 1, T) * qf
+    if off2 is not None:
+        w = w - off2.reshape(ng, 1, T)
+    w = w.reshape(tile_in, T).astype(mxu_dtype)
+
+    acc = jnp.dot(
+        x_ref[:].astype(mxu_dtype), w, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+def _kernel_v2h(refs, *, gs, per_byte, tile_in, shift, has_min, mxu_dtype,
+                d_rep):
+    """_kernel_v2f with the per-weight affine done in mxu_dtype (bf16):
+    w = bf16(scale)*bf16(q) - bf16(off2). Cuts the chain to cast + mul +
+    sub in 16-bit — one extra bf16 rounding on the weight product vs the
+    f32 build (same rounding budget as v3's product; llama.cpp's own
+    vec_dot runs lower precision still)."""
+    import jax.experimental.pallas as pl
+
+    if has_min:
+        x_ref, qs_ref, d_ref, sc_ref, dmin_ref, mn_ref, out_ref = refs
+    else:
+        x_ref, qs_ref, d_ref, sc_ref, out_ref = refs
+    j = pl.program_id(1)
+
+    qs = qs_ref[:].astype(jnp.int32)
+    T = qs.shape[1]
+    if per_byte == 2:
+        b = qs.reshape(tile_in // QK_K, _HALF, T)
+        q = jnp.concatenate([b & 0x0F, b >> 4], axis=1).reshape(tile_in, T)
+    else:
+        q = qs
+    ng = tile_in // gs
+    sg_t = tile_in // QK_K
+    gpsg = QK_K // gs
+
+    d = d_ref[:].reshape(sg_t, d_rep, T)[:, 0].reshape(sg_t, 1, T)
+    sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)
+    scale = jnp.broadcast_to(d, (sg_t, gpsg, T)).reshape(ng, T) * sc
+    off2 = scale * float(shift) if shift else None
+    if has_min:
+        dmin = dmin_ref[:].reshape(sg_t, d_rep, T)[:, 0].reshape(sg_t, 1, T)
+        mn = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
+        off = jnp.broadcast_to(dmin, (sg_t, gpsg, T)).reshape(ng, T) * mn
+        off2 = off if off2 is None else off2 + off
+    qh = q.astype(mxu_dtype).reshape(ng, gs, T)
+    w = scale.astype(mxu_dtype).reshape(ng, 1, T) * qh
+    if off2 is not None:
+        w = w - off2.astype(mxu_dtype).reshape(ng, 1, T)
+    w = w.reshape(tile_in, T)
+
+    acc = jnp.dot(
+        x_ref[:].astype(mxu_dtype), w, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+_V2_KERNELS = {"v2": _kernel_v2, "v3": _kernel_v3, "v2f": _kernel_v2f,
+               "v2h": _kernel_v2h}
 
 # which in-kernel dequant variant the dispatcher uses for v2-format weights
 # ("v3" = offset-folded; flipped by bench results)

@@ -6,7 +6,7 @@ real shapes: d_col=14336 down-proj solves), then drives the REAL pipeline —
     quantize (GPTQ, synthetic calibration) -> pack (GGUF Q4_K) ->
     GGUF-direct perplexity -> engine decode smoke
 
-— recording per-stage wall-times into PIPELINE_8B_r03.json. The CPU drive
+— recording per-stage wall-times into PIPELINE_8B_r04.json. The CPU drive
 (scripts/verify_drive_cpu.sh) proves plumbing at toy shapes; this proves
 the memory plan and solve/pack/serve throughput at production shapes.
 
@@ -86,7 +86,7 @@ def main():
     ap.add_argument("--workdir", default="/tmp/pipe8b")
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--calib-tokens", type=int, default=8192)
-    ap.add_argument("--out", default="PIPELINE_8B_r03.json")
+    ap.add_argument("--out", default="PIPELINE_8B_r04.json")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -174,6 +174,17 @@ print(json.dumps({'gen_tokens': gen, 'tok_per_s': round(gen/(time.time()-t0), 1)
         times["serve_smoke_err"] = smoke.stderr[-1500:]
     print(json.dumps({"stage": "serve_smoke", "s": times["serve_smoke_s"]}),
           flush=True)
+
+    # derived GPTQ throughput (VERDICT r3 #6): weights quantized per second
+    # of the quantize stage. The stage includes calibration forwards +
+    # Hessian capture + packing artifacts, so this UNDERSTATES the pure
+    # solve rate — it is the honest end-to-end number ROADMAP item 3 cites.
+    H, I = CFG["hidden_size"], CFG["intermediate_size"]
+    kvd = CFG["num_key_value_heads"] * CFG["head_dim"]
+    per_layer = H * (H + 2 * kvd) + H * H + 2 * H * I + I * H
+    times["weights_quantized"] = per_layer * args.layers
+    times["quantize_mw_per_s"] = round(
+        times["weights_quantized"] / times["quantize_s"] / 1e6, 1)
 
     times["total_s"] = round(sum(v for k, v in times.items()
                                  if isinstance(v, (int, float))

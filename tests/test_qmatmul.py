@@ -150,6 +150,31 @@ def test_pallas_v3_offset_fold_matches_xla(qtype):
     assert np.abs(y_bf - y_ref).max() < 0.03 * ref_scale
 
 
+@pytest.mark.parametrize("variant", ["v2f", "v2h"])
+@pytest.mark.parametrize("qtype", [T.Q2_K, T.Q3_K, T.Q4_K, T.Q6_K])
+def test_pallas_v2fh_group_fold_matches_xla(qtype, variant):
+    """v2f folds the signed-code shift into the group offset plane (f32
+    affine, no correction dot); v2h additionally does the per-weight affine
+    in mxu_dtype. Both must match the canonical dequant matmul: v2f to f32
+    association (exact at mxu_dtype=f32), v2h to bf16 rounding."""
+    wx = RNG.normal(size=(512, 512)).astype(np.float32) * 0.1
+    q, params = kquant.quantize_rtn(jnp.asarray(wx), qtype)
+    rql = qmatmul.pack_runtime_v2(np.asarray(q), params, qtype)
+    x = jnp.asarray(RNG.normal(size=(8, 512)).astype(np.float32))
+    y_ref = np.asarray(qmatmul.dequant_matmul_xla_v2(x, rql))
+    y_pal = np.asarray(qmatmul.dequant_matmul_pallas_v2(
+        x, rql, tile_out=256, tile_in=256, interpret=True,
+        mxu_dtype=jnp.float32, variant=variant,
+    ))
+    np.testing.assert_allclose(y_pal, y_ref, rtol=1e-5, atol=1e-4)
+    y_bf = np.asarray(qmatmul.dequant_matmul_pallas_v2(
+        x, rql, tile_out=256, tile_in=256, interpret=True,
+        mxu_dtype=jnp.bfloat16, variant=variant,
+    ))
+    ref_scale = np.abs(y_ref).max()
+    assert np.abs(y_bf - y_ref).max() < 0.03 * ref_scale
+
+
 def test_v2_bits_per_weight_compact():
     wx = RNG.normal(size=(512, 4096)).astype(np.float32) * 0.1
     q, params = kquant.quantize_rtn(jnp.asarray(wx), T.Q4_K)
