@@ -418,7 +418,7 @@ def bench_engine(B=8, max_len=2048, prompt_len=128, k=64, blocks=3,
     for slot in range(B):
         t0 = time.time()
         tok, _, cache = engine._prefill_slot(params, cfg, prompt, cache, slot)
-        tok.block_until_ready()
+        np.asarray(tok)  # block_until_ready is not a reliable relay fence
         t_prefill.append(time.time() - t0)
 
     tokens = jnp.asarray(rng.integers(0, V, (B,)).astype(np.int32))

@@ -6,7 +6,9 @@ Methodology (docs/KERNELS_r04.md): this relay-attached target serializes a
 is timed by TWO-POINT DIFFERENCING over scan length — the same jitted
 program at lengths L1 < L2, ms/iter = (t(L2) - t(L1)) / (L2 - L1) — which
 cancels the relay intercept and the dispatch+readback latency. Carry data
-dependencies defeat XLA's loop-invariant hoisting.
+dependencies defeat XLA's loop-invariant hoisting. All large operands are
+passed as jit ARGUMENTS (closure-captured arrays get serialized into the
+program and a ~0.5 GB constant breaks the relay's remote_compile).
 
 Components (B=8, Llama-3-8B shapes, Q4_K + Q6_K lm_head):
   * engine decode step: wall (k=64 multi_step block, what a server sees)
@@ -21,6 +23,7 @@ Components (B=8, Llama-3-8B shapes, Q4_K + Q6_K lm_head):
 Writes docs/PROFILE_r04.md and prints the JSON.
 """
 
+import functools
 import json
 import sys
 import time
@@ -30,20 +33,24 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def two_point(make_run, c0, L1, L2, reps=3):
+def two_point(make_run, args, L1, L2, reps=3):
     """ms per scan iteration with the relay's fixed per-program cost
     cancelled: time the same program at scan lengths L1 and L2, return
-    (t2 - t1) / (L2 - L1)."""
+    (t2 - t1) / (L2 - L1). make_run(L) returns a jitted fn; all operands
+    are ARGUMENTS, never closure constants."""
     import jax
 
+    # NB: jax.block_until_ready is NOT a reliable execution fence on this
+    # relay backend (timings collapse to ~0); a host readback is. Runners
+    # must therefore return something SMALL.
     t = {}
     for L in (L1, L2):
         run = make_run(L)
-        jax.block_until_ready(run(c0))  # compile + settle
+        jax.device_get(run(*args))  # compile + settle
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
-            jax.block_until_ready(run(c0))
+            jax.device_get(run(*args))
             best = min(best, time.time() - t0)
         t[L] = best
     return (t[L2] - t[L1]) / (L2 - L1) * 1e3
@@ -67,64 +74,47 @@ def main():
     V = 128256
     rows = {}
 
-    # --- engine step: wall (k=64 blocks) + device (two-point over k) ---
-    prebuilt = bench.build_8b_params(2048)
-    eng = bench.bench_engine(prebuilt=prebuilt)
-    rows["engine_step_wall_k64"] = eng["ms_per_step"]
+    def emit(k, v):
+        rows[k] = v
+        print(json.dumps({k: round(v, 3)}), flush=True)
 
-    params, cfg, _ = prebuilt
-    cache = qmodel.init_cache(cfg, B, 2048, dtype=jnp.bfloat16)
-    prompt = jnp.asarray(rng.integers(0, V, (1, 128)).astype(np.int32))
-    for slot in range(B):
-        tok, _, cache = engine._prefill_slot(params, cfg, prompt, cache, slot)
-    tokens = jnp.asarray(rng.integers(0, V, (B,)).astype(np.int32))
+    mm = qmatmul.dequant_matmul
 
-    def mk_engine(k):
-        def run(toks):
-            _, out, _ = engine._decode_steps_scan(params, cfg, toks, cache, k)
-            return out
-        return run
-
-    rows["engine_step_device"] = two_point(mk_engine, tokens, 8, 64)
-
-    # --- matmul stack alone at fused shapes (same format as engine) ---
+    # --- per-projection + fused stack (packs passed as pytree args) ---
     mk = lambda do, di, qt=None: bench.synth_v2(rng, do, di, qt)
     layer = {"qkv": mk(H + 2 * KV, H), "o": mk(H, H),
              "gateup": mk(2 * I, H), "down": mk(H, I)}
     x0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
-    mm = qmatmul.dequant_matmul
 
-    per_mm = {}
+    def mk_one(n):
+        @jax.jit
+        def run(c, xin, r):
+            def body(c, _):
+                y = mm(xin * (1.0 + c * 1e-30), r)
+                return jnp.sum(y) * 1e-30, None
+            c, _ = jax.lax.scan(body, c, None, length=n)
+            return c
+        return run
+
     for name, r in layer.items():
         xin = jnp.asarray(rng.normal(size=(B, r.d_in)).astype(np.float32))
-
-        def mk_one(n, r=r, xin=xin):
-            @jax.jit
-            def run(c):
-                def body(c, _):
-                    y = mm(xin * (1.0 + c * 1e-30), r)
-                    return jnp.sum(y) * 1e-30, None
-                c, _ = jax.lax.scan(body, c, None, length=n)
-                return c
-            return run
-
-        per_mm[name] = two_point(mk_one, jnp.float32(0), 32, 160)
+        emit(f"matmul_{name}_32L",
+             two_point(mk_one, (jnp.float32(0), xin, r), 32, 160) * 32)
 
     def mk_stack(n):
         @jax.jit
-        def run(x):
+        def run(x, lyr):
             def body(x, _):
-                qkv = mm(x, layer["qkv"])
-                a = mm(qkv[:, :H], layer["o"])
-                gu = mm(a, layer["gateup"])
-                d = mm(jax.nn.silu(gu[:, :I]) * gu[:, I:], layer["down"])
+                qkv = mm(x, lyr["qkv"])
+                a = mm(qkv[:, :H], lyr["o"])
+                gu = mm(a, lyr["gateup"])
+                d = mm(jax.nn.silu(gu[:, :I]) * gu[:, I:], lyr["down"])
                 return d * 1e-3 + x, None
             x, _ = jax.lax.scan(body, x, None, length=n)
             return x
         return run
 
-    rows["matmul_stack_32L"] = two_point(mk_stack, x0, 16, 80) * 32
-    rows.update({f"matmul_{k}_32L": v * 32 for k, v in per_mm.items()})
+    emit("matmul_stack_32L", two_point(mk_stack, (x0, layer), 16, 80) * 32)
 
     # --- decode attention alone (dynamic-length flash, fill like bench) ---
     fill = 128 + 65 + 96  # bench: prompt 128 + warmup block + mid-run
@@ -138,50 +128,40 @@ def main():
 
     def mk_attn(n):
         @jax.jit
-        def run(q):
+        def run(q, kc, vc, lens):
             def body(c, _):
-                qpos = lengths[:, None]
-                o = llama.flash_attention(c, k_cache, v_cache, qpos,
+                o = llama.flash_attention(c, kc, vc, lens[:, None],
                                           dynamic_length=True)
                 return (c + o * 1e-6).astype(c.dtype), None
             c, _ = jax.lax.scan(body, q, None, length=n)
             return c
         return run
 
-    rows["attention_32L"] = two_point(mk_attn, q0, 32, 160) * 32
+    emit("attention_32L",
+         two_point(mk_attn, (q0, k_cache, v_cache, lengths), 32, 160) * 32)
 
     # --- KV scatter alone ---
     newk = jax.random.normal(jax.random.PRNGKey(3), (B, 8, 1, 128), jnp.bfloat16)
 
     def mk_scatter(n):
         @jax.jit
-        def run(kc):
+        def run(kc, nk, lens):
             bidx = jnp.arange(B)[:, None]
             def body(kc, _):
-                kc = kc.at[bidx, :, lengths[:, None], :].set(
-                    newk.transpose(0, 2, 1, 3) + kc[:, :1, :1, :1] * 1e-30,
+                kc = kc.at[bidx, :, lens[:, None], :].set(
+                    nk.transpose(0, 2, 1, 3) + kc[:, :1, :1, :1] * 1e-30,
                     mode="drop")
                 return kc, None
             kc, _ = jax.lax.scan(body, kc, None, length=n)
-            return kc
+            return jnp.sum(kc.astype(jnp.float32))  # small readback
         return run
 
-    rows["kv_scatter_64x"] = two_point(mk_scatter, k_cache, 64, 320) * 64
+    emit("kv_scatter_64x",
+         two_point(mk_scatter, (k_cache, newk, lengths), 64, 320) * 64)
 
     # --- lm_head alone ---
     lm = bench.synth_v2(rng, V, H, T.Q6_K)
-
-    def mk_lm(n):
-        @jax.jit
-        def run(c):
-            def body(c, _):
-                y = mm(x0 * (1.0 + c * 1e-30), lm)
-                return jnp.sum(y) * 1e-30, None
-            c, _ = jax.lax.scan(body, c, None, length=n)
-            return c
-        return run
-
-    rows["lm_head_x1"] = two_point(mk_lm, jnp.float32(0), 4, 20)
+    emit("lm_head_x1", two_point(mk_one, (jnp.float32(0), x0, lm), 4, 20))
 
     # --- residual ops: norms + embed + argmax ---
     w = jnp.ones((H,), jnp.bfloat16)
@@ -190,29 +170,51 @@ def main():
 
     def mk_resid(n):
         @jax.jit
-        def run(toks):
-            x = emb[toks][:, None, :]
+        def run(toks, wn, e):
+            x = e[toks][:, None, :]
             def body(x, _):
-                h = llama.rms_norm(x, w, 1e-5)
-                h = llama.rms_norm(h, w, 1e-5)
+                h = llama.rms_norm(x, wn, 1e-5)
+                h = llama.rms_norm(h, wn, 1e-5)
                 return (x + h * 1e-3).astype(x.dtype), None
             x, _ = jax.lax.scan(body, x, None, length=n)
             return jnp.argmax(jnp.sum(x, axis=1), axis=-1).astype(jnp.int32) % V
         return run
 
-    rows["resid_embed_argmax"] = two_point(mk_resid, toks0, 32, 160) * 32
+    emit("resid_embed_argmax",
+         two_point(mk_resid, (toks0, w, emb), 32, 160) * 32)
+
+    # --- engine step: wall (k=64 blocks) + device (two-point over k) ---
+    prebuilt = bench.build_8b_params(2048)
+    eng = bench.bench_engine(prebuilt=prebuilt)
+    emit("engine_step_wall_k64", eng["ms_per_step"])
+
+    params, cfg, _ = prebuilt
+    cache = qmodel.init_cache(cfg, B, 2048, dtype=jnp.bfloat16)
+    prompt = jnp.asarray(rng.integers(0, V, (1, 128)).astype(np.int32))
+    for slot in range(B):
+        tok, _, cache = engine._prefill_slot(params, cfg, prompt, cache, slot)
+    tokens = jnp.asarray(rng.integers(0, V, (B,)).astype(np.int32))
+
+    def mk_engine(k):
+        def run(toks, p, c):
+            _, out, _ = engine._decode_steps_scan(p, cfg, toks, c, k)
+            return out
+        return run
+
+    emit("engine_step_device",
+         two_point(mk_engine, (tokens, params, cache), 8, 64))
 
     components = (rows["matmul_stack_32L"] + rows["attention_32L"]
                   + rows["kv_scatter_64x"] + rows["lm_head_x1"]
                   + rows["resid_embed_argmax"])
-    rows["sum_of_components"] = components
-    rows["unattributed_gap"] = rows["engine_step_device"] - components
+    emit("sum_of_components", components)
+    emit("unattributed_gap", rows["engine_step_device"] - components)
 
     out = {"ms": {k: round(v, 3) for k, v in rows.items()},
            "engine_detail": eng,
            "note": "two-point differenced over scan length (relay intercept "
                    "cancelled, docs/KERNELS_r04.md); carry deps defeat scan "
-                   "hoisting"}
+                   "hoisting; all operands passed as jit args"}
     print(json.dumps(out))
 
     full = rows["engine_step_device"]

@@ -241,8 +241,12 @@ def test_server_sampling_and_chat(tiny_model):
             "{% endfor %}{% if add_generation_prompt %}<|assistant|>{% endif %}")
     vocab = [f"<t{i}>" for i in range(60)] + [
         "<|user|>", "<|assistant|>", "</s>", "<unk>"]
+    # USER_DEFINED/CONTROL types: with merges=[] and NORMAL pieces, BPE
+    # cannot compose "<t5>" from bytes and encode() returns [] — which the
+    # engine now rejects loudly instead of serving an empty prompt
     gg = GGUFTokenizer("gpt2", vocab, merges=[], eos_id=62,
-                       chat_template=tmpl)
+                       chat_template=tmpl,
+                       token_types=[4] * 60 + [3, 3, 3, 2])
 
     class _Wrap:
         def __call__(self, text):
@@ -306,7 +310,8 @@ def test_streaming_endpoints(tiny_model):
     cfg, params = tiny_model
     tmpl = "{% for m in messages %}{{ m.content }}{% endfor %}"
     vocab = [f"<t{i}>" for i in range(64)]
-    gg = GGUFTokenizer("gpt2", vocab, merges=[], chat_template=tmpl)
+    gg = GGUFTokenizer("gpt2", vocab, merges=[], chat_template=tmpl,
+                       token_types=[4] * 64)  # see test_server_sampling_and_chat
 
     class _Wrap:
         def __call__(self, text):
