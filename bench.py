@@ -238,7 +238,8 @@ def rql_bytes(r) -> int:
     return int(r.qs.size) + 8 * int(r.scale_t.size)
 
 
-def bench_matmul_path(B=8, n_lo=16, n_hi=80, variants=("v1", "v2", "v4")):
+def bench_matmul_path(B=8, n_lo=16, n_hi=80,
+                      variants=("v1", "v2", "v2g", "v4")):
     """Layer-chained matmul microbench at FUSED serving shapes (qkv/o/
     gateup/down — the projections the engine actually launches), two-point
     differenced over scan length so the relay's fixed per-program cost
@@ -254,13 +255,17 @@ def bench_matmul_path(B=8, n_lo=16, n_hi=80, variants=("v1", "v2", "v4")):
     n_layers = 32
     shapes = {"qkv": (H + 2 * KV, H), "o": (H, H),
               "gateup": (2 * I, H), "down": (H, I)}
-    synth = {"v1": synth_v1_dev, "v2": synth_v2_dev,
+    synth = {"v1": synth_v1_dev, "v2": synth_v2_dev, "v2f": synth_v2_dev,
+             "v2g": synth_v2_dev,
              "v4": lambda k, do, di: synth_v4_dev(k, do, di)}
 
     import jax.random as jrandom
 
     results = {}
+    saved_variant = qmatmul.PALLAS_V2_VARIANT
     for name in variants:
+        # v2-format rows race in-kernel dequant variants via the dispatcher
+        qmatmul.PALLAS_V2_VARIANT = name if name.startswith("v2") else saved_variant
         key = jrandom.PRNGKey(11)
         layer = {}
         for idx, (nm, (do, di)) in enumerate(shapes.items()):
@@ -300,6 +305,7 @@ def bench_matmul_path(B=8, n_lo=16, n_hi=80, variants=("v1", "v2", "v4")):
             "eff_bw_gbs": round(bytes_layer / dt_layer / 1e9, 1),
             "bytes_per_layer": bytes_layer,
         }
+    qmatmul.PALLAS_V2_VARIANT = saved_variant
     return results
 
 

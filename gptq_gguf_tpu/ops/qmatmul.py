@@ -33,6 +33,7 @@ double quantization; a 6-bit-scale variant is planned follow-up work.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -601,12 +602,73 @@ def _kernel_v2h(refs, *, gs, per_byte, tile_in, shift, has_min, mxu_dtype,
         out_ref[:] = out_ref[:] + acc
 
 
-_V2_KERNELS = {"v2": _kernel_v2, "v3": _kernel_v3, "v2f": _kernel_v2f,
-               "v2h": _kernel_v2h}
+def _kernel_v2g(refs, *, gs, per_byte, tile_in, shift, has_min, mxu_dtype,
+                d_rep):
+    """_kernel_v2f minus the per-weight offset subtract: the whole affine
+    offset is applied as ONE small MXU dot against per-group activation
+    sums PRECOMPUTED outside the kernel (extra (B, ng) operand) — v3 lost
+    the round-4 race building that operand in-kernel via a gmat dot; this
+    variant only pays the (B,ng)x(ng,T) correction dot. Per-weight chain:
+    widen, nibble, i2f, scale-mul, bf16 cast."""
+    import jax.experimental.pallas as pl
 
-# which in-kernel dequant variant the dispatcher uses for v2-format weights
-# ("v3" = offset-folded; flipped by bench results)
-PALLAS_V2_VARIANT = "v2"
+    if has_min:
+        x_ref, qs_ref, d_ref, sc_ref, dmin_ref, mn_ref, xs_ref, out_ref = refs
+    else:
+        x_ref, qs_ref, d_ref, sc_ref, xs_ref, out_ref = refs
+    j = pl.program_id(1)
+
+    qs = qs_ref[:].astype(jnp.int32)
+    T = qs.shape[1]
+    if per_byte == 2:
+        b = qs.reshape(tile_in // QK_K, _HALF, T)
+        q = jnp.concatenate([b & 0x0F, b >> 4], axis=1).reshape(tile_in, T)
+    else:
+        q = qs
+    ng = tile_in // gs
+    sg_t = tile_in // QK_K
+    gpsg = QK_K // gs
+
+    d = d_ref[:].reshape(sg_t, d_rep, T)[:, 0].reshape(sg_t, 1, T)
+    sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)
+    scale = jnp.broadcast_to(d, (sg_t, gpsg, T)).reshape(ng, T) * sc
+    off2 = scale * float(shift) if shift else None
+    if has_min:
+        dmin = dmin_ref[:].reshape(sg_t, d_rep, T)[:, 0].reshape(sg_t, 1, T)
+        mn = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
+        off = jnp.broadcast_to(dmin, (sg_t, gpsg, T)).reshape(ng, T) * mn
+        off2 = off if off2 is None else off2 + off
+    w = (scale.reshape(ng, 1, T) * q.astype(jnp.float32).reshape(ng, gs, T)
+         ).reshape(tile_in, T).astype(mxu_dtype)
+
+    acc = jnp.dot(
+        x_ref[:].astype(mxu_dtype), w, preferred_element_type=jnp.float32
+    )
+    if off2 is not None:
+        acc = acc - jnp.dot(xs_ref[:].T, off2,
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+_V2_KERNELS = {"v2": _kernel_v2, "v3": _kernel_v3, "v2f": _kernel_v2f,
+               "v2h": _kernel_v2h, "v2g": _kernel_v2g}
+
+# Which in-kernel dequant variant the dispatcher uses for v2-format weights.
+# Round-4 race on the real chip (docs/KERNELS_r04.md): v2g 547 GB/s > v2f
+# 490-498 > v2 470-486 > v2h 439 > v3 329 effective. v2g applies the whole
+# affine offset as one small MXU dot against precomputed per-group
+# activation sums; its only numeric delta vs v2 is WHERE the single bf16
+# MXU rounding lands (on scale*q instead of the centered weight, ~2x the
+# absolute rounding — still far below the 4-bit quantization noise).
+# GG_PALLAS_V2_VARIANT=v2 restores the bit-matched-to-f32-build kernel.
+PALLAS_V2_VARIANT = os.environ.get("GG_PALLAS_V2_VARIANT", "v2g")
 
 
 @functools.partial(
@@ -668,6 +730,16 @@ def dequant_matmul_pallas_v2(
             pl.BlockSpec((ng_t, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         ]
         operands += [rql.dmin_sg, rql.mn_q]
+    if variant == "v2g":
+        # per-group activation sums for the offset-correction dot,
+        # precomputed here (XLA) rather than in-kernel (v3's mistake).
+        # Stored transposed (ng, B) so the lane dim equals the full array
+        # dim (Mosaic block rule: last dim divisible by 128 or full).
+        xsum = jnp.sum(x.reshape(B, d_in // gs, gs), axis=-1,
+                       dtype=jnp.float32).T
+        in_specs += [pl.BlockSpec((ng_t, B), lambda i, j: (j, 0),
+                                  memory_space=pltpu.VMEM)]
+        operands += [xsum]
 
     bytes_scales = 4 * d_rep * d_out * (d_in // QK_K) + d_out * (d_in // gs)
     if has_min:
@@ -758,20 +830,47 @@ def select_tiles(d_in: int, d_out: int) -> Optional[Tuple[int, int]]:
     return tile_in, tile_out
 
 
-def select_tiles_v2(d_in: int, d_out: int) -> Optional[Tuple[int, int]]:
+_VMEM_BUDGET = 15 * 2 ** 20  # scoped-vmem stack limit is 16M; leave margin
+
+
+def _tile_fits_vmem(tile_in: int, tile_out: int, n_rows: int) -> bool:
+    """Scoped-vmem estimate for one grid step of the v2 kernel: the f32
+    dequant intermediate (tile_in x tile_out) dominates, plus the x block
+    and the accumulator (n_rows is the x row count — 8 at decode, up to
+    the padded prompt length at prefill, where the old fixed cap OOM'd)."""
+    return (4 * tile_in * tile_out + 2 * n_rows * tile_in
+            + 4 * n_rows * tile_out) <= _VMEM_BUDGET
+
+
+def select_tiles_v2(d_in: int, d_out: int,
+                    n_rows: int = 8) -> Optional[Tuple[int, int]]:
     """Tiles for the compact-scale kernel: tile_in must be a multiple of
     1024 (so the x2-replicated super-scale rows give >= 8 sublanes per
     block), or the whole input dim (full-dim blocks are always legal).
-    tile_in caps at 2048: measured ~8% faster than 1024 at fused 8B decode
-    shapes (deeper grid steps amortize the per-step dequant prologue)."""
+    tile_in caps at 8192 subject to the vmem budget: the round-4 on-chip
+    sweep (docs/KERNELS_r04.md) measured 0.207 ms/layer at the (8192, 512)
+    cap vs 0.249 at the old 2048 cap — deeper input tiles amortize the
+    per-grid-step dequant prologue; (4096, 1024) overflows VMEM and
+    full-14336 regresses to 0.244, so 8192/512 is the sweet spot at 8B
+    decode shapes. Prefill (hundreds of x rows) gets shallower tiles from
+    the same budget."""
     tile_out = _best_tile(d_out, 512, 256)
     if tile_out is None or d_in % QK_K != 0:
         return None
-    tile_in = _best_tile(d_in, 2048, 1024)
-    if tile_in is not None:
-        return tile_in, tile_out
+    cap = 8192
+    while cap >= 1024:
+        tile_in = _best_tile(d_in, cap, 1024)
+        if tile_in is None:
+            break
+        if _tile_fits_vmem(tile_in, tile_out, n_rows):
+            return tile_in, tile_out
+        cap = tile_in - 1024
     if d_in <= 16384:
-        return d_in, (min(tile_out, 256) if d_in > 4096 else tile_out)
+        to = min(tile_out, 256) if d_in > 8192 else tile_out
+        while to >= 256:
+            if _tile_fits_vmem(d_in, to, n_rows):
+                return d_in, to
+            to -= 256
     return None
 
 
@@ -796,7 +895,8 @@ def dequant_matmul(x: jax.Array, rql, force_xla: bool = False) -> jax.Array:
             x, rql, tile_in=tiles[0], tile_out=tiles[1], interpret=interpret
         )
     v2 = isinstance(rql, RuntimeQuantLinearV2)
-    tiles = (select_tiles_v2 if v2 else select_tiles)(rql.d_in_local, rql.d_out)
+    tiles = (select_tiles_v2(rql.d_in_local, rql.d_out, n_rows=x.shape[0])
+             if v2 else select_tiles(rql.d_in_local, rql.d_out))
     if force_xla or tiles is None or (not on_tpu and not interpret):
         return dequant_matmul_xla_v2(x, rql) if v2 else dequant_matmul_xla(x, rql)
     if v2:

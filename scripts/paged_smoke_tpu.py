@@ -94,6 +94,35 @@ def main():
                          "max_rel_err": round(rel, 6), "ok": ok}
         print(json.dumps({name: results[name]}), flush=True)
 
+    # int4-packed q4 kernel variant (round 4): quantize the same pages,
+    # compare against the gather + DEQUANTIZED reference
+    from gptq_gguf_tpu.models import llama
+    from gptq_gguf_tpu.serving import model as qmodel
+
+    kq, ks = qmodel._quantize_kv_q4(jnp.asarray(k_pages))
+    vq, vs = qmodel._quantize_kv_q4(jnp.asarray(v_pages))
+    k_deq = llama.dequant_kv_q4(kq, ks)
+    v_deq = llama.dequant_kv_q4(vq, vs)
+    kd_all = np.asarray(paged._gather_slot_kv(k_deq, jnp.asarray(table)))
+    vd_all = np.asarray(paged._gather_slot_kv(v_deq, jnp.asarray(table)))
+    for name, kw in {"q4_plain": dict(),
+                     "q4_window_sinks_softcap": dict(
+                         window=48, sinks=jnp.asarray(sinks), softcap=50.0),
+                     }.items():
+        out = np.asarray(paged_attention.paged_flash_decode_q4(
+            jnp.asarray(q), kq, vq, ks, vs,
+            jnp.asarray(table), jnp.asarray(lengths), scale=scale,
+            interpret=False, **kw))
+        rkw = {k: (sinks if k == "sinks" else v) for k, v in kw.items()}
+        ref = ref_attn(q, kd_all, vd_all, lengths, scale, **rkw)
+        err = float(np.max(np.abs(out - ref)))
+        rel = err / float(np.max(np.abs(ref)) + 1e-9)
+        ok = rel < 5e-3
+        ok_all &= ok
+        results[name] = {"max_abs_err": round(err, 6),
+                         "max_rel_err": round(rel, 6), "ok": ok}
+        print(json.dumps({name: results[name]}), flush=True)
+
     out = {"device": str(jax.devices()[0]), "ok": ok_all, "cases": results}
     print(json.dumps(out))
     with open("docs/PAGED_SMOKE_r04.json", "w") as f:

@@ -150,7 +150,7 @@ def test_pallas_v3_offset_fold_matches_xla(qtype):
     assert np.abs(y_bf - y_ref).max() < 0.03 * ref_scale
 
 
-@pytest.mark.parametrize("variant", ["v2f", "v2h"])
+@pytest.mark.parametrize("variant", ["v2f", "v2h", "v2g"])
 @pytest.mark.parametrize("qtype", [T.Q2_K, T.Q3_K, T.Q4_K, T.Q6_K])
 def test_pallas_v2fh_group_fold_matches_xla(qtype, variant):
     """v2f folds the signed-code shift into the group offset plane (f32
@@ -214,8 +214,8 @@ def test_q8_activation_quantization():
 
 
 @pytest.mark.parametrize("d_in,d_out,expect", [
-    (4096, 4096, (2048, 512)),    # 2048-deep tiles measured ~8% faster
-    (14336, 4096, (2048, 512)),
+    (4096, 4096, (4096, 512)),    # 8192 cap: docs/KERNELS_r04.md sweep
+    (14336, 4096, (7168, 512)),
     (11008, 4096, (11008, 256)),  # 256*43: no 1024 divisor -> full depth
     (2304, 2304, (2304, 256)),
     (512, 512, (512, 512)),       # full depth (d_in <= 16384)
