@@ -36,6 +36,19 @@ from jax.experimental.pallas import tpu as pltpu
 # max rel err 2e-6 vs the f32 gather reference (docs/PAGED_SMOKE_r04.json).
 EXTENDED_ON_TPU = True
 
+# The int4 (q4) paged kernel is exact in interpret mode but does not compile
+# on real TPU yet: Mosaic rejects DMA slices whose lane dim is 64 (< the
+# 128-lane u8 tile) — both the packed-code pools (hd/2 = 64 lanes) and the
+# group-scale pools (hd/32 lanes) hit this ("Slice shape along dimension 3
+# must be aligned to tiling (128)", real-TPU smoke 2026-08-20). On TPU the
+# int4 paged path therefore takes the XLA gather+dequant route (correct,
+# tested; reads the full provisioned pool per layer). Unblock sketch: pack
+# k+v codes into one 128-lane row per position ((n_pages, nKV, page, hd)
+# u8, k in lanes [0, hd/2), v in [hd/2, hd)) and k+v group scales into one
+# (n_pages, nKV, 2*hd/KV_Q4_GROUP, page) f32 plane with page_size >= 128 —
+# every DMA then slices only tile-aligned trailing dims.
+Q4_KERNEL_ON_TPU = False
+
 
 def _kernel(table_ref, len_ref, q_ref, sinks_ref, kp_ref, vp_ref, out_ref,
             kbuf, vbuf, acc, m_sc, l_sc, ksem, vsem, *, page, pps, scale,
@@ -53,10 +66,10 @@ def _kernel(table_ref, len_ref, q_ref, sinks_ref, kp_ref, vp_ref, out_ref,
     def start_copy(i, slot):
         pid = jnp.maximum(table_ref[b * pps + i], 0)
         pltpu.make_async_copy(
-            kp_ref.at[pid, :, kv, :], kbuf.at[slot], ksem.at[slot]
+            kp_ref.at[pid, kv], kbuf.at[slot], ksem.at[slot]
         ).start()
         pltpu.make_async_copy(
-            vp_ref.at[pid, :, kv, :], vbuf.at[slot], vsem.at[slot]
+            vp_ref.at[pid, kv], vbuf.at[slot], vsem.at[slot]
         ).start()
 
     @pl.when(p == 0)
@@ -73,10 +86,10 @@ def _kernel(table_ref, len_ref, q_ref, sinks_ref, kp_ref, vp_ref, out_ref,
     def _():
         slot = jax.lax.rem(p, 2)
         pltpu.make_async_copy(
-            kp_ref.at[0, :, kv, :], kbuf.at[slot], ksem.at[slot]
+            kp_ref.at[0, 0], kbuf.at[slot], ksem.at[slot]
         ).wait()
         pltpu.make_async_copy(
-            vp_ref.at[0, :, kv, :], vbuf.at[slot], vsem.at[slot]
+            vp_ref.at[0, 0], vbuf.at[slot], vsem.at[slot]
         ).wait()
 
         @pl.when(p + 1 < n_live)
@@ -150,7 +163,7 @@ def _kernel_q4(table_ref, len_ref, q_ref, sinks_ref, kp_ref, vp_ref,
             (ksp_ref, ksbuf, kssem), (vsp_ref, vsbuf, vssem),
         ):
             pltpu.make_async_copy(
-                src.at[pid, :, kv, :], dst.at[slot], sem.at[slot]
+                src.at[pid, kv], dst.at[slot], sem.at[slot]
             ).start()
 
     @pl.when(p == 0)
@@ -171,7 +184,7 @@ def _kernel_q4(table_ref, len_ref, q_ref, sinks_ref, kp_ref, vp_ref,
             (ksp_ref, ksbuf, kssem), (vsp_ref, vsbuf, vssem),
         ):
             pltpu.make_async_copy(
-                src.at[0, :, kv, :], dst.at[slot], sem.at[slot]
+                src.at[0, 0], dst.at[slot], sem.at[slot]
             ).wait()
 
         @pl.when(p + 1 < n_live)
@@ -179,12 +192,21 @@ def _kernel_q4(table_ref, len_ref, q_ref, sinks_ref, kp_ref, vp_ref,
             start_copy(p + 1, jax.lax.rem(p + 1, 2))
 
         def deq(codes, scales):
-            # (page, hd/2) u8 + (page, hd/32) f32 -> (page, hd) f32
+            # (page, hd/2) u8 + (page, hd/32) f32 -> (page, hd) f32.
+            # Group scales broadcast across lanes via iota-select: Mosaic
+            # cannot lower jnp.repeat's (page, ng, gsz)->(page, hd) lane
+            # shape-cast ("infer-vector-layout: unsupported shape cast",
+            # real-TPU smoke 2026-08-20); a (page,1)->(page,hd) sublane
+            # broadcast per group is supported and ng is tiny (hd/32).
             lo = (codes & 0xF).astype(jnp.int32) - 8
             hi = (codes >> 4).astype(jnp.int32) - 8
             w = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
             ng = scales.shape[-1]
-            s = jnp.repeat(scales, w.shape[-1] // ng, axis=-1)
+            gsz = w.shape[-1] // ng
+            lane = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1) // gsz
+            s = jnp.zeros_like(w)
+            for g in range(ng):
+                s = jnp.where(lane == g, scales[:, g:g + 1], s)
             return w * s
 
         qv = q_ref[0, 0].astype(jnp.float32) * scale            # (G, hd)
@@ -235,12 +257,12 @@ def paged_flash_decode_q4(q, k_pages, v_pages, k_s_pages, v_s_pages, table,
                           window: int = 0, sinks=None, softcap: float = 0.0):
     """paged_flash_decode over int4-packed pools (VERDICT r3 #7).
 
-    k_pages/v_pages: (n_pages, page, nKV, hd//2) uint8 packed codes;
-    k_s_pages/v_s_pages: (n_pages, page, nKV, hd//KV_Q4_GROUP) f32 group
+    k_pages/v_pages: (n_pages, nKV, page, hd//2) uint8 packed codes;
+    k_s_pages/v_s_pages: (n_pages, nKV, page, hd//KV_Q4_GROUP) f32 group
     scales. Decode KV traffic drops to (hd/2 + hd/8) bytes per entry vs
     2*hd bf16 — 3.2x. Returns (B, nKV, G, hd) f32."""
     B, nKV, G, hd = q.shape
-    n_pages, page, _, half = k_pages.shape
+    n_pages, _, page, half = k_pages.shape
     ng = k_s_pages.shape[-1]
     assert half * 2 == hd
     pps = table.shape[1]
@@ -301,7 +323,7 @@ def paged_flash_decode(q, k_pages, v_pages, table, lengths, *,
     """Decode attention straight off the page pools.
 
     q: (B, nKV, G, hd) single query token per slot (pre-norm, un-scaled).
-    k_pages/v_pages: (n_pages, page, nKV, hd) shared pools.
+    k_pages/v_pages: (n_pages, nKV, page, hd) shared pools.
     table: (B, pages_per_slot) int32 page ids (-1 = unassigned).
     lengths: (B,) int32 query positions (cache holds [0, lengths[b]]).
     window: sliding-window size (0 = full attention) — pages wholly below
@@ -310,7 +332,7 @@ def paged_flash_decode(q, k_pages, v_pages, table, lengths, *,
     Returns (B, nKV, G, hd) f32.
     """
     B, nKV, G, hd = q.shape
-    n_pages, page, _, _ = k_pages.shape
+    n_pages, _, page, _ = k_pages.shape
     pps = table.shape[1]
     rows = max(8, G)
     has_sinks = sinks is not None

@@ -190,7 +190,7 @@ def paged_cache_specs(cache):
     the kv-head axis, block table + lengths replicated."""
     from ..serving.paged import PagedKVCache
 
-    pool = P(None, None, "tp", None)
+    pool = P(None, "tp", None, None)
     return PagedKVCache(
         [pool for _ in cache.k_pages],
         [pool for _ in cache.v_pages],

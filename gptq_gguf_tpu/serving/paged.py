@@ -30,7 +30,7 @@ from .model import _q_linear, _QUANT_TYPES, _dequant_any
 
 
 class PagedKVCache(NamedTuple):
-    k_pages: List[jax.Array]  # per layer (n_pages, page_size, nKV, hd)
+    k_pages: List[jax.Array]  # per layer (n_pages, nKV, page_size, hd)
     v_pages: List[jax.Array]
     page_table: jax.Array     # (B, pages_per_slot) int32, -1 = unassigned
     lengths: jax.Array        # (B,) int32
@@ -41,7 +41,7 @@ class PagedKVCache(NamedTuple):
 
     @property
     def page_size(self) -> int:
-        return self.k_pages[0].shape[1]
+        return self.k_pages[0].shape[2]
 
     @property
     def max_len(self) -> int:
@@ -74,8 +74,8 @@ def init_paged_cache(
             raise NotImplementedError(
                 f"int4 paged KV needs head_dim divisible by "
                 f"{2 * KV_Q4_GROUP}, got {hd}")
-        shape_q = (n_pages, page_size, cfg.num_key_value_heads, hd // 2)
-        shape_s = (n_pages, page_size, cfg.num_key_value_heads,
+        shape_q = (n_pages, cfg.num_key_value_heads, page_size, hd // 2)
+        shape_s = (n_pages, cfg.num_key_value_heads, page_size,
                    hd // KV_Q4_GROUP)
         return PagedKVCache(
             [jnp.zeros(shape_q, jnp.uint8) for _ in range(n)],
@@ -87,7 +87,7 @@ def init_paged_cache(
         )
     elif kv_dtype not in (None, "bf16"):
         raise ValueError(f"unsupported paged kv_dtype {kv_dtype!r}")
-    shape = (n_pages, page_size, cfg.num_key_value_heads, hd)
+    shape = (n_pages, cfg.num_key_value_heads, page_size, hd)
     return PagedKVCache(
         [jnp.zeros(shape, dtype) for _ in range(n)],
         [jnp.zeros(shape, dtype) for _ in range(n)],
@@ -102,22 +102,22 @@ def _write_paged(pool: jax.Array, table: jax.Array, positions: jax.Array,
 
     positions: (B, S). Unassigned pages (-1) scatter to a dropped index.
     """
-    page_size = pool.shape[1]
+    page_size = pool.shape[2]
     page_idx = positions // page_size                      # (B, S)
     page_ids = jnp.take_along_axis(table, page_idx, axis=1)  # (B, S)
     offs = positions % page_size
     page_ids = jnp.where(page_ids < 0, pool.shape[0], page_ids)  # drop
-    return pool.at[page_ids, offs, :, :].set(
+    return pool.at[page_ids, :, offs, :].set(
         vals.astype(pool.dtype), mode="drop"
     )
 
 
 def _gather_slot_kv(pool: jax.Array, table: jax.Array) -> jax.Array:
-    """(n_pages, page, nKV, hd) + (B, pps) -> (B, nKV, pps*page, hd)."""
+    """(n_pages, nKV, page, hd) + (B, pps) -> (B, nKV, pps*page, hd)."""
     safe = jnp.maximum(table, 0)
-    g = pool[safe]  # (B, pps, page, nKV, hd)
-    B, pps, page, nKV, hd = g.shape
-    return g.transpose(0, 3, 1, 2, 4).reshape(B, nKV, pps * page, hd)
+    g = pool[safe]  # (B, pps, nKV, page, hd)
+    B, pps, nKV, page, hd = g.shape
+    return g.transpose(0, 2, 1, 3, 4).reshape(B, nKV, pps * page, hd)
 
 
 def forward_paged(
@@ -209,7 +209,11 @@ def forward_paged(
         ext_ok = interpret or paged_attention.EXTENDED_ON_TPU
         plain = (sliding is None and "sinks" not in layer
                  and not cfg.attn_logit_softcap)
-        if S == 1 and (on_tpu or interpret) and (plain or ext_ok):
+        # int4 pools: the q4 kernel is interpret-only for now (Mosaic lane
+        # tiling rejects the 64-lane DMA slices on real TPU — see
+        # paged_attention.Q4_KERNEL_ON_TPU for the unblock sketch)
+        q4_ok = not q4 or interpret or paged_attention.Q4_KERNEL_ON_TPU
+        if S == 1 and (on_tpu or interpret) and (plain or ext_ok) and q4_ok:
             # Pallas flash-decode walks the block table: only live pages
             # leave HBM (the gather path below copies the full provisioned
             # cache every layer); sliding windows skip out-of-window pages

@@ -55,8 +55,8 @@ def main():
     n_pages = B * pps
     lengths = np.asarray([5, 63, 170], np.int32)
     q = rng.normal(size=(B, nKV, G, hd)).astype(np.float32) * 0.5
-    k_pages = rng.normal(size=(n_pages, page, nKV, hd)).astype(np.float32) * 0.2
-    v_pages = rng.normal(size=(n_pages, page, nKV, hd)).astype(np.float32)
+    k_pages = rng.normal(size=(n_pages, nKV, page, hd)).astype(np.float32) * 0.2
+    v_pages = rng.normal(size=(n_pages, nKV, page, hd)).astype(np.float32)
     table = np.full((B, pps), -1, np.int32)
     nxt = 0
     for b in range(B):
@@ -98,6 +98,17 @@ def main():
     # compare against the gather + DEQUANTIZED reference
     from gptq_gguf_tpu.models import llama
     from gptq_gguf_tpu.serving import model as qmodel
+
+    if not paged_attention.Q4_KERNEL_ON_TPU:
+        results["q4"] = {"skipped": "Q4_KERNEL_ON_TPU=False (Mosaic lane "
+                         "tiling rejects 64-lane DMA slices; gather path "
+                         "serves int4 paged on TPU)"}
+        out = {"device": str(jax.devices()[0]), "ok": ok_all,
+               "cases": results}
+        print(json.dumps(out))
+        with open("docs/PAGED_SMOKE_r04.json", "w") as f:
+            json.dump(out, f, indent=1)
+        sys.exit(0 if ok_all else 1)
 
     kq, ks = qmodel._quantize_kv_q4(jnp.asarray(k_pages))
     vq, vs = qmodel._quantize_kv_q4(jnp.asarray(v_pages))

@@ -164,7 +164,7 @@ def _q4_pools(rng, n_pages, page, nKV, hd, scale=1.0):
     dequantized reference pages."""
     from gptq_gguf_tpu.serving import model as qm
 
-    x = jnp.asarray(rng.normal(size=(n_pages, page, nKV, hd)).astype(np.float32)) * scale
+    x = jnp.asarray(rng.normal(size=(n_pages, nKV, page, hd)).astype(np.float32)) * scale
     codes, scales = qm._quantize_kv_q4(x)
     from gptq_gguf_tpu.models import llama as ll
 

@@ -105,8 +105,8 @@ def test_paged_flash_decode_kernel():
     n_pages = B * pps
     lengths = jnp.asarray([5, 63, 170], jnp.int32)  # mid / page-edge / multi
     q = jnp.asarray(rng.normal(size=(B, nKV, G, hd)).astype(np.float32))
-    k_pages = jnp.asarray(rng.normal(size=(n_pages, page, nKV, hd)).astype(np.float32))
-    v_pages = jnp.asarray(rng.normal(size=(n_pages, page, nKV, hd)).astype(np.float32))
+    k_pages = jnp.asarray(rng.normal(size=(n_pages, nKV, page, hd)).astype(np.float32))
+    v_pages = jnp.asarray(rng.normal(size=(n_pages, nKV, page, hd)).astype(np.float32))
     # assign only the live pages; rest are -1
     table = np.full((B, pps), -1, np.int32)
     nxt = 0
@@ -167,8 +167,8 @@ def test_paged_flash_decode_window_and_sinks():
     n_pages = B * pps
     lengths = jnp.asarray([70, 150], jnp.int32)
     q = jnp.asarray(rng.normal(size=(B, nKV, G, hd)).astype(np.float32))
-    k_pages = jnp.asarray(rng.normal(size=(n_pages, page, nKV, hd)).astype(np.float32)) * 0.2
-    v_pages = jnp.asarray(rng.normal(size=(n_pages, page, nKV, hd)).astype(np.float32))
+    k_pages = jnp.asarray(rng.normal(size=(n_pages, nKV, page, hd)).astype(np.float32)) * 0.2
+    v_pages = jnp.asarray(rng.normal(size=(n_pages, nKV, page, hd)).astype(np.float32))
     table = jnp.asarray(np.arange(n_pages, dtype=np.int32).reshape(B, pps))
     scale = 1.0 / np.sqrt(hd)
     sinks = jnp.asarray(rng.normal(size=(nKV * G,)).astype(np.float32))
@@ -205,8 +205,8 @@ def test_paged_flash_decode_softcap():
     n_pages = B * pps
     lengths = jnp.asarray([40, 130], jnp.int32)
     q = jnp.asarray(rng.normal(size=(B, nKV, G, hd)).astype(np.float32))
-    k_pages = jnp.asarray(rng.normal(size=(n_pages, page, nKV, hd)).astype(np.float32)) * 0.3
-    v_pages = jnp.asarray(rng.normal(size=(n_pages, page, nKV, hd)).astype(np.float32))
+    k_pages = jnp.asarray(rng.normal(size=(n_pages, nKV, page, hd)).astype(np.float32)) * 0.3
+    v_pages = jnp.asarray(rng.normal(size=(n_pages, nKV, page, hd)).astype(np.float32))
     table = jnp.asarray(np.arange(n_pages, dtype=np.int32).reshape(B, pps))
     scale = 1.0 / np.sqrt(hd)
     softcap = 50.0
