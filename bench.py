@@ -379,6 +379,9 @@ def build_8b_params(max_len=2048):
         layers.append(qmodel.fuse_layer_projections(lset))  # qkv/gateup fusion
     embed = jax.random.normal(jax.random.PRNGKey(2), (V, H), jnp.bfloat16) * 0.02
     lm_head = _synth_dev(jax.random.fold_in(key, 99), V, H, T.Q6_K)
+    if BENCH_FORMAT == "v2":
+        from gptq_gguf_tpu.ops import qmatmul as _qm
+        lm_head = _qm.pad_dout_v2(lm_head)  # 512-tile lm_head (serving does too)
     params = {"embed_tokens": embed, "layers": layers,
               "norm": jnp.ones((H,), jnp.bfloat16), "lm_head": lm_head}
     weight_bytes_layer = sum(

@@ -810,6 +810,26 @@ def q8_matmul_xla(x: jax.Array, rql: RuntimeQuantLinearV2) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
+def pad_dout_v2(rql: "RuntimeQuantLinearV2",
+                multiple: int = 512) -> "RuntimeQuantLinearV2":
+    """Zero-pad a v2-format weight's OUTPUT dim to a multiple (zero codes +
+    zero scales dequantize to exactly 0). A d_out like the 128256 vocab
+    forces tile_out=256, which the round-4 on-chip sweep measured ~25%
+    slower than 512-wide tiles (docs/KERNELS_r04.md); padding the lm_head
+    to 512 rows costs 0.2% extra bytes and the consumer slices logits back
+    to vocab_size. Contiguous row chunks keep TP vocab sharding valid (the
+    pad lives wholly in the last shard)."""
+    d_out = rql.d_out
+    pad = (-d_out) % multiple
+    if pad == 0:
+        return rql
+    p = lambda a: (None if a is None else
+                   jnp.pad(a, ((0, 0), (0, pad))))
+    return RuntimeQuantLinearV2(
+        p(rql.qs), p(rql.d_sg), p(rql.dmin_sg), p(rql.sc_q), p(rql.mn_q),
+        rql.d_in, rql.group_size, rql.per_byte, rql.shift, rql.d_rep)
+
+
 def _best_tile(dim: int, cap: int, quantum: int) -> Optional[int]:
     """Largest divisor of ``dim`` that is a multiple of ``quantum`` and <= cap."""
     start = (min(cap, dim) // quantum) * quantum

@@ -649,6 +649,8 @@ def forward_cached(
     head = params.get("lm_head", params["embed_tokens"])
     if isinstance(head, _QUANT_TYPES):
         logits = qmatmul.dequant_matmul(h, head)
+        if psum_axis is None and logits.shape[-1] > cfg.vocab_size:
+            logits = logits[..., :cfg.vocab_size]  # drop pad_dout_v2 rows
     elif all_logits:
         logits = jnp.einsum("bsi,oi->bso", h, head,
                             preferred_element_type=jnp.float32)
@@ -659,6 +661,8 @@ def forward_cached(
     if psum_axis is not None:
         # vocab-sharded head: concatenate shard logits in device order
         logits = jax.lax.all_gather(logits, psum_axis, axis=1, tiled=True)
+        if logits.shape[-1] > cfg.vocab_size:
+            logits = logits[..., :cfg.vocab_size]  # pad lives in last shard
     if cfg.logits_multiplier is not None:
         logits = logits * cfg.logits_multiplier
     if cfg.final_logit_softcap:
@@ -1217,7 +1221,13 @@ def load_gguf_for_serving(
             # embeddings are gathered, keep dense
             params["embed_tokens"] = jnp.asarray(r.tensor_float(name), dtype=dtype)
         elif name == "output.weight":
-            params["lm_head"] = to_param(load_tensor(name))
+            head = to_param(load_tensor(name))
+            if isinstance(head, qmatmul.RuntimeQuantLinearV2):
+                # pad vocab rows to a 512 multiple: unlocks 512-wide kernel
+                # tiles (~25% faster lm_head, docs/KERNELS_r04.md); the
+                # forward slices logits back to vocab_size
+                head = qmatmul.pad_dout_v2(head)
+            params["lm_head"] = head
         elif name == "output.bias":
             params["lm_head_bias"] = jnp.asarray(r.tensor_float(name))
         elif name == "output_norm.weight":

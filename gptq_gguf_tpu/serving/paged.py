@@ -282,11 +282,15 @@ def forward_paged(
     head = params.get("lm_head", params["embed_tokens"])
     if isinstance(head, _QUANT_TYPES):
         logits = qmodel.qmatmul.dequant_matmul(h, head)
+        if psum_axis is None and logits.shape[-1] > cfg.vocab_size:
+            logits = logits[..., :cfg.vocab_size]  # drop pad_dout_v2 rows
     else:
         logits = jnp.einsum("bi,oi->bo", h, head, preferred_element_type=jnp.float32)
     if psum_axis is not None:
         # vocab-sharded logits: tiled all_gather back to the full vocab
         logits = jax.lax.all_gather(logits, psum_axis, axis=1, tiled=True)
+        if logits.shape[-1] > cfg.vocab_size:
+            logits = logits[..., :cfg.vocab_size]  # pad lives in last shard
     if cfg.final_logit_softcap:
         logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
     return logits, PagedKVCache(new_k, new_v, cache.page_table,

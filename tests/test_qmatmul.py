@@ -223,3 +223,29 @@ def test_q8_activation_quantization():
 ])
 def test_select_tiles_v2(d_in, d_out, expect):
     assert qmatmul.select_tiles_v2(d_in, d_out) == expect
+
+
+def test_pad_dout_v2_exact():
+    """pad_dout_v2: padded rows dequantize to 0 and the matmul's first
+    d_out columns are unchanged (lm_head vocab padding, round 4)."""
+    wx = RNG.normal(size=(320, 512)).astype(np.float32) * 0.1  # 320 % 512 != 0
+    q, params = kquant.quantize_rtn(jnp.asarray(wx), T.Q6_K)
+    rql = qmatmul.pack_runtime_v2(np.asarray(q), params, T.Q6_K)
+    padded = qmatmul.pad_dout_v2(rql, multiple=512)
+    assert padded.d_out == 512 and rql.d_out == 320
+    x = jnp.asarray(RNG.normal(size=(4, 512)).astype(np.float32))
+    y0 = np.asarray(qmatmul.dequant_matmul_xla_v2(x, rql))
+    y1 = np.asarray(qmatmul.dequant_matmul_xla_v2(x, padded))
+    # different dot shapes -> different f32 reduction order (1e-5 drift)
+    np.testing.assert_allclose(y1[:, :320], y0, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(y1[:, 320:], 0.0)
+    # aligned input is returned untouched
+    assert qmatmul.pad_dout_v2(padded, multiple=512) is padded
+    # Q4_K (has mins) too
+    q, params = kquant.quantize_rtn(jnp.asarray(wx), T.Q4_K)
+    rql = qmatmul.pack_runtime_v2(np.asarray(q), params, T.Q4_K)
+    padded = qmatmul.pad_dout_v2(rql, multiple=512)
+    y0 = np.asarray(qmatmul.dequant_matmul_xla_v2(x, rql))
+    y1 = np.asarray(qmatmul.dequant_matmul_xla_v2(x, padded))
+    np.testing.assert_allclose(y1[:, :320], y0, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(y1[:, 320:], 0.0)
