@@ -657,8 +657,77 @@ def _kernel_v2g(refs, *, gs, per_byte, tile_in, shift, has_min, mxu_dtype,
         out_ref[:] = out_ref[:] + acc
 
 
+def _kernel_v2s(refs, *, gs, per_byte, tile_in, shift, has_min, mxu_dtype,
+                d_rep):
+    """_kernel_v2g with the nibble planes kept SPLIT: instead of
+    concatenating lo/hi nibbles back into (tile_in, T) (a sublane-relayout
+    Mosaic pays for on every byte), the dot is computed as two half-depth
+    matmuls against pre-split activations —
+
+        acc = x_lo @ (s_lo * lo) + x_hi @ (s_hi * hi) - xsum @ off2
+
+    where x_lo/x_hi hold each 256-superblock's first/second 128 features
+    (sliced in XLA, cheap on the x side). v4f tried the split but paid f32
+    scale bytes + an in-kernel offset dot; this keeps v2's compact scales
+    and v2g's precomputed xsum. per_byte==2 formats only (the dispatcher
+    falls back to v2g for byte-wide codes)."""
+    import jax.experimental.pallas as pl
+
+    if has_min:
+        (xl_ref, xh_ref, qs_ref, d_ref, sc_ref, dmin_ref, mn_ref, xs_ref,
+         out_ref) = refs
+    else:
+        xl_ref, xh_ref, qs_ref, d_ref, sc_ref, xs_ref, out_ref = refs
+    j = pl.program_id(1)
+
+    qs = qs_ref[:].astype(jnp.int32)       # (tile_in/2, T)
+    T = qs.shape[1]
+    ng = tile_in // gs
+    sg_t = tile_in // QK_K
+    gpsg = QK_K // gs
+    half_g = ng // 2
+
+    d = d_ref[:].reshape(sg_t, d_rep, T)[:, 0].reshape(sg_t, 1, T)
+    sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)
+    scale = jnp.broadcast_to(d, (sg_t, gpsg, T)).reshape(ng, T) * sc
+    off2 = scale * float(shift) if shift else None
+    if has_min:
+        dmin = dmin_ref[:].reshape(sg_t, d_rep, T)[:, 0].reshape(sg_t, 1, T)
+        mn = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
+        off = jnp.broadcast_to(dmin, (sg_t, gpsg, T)).reshape(ng, T) * mn
+        off2 = off if off2 is None else off2 + off
+
+    # groups 0..gpsg/2 of each superblock cover its first 128 features
+    sc3 = scale.reshape(sg_t, gpsg, T)
+    s_lo = sc3[:, : gpsg // 2].reshape(half_g, 1, T)
+    s_hi = sc3[:, gpsg // 2:].reshape(half_g, 1, T)
+
+    def plane(bits, s):
+        qf = bits.astype(jnp.float32).reshape(half_g, gs, T)
+        return (s * qf).reshape(tile_in // 2, T).astype(mxu_dtype)
+
+    w_lo = plane(qs & 0x0F, s_lo)
+    w_hi = plane(qs >> 4, s_hi)
+
+    acc = jnp.dot(xl_ref[:].astype(mxu_dtype), w_lo,
+                  preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(xh_ref[:].astype(mxu_dtype), w_hi,
+                        preferred_element_type=jnp.float32)
+    if off2 is not None:
+        acc = acc - jnp.dot(xs_ref[:].T, off2,
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
 _V2_KERNELS = {"v2": _kernel_v2, "v3": _kernel_v3, "v2f": _kernel_v2f,
-               "v2h": _kernel_v2h, "v2g": _kernel_v2g}
+               "v2h": _kernel_v2h, "v2g": _kernel_v2g, "v2s": _kernel_v2s}
 
 # Which in-kernel dequant variant the dispatcher uses for v2-format weights.
 # Round-4 race on the real chip (docs/KERNELS_r04.md): v2g 547 GB/s > v2f
@@ -708,6 +777,8 @@ def dequant_matmul_pallas_v2(
     ng_t = tile_in // gs
     sg_t = tile_in // QK_K
     has_min = rql.has_min
+    if variant == "v2s" and per_byte != 2:
+        variant = "v2g"  # byte-wide codes have no nibble planes to split
 
     kernel = functools.partial(
         _V2_KERNELS[variant], gs=gs, per_byte=per_byte, tile_in=tile_in,
@@ -717,20 +788,38 @@ def dequant_matmul_pallas_v2(
     def wrapped(*refs):
         kernel(refs)
 
-    in_specs = [
+    if variant == "v2s":
+        # split activations by superblock half OUTSIDE the kernel: the
+        # kernel then never concatenates nibble planes across sublanes
+        x3 = x.reshape(B, d_in // QK_K, QK_K)
+        x_parts = [x3[:, :, : QK_K // 2].reshape(B, d_in // 2),
+                   x3[:, :, QK_K // 2:].reshape(B, d_in // 2)]
+        in_specs = [
+            pl.BlockSpec((B, tile_in // 2), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, tile_in // 2), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        x_parts = None
+        in_specs = []
+    in_specs += [
         pl.BlockSpec((B, tile_in), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_in // per_byte, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((d_rep * sg_t, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((ng_t, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
     ]
     operands = [x, rql.qs, rql.d_sg, rql.sc_q]
+    if x_parts is not None:
+        in_specs = in_specs[:2] + in_specs[3:]  # xl/xh replace the x spec
+        operands = x_parts + operands[1:]
     if has_min:
         in_specs += [
             pl.BlockSpec((d_rep * sg_t, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((ng_t, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         ]
         operands += [rql.dmin_sg, rql.mn_q]
-    if variant == "v2g":
+    if variant in ("v2g", "v2s"):
         # per-group activation sums for the offset-correction dot,
         # precomputed here (XLA) rather than in-kernel (v3's mistake).
         # Stored transposed (ng, B) so the lane dim equals the full array
