@@ -41,11 +41,11 @@ def resolve_dtype(name: str):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}[name]
 
 
-def load_model(args):
+def load_model(args, host: bool = False):
     from ..models import loader
 
     cfg = loader.load_config(args.model_name_or_path, dtype=resolve_dtype(args.dtype))
-    params = loader.load_params(args.model_name_or_path, cfg)
+    params = loader.load_params(args.model_name_or_path, cfg, host=host)
     return cfg, params
 
 

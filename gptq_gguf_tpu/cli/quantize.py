@@ -62,7 +62,9 @@ def run(args) -> None:
                             config=vars(args))
     timer = StageTimer()
     with timer.stage("load_model"):
-        cfg, params = common.load_model(args)
+        # host-staged: the calibration walk moves one block at a time onto
+        # the chip, so checkpoints larger than HBM (8B+) quantize fine
+        cfg, params = common.load_model(args, host=True)
         tokenizer = common.load_tokenizer(args)
     with timer.stage("load_calibration"):
         calib = common.load_calibration(args, cfg, tokenizer)

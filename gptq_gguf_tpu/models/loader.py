@@ -68,8 +68,14 @@ def load_params(
     model_dir: Union[str, Path],
     cfg: Optional[LlamaConfig] = None,
     dtype=jnp.float32,
+    host: bool = False,
 ) -> Dict[str, Any]:
-    """Load HF safetensors into the models.llama pytree."""
+    """Load HF safetensors into the models.llama pytree.
+
+    host=True keeps every weight as a NUMPY array (no device transfer):
+    an 8B checkpoint at f32 is 32 GB — more than a v5e's HBM — so the
+    calibration walk stages one block onto the device at a time
+    (quant/calibrate.py) instead of loading the whole model."""
     model_dir = Path(model_dir)
     cfg = cfg or load_config(model_dir, dtype=dtype)
     layers: list = [dict() for _ in range(cfg.num_hidden_layers)]
@@ -96,7 +102,8 @@ def load_params(
         )
     )
     for name, arr in canonical:
-        val = jnp.asarray(_to_f32(arr), dtype=dtype)
+        val = (_to_f32(arr) if host
+               else jnp.asarray(_to_f32(arr), dtype=dtype))
         if name == "model.embed_tokens.weight":
             params["embed_tokens"] = val
         elif name == "model.norm.weight":

@@ -238,9 +238,17 @@ def quantize_model(
         )
 
     # ---- block-0 inputs ----
+    # host-staged checkpoints (loader.load_params(host=True)): only the
+    # embedding visits the device here; each block is staged in the walk
+    _embed_keys = ("embed_tokens", "pos_embed", "embed_norm", "embed_norm_bias")
+    _staged = {k: jnp.asarray(params[k]) for k in _embed_keys
+               if isinstance(params.get(k), np.ndarray)}
+    _p_embed = {**params, **_staged} if _staged else params
     xs: List[np.ndarray] = [
-        np.asarray(llama.embed_forward(params, jnp.asarray(b), cfg)) for b in batches
+        np.asarray(llama.embed_forward(_p_embed, jnp.asarray(b), cfg))
+        for b in batches
     ]
+    del _staged, _p_embed
 
     any_moe = any("gate_inp" in l for l in params["layers"])
     uniform = len({b.shape for b in batches}) == 1
@@ -254,7 +262,13 @@ def quantize_model(
     n_layers = cfg.num_hidden_layers
     for li in range(n_layers):
         t0 = time.perf_counter()
-        layer = params["layers"][li]
+        # stage this block onto the device (no-op when already there);
+        # it returns to host numpy after propagation so HBM holds at most
+        # one block of the model at a time
+        layer = jax.tree_util.tree_map(jnp.asarray, params["layers"][li])
+        _stage = list(params["layers"])
+        _stage[li] = layer
+        params = {**params, "layers": _stage}
         is_moe = "gate_inp" in layer
         sizes = _capture_sizes(layer, cfg)
         if is_moe:
@@ -314,6 +328,9 @@ def quantize_model(
                 out = _propagate_step(new_layer, jnp.asarray(x), cos, sin, mask, cfg, li)
                 new_xs.append(np.asarray(out))
             xs = new_xs
+            layers = list(params["layers"])
+            layers[li] = jax.tree_util.tree_map(np.asarray, layers[li])
+            params = {**params, "layers": layers}
             if verbose:
                 print(
                     f"[calibrate] block {li + 1}/{n_layers} (moe, {E} experts) "
@@ -388,6 +405,10 @@ def quantize_model(
                 out = _propagate_step(new_layer, jnp.asarray(x), cos, sin, mask, cfg, li)
                 new_xs.append(np.asarray(out))
             xs = new_xs
+
+        layers = list(params["layers"])
+        layers[li] = jax.tree_util.tree_map(np.asarray, layers[li])
+        params = {**params, "layers": layers}
 
         if verbose:
             print(
@@ -518,7 +539,8 @@ def _quant_non_block(params, name, qtype, gptq_cfg, save_dir, verbose):
     q, p = kquant.quantize_rtn(W.astype(jnp.float32), qtype, gptq_cfg.scale_cfg)
     spec = KQUANT_SPECS[qtype]
     q = q.astype(jnp.int8 if spec.signed else jnp.uint8)
-    w_hat = kquant.dequantize(q, p, qtype).astype(W.dtype)
+    # host numpy: non-block weights (embed/lm_head) stay off-device
+    w_hat = np.asarray(kquant.dequantize(q, p, qtype)).astype(W.dtype)
     if save_dir is not None:
         artifacts.save_layer(
             save_dir, name, artifacts.LayerArtifact.from_result(qtype, q, p)
