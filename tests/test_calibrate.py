@@ -138,3 +138,33 @@ def test_scan_batches_matches_loop(tmp_path):
     a1 = artifacts.load_layer(d1, "model.layers.1.mlp.down_proj")
     a2 = artifacts.load_layer(d2, "model.layers.1.mlp.down_proj")
     np.testing.assert_array_equal(a1.qweight, a2.qweight)
+
+
+def test_quantize_model_host_staged_matches_device(tiny, tmp_path):
+    """host=True loading (numpy weights, one block staged on device at a
+    time — how checkpoints larger than HBM quantize) must produce the same
+    artifacts as the all-on-device walk."""
+    cfg, params, calib, _ = tiny
+    host_params = {
+        k: (v if k != "layers" else
+            [{kk: np.asarray(vv) for kk, vv in l.items()} for l in v])
+        for k, v in params.items()
+    }
+    host_params = {k: (np.asarray(v) if hasattr(v, "dtype") else v)
+                   for k, v in host_params.items()}
+
+    d_dir, h_dir = tmp_path / "dev", tmp_path / "host"
+    qd = calibrate.quantize_model(params, cfg, calib, save_dir=d_dir,
+                                  quant_non_block=True)
+    qh = calibrate.quantize_model(host_params, cfg, calib, save_dir=h_dir,
+                                  quant_non_block=True)
+    # every block weight came back to host numpy
+    assert all(isinstance(v, np.ndarray)
+               for v in qh["layers"][0].values())
+    # identical quantized codes on disk
+    a = artifacts.load_layer(d_dir, "model.layers.0.self_attn.q_proj")
+    b = artifacts.load_layer(h_dir, "model.layers.0.self_attn.q_proj")
+    np.testing.assert_array_equal(np.asarray(a.qweight), np.asarray(b.qweight))
+    a = artifacts.load_layer(d_dir, "lm_head")
+    b = artifacts.load_layer(h_dir, "lm_head")
+    np.testing.assert_array_equal(np.asarray(a.qweight), np.asarray(b.qweight))
