@@ -4,6 +4,7 @@ ppl, search, serve. Each mirrors a reference CLI (SURVEY.md §1 L3/L4)."""
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 
@@ -249,6 +250,14 @@ def build_ppl(p: argparse.ArgumentParser):
     p.add_argument("--drop_layer_config", default=None)
     p.add_argument("--memory_efficient", action="store_true",
                    help="layer-per-layer eval (metrics.py:122-192)")
+    p.add_argument("--gguf-path", default="auto",
+                   choices=["auto", "dense", "serving"],
+                   help="GGUF scoring path: 'dense' dequantizes every "
+                        "weight to f32 (bit-matched oracle; needs the full "
+                        "dense model in HBM), 'serving' scores through the "
+                        "fused dequant kernels with weights kept packed "
+                        "(how 8B+ GGUFs fit one chip); 'auto' picks dense "
+                        "below ~2 GB of f32 weights")
     p.add_argument("--output_path", default=None)
 
 
@@ -256,14 +265,24 @@ def run_ppl(args):
     from ..evals import compress, ppl
     from ..utils.data import get_data
 
+    serving_path = False
     if args.gguf_file:
         import jax.numpy as jnp
+        import numpy as np
 
         from ..serving import model as qmodel
 
+        mode = args.gguf_path
+        if mode == "auto":
+            from ..formats.gguf import GGUFReader
+
+            n_el = sum(int(np.prod(i.shape))
+                       for i in GGUFReader(args.gguf_file).tensors.values())
+            mode = "dense" if n_el * 4 < 2e9 else "serving"
+        serving_path = mode == "serving"
         params, cfg = qmodel.load_gguf_for_serving(
             args.gguf_file, dtype=common.resolve_dtype(args.dtype),
-            dense=True)
+            dense=not serving_path)
         if args.tokenizer_name or args.model_name_or_path:
             tokenizer = common.load_tokenizer(args)
         else:
@@ -298,7 +317,17 @@ def run_ppl(args):
         )
     seq = args.sequence_length or min(cfg.max_position_embeddings, 4096)
     results = {}
-    fn = ppl.compute_perplexity_layer_per_layer if args.memory_efficient else ppl.compute_perplexity
+    if serving_path:
+        if args.memory_efficient or args.drop_layer_config or \
+                args.compressed_weights_path:
+            raise SystemExit(
+                "--gguf-path serving scores packed weights directly; it "
+                "cannot combine with --memory_efficient / layer drops / "
+                "compressed weights (use --gguf-path dense)")
+        fn = functools.partial(ppl.compute_perplexity, serving=True)
+    else:
+        fn = (ppl.compute_perplexity_layer_per_layer
+              if args.memory_efficient else ppl.compute_perplexity)
     for name in args.datasets:
         data = get_data(name, args.eval_tokens, seq, tokenizer, train=False,
                         vocab_size=cfg.vocab_size)

@@ -32,19 +32,42 @@ def _batch_nll(params, ids: jax.Array, cfg: LlamaConfig) -> jax.Array:
     return jnp.mean(logz - tok)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _batch_nll_serving(params, ids: jax.Array, cfg: LlamaConfig) -> jax.Array:
+    """_batch_nll through the QUANTIZED serving forward (fused dequant
+    kernels, weights stay packed): the GGUF-direct path for models whose
+    dense f32 dequant exceeds HBM (8B f32 = 32 GB on a 16 GB v5e)."""
+    from ..serving import model as qmodel
+
+    B, S = ids.shape
+    cache = qmodel.init_cache(cfg, B, S, dtype=cfg.dtype)
+    logits, _ = qmodel.forward_cached(params, cfg, ids, cache,
+                                      all_logits=True)
+    shift_logits = logits[:, :-1, :].astype(jnp.float32)
+    shift_labels = ids[:, 1:]
+    logz = jax.scipy.special.logsumexp(shift_logits, axis=-1)
+    tok = jnp.take_along_axis(shift_logits, shift_labels[..., None], axis=-1)[..., 0]
+    return jnp.mean(logz - tok)
+
+
 def compute_perplexity(
     params,
     cfg: LlamaConfig,
     data: Sequence[np.ndarray],
     batch_size: int = 1,
+    serving: bool = False,
 ) -> float:
-    """Reference-exact running-mean perplexity (metrics.py:10-37)."""
+    """Reference-exact running-mean perplexity (metrics.py:10-37).
+
+    serving=True scores through the quantized serving forward
+    (_batch_nll_serving) instead of the dense llama.forward."""
+    nll = _batch_nll_serving if serving else _batch_nll
     nll_running = 0.0
     tokens_processed = 0
     data = [np.atleast_2d(np.asarray(d)) for d in data]
     for i in range(0, len(data), batch_size):
         ids = np.concatenate(data[i : i + batch_size], axis=0)
-        loss = float(_batch_nll(params, jnp.asarray(ids), cfg))
+        loss = float(nll(params, jnp.asarray(ids), cfg))
         n_new = ids[:, 1:].size
         a = n_new / (tokens_processed + n_new)
         b = tokens_processed / (tokens_processed + n_new)

@@ -648,7 +648,12 @@ def forward_cached(
     h = llama.apply_norm(last, cfg, params["norm"], params.get("norm_bias"))
     head = params.get("lm_head", params["embed_tokens"])
     if isinstance(head, _QUANT_TYPES):
-        logits = qmatmul.dequant_matmul(h, head)
+        if h.ndim == 3:  # all_logits: flatten (B, S) for the fused kernel
+            logits = qmatmul.dequant_matmul(
+                h.reshape(-1, h.shape[-1]), head
+            ).reshape(h.shape[0], h.shape[1], -1)
+        else:
+            logits = qmatmul.dequant_matmul(h, head)
         if psum_axis is None and logits.shape[-1] > cfg.vocab_size:
             logits = logits[..., :cfg.vocab_size]  # drop pad_dout_v2 rows
     elif all_logits:

@@ -66,3 +66,24 @@ def test_ppl_cli_gguf_matches_hf(tiny, capsys):
     b = json.load(open(out_gg))["synthetic"]
     assert np.isfinite(a) and np.isfinite(b)
     assert abs(a - b) / a < 0.02  # f16 pack rounding only
+
+
+def test_serving_path_ppl_close_to_dense(tiny):
+    """`ppl --gguf-path serving` (packed weights, fused kernels) must agree
+    with the dense-dequant oracle to bf16-forward tolerance — this is the
+    path 8B+ GGUFs take on one chip (dense f32 would exceed HBM)."""
+    import jax.numpy as jnp
+
+    from gptq_gguf_tpu.evals import ppl
+    from gptq_gguf_tpu.serving import model as qmodel
+
+    _, gguf, _ = tiny
+    rng = np.random.default_rng(11)
+    data = [rng.integers(0, 128, size=(1, 48)) for _ in range(3)]
+
+    dparams, dcfg = qmodel.load_gguf_for_serving(gguf, dtype=jnp.float32,
+                                                 dense=True)
+    ref = ppl.compute_perplexity(dparams, dcfg, data)
+    qparams, qcfg = qmodel.load_gguf_for_serving(gguf)
+    got = ppl.compute_perplexity(qparams, qcfg, data, serving=True)
+    assert abs(np.log(got) - np.log(ref)) < 0.05  # nats/token
