@@ -726,8 +726,124 @@ def _kernel_v2s(refs, *, gs, per_byte, tile_in, shift, has_min, mxu_dtype,
         out_ref[:] = out_ref[:] + acc
 
 
+def _kernel_v2m(refs, *, gs, per_byte, tile_in, shift, has_min, mxu_dtype,
+                d_rep):
+    """Group-dot variant: codes are cast straight to mxu_dtype with NO
+    per-weight scale multiply — the contraction is decomposed into ng
+    per-group k=gs MXU dots whose (B, T) partial sums are scale-FMA'd on
+    the VPU (B*ng*T ops, gs-fold fewer than per-weight muls). The affine
+    offset rides v2g's precomputed-xsum correction dot. Per-weight VPU
+    chain: widen, nibble, int->mxu_dtype cast (exact: |code| < 64 fits
+    bf16's mantissa). Activations arrive pre-gathered as (ng*B, gs) so the
+    per-group operand slice is a cheap sublane slice, not a 32-lane slice."""
+    import jax.experimental.pallas as pl
+
+    if has_min:
+        xg_ref, qs_ref, d_ref, sc_ref, dmin_ref, mn_ref, xs_ref, out_ref = refs
+    else:
+        xg_ref, qs_ref, d_ref, sc_ref, xs_ref, out_ref = refs
+    j = pl.program_id(1)
+
+    qs = qs_ref[:].astype(jnp.int32)
+    T = qs.shape[1]
+    if per_byte == 2:
+        b = qs.reshape(tile_in // QK_K, _HALF, T)
+        q = jnp.concatenate([b & 0x0F, b >> 4], axis=1).reshape(tile_in, T)
+    else:
+        q = qs
+    ng = tile_in // gs
+    sg_t = tile_in // QK_K
+    gpsg = QK_K // gs
+
+    d = d_ref[:].reshape(sg_t, d_rep, T)[:, 0].reshape(sg_t, 1, T)
+    sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)
+    scale = jnp.broadcast_to(d, (sg_t, gpsg, T)).reshape(ng, T) * sc
+    off2 = scale * float(shift) if shift else None
+    if has_min:
+        dmin = dmin_ref[:].reshape(sg_t, d_rep, T)[:, 0].reshape(sg_t, 1, T)
+        mn = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
+        off = jnp.broadcast_to(dmin, (sg_t, gpsg, T)).reshape(ng, T) * mn
+        off2 = off if off2 is None else off2 + off
+
+    qb = q.astype(mxu_dtype).reshape(ng, gs, T)
+    B = xg_ref.shape[0] // ng
+    xg = xg_ref[:].astype(mxu_dtype).reshape(ng, B, gs)
+    acc = None
+    for g in range(ng):
+        part = jnp.dot(xg[g], qb[g], preferred_element_type=jnp.float32)
+        contrib = part * scale[g].reshape(1, T)
+        acc = contrib if acc is None else acc + contrib
+    if off2 is not None:
+        acc = acc - jnp.dot(xs_ref[:].T, off2,
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+def _kernel_v2t(refs, *, gs, per_byte, tile_in, shift, has_min, mxu_dtype,
+                d_rep):
+    """_kernel_v2m with the ng per-group dots expressed as ONE batched
+    dot_general (batch dim = group) followed by a scale-weighted reduction
+    over groups. Same per-weight chain as v2m; tests whether Mosaic
+    schedules a batched MXU dot better than an unrolled loop."""
+    import jax.experimental.pallas as pl
+
+    if has_min:
+        xg_ref, qs_ref, d_ref, sc_ref, dmin_ref, mn_ref, xs_ref, out_ref = refs
+    else:
+        xg_ref, qs_ref, d_ref, sc_ref, xs_ref, out_ref = refs
+    j = pl.program_id(1)
+
+    qs = qs_ref[:].astype(jnp.int32)
+    T = qs.shape[1]
+    if per_byte == 2:
+        b = qs.reshape(tile_in // QK_K, _HALF, T)
+        q = jnp.concatenate([b & 0x0F, b >> 4], axis=1).reshape(tile_in, T)
+    else:
+        q = qs
+    ng = tile_in // gs
+    sg_t = tile_in // QK_K
+    gpsg = QK_K // gs
+
+    d = d_ref[:].reshape(sg_t, d_rep, T)[:, 0].reshape(sg_t, 1, T)
+    sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)
+    scale = jnp.broadcast_to(d, (sg_t, gpsg, T)).reshape(ng, T) * sc
+    off2 = scale * float(shift) if shift else None
+    if has_min:
+        dmin = dmin_ref[:].reshape(sg_t, d_rep, T)[:, 0].reshape(sg_t, 1, T)
+        mn = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
+        off = jnp.broadcast_to(dmin, (sg_t, gpsg, T)).reshape(ng, T) * mn
+        off2 = off if off2 is None else off2 + off
+
+    qb = q.astype(mxu_dtype).reshape(ng, gs, T)
+    B = xg_ref.shape[0] // ng
+    xg = xg_ref[:].astype(mxu_dtype).reshape(ng, B, gs)
+    parts = jax.lax.dot_general(
+        xg, qb, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (ng, B, T)
+    acc = jnp.sum(parts * scale.reshape(ng, 1, T), axis=0)
+    if off2 is not None:
+        acc = acc - jnp.dot(xs_ref[:].T, off2,
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
 _V2_KERNELS = {"v2": _kernel_v2, "v3": _kernel_v3, "v2f": _kernel_v2f,
-               "v2h": _kernel_v2h, "v2g": _kernel_v2g, "v2s": _kernel_v2s}
+               "v2h": _kernel_v2h, "v2g": _kernel_v2g, "v2s": _kernel_v2s,
+               "v2m": _kernel_v2m, "v2t": _kernel_v2t}
 
 # Which in-kernel dequant variant the dispatcher uses for v2-format weights.
 # Round-4 race on the real chip (docs/KERNELS_r04.md): v2g 547 GB/s > v2f
@@ -779,6 +895,8 @@ def dequant_matmul_pallas_v2(
     has_min = rql.has_min
     if variant == "v2s" and per_byte != 2:
         variant = "v2g"  # byte-wide codes have no nibble planes to split
+    if variant in ("v2m", "v2t") and (ng_t * B) % 8:
+        variant = "v2g"  # group-gathered x block must tile on sublanes
 
     kernel = functools.partial(
         _V2_KERNELS[variant], gs=gs, per_byte=per_byte, tile_in=tile_in,
@@ -800,6 +918,17 @@ def dequant_matmul_pallas_v2(
             pl.BlockSpec((B, tile_in // 2), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ]
+    elif variant in ("v2m", "v2t"):
+        # gather activations by group OUTSIDE the kernel: (ng_total*B, gs)
+        # row-major (g, b) so the per-group operand is a sublane slice
+        ng_total = d_in // gs
+        xg = x.reshape(B, ng_total, gs).swapaxes(0, 1).reshape(
+            ng_total * B, gs)
+        x_parts = [xg]
+        in_specs = [
+            pl.BlockSpec((ng_t * B, gs), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     else:
         x_parts = None
         in_specs = []
@@ -811,7 +940,9 @@ def dequant_matmul_pallas_v2(
     ]
     operands = [x, rql.qs, rql.d_sg, rql.sc_q]
     if x_parts is not None:
-        in_specs = in_specs[:2] + in_specs[3:]  # xl/xh replace the x spec
+        # the pre-split/pre-gathered activation operands replace the x spec
+        np_ = len(x_parts)
+        in_specs = in_specs[:np_] + in_specs[np_ + 1:]
         operands = x_parts + operands[1:]
     if has_min:
         in_specs += [
@@ -819,7 +950,7 @@ def dequant_matmul_pallas_v2(
             pl.BlockSpec((ng_t, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         ]
         operands += [rql.dmin_sg, rql.mn_q]
-    if variant in ("v2g", "v2s"):
+    if variant in ("v2g", "v2s", "v2m", "v2t"):
         # per-group activation sums for the offset-correction dot,
         # precomputed here (XLA) rather than in-kernel (v3's mistake).
         # Stored transposed (ng, B) so the lane dim equals the full array

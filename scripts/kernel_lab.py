@@ -93,7 +93,7 @@ def mm_for(variant, tiles=None):
             t = _fit_tiles(r.d_in_local, r.d_out, ti, to)
             return qmatmul.dequant_matmul_pallas(x, r, tile_in=t[0], tile_out=t[1])
         return f
-    if variant in ("v2", "v3", "v2f", "v2h", "v2g", "v2s"):
+    if variant in ("v2", "v3", "v2f", "v2h", "v2g", "v2s", "v2m", "v2t"):
         kv = variant
         def f(x, r):
             if tiles:
@@ -119,7 +119,7 @@ def numerics_check(variant, tiles=None):
 
     rng = np.random.default_rng(7)
     packs = make_weights(rng, 512, 1024)
-    key = {"v1": "v1", "v2": "v2", "v3": "v2", "v2f": "v2", "v2h": "v2", "v2g": "v2", "v2s": "v2"}.get(variant, variant)
+    key = {"v1": "v1", "v2": "v2", "v3": "v2", "v2f": "v2", "v2h": "v2", "v2g": "v2", "v2s": "v2", "v2m": "v2", "v2t": "v2"}.get(variant, variant)
     r = packs[key]
     x = jnp.asarray(rng.normal(size=(8, 1024)).astype(np.float32))
     y = np.asarray(mm_for(variant, tiles)(x, r))
@@ -139,7 +139,7 @@ def bench_variant(variant, packs_by_name, B=8, N=None, tiles=None):
     import jax.numpy as jnp
     from functools import partial
 
-    key = {"v1": "v1", "v2": "v2", "v3": "v2", "v2f": "v2", "v2h": "v2", "v2g": "v2", "v2s": "v2"}.get(variant, variant)
+    key = {"v1": "v1", "v2": "v2", "v3": "v2", "v2f": "v2", "v2h": "v2", "v2g": "v2", "v2s": "v2", "v2m": "v2", "v2t": "v2"}.get(variant, variant)
     layer = {n: p[key] for n, p in packs_by_name.items()}
     bytes_layer = sum(rql_bytes(r) for r in layer.values())
     mm = mm_for(variant, tiles)

@@ -150,7 +150,7 @@ def test_pallas_v3_offset_fold_matches_xla(qtype):
     assert np.abs(y_bf - y_ref).max() < 0.03 * ref_scale
 
 
-@pytest.mark.parametrize("variant", ["v2f", "v2h", "v2g", "v2s"])
+@pytest.mark.parametrize("variant", ["v2f", "v2h", "v2g", "v2s", "v2m", "v2t"])
 @pytest.mark.parametrize("qtype", [T.Q2_K, T.Q3_K, T.Q4_K, T.Q6_K])
 def test_pallas_v2fh_group_fold_matches_xla(qtype, variant):
     """v2f folds the signed-code shift into the group offset plane (f32
