@@ -239,7 +239,7 @@ def rql_bytes(r) -> int:
 
 
 def bench_matmul_path(B=8, n_lo=16, n_hi=80,
-                      variants=("v1", "v2", "v2g", "v4")):
+                      variants=("v1", "v2", "v2g", "v2m", "v4")):
     """Layer-chained matmul microbench at FUSED serving shapes (qkv/o/
     gateup/down — the projections the engine actually launches), two-point
     differenced over scan length so the relay's fixed per-program cost

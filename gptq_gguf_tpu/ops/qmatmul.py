@@ -846,14 +846,16 @@ _V2_KERNELS = {"v2": _kernel_v2, "v3": _kernel_v3, "v2f": _kernel_v2f,
                "v2m": _kernel_v2m, "v2t": _kernel_v2t}
 
 # Which in-kernel dequant variant the dispatcher uses for v2-format weights.
-# Round-4 race on the real chip (docs/KERNELS_r04.md): v2g 547 GB/s > v2f
-# 490-498 > v2 470-486 > v2h 439 > v3 329 effective. v2g applies the whole
-# affine offset as one small MXU dot against precomputed per-group
-# activation sums; its only numeric delta vs v2 is WHERE the single bf16
-# MXU rounding lands (on scale*q instead of the centered weight, ~2x the
-# absolute rounding — still far below the 4-bit quantization noise).
+# Round-4 races on the real chip (docs/KERNELS_r04.md): v2m 717 GB/s
+# effective (96% of the 743.5 GB/s f32-read SOL) > v2g 658 > v2f 490-498 >
+# v2 470-486 > v2t 464 > v2h 439 > v3 329. v2m cuts the per-weight VPU
+# chain to widen/nibble/cast by decomposing the contraction into per-group
+# k=gs MXU dots and scaling the (B, T) partial sums (gs-fold fewer muls);
+# offsets ride v2g's precomputed-xsum correction dot. Numerics: bf16
+# rounding lands on the raw codes + f32 partial-sum scaling, max rel err
+# ~0.03 vs the f32 build — below the 4-bit quantization noise.
 # GG_PALLAS_V2_VARIANT=v2 restores the bit-matched-to-f32-build kernel.
-PALLAS_V2_VARIANT = os.environ.get("GG_PALLAS_V2_VARIANT", "v2g")
+PALLAS_V2_VARIANT = os.environ.get("GG_PALLAS_V2_VARIANT", "v2m")
 
 
 @functools.partial(
@@ -895,8 +897,13 @@ def dequant_matmul_pallas_v2(
     has_min = rql.has_min
     if variant == "v2s" and per_byte != 2:
         variant = "v2g"  # byte-wide codes have no nibble planes to split
-    if variant in ("v2m", "v2t") and (ng_t * B) % 8:
-        variant = "v2g"  # group-gathered x block must tile on sublanes
+    if variant in ("v2m", "v2t") and ((ng_t * B) % 8 or gs < 32):
+        # group-gathered x block must tile on sublanes; and gs=16 formats
+        # (Q2/Q3/Q6_K) would need 2x the per-tile dot count at k=16 —
+        # giant unrolls that compile for minutes and pay MXU latency per
+        # dot. v2m's win is measured at gs=32 (docs/KERNELS_r04.md); the
+        # gs=16 lm_head/low-bit path stays on v2g.
+        variant = "v2g"
 
     kernel = functools.partial(
         _V2_KERNELS[variant], gs=gs, per_byte=per_byte, tile_in=tile_in,
