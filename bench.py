@@ -238,6 +238,20 @@ def rql_bytes(r) -> int:
     return int(r.qs.size) + 8 * int(r.scale_t.size)
 
 
+def matmul_synth_map():
+    """variant name -> synthetic-weight builder. Every v2* dispatcher
+    variant shares the v2 runtime format; kept in sync with
+    qmatmul._V2_KERNELS so a new kernel entry is benchable by name the
+    moment it exists (tests/test_bench_smoke.py pins this — round 4's
+    scored artifact died on a KeyError here)."""
+    synth = {"v1": synth_v1_dev,
+             "v4": lambda k, do, di: synth_v4_dev(k, do, di)}
+    from gptq_gguf_tpu.ops.qmatmul import _V2_KERNELS
+    for _v in _V2_KERNELS:
+        synth[_v] = synth_v2_dev
+    return synth
+
+
 def bench_matmul_path(B=8, n_lo=16, n_hi=80,
                       variants=("v1", "v2", "v2g", "v2m", "v4")):
     """Layer-chained matmul microbench at FUSED serving shapes (qkv/o/
@@ -255,9 +269,7 @@ def bench_matmul_path(B=8, n_lo=16, n_hi=80,
     n_layers = 32
     shapes = {"qkv": (H + 2 * KV, H), "o": (H, H),
               "gateup": (2 * I, H), "down": (H, I)}
-    synth = {"v1": synth_v1_dev, "v2": synth_v2_dev, "v2f": synth_v2_dev,
-             "v2g": synth_v2_dev,
-             "v4": lambda k, do, di: synth_v4_dev(k, do, di)}
+    synth = matmul_synth_map()
 
     import jax.random as jrandom
 

@@ -47,6 +47,11 @@ def build_parser(p: argparse.ArgumentParser) -> None:
                    help="log stage timings/ppl to wandb (reference quant.py:113)")
     p.add_argument("--profile-dir", dest="profile_dir", default=None,
                    help="write a jax.profiler trace here (TensorBoard/xprof)")
+    p.add_argument("--stage-profile", dest="stage_profile", action="store_true",
+                   help="accumulate per-stage wall-clock inside the "
+                        "calibration walk (stage_in/capture/factorize_solve/"
+                        "artifact/propagate/unstage) into stage_timings.json; "
+                        "inserts device syncs at stage boundaries")
     p.add_argument("--save_dir", type=str, required=True)
 
 
@@ -104,6 +109,7 @@ def run(args) -> None:
     )
 
     os.makedirs(args.save_dir, exist_ok=True)
+    stage_times = {} if getattr(args, "stage_profile", False) else None
     t0 = time.perf_counter()
     with profile_trace(args.profile_dir), timer.stage("quantize"):
         qparams = calibrate.quantize_model(
@@ -117,8 +123,14 @@ def run(args) -> None:
             mesh=mesh,
             scan_batches={"auto": None, "on": True, "off": False}[args.scan_batches],
             verbose=args.verbose,
+            stage_times=stage_times,
         )
     print(f"Quantization took {time.perf_counter() - t0:.1f} s.")
+    if stage_times is not None:
+        for k, v in stage_times.items():
+            timer.times[f"quantize/{k}"] = round(v, 2)
+        print("stage breakdown:", json.dumps(
+            {k: round(v, 2) for k, v in stage_times.items()}))
 
     if args.eval_perplexity:
         with timer.stage("eval_perplexity"):

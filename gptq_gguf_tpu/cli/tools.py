@@ -471,11 +471,15 @@ def build_serve(p: argparse.ArgumentParser):
                    help="KV cache dtype (int4: packed codes + group scales, "
                         "3.2x less KV memory/traffic); overrides "
                         "--kv-quantized")
-    p.add_argument("--multi-step", type=int, default=1,
+    p.add_argument("--multi-step", default="auto",
+                   type=lambda s: s if s == "auto" else int(s),
                    help="decode in k-step scan blocks: one program dispatch "
-                        "per k tokens instead of per token (~17%% higher "
-                        "steady throughput at k=64 on the bench chip, at k "
-                        "steps of added streaming latency)")
+                        "per k tokens instead of per token, at up to k steps "
+                        "of added streaming latency. 'auto' (default) picks "
+                        "the largest power of two <=64 that fits remaining "
+                        "budgets/cache and drops to <=8 while requests are "
+                        "queued; pass 1 to force per-token decode (needed "
+                        "for per-token streaming)")
     p.add_argument("--paged", action="store_true",
                    help="block-table paged KV cache")
     p.add_argument("--page-size", type=int, default=64)

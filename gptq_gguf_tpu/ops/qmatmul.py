@@ -841,9 +841,79 @@ def _kernel_v2t(refs, *, gs, per_byte, tile_in, shift, has_min, mxu_dtype,
         out_ref[:] = out_ref[:] + acc
 
 
+def _kernel_v2p(refs, *, gs, per_byte, tile_in, shift, has_min, mxu_dtype,
+                d_rep):
+    """gs=16 sibling of _kernel_v2m (pair-group dot). Naive v2m at gs=16
+    needs tile_in/16 unrolled k=16 dots — giant unrolls that compile for
+    minutes (docs/KERNELS_r04.md session 3). Instead each PAIR of adjacent
+    groups becomes ONE k=32 MXU dot over a lane-doubled code plane: the
+    even group's codes sit in output columns 0..T-1 (upper 16 rows zeroed),
+    the odd group's in columns T..2T-1 (lower 16 rows zeroed), so
+    part[:, :T] / part[:, T:] are the two per-group partial sums. Dot count
+    equals v2m at gs=32; the zero half-planes waste MXU flops the
+    memory-bound kernel has to spare. Scales apply to partial sums on the
+    VPU exactly as v2m; offsets ride the precomputed-xsum correction dot.
+    Activations arrive pre-gathered at PAIR granularity: (npair*B, 32)."""
+    import jax.experimental.pallas as pl
+
+    if has_min:
+        xg_ref, qs_ref, d_ref, sc_ref, dmin_ref, mn_ref, xs_ref, out_ref = refs
+    else:
+        xg_ref, qs_ref, d_ref, sc_ref, xs_ref, out_ref = refs
+    j = pl.program_id(1)
+
+    qs = qs_ref[:].astype(jnp.int32)
+    T = qs.shape[1]
+    if per_byte == 2:
+        b = qs.reshape(tile_in // QK_K, _HALF, T)
+        q = jnp.concatenate([b & 0x0F, b >> 4], axis=1).reshape(tile_in, T)
+    else:
+        q = qs
+    ng = tile_in // gs  # gs == 16
+    npair = tile_in // 32
+    sg_t = tile_in // QK_K
+    gpsg = QK_K // gs
+
+    d = d_ref[:].reshape(sg_t, d_rep, T)[:, 0].reshape(sg_t, 1, T)
+    sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)
+    scale = jnp.broadcast_to(d, (sg_t, gpsg, T)).reshape(ng, T) * sc
+    off2 = scale * float(shift) if shift else None
+    if has_min:
+        dmin = dmin_ref[:].reshape(sg_t, d_rep, T)[:, 0].reshape(sg_t, 1, T)
+        mn = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
+        off = jnp.broadcast_to(dmin, (sg_t, gpsg, T)).reshape(ng, T) * mn
+        off2 = off if off2 is None else off2 + off
+
+    q4 = q.astype(mxu_dtype).reshape(npair, 2, gs, T)
+    zeros = jnp.zeros((npair, gs, T), mxu_dtype)
+    qe = jnp.concatenate([q4[:, 0], zeros], axis=1)  # (npair, 32, T)
+    qo = jnp.concatenate([zeros, q4[:, 1]], axis=1)
+    qpair = jnp.concatenate([qe, qo], axis=2)  # (npair, 32, 2T)
+    s2 = scale.reshape(npair, 2, T)
+    B = xg_ref.shape[0] // npair
+    xg = xg_ref[:].astype(mxu_dtype).reshape(npair, B, 32)
+    acc = None
+    for p in range(npair):
+        part = jnp.dot(xg[p], qpair[p], preferred_element_type=jnp.float32)
+        contrib = (part[:, :T] * s2[p, 0].reshape(1, T)
+                   + part[:, T:] * s2[p, 1].reshape(1, T))
+        acc = contrib if acc is None else acc + contrib
+    if off2 is not None:
+        acc = acc - jnp.dot(xs_ref[:].T, off2,
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
 _V2_KERNELS = {"v2": _kernel_v2, "v3": _kernel_v3, "v2f": _kernel_v2f,
                "v2h": _kernel_v2h, "v2g": _kernel_v2g, "v2s": _kernel_v2s,
-               "v2m": _kernel_v2m, "v2t": _kernel_v2t}
+               "v2m": _kernel_v2m, "v2t": _kernel_v2t, "v2p": _kernel_v2p}
 
 # Which in-kernel dequant variant the dispatcher uses for v2-format weights.
 # Round-4 races on the real chip (docs/KERNELS_r04.md): v2m 717 GB/s
@@ -856,6 +926,46 @@ _V2_KERNELS = {"v2": _kernel_v2, "v3": _kernel_v3, "v2f": _kernel_v2f,
 # ~0.03 vs the f32 build — below the 4-bit quantization noise.
 # GG_PALLAS_V2_VARIANT=v2 restores the bit-matched-to-f32-build kernel.
 PALLAS_V2_VARIANT = os.environ.get("GG_PALLAS_V2_VARIANT", "v2m")
+
+
+def _effective_v2_variant(variant: str, *, gs: int, per_byte: int,
+                          tile_in: int, B: int) -> str:
+    """Resolve the REQUESTED kernel variant to the one that actually runs
+    for this format/shape. Public so kernel_lab / tests / benches can label
+    results by the effective kernel instead of the requested name (ADVICE
+    r4: 'v2m' results on gs=16 packs silently measured v2g):
+
+    * v2s needs nibble planes -> v2g for byte-wide codes;
+    * v2m/v2t at gs=16 (Q2/Q3/Q6_K) -> v2p, the pair-group kernel (naive
+      k=16 dots double the unroll and compile for minutes); explicit v2p
+      at gs=32 -> v2m (pairing is a gs=16 construction);
+    * group/pair-gathered x must tile on 8 sublanes, else -> v2g.
+    """
+    if variant == "v2s" and per_byte != 2:
+        return "v2g"
+    if variant == "v2p" and gs != 16:
+        variant = "v2m"
+    if variant in ("v2m", "v2t") and gs == 16:
+        variant = "v2p" if variant == "v2m" else "v2g"
+    if variant == "v2p":
+        if gs != 16 or ((tile_in // 32) * B) % 8 or tile_in % 32:
+            return "v2g"
+        return "v2p"
+    if variant in ("v2m", "v2t") and (((tile_in // gs) * B) % 8 or gs < 32):
+        return "v2g"
+    return variant
+
+
+def effective_v2_variant_for(rql, B: int = 8,
+                             variant: Optional[str] = None) -> str:
+    """Which kernel a dequant_matmul dispatch of `rql` actually runs at row
+    count B (None variant = the current PALLAS_V2_VARIANT default)."""
+    tiles = select_tiles_v2(rql.d_in_local, rql.d_out, n_rows=B)
+    if tiles is None:
+        return "xla"
+    return _effective_v2_variant(
+        variant or PALLAS_V2_VARIANT, gs=rql.group_size,
+        per_byte=rql.per_byte, tile_in=min(tiles[0], rql.d_in_local), B=B)
 
 
 @functools.partial(
@@ -895,15 +1005,8 @@ def dequant_matmul_pallas_v2(
     ng_t = tile_in // gs
     sg_t = tile_in // QK_K
     has_min = rql.has_min
-    if variant == "v2s" and per_byte != 2:
-        variant = "v2g"  # byte-wide codes have no nibble planes to split
-    if variant in ("v2m", "v2t") and ((ng_t * B) % 8 or gs < 32):
-        # group-gathered x block must tile on sublanes; and gs=16 formats
-        # (Q2/Q3/Q6_K) would need 2x the per-tile dot count at k=16 —
-        # giant unrolls that compile for minutes and pay MXU latency per
-        # dot. v2m's win is measured at gs=32 (docs/KERNELS_r04.md); the
-        # gs=16 lm_head/low-bit path stays on v2g.
-        variant = "v2g"
+    variant = _effective_v2_variant(variant, gs=gs, per_byte=per_byte,
+                                    tile_in=tile_in, B=B)
 
     kernel = functools.partial(
         _V2_KERNELS[variant], gs=gs, per_byte=per_byte, tile_in=tile_in,
@@ -925,15 +1028,17 @@ def dequant_matmul_pallas_v2(
             pl.BlockSpec((B, tile_in // 2), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ]
-    elif variant in ("v2m", "v2t"):
-        # gather activations by group OUTSIDE the kernel: (ng_total*B, gs)
-        # row-major (g, b) so the per-group operand is a sublane slice
-        ng_total = d_in // gs
-        xg = x.reshape(B, ng_total, gs).swapaxes(0, 1).reshape(
-            ng_total * B, gs)
+    elif variant in ("v2m", "v2t", "v2p"):
+        # gather activations by group OUTSIDE the kernel: (ng_total*B, gg)
+        # row-major (g, b) so the per-group operand is a sublane slice.
+        # v2p gathers at PAIR granularity (32 = two gs=16 groups).
+        gg = 32 if variant == "v2p" else gs
+        ng_total = d_in // gg
+        xg = x.reshape(B, ng_total, gg).swapaxes(0, 1).reshape(
+            ng_total * B, gg)
         x_parts = [xg]
         in_specs = [
-            pl.BlockSpec((ng_t * B, gs), lambda i, j: (j, 0),
+            pl.BlockSpec((tile_in // gg * B, gg), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ]
     else:
@@ -957,7 +1062,7 @@ def dequant_matmul_pallas_v2(
             pl.BlockSpec((ng_t, tile_out), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         ]
         operands += [rql.dmin_sg, rql.mn_q]
-    if variant in ("v2g", "v2s", "v2m", "v2t"):
+    if variant in ("v2g", "v2s", "v2m", "v2t", "v2p"):
         # per-group activation sums for the offset-correction dot,
         # precomputed here (XLA) rather than in-kernel (v3's mistake).
         # Stored transposed (ng, B) so the lane dim equals the full array

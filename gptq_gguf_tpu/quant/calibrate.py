@@ -196,6 +196,7 @@ def quantize_model(
     mesh=None,
     scan_batches: Optional[bool] = None,
     verbose: bool = False,
+    stage_times: Optional[Dict[str, float]] = None,
 ) -> Dict[str, Any]:
     """Run the GPTQ calibration walk; returns params with quantized weights.
 
@@ -211,10 +212,40 @@ def quantize_model(
     program costs one (large) extra compile, which only amortizes for deep
     models / many batches; measured on the relay chip the compile exceeded
     15 min, so None defaults to off.
+    stage_times: when a dict is passed, the walk accumulates per-stage
+    wall-clock into it (stage_in / capture / factorize_solve / artifact /
+    propagate / unstage, seconds) — it inserts device syncs at stage
+    boundaries, so only enable it to profile (VERDICT r4 #5: the 8B solve
+    measured 1.0 Mw/s end-to-end with no breakdown to aim the fix at).
     """
     qcfg = resolve_quant_config(quant_config)
     pattern = re.compile(quantizable_regex)
     t_start = time.perf_counter()
+
+    class _tick:
+        """Context manager accumulating wall time into stage_times[name],
+        with a device sync on the given arrays at exit. No-op (and no
+        syncs) when profiling is off."""
+
+        def __init__(self, name):
+            self.name = name
+
+        def __enter__(self):
+            if stage_times is not None:
+                self.t0 = time.perf_counter()
+            return self
+
+        def sync(self, *arrays):
+            self._arrays = arrays
+
+        def __exit__(self, *exc):
+            if stage_times is not None and exc[0] is None:
+                for a in getattr(self, "_arrays", ()):
+                    jax.block_until_ready(a)
+                stage_times[self.name] = (
+                    stage_times.get(self.name, 0.0)
+                    + time.perf_counter() - self.t0)
+            return False
 
     ids = [np.atleast_2d(np.asarray(a)) for a in calibration_ids]
     S = ids[0].shape[1]
@@ -265,7 +296,9 @@ def quantize_model(
         # stage this block onto the device (no-op when already there);
         # it returns to host numpy after propagation so HBM holds at most
         # one block of the model at a time
-        layer = jax.tree_util.tree_map(jnp.asarray, params["layers"][li])
+        with _tick("stage_in") as tk:
+            layer = jax.tree_util.tree_map(jnp.asarray, params["layers"][li])
+            tk.sync(layer)
         _stage = list(params["layers"])
         _stage[li] = layer
         params = {**params, "layers": _stage}
@@ -284,32 +317,34 @@ def quantize_model(
         hs = {k: jnp.zeros((d, d), jnp.float32) for k, d in sizes.items()}
         counts = {k: jnp.zeros((), jnp.float32) for k in sizes}
 
-        if scan_batches:
-            b0 = batches[0].shape[0]
-            cos, sin = rope_for(b0)
-            mask = llama.causal_mask(b0, S)
-            _, hs, counts = _capture_scan(
-                layer, xs_stack, cos, sin, mask, hs, counts, cfg, li
-            )
-        for x in (xs if not scan_batches else ()):
-            xj = jnp.asarray(x)
-            if mesh is not None:
-                # batch axis sharded over dp: XLA all-reduces X^T X across
-                # devices inside the jitted step (replaces the reference's
-                # NCCL all_reduce, gptq.py:131-132). On multi-host runs the
-                # per-process shard assembles into a LARGER global batch.
-                from ..parallel import dp as dp_mod
-
-                xj = dp_mod.shard_batch(xj, mesh)
-            b = xj.shape[0]
-            cos, sin = rope_for(b)
-            mask = llama.causal_mask(b, S)
-            if is_moe:
-                _, hs, counts, moe_sums = _capture_step_moe(
-                    layer, xj, cos, sin, mask, hs, counts, moe_sums, cfg, li
+        with _tick("capture") as tk:
+            if scan_batches:
+                b0 = batches[0].shape[0]
+                cos, sin = rope_for(b0)
+                mask = llama.causal_mask(b0, S)
+                _, hs, counts = _capture_scan(
+                    layer, xs_stack, cos, sin, mask, hs, counts, cfg, li
                 )
-            else:
-                _, hs, counts = _capture_step(layer, xj, cos, sin, mask, hs, counts, cfg, li)
+            for x in (xs if not scan_batches else ()):
+                xj = jnp.asarray(x)
+                if mesh is not None:
+                    # batch axis sharded over dp: XLA all-reduces X^T X across
+                    # devices inside the jitted step (replaces the reference's
+                    # NCCL all_reduce, gptq.py:131-132). On multi-host runs the
+                    # per-process shard assembles into a LARGER global batch.
+                    from ..parallel import dp as dp_mod
+
+                    xj = dp_mod.shard_batch(xj, mesh)
+                b = xj.shape[0]
+                cos, sin = rope_for(b)
+                mask = llama.causal_mask(b, S)
+                if is_moe:
+                    _, hs, counts, moe_sums = _capture_step_moe(
+                        layer, xj, cos, sin, mask, hs, counts, moe_sums, cfg, li
+                    )
+                else:
+                    _, hs, counts = _capture_step(layer, xj, cos, sin, mask, hs, counts, cfg, li)
+            tk.sync(hs)
 
         if is_moe:
             params = _solve_moe_block(
@@ -357,12 +392,14 @@ def quantize_model(
             for m in members:
                 groups_by_qtype.setdefault(m[2], []).append(m)
             for qtype, group in groups_by_qtype.items():
-                Ws = [layer[key] for key, _, _ in group]
-                W_cat = jnp.concatenate(
-                    [w.astype(jnp.float32) for w in Ws], axis=0
-                ) if len(group) > 1 else Ws[0].astype(jnp.float32)
-                res = gptq_ops.gptq_quantize_matrix(W_cat, hs[cap], qtype, gptq_cfg)
-                w_hat_cat = kquant.dequantize(res.qweight, res.params, qtype)
+                with _tick("factorize_solve") as tk:
+                    Ws = [layer[key] for key, _, _ in group]
+                    W_cat = jnp.concatenate(
+                        [w.astype(jnp.float32) for w in Ws], axis=0
+                    ) if len(group) > 1 else Ws[0].astype(jnp.float32)
+                    res = gptq_ops.gptq_quantize_matrix(W_cat, hs[cap], qtype, gptq_cfg)
+                    w_hat_cat = kquant.dequantize(res.qweight, res.params, qtype)
+                    tk.sync(w_hat_cat)
                 row = 0
                 for (key, name, _), W in zip(group, Ws):
                     n = W.shape[0]
@@ -370,18 +407,19 @@ def quantize_model(
                     row += n
                     new_layer[key] = w_hat_cat[sl].astype(W.dtype)
                     if save_dir is not None:
-                        artifacts.save_layer(
-                            save_dir,
-                            name,
-                            artifacts.LayerArtifact(
-                                q_type=qtype,
-                                qweight=np.asarray(res.qweight[sl]),
-                                super_group_scale=np.asarray(res.params.super_scale[sl]),
-                                super_group_zero=np.asarray(res.params.super_zero[sl]),
-                                group_scale_quant=np.asarray(res.params.scale_q[sl]),
-                                group_zero_quant=np.asarray(res.params.zero_q[sl]),
-                            ),
-                        )
+                        with _tick("artifact"):
+                            artifacts.save_layer(
+                                save_dir,
+                                name,
+                                artifacts.LayerArtifact(
+                                    q_type=qtype,
+                                    qweight=np.asarray(res.qweight[sl]),
+                                    super_group_scale=np.asarray(res.params.super_scale[sl]),
+                                    super_group_zero=np.asarray(res.params.super_zero[sl]),
+                                    group_scale_quant=np.asarray(res.params.scale_q[sl]),
+                                    group_zero_quant=np.asarray(res.params.zero_q[sl]),
+                                ),
+                            )
                 if verbose and bool(res.issue_non_invertible):
                     names = ", ".join(n for _, n, _ in group)
                     print(f"[calibrate] {names}: non-invertible Hessian, identity fallback")
@@ -391,24 +429,27 @@ def quantize_model(
         params = {**params, "layers": layers}
 
         # ---- propagate quantized activations (quantizer.py:161-172) ----
-        if scan_batches:
-            b0 = batches[0].shape[0]
-            cos, sin = rope_for(b0)
-            mask = llama.causal_mask(b0, S)
-            xs_stack = _propagate_scan(new_layer, xs_stack, cos, sin, mask, cfg, li)
-        else:
-            new_xs = []
-            for x in xs:
-                b = x.shape[0]
-                cos, sin = rope_for(b)
-                mask = llama.causal_mask(b, S)
-                out = _propagate_step(new_layer, jnp.asarray(x), cos, sin, mask, cfg, li)
-                new_xs.append(np.asarray(out))
-            xs = new_xs
+        with _tick("propagate") as tk:
+            if scan_batches:
+                b0 = batches[0].shape[0]
+                cos, sin = rope_for(b0)
+                mask = llama.causal_mask(b0, S)
+                xs_stack = _propagate_scan(new_layer, xs_stack, cos, sin, mask, cfg, li)
+                tk.sync(xs_stack)
+            else:
+                new_xs = []
+                for x in xs:
+                    b = x.shape[0]
+                    cos, sin = rope_for(b)
+                    mask = llama.causal_mask(b, S)
+                    out = _propagate_step(new_layer, jnp.asarray(x), cos, sin, mask, cfg, li)
+                    new_xs.append(np.asarray(out))
+                xs = new_xs
 
-        layers = list(params["layers"])
-        layers[li] = jax.tree_util.tree_map(np.asarray, layers[li])
-        params = {**params, "layers": layers}
+        with _tick("unstage"):
+            layers = list(params["layers"])
+            layers[li] = jax.tree_util.tree_map(np.asarray, layers[li])
+            params = {**params, "layers": layers}
 
         if verbose:
             print(

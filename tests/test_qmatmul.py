@@ -150,13 +150,30 @@ def test_pallas_v3_offset_fold_matches_xla(qtype):
     assert np.abs(y_bf - y_ref).max() < 0.03 * ref_scale
 
 
-@pytest.mark.parametrize("variant", ["v2f", "v2h", "v2g", "v2s", "v2m", "v2t"])
-@pytest.mark.parametrize("qtype", [T.Q2_K, T.Q3_K, T.Q4_K, T.Q6_K])
+@pytest.mark.parametrize("variant", ["v2f", "v2h", "v2g", "v2s", "v2m",
+                                     "v2t", "v2p"])
+@pytest.mark.parametrize("qtype", [T.Q2_K, T.Q3_K, T.Q4_K, T.Q5_K, T.Q6_K])
 def test_pallas_v2fh_group_fold_matches_xla(qtype, variant):
     """v2f folds the signed-code shift into the group offset plane (f32
     affine, no correction dot); v2h additionally does the per-weight affine
     in mxu_dtype. Both must match the canonical dequant matmul: v2f to f32
-    association (exact at mxu_dtype=f32), v2h to bf16 rounding."""
+    association (exact at mxu_dtype=f32), v2h to bf16 rounding.
+
+    The dispatcher substitutes variants per format (ADVICE r4: assert which
+    kernel actually runs, don't vacuously re-test v2g): v2m/v2p at gs=16 ->
+    v2p pair-group kernel; v2t at gs=16 and v2s on byte-wide codes -> v2g.
+    Q5_K pins v2m's per_byte==1 branch; Q2/Q3/Q6_K pin v2p's three shapes
+    (has_min, signed-shift, 6-bit codes)."""
+    spec = kquant.KQUANT_SPECS[qtype]
+    eff = qmatmul._effective_v2_variant(
+        variant, gs=spec.group_size,
+        per_byte=2 if spec.bits <= 4 else 1, tile_in=256, B=8)
+    if variant in ("v2m", "v2p") and spec.group_size == 16:
+        assert eff == "v2p"
+    if variant == "v2t" and spec.group_size == 16:
+        assert eff == "v2g"
+    if variant == "v2s" and spec.bits > 4:
+        assert eff == "v2g"
     wx = RNG.normal(size=(512, 512)).astype(np.float32) * 0.1
     q, params = kquant.quantize_rtn(jnp.asarray(wx), qtype)
     rql = qmatmul.pack_runtime_v2(np.asarray(q), params, qtype)

