@@ -36,18 +36,35 @@ from jax.experimental.pallas import tpu as pltpu
 # max rel err 2e-6 vs the f32 gather reference (docs/PAGED_SMOKE_r04.json).
 EXTENDED_ON_TPU = True
 
-# The int4 (q4) paged kernel is exact in interpret mode but does not compile
-# on real TPU yet: Mosaic rejects DMA slices whose lane dim is 64 (< the
-# 128-lane u8 tile) — both the packed-code pools (hd/2 = 64 lanes) and the
-# group-scale pools (hd/32 lanes) hit this ("Slice shape along dimension 3
-# must be aligned to tiling (128)", real-TPU smoke 2026-08-20). On TPU the
-# int4 paged path therefore takes the XLA gather+dequant route (correct,
-# tested; reads the full provisioned pool per layer). Unblock sketch: pack
-# k+v codes into one 128-lane row per position ((n_pages, nKV, page, hd)
-# u8, k in lanes [0, hd/2), v in [hd/2, hd)) and k+v group scales into one
-# (n_pages, nKV, 2*hd/KV_Q4_GROUP, page) f32 plane with page_size >= 128 —
-# every DMA then slices only tile-aligned trailing dims.
-Q4_KERNEL_ON_TPU = False
+# Round-4's q4 kernel did not compile on real TPU: Mosaic rejects DMA
+# slices whose lane dim is 64 (< the 128-lane u8 tile) — the split
+# packed-code pools (hd/2 = 64 lanes) and group-scale pools (hd/32 lanes)
+# both hit "Slice shape along dimension 3 must be aligned to tiling (128)"
+# (real-TPU smoke 2026-08-20). Round 5 executes the unblock sketch:
+#
+#   * k+v codes combine into ONE pool row per position —
+#     (n_pages, nKV, page, hd) u8, k bytes in lanes [0, hd/2), v bytes in
+#     [hd/2, hd) — so the per-page DMA slice is (page, hd): 128 lanes;
+#   * k+v group scales combine into ONE TRANSPOSED plane —
+#     (n_pages, nKV, 2*hd/KV_Q4_GROUP, page) f32, k groups on sublanes
+#     [0, hd/32), v groups after, positions on LANES — so with
+#     page % 128 == 0 the slice is (hd/16, page): 8 sublanes x 128k lanes;
+#   * the kernel never lane-slices: per-feature-group scores come from
+#     zero-padded query planes (qpads, built in XLA) dotted against the
+#     whole nibble plane, and the per-group scale is a (1, page) sublane
+#     broadcast — positions already on lanes. The v-side accumulates in
+#     "plane space" ((G, n_groups*hd), each group's useful 32-lane window
+#     extracted in XLA after the kernel).
+#
+# Gate: q4_kernel_supported() — hd % 128 == 0 and page % 128 == 0; other
+# shapes take the XLA gather+dequant route (correct, tested).
+Q4_KERNEL_ON_TPU = True
+
+
+def q4_kernel_supported(page: int, hd: int) -> bool:
+    """Tile-alignment preconditions of the combined-layout q4 kernel (every
+    DMA slice must land on (32, 128) u8 / (8, 128) f32 tiles)."""
+    return hd % 128 == 0 and page % 128 == 0 and (hd // 16) % 8 == 0
 
 
 def _kernel(table_ref, len_ref, q_ref, sinks_ref, kp_ref, vp_ref, out_ref,
@@ -140,31 +157,33 @@ def _kernel(table_ref, len_ref, q_ref, sinks_ref, kp_ref, vp_ref, out_ref,
         out_ref[0, 0] = acc[0:G, :] / jnp.maximum(l, 1e-30)
 
 
-def _kernel_q4(table_ref, len_ref, q_ref, sinks_ref, kp_ref, vp_ref,
-               ksp_ref, vsp_ref, out_ref, kbuf, vbuf, ksbuf, vsbuf, acc,
-               m_sc, l_sc, ksem, vsem, kssem, vssem, *, page, pps, scale,
-               window, has_sinks, softcap):
-    """_kernel over int4-packed page pools: codes (page, hd//2) u8 and
-    group scales (page, hd//KV_Q4_GROUP) f32 are DMA'd per page and
-    dequantized in VMEM (split layout: low nibbles = first hd/2 features,
-    models/llama.dequant_kv_q4)."""
+def _kernel_q4(table_ref, len_ref, qpads_ref, sinks_ref, cp_ref, sp_ref,
+               out_ref, cbuf, sbuf, acc, m_sc, l_sc, csem, ssem, *, page,
+               pps, scale, window, has_sinks, softcap, hd):
+    """_kernel over COMBINED int4 page pools (module docstring): codes
+    (page, hd) u8 with k bytes in lanes [0, hd/2) and v bytes after; group
+    scales (hd/16, page) f32, k groups first, positions on lanes. Mosaic
+    lane-tiling safe: every DMA slice is (page, hd) u8 / (hd/16, page) f32
+    and the kernel body never lane-slices — per-group k scores come from
+    zero-padded query planes, per-group v contributions accumulate in
+    plane space (useful 32-lane windows extracted by the caller)."""
     b = pl.program_id(0)
     kv = pl.program_id(1)
     p = pl.program_id(2)
-    G = q_ref.shape[2]
+    nkg = hd // 32  # feature groups per head (KV_Q4_GROUP = 32)
+    half = nkg // 2  # groups resolved from the low-nibble plane
+    G = sinks_ref.shape[0]          # real head-group count
+    R = qpads_ref.shape[-2] // nkg  # padded plane stride (max(8, G))
     length = len_ref[b]
     n_live = length // page + 1
     p_start = (jnp.maximum(length - window + 1, 0) // page) if window else 0
 
     def start_copy(i, slot):
         pid = jnp.maximum(table_ref[b * pps + i], 0)
-        for src, dst, sem in (
-            (kp_ref, kbuf, ksem), (vp_ref, vbuf, vsem),
-            (ksp_ref, ksbuf, kssem), (vsp_ref, vsbuf, vssem),
-        ):
-            pltpu.make_async_copy(
-                src.at[pid, kv], dst.at[slot], sem.at[slot]
-            ).start()
+        pltpu.make_async_copy(
+            cp_ref.at[pid, kv], cbuf.at[slot], csem.at[slot]).start()
+        pltpu.make_async_copy(
+            sp_ref.at[pid, kv], sbuf.at[slot], ssem.at[slot]).start()
 
     @pl.when(p == 0)
     def _():
@@ -179,44 +198,36 @@ def _kernel_q4(table_ref, len_ref, q_ref, sinks_ref, kp_ref, vp_ref,
     @pl.when((p >= p_start) & (p < n_live))
     def _():
         slot = jax.lax.rem(p, 2)
-        for src, dst, sem in (
-            (kp_ref, kbuf, ksem), (vp_ref, vbuf, vsem),
-            (ksp_ref, ksbuf, kssem), (vsp_ref, vsbuf, vssem),
-        ):
-            pltpu.make_async_copy(
-                src.at[0, 0], dst.at[slot], sem.at[slot]
-            ).wait()
+        pltpu.make_async_copy(
+            cp_ref.at[0, 0], cbuf.at[slot], csem.at[slot]).wait()
+        pltpu.make_async_copy(
+            sp_ref.at[0, 0], sbuf.at[slot], ssem.at[slot]).wait()
 
         @pl.when(p + 1 < n_live)
         def _():
             start_copy(p + 1, jax.lax.rem(p + 1, 2))
 
-        def deq(codes, scales):
-            # (page, hd/2) u8 + (page, hd/32) f32 -> (page, hd) f32.
-            # Group scales broadcast across lanes via iota-select: Mosaic
-            # cannot lower jnp.repeat's (page, ng, gsz)->(page, hd) lane
-            # shape-cast ("infer-vector-layout: unsupported shape cast",
-            # real-TPU smoke 2026-08-20); a (page,1)->(page,hd) sublane
-            # broadcast per group is supported and ng is tiny (hd/32).
-            lo = (codes & 0xF).astype(jnp.int32) - 8
-            hi = (codes >> 4).astype(jnp.int32) - 8
-            w = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
-            ng = scales.shape[-1]
-            gsz = w.shape[-1] // ng
-            lane = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1) // gsz
-            s = jnp.zeros_like(w)
-            for g in range(ng):
-                s = jnp.where(lane == g, scales[:, g:g + 1], s)
-            return w * s
+        c = cbuf[slot].astype(jnp.int32)  # u8->f32 is not a Mosaic cast
+        lo = (c & 0xF).astype(jnp.float32) - 8.0   # (page, hd)
+        hi = (c >> 4).astype(jnp.float32) - 8.0
+        sc = sbuf[slot]                             # (hd/16, page)
+        qp = qpads_ref[...].astype(jnp.float32)
+        qp = qp.reshape(-1, qp.shape[-1])           # (nkg*R, hd)
 
-        qv = q_ref[0, 0].astype(jnp.float32) * scale            # (G, hd)
-        k = deq(kbuf[slot], ksbuf[slot])                        # (page, hd)
-        v = deq(vbuf[slot], vsbuf[slot])
-        s = jax.lax.dot_general(
-            qv, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # scores: group g of k lives in lanes [32*(g%half), +32) of the
+        # lo (g < half) or hi plane; qpads[g] is zero outside that window,
+        # so a full-plane dot contracts exactly the group's features.
+        s = None
+        for g in range(nkg):
+            plane = lo if g < half else hi
+            sg = jax.lax.dot_general(
+                qp[g * R:g * R + G], plane, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                       # (G, page)
+            sg = sg * sc[g:g + 1, :]                # k-scale row broadcast
+            s = sg if s is None else s + sg
+        s = s * scale
         if softcap:
             s = softcap * jnp.tanh(s * (1.0 / softcap))
         pos = p * page + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -232,10 +243,17 @@ def _kernel_q4(table_ref, len_ref, q_ref, sinks_ref, kp_ref, vp_ref,
         l_sc[0:G, 0:1] = l_sc[0:G, 0:1] * corr + jnp.sum(
             probs, axis=1, keepdims=True
         )
-        acc[0:G, :] = acc[0:G, :] * corr + jnp.dot(
-            probs, v, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # v side, plane space: group g of v lives in lanes
+        # [hd/2 + 32*(g%half), +32) of its plane; scale probs by the
+        # group's (1, page) v-scale row, dot against the whole plane, and
+        # let the caller slice the useful window out of segment g.
+        for g in range(nkg):
+            plane = lo if g < half else hi
+            pg = probs * sc[nkg + g:nkg + g + 1, :]
+            ag = jnp.dot(pg, plane, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)  # (G, hd)
+            acc[0:G, g * hd:(g + 1) * hd] = (
+                acc[0:G, g * hd:(g + 1) * hd] * corr + ag)
         m_sc[0:G, 0:1] = m_new
 
     @pl.when(p == pps - 1)
@@ -252,66 +270,87 @@ def _kernel_q4(table_ref, len_ref, q_ref, sinks_ref, kp_ref, vp_ref,
 @functools.partial(
     jax.jit, static_argnames=("scale", "interpret", "window", "softcap")
 )
-def paged_flash_decode_q4(q, k_pages, v_pages, k_s_pages, v_s_pages, table,
-                          lengths, *, scale: float, interpret: bool = False,
+def paged_flash_decode_q4(q, kv_pages, s_pages, table, lengths, *,
+                          scale: float, interpret: bool = False,
                           window: int = 0, sinks=None, softcap: float = 0.0):
-    """paged_flash_decode over int4-packed pools (VERDICT r3 #7).
+    """paged_flash_decode over COMBINED int4 pools (VERDICT r3 #7 / r4 #8).
 
-    k_pages/v_pages: (n_pages, nKV, page, hd//2) uint8 packed codes;
-    k_s_pages/v_s_pages: (n_pages, nKV, page, hd//KV_Q4_GROUP) f32 group
-    scales. Decode KV traffic drops to (hd/2 + hd/8) bytes per entry vs
-    2*hd bf16 — 3.2x. Returns (B, nKV, G, hd) f32."""
+    kv_pages: (n_pages, nKV, page, hd) uint8 — k's packed codes in lanes
+    [0, hd/2), v's in [hd/2, hd) (split nibble layout per half, see
+    serving/model._quantize_kv_q4). s_pages: (n_pages, nKV, hd/16, page)
+    f32 — k group scales on sublanes [0, hd/32), v's after, POSITIONS ON
+    LANES. This layout makes every DMA slice tile-aligned on real TPU
+    (module docstring). Decode KV traffic drops to (hd/2 + hd/8) bytes per
+    entry vs 2*hd bf16 — 3.2x. Returns (B, nKV, G, hd) f32."""
     B, nKV, G, hd = q.shape
-    n_pages, _, page, half = k_pages.shape
-    ng = k_s_pages.shape[-1]
-    assert half * 2 == hd
+    n_pages, _, page, hd_c = kv_pages.shape
+    assert hd_c == hd and hd % 64 == 0
+    nkg = hd // 32
+    half = nkg // 2
     pps = table.shape[1]
     rows = max(8, G)
     has_sinks = sinks is not None
     sk = (jnp.asarray(sinks, jnp.float32).reshape(nKV, G).T if has_sinks
           else jnp.zeros((G, nKV), jnp.float32))
 
+    # zero-padded query planes (XLA side): qpads[g] holds q's feature
+    # group g at the lane window where that group's k codes live, zeros
+    # elsewhere — the kernel then never lane-slices.
+    qpads = jnp.zeros((nkg, B, nKV, rows, hd), jnp.float32)
+    qf = q.astype(jnp.float32)
+    for g in range(nkg):
+        lane0 = 32 * (g % half)
+        qpads = qpads.at[g, :, :, :G, lane0:lane0 + 32].set(
+            qf[..., 32 * g:32 * g + 32])
+    # (B, nKV, nkg*rows, hd): per-(b, kv) block of stacked padded planes
+    qpads = qpads.transpose(1, 2, 0, 3, 4).reshape(B, nKV, nkg * rows, hd)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, nKV, pps),
         in_specs=[
-            pl.BlockSpec((1, 1, G, hd), lambda b, kv, p, *_: (b, kv, 0, 0)),
+            pl.BlockSpec((1, 1, nkg * rows, hd),
+                         lambda b, kv, p, *_: (b, kv, 0, 0)),
             pl.BlockSpec((G, nKV), lambda b, kv, p, *_: (0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, G, hd), lambda b, kv, p, *_: (b, kv, 0, 0)
+            (1, 1, G, nkg * hd), lambda b, kv, p, *_: (b, kv, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, page, half), k_pages.dtype),
-            pltpu.VMEM((2, page, half), v_pages.dtype),
-            pltpu.VMEM((2, page, ng), jnp.float32),
-            pltpu.VMEM((2, page, ng), jnp.float32),
-            pltpu.VMEM((rows, hd), jnp.float32),
+            pltpu.VMEM((2, page, hd), kv_pages.dtype),
+            pltpu.VMEM((2, hd // 16, page), jnp.float32),
+            pltpu.VMEM((rows, nkg * hd), jnp.float32),
             pltpu.VMEM((rows, 128), jnp.float32),
             pltpu.VMEM((rows, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_kernel_q4, page=page, pps=pps, scale=scale,
-                               window=int(window or 0), has_sinks=has_sinks,
-                               softcap=float(softcap or 0.0))
-    return pl.pallas_call(
+
+    kernel = functools.partial(
+        _kernel_q4, page=page, pps=pps, scale=scale,
+        window=int(window or 0), has_sinks=has_sinks,
+        softcap=float(softcap or 0.0), hd=hd)
+
+    planes = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, nKV, G, hd), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, nKV, G, nkg * hd),
+                                       jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
-    )(table.reshape(-1), lengths, q, sk, k_pages, v_pages,
-      k_s_pages, v_s_pages)
+    )(table.reshape(-1), lengths, qpads, sk, kv_pages, s_pages)
+
+    # extract each v group's useful 32-lane window from its plane segment
+    out = jnp.concatenate(
+        [planes[..., g * hd + hd // 2 + 32 * (g % half):
+                g * hd + hd // 2 + 32 * (g % half) + 32]
+         for g in range(nkg)], axis=-1)
+    return out
 
 
 @functools.partial(

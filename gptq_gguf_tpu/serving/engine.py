@@ -374,6 +374,10 @@ class ContinuousBatchingEngine:
             self.multi_step = 0  # sentinel: _auto_block picks per step
         else:
             self.multi_step = max(1, int(multi_step))
+        # extra "auto" cap the serving layer can tighten at runtime, e.g.
+        # the HTTP runner drops it to 8 while SSE streams are attached so
+        # stream chunks stay interactive (tokens emit at block edges)
+        self.auto_cap: Optional[int] = None
         # legacy engine-wide temperature becomes the default per-request
         # sampler; submit(sampling=...) overrides per request
         self.default_sampling = (
@@ -616,6 +620,8 @@ class ContinuousBatchingEngine:
                      - len(self.slot_req[s].output) for s in active)
         headroom = int(self.max_len - 1 - max(self._fill[s] for s in active))
         cap = MULTI_STEP_ADMIT_CAP if self.queue else MULTI_STEP_AUTO_CAP
+        if self.auto_cap:
+            cap = min(cap, self.auto_cap)
         k = min(cap, max(1, budget), max(1, headroom))
         return 1 << (k.bit_length() - 1)  # floor to a power of two
 

@@ -30,14 +30,30 @@ from .model import _q_linear, _QUANT_TYPES, _dequant_any
 
 
 class PagedKVCache(NamedTuple):
-    k_pages: List[jax.Array]  # per layer (n_pages, nKV, page_size, hd)
+    """bf16 caches: k_pages/v_pages hold (n_pages, nKV, page_size, hd)
+    K / V pages; k_s_pages/v_s_pages are None.
+
+    int4 caches (round 5 COMBINED layout — every Pallas DMA slice must be
+    tile-aligned on real TPU, ops/paged_attention module docstring):
+    ``k_pages`` holds the combined packed codes (n_pages, nKV, page, hd)
+    u8 — k's codes in lanes [0, hd/2), v's in [hd/2, hd) — and
+    ``v_pages`` holds the combined group scales
+    (n_pages, nKV, 2*hd/KV_Q4_GROUP, page) f32 — k groups on the sublane
+    axis first, POSITIONS ON LANES. k_s_pages/v_s_pages stay None; int4
+    is detected by the uint8 code dtype (`q4` property). Generic
+    field-forwarding code (engine slot masking, TP sharding specs) works
+    unchanged: both pools keep n_pages/nKV as leading axes."""
+
+    k_pages: List[jax.Array]
     v_pages: List[jax.Array]
     page_table: jax.Array     # (B, pages_per_slot) int32, -1 = unassigned
     lengths: jax.Array        # (B,) int32
-    # int4 caches: k/v_pages hold packed codes (..., hd//2) u8 and these
-    # hold the per-group f32 scales (..., hd//KV_Q4_GROUP); None otherwise
     k_s_pages: Optional[List[jax.Array]] = None
     v_s_pages: Optional[List[jax.Array]] = None
+
+    @property
+    def q4(self) -> bool:
+        return self.k_pages[0].dtype == jnp.uint8
 
     @property
     def page_size(self) -> int:
@@ -74,16 +90,16 @@ def init_paged_cache(
             raise NotImplementedError(
                 f"int4 paged KV needs head_dim divisible by "
                 f"{2 * KV_Q4_GROUP}, got {hd}")
-        shape_q = (n_pages, cfg.num_key_value_heads, page_size, hd // 2)
-        shape_s = (n_pages, cfg.num_key_value_heads, page_size,
-                   hd // KV_Q4_GROUP)
+        # combined layout (PagedKVCache docstring): one code pool + one
+        # transposed scale pool per layer
+        shape_c = (n_pages, cfg.num_key_value_heads, page_size, hd)
+        shape_s = (n_pages, cfg.num_key_value_heads,
+                   2 * hd // KV_Q4_GROUP, page_size)
         return PagedKVCache(
-            [jnp.zeros(shape_q, jnp.uint8) for _ in range(n)],
-            [jnp.zeros(shape_q, jnp.uint8) for _ in range(n)],
+            [jnp.zeros(shape_c, jnp.uint8) for _ in range(n)],
+            [jnp.zeros(shape_s, jnp.float32) for _ in range(n)],
             jnp.full((batch, pages_per_slot), -1, jnp.int32),
             jnp.zeros((batch,), jnp.int32),
-            [jnp.zeros(shape_s, jnp.float32) for _ in range(n)],
-            [jnp.zeros(shape_s, jnp.float32) for _ in range(n)],
         )
     elif kv_dtype not in (None, "bf16"):
         raise ValueError(f"unsupported paged kv_dtype {kv_dtype!r}")
@@ -110,6 +126,29 @@ def _write_paged(pool: jax.Array, table: jax.Array, positions: jax.Array,
     return pool.at[page_ids, :, offs, :].set(
         vals.astype(pool.dtype), mode="drop"
     )
+
+
+def _write_paged_t(pool: jax.Array, table: jax.Array, positions: jax.Array,
+                   vals: jax.Array) -> jax.Array:
+    """_write_paged for the TRANSPOSED scale pools: pool
+    (n_pages, nKV, ng2, page) with positions on the LAST axis; vals
+    (B, S, nKV, ng2)."""
+    page_size = pool.shape[3]
+    page_idx = positions // page_size
+    page_ids = jnp.take_along_axis(table, page_idx, axis=1)  # (B, S)
+    offs = positions % page_size
+    page_ids = jnp.where(page_ids < 0, pool.shape[0], page_ids)
+    return pool.at[page_ids, :, :, offs].set(
+        vals.astype(pool.dtype), mode="drop"
+    )
+
+
+def _gather_slot_scales_t(pool: jax.Array, table: jax.Array) -> jax.Array:
+    """(n_pages, nKV, ng2, page) + (B, pps) -> (B, nKV, pps*page, ng2)."""
+    safe = jnp.maximum(table, 0)
+    g = pool[safe]  # (B, pps, nKV, ng2, page)
+    B, pps, nKV, ng2, page = g.shape
+    return g.transpose(0, 2, 1, 4, 3).reshape(B, nKV, pps * page, ng2)
 
 
 def _gather_slot_kv(pool: jax.Array, table: jax.Array) -> jax.Array:
@@ -179,16 +218,19 @@ def forward_paged(
         qr, kr = llama.apply_rope(q, k.transpose(0, 2, 1, 3), cos_l, sin_l)
         k = kr.transpose(0, 2, 1, 3)
 
-        q4 = cache.k_s_pages is not None
+        q4 = cache.q4
         if q4:
             kq, ks = qmodel._quantize_kv_q4(k)
             vq, vs = qmodel._quantize_kv_q4(v)
-            k_pool = _write_paged(cache.k_pages[li], cache.page_table, positions, kq)
-            v_pool = _write_paged(cache.v_pages[li], cache.page_table, positions, vq)
-            ks_pool = _write_paged(cache.k_s_pages[li], cache.page_table, positions, ks)
-            vs_pool = _write_paged(cache.v_s_pages[li], cache.page_table, positions, vs)
-            new_ks.append(ks_pool)
-            new_vs.append(vs_pool)
+            # combined layout: codes concat on lanes, scales concat on the
+            # group axis and scattered with positions-on-lanes
+            c_pool = _write_paged(cache.k_pages[li], cache.page_table,
+                                  positions,
+                                  jnp.concatenate([kq, vq], axis=-1))
+            s_pool = _write_paged_t(cache.v_pages[li], cache.page_table,
+                                    positions,
+                                    jnp.concatenate([ks, vs], axis=-1))
+            k_pool, v_pool = c_pool, s_pool
         else:
             k_pool = _write_paged(cache.k_pages[li], cache.page_table, positions, k)
             v_pool = _write_paged(cache.v_pages[li], cache.page_table, positions, v)
@@ -209,10 +251,13 @@ def forward_paged(
         ext_ok = interpret or paged_attention.EXTENDED_ON_TPU
         plain = (sliding is None and "sinks" not in layer
                  and not cfg.attn_logit_softcap)
-        # int4 pools: the q4 kernel is interpret-only for now (Mosaic lane
-        # tiling rejects the 64-lane DMA slices on real TPU — see
-        # paged_attention.Q4_KERNEL_ON_TPU for the unblock sketch)
-        q4_ok = not q4 or interpret or paged_attention.Q4_KERNEL_ON_TPU
+        # int4 pools: the combined-layout kernel needs tile-aligned DMA
+        # slices on real TPU (hd % 128, page % 128); other shapes (or a
+        # flipped Q4_KERNEL_ON_TPU escape hatch) take the XLA gather path
+        q4_ok = not q4 or (
+            (interpret and hd % 64 == 0)  # interpret: no tiling rules
+            or (paged_attention.Q4_KERNEL_ON_TPU
+                and paged_attention.q4_kernel_supported(cache.page_size, hd)))
         if S == 1 and (on_tpu or interpret) and (plain or ext_ok) and q4_ok:
             # Pallas flash-decode walks the block table: only live pages
             # leave HBM (the gather path below copies the full provisioned
@@ -227,20 +272,20 @@ def forward_paged(
             )
             if q4:
                 attn = paged_attention.paged_flash_decode_q4(
-                    qk, k_pool, v_pool, ks_pool, vs_pool,
-                    cache.page_table, lengths, **fd_kw)
+                    qk, k_pool, v_pool, cache.page_table, lengths, **fd_kw)
             else:
                 attn = paged_attention.paged_flash_decode(
                     qk, k_pool, v_pool, cache.page_table, lengths, **fd_kw)
             attn = attn.reshape(B, nH, S, hd).astype(qr.dtype)
         else:
             if q4:
+                codes = _gather_slot_kv(k_pool, cache.page_table)
+                scales = _gather_slot_scales_t(v_pool, cache.page_table)
+                ngk = hd // llama.KV_Q4_GROUP
                 k_all = llama.dequant_kv_q4(
-                    _gather_slot_kv(k_pool, cache.page_table),
-                    _gather_slot_kv(ks_pool, cache.page_table))
+                    codes[..., : hd // 2], scales[..., :ngk])
                 v_all = llama.dequant_kv_q4(
-                    _gather_slot_kv(v_pool, cache.page_table),
-                    _gather_slot_kv(vs_pool, cache.page_table))
+                    codes[..., hd // 2:], scales[..., ngk:])
             else:
                 k_all = _gather_slot_kv(k_pool, cache.page_table)
                 v_all = _gather_slot_kv(v_pool, cache.page_table)

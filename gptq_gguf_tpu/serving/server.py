@@ -145,6 +145,11 @@ class EngineRunner:
     def _loop(self):
         while not self._stop:
             with self.lock:
+                # keep SSE chunks interactive: cap auto decode blocks at 8
+                # steps while any stream is attached (tokens surface at
+                # block edges); batch clients get full-size blocks
+                if hasattr(self.engine, "auto_cap"):
+                    self.engine.auto_cap = 8 if self.streams else None
                 active = self.engine.step()
                 if self.streams:
                     for req in self.engine.slot_req:

@@ -93,7 +93,7 @@ def mm_for(variant, tiles=None):
             t = _fit_tiles(r.d_in_local, r.d_out, ti, to)
             return qmatmul.dequant_matmul_pallas(x, r, tile_in=t[0], tile_out=t[1])
         return f
-    if variant in ("v2", "v3", "v2f", "v2h", "v2g", "v2s", "v2m", "v2t"):
+    if variant in ("v2", "v3", "v2f", "v2h", "v2g", "v2s", "v2m", "v2t", "v2p"):
         kv = variant
         def f(x, r):
             if tiles:
@@ -119,13 +119,29 @@ def numerics_check(variant, tiles=None):
 
     rng = np.random.default_rng(7)
     packs = make_weights(rng, 512, 1024)
-    key = {"v1": "v1", "v2": "v2", "v3": "v2", "v2f": "v2", "v2h": "v2", "v2g": "v2", "v2s": "v2", "v2m": "v2", "v2t": "v2"}.get(variant, variant)
+    key = "v2" if variant.startswith("v2") or variant == "v3" else variant
     r = packs[key]
     x = jnp.asarray(rng.normal(size=(8, 1024)).astype(np.float32))
     y = np.asarray(mm_for(variant, tiles)(x, r))
     ref = np.asarray(qmv4.dequant_matmul_xla_v4(x, packs["v4f"]))
     denom = np.maximum(np.abs(ref), np.abs(ref).mean())
     return float(np.max(np.abs(y - ref) / denom))
+
+
+def _effective_label(variant, packs_by_name, B):
+    """Which kernel actually runs per pack (ADVICE r4: 'v2m' results on
+    gs=16 packs silently measured v2g; now v2p — either way, say so)."""
+    if not (variant.startswith("v2") or variant == "v3"):
+        return variant
+    from gptq_gguf_tpu.ops import qmatmul
+
+    effs = {name: qmatmul.effective_v2_variant_for(p["v2"], B, variant)
+            for name, p in packs_by_name.items()} if isinstance(
+                next(iter(packs_by_name.values())), dict) else {}
+    if not effs:
+        return variant
+    uniq = sorted(set(effs.values()))
+    return uniq[0] if len(uniq) == 1 else effs
 
 
 def bench_variant(variant, packs_by_name, B=8, N=None, tiles=None):
@@ -139,7 +155,7 @@ def bench_variant(variant, packs_by_name, B=8, N=None, tiles=None):
     import jax.numpy as jnp
     from functools import partial
 
-    key = {"v1": "v1", "v2": "v2", "v3": "v2", "v2f": "v2", "v2h": "v2", "v2g": "v2", "v2s": "v2", "v2m": "v2", "v2t": "v2"}.get(variant, variant)
+    key = "v2" if variant.startswith("v2") or variant == "v3" else variant
     layer = {n: p[key] for n, p in packs_by_name.items()}
     bytes_layer = sum(rql_bytes(r) for r in layer.values())
     mm = mm_for(variant, tiles)
@@ -180,6 +196,7 @@ def bench_variant(variant, packs_by_name, B=8, N=None, tiles=None):
     dt_layer = best
     return {
         "variant": variant,
+        "effective": _effective_label(variant, packs_by_name, B),
         "tiles": tiles,
         "ms_per_layer": round(dt_layer * 1e3, 3),
         "eff_bw_gbs": round(bytes_layer / dt_layer / 1e9, 1),

@@ -94,38 +94,44 @@ def main():
                          "max_rel_err": round(rel, 6), "ok": ok}
         print(json.dumps({name: results[name]}), flush=True)
 
-    # int4-packed q4 kernel variant (round 4): quantize the same pages,
-    # compare against the gather + DEQUANTIZED reference
+    # int4-packed q4 kernel (round-5 COMBINED layout: codes (page, hd) u8
+    # with k|v halves on lanes, scales (hd/16, page) f32 transposed —
+    # every DMA slice tile-aligned, page_size=128): quantize fresh pages
+    # at the kernel's alignment and compare against the gather +
+    # DEQUANTIZED reference
     from gptq_gguf_tpu.models import llama
     from gptq_gguf_tpu.serving import model as qmodel
 
-    if not paged_attention.Q4_KERNEL_ON_TPU:
-        results["q4"] = {"skipped": "Q4_KERNEL_ON_TPU=False (Mosaic lane "
-                         "tiling rejects 64-lane DMA slices; gather path "
-                         "serves int4 paged on TPU)"}
-        out = {"device": str(jax.devices()[0]), "ok": ok_all,
-               "cases": results}
-        print(json.dumps(out))
-        with open("docs/PAGED_SMOKE_r04.json", "w") as f:
-            json.dump(out, f, indent=1)
-        sys.exit(0 if ok_all else 1)
-
-    kq, ks = qmodel._quantize_kv_q4(jnp.asarray(k_pages))
-    vq, vs = qmodel._quantize_kv_q4(jnp.asarray(v_pages))
-    k_deq = llama.dequant_kv_q4(kq, ks)
-    v_deq = llama.dequant_kv_q4(vq, vs)
-    kd_all = np.asarray(paged._gather_slot_kv(k_deq, jnp.asarray(table)))
-    vd_all = np.asarray(paged._gather_slot_kv(v_deq, jnp.asarray(table)))
+    page4, pps4 = 128, 3
+    assert paged_attention.q4_kernel_supported(page4, hd)
+    n_pages4 = B * pps4
+    lengths4 = np.asarray([5, 127, 300], np.int32)
+    kf = rng.normal(size=(n_pages4, nKV, page4, hd)).astype(np.float32) * 0.2
+    vf = rng.normal(size=(n_pages4, nKV, page4, hd)).astype(np.float32)
+    table4 = np.full((B, pps4), -1, np.int32)
+    nxt = 0
+    for b in range(B):
+        for p_ in range(int(lengths4[b]) // page4 + 1):
+            table4[b, p_] = nxt
+            nxt += 1
+    kq, ks = qmodel._quantize_kv_q4(jnp.asarray(kf))
+    vq, vs = qmodel._quantize_kv_q4(jnp.asarray(vf))
+    kv_pages = jnp.concatenate([kq, vq], axis=-1)
+    s_pages = jnp.concatenate([ks, vs], axis=-1).transpose(0, 1, 3, 2)
+    kd_all = np.asarray(paged._gather_slot_kv(
+        llama.dequant_kv_q4(kq, ks), jnp.asarray(table4)))
+    vd_all = np.asarray(paged._gather_slot_kv(
+        llama.dequant_kv_q4(vq, vs), jnp.asarray(table4)))
     for name, kw in {"q4_plain": dict(),
                      "q4_window_sinks_softcap": dict(
-                         window=48, sinks=jnp.asarray(sinks), softcap=50.0),
+                         window=200, sinks=jnp.asarray(sinks), softcap=50.0),
                      }.items():
         out = np.asarray(paged_attention.paged_flash_decode_q4(
-            jnp.asarray(q), kq, vq, ks, vs,
-            jnp.asarray(table), jnp.asarray(lengths), scale=scale,
+            jnp.asarray(q), kv_pages, s_pages,
+            jnp.asarray(table4), jnp.asarray(lengths4), scale=scale,
             interpret=False, **kw))
         rkw = {k: (sinks if k == "sinks" else v) for k, v in kw.items()}
-        ref = ref_attn(q, kd_all, vd_all, lengths, scale, **rkw)
+        ref = ref_attn(q, kd_all, vd_all, lengths4, scale, **rkw)
         err = float(np.max(np.abs(out - ref)))
         rel = err / float(np.max(np.abs(ref)) + 1e-9)
         ok = rel < 5e-3
@@ -136,7 +142,7 @@ def main():
 
     out = {"device": str(jax.devices()[0]), "ok": ok_all, "cases": results}
     print(json.dumps(out))
-    with open("docs/PAGED_SMOKE_r04.json", "w") as f:
+    with open("docs/PAGED_SMOKE_r05.json", "w") as f:
         json.dump(out, f, indent=1)
     sys.exit(0 if ok_all else 1)
 

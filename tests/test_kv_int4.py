@@ -172,6 +172,15 @@ def _q4_pools(rng, n_pages, page, nKV, hd, scale=1.0):
     return codes, scales, deq
 
 
+def _combined_q4_pools(kq, ks, vq, vs):
+    """Split k/v (codes, scales) pools -> the round-5 COMBINED layout
+    (PagedKVCache docstring): codes concat on lanes; scales concat on the
+    group axis, transposed to positions-on-lanes."""
+    kv_pages = jnp.concatenate([kq, vq], axis=-1)
+    s_pages = jnp.concatenate([ks, vs], axis=-1).transpose(0, 1, 3, 2)
+    return kv_pages, s_pages
+
+
 def _masked_ref(q, k_all, v_all, lengths, scale, window=0, sinks=None,
                 softcap=0.0):
     s = np.einsum("bkgh,bkth->bkgt", np.asarray(q), np.asarray(k_all)) * scale
@@ -218,8 +227,9 @@ def test_paged_flash_decode_q4_kernel():
     table = jnp.asarray(table)
     scale = 1.0 / np.sqrt(hd)
 
+    kv_pages, s_pages = _combined_q4_pools(kq, ks, vq, vs)
     out = paged_attention.paged_flash_decode_q4(
-        q, kq, vq, ks, vs, table, lengths, scale=scale, interpret=True)
+        q, kv_pages, s_pages, table, lengths, scale=scale, interpret=True)
 
     k_all = paged._gather_slot_kv(k_deq, table)
     v_all = paged._gather_slot_kv(v_deq, table)
@@ -243,8 +253,9 @@ def test_paged_flash_decode_q4_window_sinks_softcap():
     scale = 1.0 / np.sqrt(hd)
     sinks = jnp.asarray(rng.normal(size=(nKV * G,)).astype(np.float32))
 
+    kv_pages, s_pages = _combined_q4_pools(kq, ks, vq, vs)
     out = paged_attention.paged_flash_decode_q4(
-        q, kq, vq, ks, vs, table, lengths, scale=scale, interpret=True,
+        q, kv_pages, s_pages, table, lengths, scale=scale, interpret=True,
         window=48, sinks=sinks, softcap=30.0)
 
     k_all = paged._gather_slot_kv(k_deq, table)
@@ -270,7 +281,7 @@ def test_paged_int4_forward_matches_contiguous_int4():
 
     cache_p = paged.init_paged_cache(cfg, B, max_len, page, kv_dtype="int4")
     assert cache_p.k_pages[0].dtype == jnp.uint8
-    assert cache_p.k_s_pages is not None
+    assert cache_p.q4 and cache_p.k_s_pages is None
     table = jnp.asarray([[2, 0, 3, 1], [5, 7, 4, 6]], jnp.int32)
     cache_p = cache_p._replace(page_table=table)
     logits_p, cache_p = paged.forward_paged(params, cfg, jnp.asarray(ids), cache_p)
@@ -335,6 +346,8 @@ def test_paged_int4_memory_ratio():
     bf16 = paged.init_paged_cache(cfg, 2, 64, 16)
     i4 = paged.init_paged_cache(cfg, 2, 64, 16, kv_dtype="int4")
     hd = cfg.head_dim_
-    b_bytes = bf16.k_pages[0].nbytes
-    q_bytes = i4.k_pages[0].nbytes + i4.k_s_pages[0].nbytes
-    assert q_bytes / b_bytes == (hd // 2 + 4 * hd // 32) / (2 * hd)
+    # k+v together: bf16 holds 2*2*hd bytes/entry; int4 holds hd code
+    # bytes + 2*(hd/32)*4 scale bytes — the same 3.2x as the split layout
+    b_bytes = bf16.k_pages[0].nbytes + bf16.v_pages[0].nbytes
+    q_bytes = i4.k_pages[0].nbytes + i4.v_pages[0].nbytes
+    assert q_bytes / b_bytes == (hd + 8 * hd // 32) / (4 * hd)

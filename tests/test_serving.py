@@ -551,6 +551,7 @@ def test_auto_block_sizing():
     eng = engine.ContinuousBatchingEngine.__new__(engine.ContinuousBatchingEngine)
     eng.max_len = 2048
     eng.queue = []
+    eng.auto_cap = None
     req = lambda budget: type("R", (), {"max_new_tokens": budget, "output": []})()
     eng.slot_req = [req(100), req(37)]
     eng._fill = np.array([10, 20])
@@ -565,3 +566,17 @@ def test_auto_block_sizing():
     eng._fill = np.array([10, 20])
     eng.queue = [object()]  # waiting request -> admit-latency cap
     assert eng._auto_block([0, 1]) == 8
+
+
+def test_auto_cap_tightens_block():
+    """The serving layer's auto_cap (SSE streaming) caps auto blocks."""
+    eng = engine.ContinuousBatchingEngine.__new__(engine.ContinuousBatchingEngine)
+    eng.max_len = 2048
+    eng.queue = []
+    eng.auto_cap = 8
+    req = lambda budget: type("R", (), {"max_new_tokens": budget, "output": []})()
+    eng.slot_req = [req(100)]
+    eng._fill = np.array([10])
+    assert eng._auto_block([0]) == 8
+    eng.auto_cap = None
+    assert eng._auto_block([0]) == 64

@@ -137,7 +137,7 @@ def test_tp_paged_int4_decode_matches_unsharded(tp_setup):
     cfg, params, mesh = tp_setup
     B = 2
     pcache = paged.init_paged_cache(cfg, B, 16, page_size=8, kv_dtype="int4")
-    assert pcache.k_s_pages is not None
+    assert pcache.q4  # combined pools: codes in k_pages, scales in v_pages
     table = jnp.asarray(np.arange(2 * 2, dtype=np.int32).reshape(B, 2))
     pcache = pcache._replace(page_table=table)
     prompts = jnp.asarray(RNG.integers(0, cfg.vocab_size, size=(B, 5)))
@@ -151,7 +151,7 @@ def test_tp_paged_int4_decode_matches_unsharded(tp_setup):
         sparams, cfg, tok, scache, mesh)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
                                rtol=2e-4, atol=2e-4)
-    assert scache2.k_s_pages is not None
+    assert scache2.q4
     assert np.asarray(scache2.lengths).tolist() == [6, 6]
 
 
