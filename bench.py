@@ -404,7 +404,7 @@ def build_8b_params(max_len=2048):
     return params, cfg, weight_bytes
 
 
-def bench_engine(B=8, max_len=2048, prompt_len=128, k=64, blocks=3,
+def bench_engine(B=8, max_len=2048, prompt_len=128, k=128, blocks=3,
                  prebuilt=None):
     """End-to-end decode at Llama-3-8B shapes through the engine's k-step
     scan block (`engine._decode_steps_scan` — the `multi_step` serving
@@ -412,7 +412,11 @@ def bench_engine(B=8, max_len=2048, prompt_len=128, k=64, blocks=3,
     readback: it is what a multi_step server delivers. The per-token
     `_decode_step` loop round 1-3 scored pays this environment's ~42 ms
     relay cost once per TOKEN (31 ms/step observed); blocks pay it once
-    per k tokens (12.6 ms/step at k=64, docs/KERNELS_r04.md)."""
+    per k tokens (docs/KERNELS_r04.md). Round-5 k sweep (quiet machine):
+    k=64 745.8, k=128 769.3, k=192 743.0 tok/s — k=192's loss is real
+    physics (longer measured window = larger average KV fill = more
+    flash chunks read), so k=128 is the sweet spot and the engine's
+    MULTI_STEP_AUTO_CAP matches it."""
     import jax
     import jax.numpy as jnp
 

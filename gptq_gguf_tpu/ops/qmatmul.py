@@ -916,16 +916,22 @@ _V2_KERNELS = {"v2": _kernel_v2, "v3": _kernel_v3, "v2f": _kernel_v2f,
                "v2m": _kernel_v2m, "v2t": _kernel_v2t, "v2p": _kernel_v2p}
 
 # Which in-kernel dequant variant the dispatcher uses for v2-format weights.
-# Round-4 races on the real chip (docs/KERNELS_r04.md): v2m 717 GB/s
-# effective (96% of the 743.5 GB/s f32-read SOL) > v2g 658 > v2f 490-498 >
-# v2 470-486 > v2t 464 > v2h 439 > v3 329. v2m cuts the per-weight VPU
-# chain to widen/nibble/cast by decomposing the contraction into per-group
-# k=gs MXU dots and scaling the (B, T) partial sums (gs-fold fewer muls);
-# offsets ride v2g's precomputed-xsum correction dot. Numerics: bf16
-# rounding lands on the raw codes + f32 partial-sum scaling, max rel err
-# ~0.03 vs the f32 build — below the 4-bit quantization noise.
+# Round-5 ENGINE A/B on the real chip (scripts/engine_ab.py, the repo's
+# GO/NO-GO rule — docs/KERNELS_r04.md: kernel ship decisions use the
+# engine number, not the ±30% microbench): v2g 742.5 tok/s > v2m 698.3.
+# v2m's 717 GB/s microbench win (docs/KERNELS_r04.md session 3) does not
+# survive the engine: its XLA-side per-group activation gather + changed
+# dispatch shape cost more than the per-weight scale-mul it deletes.
+# Round-4's v2m default is therefore REVERTED per the rule it violated
+# (VERDICT r4 #2). Microbench ordering for reference: v2m 717 > v2g 658 >
+# v2f 490-498 > v2 470-486 > v2t 464 > v2h 439 > v3 329 GB/s effective.
 # GG_PALLAS_V2_VARIANT=v2 restores the bit-matched-to-f32-build kernel.
-PALLAS_V2_VARIANT = os.environ.get("GG_PALLAS_V2_VARIANT", "v2m")
+PALLAS_V2_VARIANT = os.environ.get("GG_PALLAS_V2_VARIANT", "v2g")
+
+# Separate default for gs=16 formats (Q2/Q3/Q6_K — incl. the Q6_K lm_head):
+# empty = follow PALLAS_V2_VARIANT. Set after the round-5 lm_head-shape race
+# (scripts/lmhead_race.py, docs/KERNELS_r05.md).
+PALLAS_V2_VARIANT_GS16 = os.environ.get("GG_PALLAS_V2_VARIANT_GS16", "")
 
 
 def _effective_v2_variant(variant: str, *, gs: int, per_byte: int,
@@ -963,8 +969,12 @@ def effective_v2_variant_for(rql, B: int = 8,
     tiles = select_tiles_v2(rql.d_in_local, rql.d_out, n_rows=B)
     if tiles is None:
         return "xla"
+    if variant is None:
+        variant = (PALLAS_V2_VARIANT_GS16
+                   if rql.group_size == 16 and PALLAS_V2_VARIANT_GS16
+                   else PALLAS_V2_VARIANT)
     return _effective_v2_variant(
-        variant or PALLAS_V2_VARIANT, gs=rql.group_size,
+        variant, gs=rql.group_size,
         per_byte=rql.per_byte, tile_in=min(tiles[0], rql.d_in_local), B=B)
 
 
@@ -1252,9 +1262,12 @@ def dequant_matmul(x: jax.Array, rql, force_xla: bool = False) -> jax.Array:
     if force_xla or tiles is None or (not on_tpu and not interpret):
         return dequant_matmul_xla_v2(x, rql) if v2 else dequant_matmul_xla(x, rql)
     if v2:
+        variant = (PALLAS_V2_VARIANT_GS16
+                   if rql.group_size == 16 and PALLAS_V2_VARIANT_GS16
+                   else PALLAS_V2_VARIANT)
         return dequant_matmul_pallas_v2(
             x, rql, tile_in=tiles[0], tile_out=tiles[1], interpret=interpret,
-            variant=PALLAS_V2_VARIANT,
+            variant=variant,
         )
     return dequant_matmul_pallas(
         x, rql, tile_in=tiles[0], tile_out=tiles[1], interpret=interpret

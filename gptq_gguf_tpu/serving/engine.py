@@ -31,9 +31,11 @@ from .sampling import GREEDY, SamplingParams
 
 
 # multi_step="auto" block-size caps (see ContinuousBatchingEngine.__init__):
-# 64 matches the scored bench mode; 8 bounds queue admit latency when
-# requests are waiting for a slot.
-MULTI_STEP_AUTO_CAP = 64
+# 128 matches the scored bench mode (round-5 k sweep: 769 tok/s at k=128 vs
+# 746 at k=64 on the relay chip); 8 bounds queue admit latency when requests
+# are waiting for a slot, and the HTTP runner caps at 8 while SSE streams
+# are attached.
+MULTI_STEP_AUTO_CAP = 128
 MULTI_STEP_ADMIT_CAP = 8
 
 

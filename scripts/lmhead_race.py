@@ -46,24 +46,26 @@ def main():
     tiles = qmatmul.select_tiles_v2(rql.d_in_local, rql.d_out, n_rows=args.b)
     x0 = jax.random.normal(jax.random.PRNGKey(5), (args.b, H), jnp.float32)
 
+    # rql must be an explicit jit ARGUMENT: closed-over weight arrays embed
+    # as HLO constants and the relay's compile endpoint rejects the ~0.5 GB
+    # request body (HTTP 413)
+    @partial(jax.jit, static_argnames=("n", "variant"))
+    def run(x, r, n, variant):
+        def body(x, _):
+            y = qmatmul.dequant_matmul_pallas_v2(
+                x, r, tile_in=tiles[0], tile_out=tiles[1], variant=variant)
+            # fold logits back to H lanes to chain the scan
+            return jnp.tanh(y[:, :H]) * 1e-3 + x, None
+
+        x, _ = jax.lax.scan(body, x, None, length=n)
+        return jnp.sum(x)
+
     for variant in args.variants.split(","):
         eff = qmatmul.effective_v2_variant_for(rql, args.b, variant)
 
-        @partial(jax.jit, static_argnames=("n",))
-        def run(x, n, variant=variant):
-            def body(x, _):
-                y = qmatmul.dequant_matmul_pallas_v2(
-                    x, rql, tile_in=tiles[0], tile_out=tiles[1],
-                    variant=variant)
-                # fold logits back to H lanes to chain the scan
-                return jnp.tanh(y[:, :H]) * 1e-3 + x, None
-
-            x, _ = jax.lax.scan(body, x, None, length=n)
-            return jnp.sum(x)
-
         try:
-            float(run(x0, args.n_lo))
-            float(run(x0, args.n_hi))
+            float(run(x0, rql, args.n_lo, variant))
+            float(run(x0, rql, args.n_hi, variant))
         except Exception as e:
             print(json.dumps({"variant": variant, "effective": eff,
                               "error": repr(e)[:400]}), flush=True)
@@ -71,10 +73,10 @@ def main():
         best = float("inf")
         for _ in range(5):
             t0 = time.time()
-            float(run(x0, args.n_lo))
+            float(run(x0, rql, args.n_lo, variant))
             t_lo = time.time() - t0
             t0 = time.time()
-            float(run(x0, args.n_hi))
+            float(run(x0, rql, args.n_hi, variant))
             t_hi = time.time() - t0
             if t_hi - t_lo > 1e-4:
                 best = min(best, (t_hi - t_lo) / (args.n_hi - args.n_lo))

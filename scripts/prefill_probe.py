@@ -70,12 +70,16 @@ def main():
     flops = 2 * S * (32 * layer_params + 128512 * 4096 // S)  # lm_head: last pos only
     # v5e MXU peak ~197 TFLOP/s bf16; weight read at the measured read BW
     peak = 197e12
-    read_s = weight_bytes / 878.7e9
+    read_bw = bench.measure_read_bw_gbs(trials=3) * 1e9
+    read_s = weight_bytes / read_bw
     sol_ms = max(flops / peak, read_s) * 1e3
     out = {
         "prefill_ms_device_two_point": round(ms, 2),
         "prompt_len": S,
         "flops_bf16": flops,
+        "read_bw_gbs": round(read_bw / 1e9, 1),
+        "sol_ms_compute_ceiling": round(flops / peak * 1e3, 2),
+        "sol_ms_read_ceiling": round(read_s * 1e3, 2),
         "sol_ms_compute_or_read": round(sol_ms, 2),
         "frac_of_sol": round(sol_ms / ms, 3) if ms > 0 else None,
         "note": "single-slot prefill; engine pays this once per admitted "
