@@ -47,6 +47,10 @@ def build_parser(p: argparse.ArgumentParser) -> None:
                    help="log stage timings/ppl to wandb (reference quant.py:113)")
     p.add_argument("--profile-dir", dest="profile_dir", default=None,
                    help="write a jax.profiler trace here (TensorBoard/xprof)")
+    p.add_argument("--offload-activations", dest="offload_activations",
+                   choices=["auto", "on", "off"], default="auto",
+                   help="stage calibration activations to host between "
+                        "blocks (auto: only when the set exceeds 2 GB)")
     p.add_argument("--stage-profile", dest="stage_profile", action="store_true",
                    help="accumulate per-stage wall-clock inside the "
                         "calibration walk (stage_in/capture/factorize_solve/"
@@ -124,6 +128,8 @@ def run(args) -> None:
             scan_batches={"auto": None, "on": True, "off": False}[args.scan_batches],
             verbose=args.verbose,
             stage_times=stage_times,
+            offload_activations={"auto": None, "on": True, "off": False}[
+                getattr(args, "offload_activations", "auto")],
         )
     print(f"Quantization took {time.perf_counter() - t0:.1f} s.")
     if stage_times is not None:

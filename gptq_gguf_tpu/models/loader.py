@@ -102,7 +102,12 @@ def load_params(
         )
     )
     for name, arr in canonical:
-        val = (_to_f32(arr) if host
+        # host staging keeps fp16 checkpoints at fp16: the calibration walk
+        # casts to f32 ON DEVICE after upload, halving the per-block
+        # host->device transfer (round-5: stage_in measured 15 s/layer of
+        # pure relay upload at 8B f32). bf16 still widens here (numpy-side
+        # view trick; values identical either way).
+        val = ((arr if arr.dtype == np.float16 else _to_f32(arr)) if host
                else jnp.asarray(_to_f32(arr), dtype=dtype))
         if name == "model.embed_tokens.weight":
             params["embed_tokens"] = val

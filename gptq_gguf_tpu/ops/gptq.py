@@ -178,6 +178,109 @@ def prepare_hessian_inverse(
 # Blocked column loop
 # ---------------------------------------------------------------------------
 
+# Round-5 (VERDICT r4 #5 / ROADMAP #3): the inner 128-column loop as ONE
+# Pallas kernel per block. The XLA lax.scan formulation launches ~30 tiny
+# device ops per column — at 26K columns/layer that device-launch overhead,
+# not FLOPs or HBM, dominated the measured solve (PIPELINE_8B_r05 stage
+# breakdown). The kernel holds the (row-tile x bs) block in VMEM and runs
+# the column recurrence as a fori_loop of masked lane/sublane reduces —
+# no dynamic slicing, no per-column launches. Rows are independent given
+# the shared Cholesky, so the grid tiles d_row.
+SOLVE_ROW_TILE = 512
+
+
+def _solve_block_kernel(w_ref, u_ref, ud_ref, s_ref, z_ref, q_ref, e_ref,
+                        *, bs, qmin, qmax, eps):
+    """One GPTQ block solve for a row tile.
+
+    w_ref: (R, bs) residual weights; u_ref: (bs, bs) the block's Cholesky
+    slice; ud_ref: (1, bs) its diagonal; s_ref/z_ref: (R, bs) per-column
+    effective scale/zero (super * group quant, pre-gathered in XLA).
+    Writes q_ref (codes) and e_ref (err = (w - wq)/d, consumed by the
+    cross-block MXU update). Column i's math selects lane i via masked
+    reduces — exact, and Mosaic-friendly (no lane dynamic slices)."""
+    w = w_ref[...]
+    u = u_ref[...]
+    ud = ud_ref[...]                      # (1, bs)
+    s = s_ref[...]
+    z = z_ref[...]
+    R = w.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, bs), 1)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+    row_u = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+
+    def body(i, carry):
+        w, qacc, eacc = carry
+        onecol = lane == i
+        col = jnp.sum(jnp.where(onecol, w, 0.0), axis=1, keepdims=True)
+        si = jnp.sum(jnp.where(onecol, s, 0.0), axis=1, keepdims=True)
+        zi = jnp.sum(jnp.where(onecol, z, 0.0), axis=1, keepdims=True)
+        di = jnp.sum(jnp.where(lane1 == i, ud, 0.0), axis=1, keepdims=True)
+        q = jnp.clip(jnp.round((col + zi) / jnp.maximum(si, eps)),
+                     qmin, qmax)
+        wq = si * q - zi
+        err = (col - wq) / di             # (R, 1)
+        u_i = jnp.sum(jnp.where(row_u == i, u, 0.0), axis=0,
+                      keepdims=True)      # (1, bs) row i of U
+        u_i = jnp.where(lane1 >= i, u_i, 0.0)
+        w = w - err * u_i
+        qacc = jnp.where(onecol, q, qacc)
+        eacc = jnp.where(onecol, err, eacc)
+        return w, qacc, eacc
+
+    _, qacc, eacc = jax.lax.fori_loop(
+        0, bs, body, (w, jnp.zeros_like(w), jnp.zeros_like(w)))
+    q_ref[...] = qacc
+    e_ref[...] = eacc
+
+
+def _solve_block_pallas(w_blk, u_blk, s_blk, z_blk, *, qmin, qmax, eps,
+                        interpret=False):
+    """(q_blk, err_blk) for one column block via the Pallas kernel, row
+    tiles on the grid."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d_row, bs = w_blk.shape
+    R = SOLVE_ROW_TILE
+    while d_row % R:
+        R //= 2
+    kernel = functools.partial(_solve_block_kernel, bs=bs, qmin=float(qmin),
+                               qmax=float(qmax), eps=float(eps))
+
+    def wrapped(*refs):
+        kernel(*refs)
+
+    ud = jnp.diagonal(u_blk).reshape(1, bs)
+    row_spec = pl.BlockSpec((R, bs), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec((bs, bs), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    diag_spec = pl.BlockSpec((1, bs), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    q_blk, e_blk = pl.pallas_call(
+        wrapped,
+        out_shape=(jax.ShapeDtypeStruct((d_row, bs), jnp.float32),
+                   jax.ShapeDtypeStruct((d_row, bs), jnp.float32)),
+        grid=(d_row // R,),
+        in_specs=[row_spec, full_spec, diag_spec, row_spec, row_spec],
+        out_specs=(row_spec, row_spec),
+        interpret=interpret,
+    )(w_blk, u_blk, ud, s_blk, z_blk)
+    return q_blk, e_blk
+
+
+def _use_solve_kernel(d_row: int, bs: int) -> bool:
+    """Pallas solve path gate: real TPU (or forced interpret for tests),
+    lane-aligned block, sublane-tileable rows."""
+    from . import qmatmul
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    ok_shapes = bs % 128 == 0 and d_row % 8 == 0
+    if os.environ.get("GG_GPTQ_SOLVE_KERNEL", "") == "off":
+        return False
+    return ok_shapes and (on_tpu or qmatmul.FORCE_PALLAS_INTERPRET)
+
 
 def _params_f32(p: SuperGroupParams) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     return (
@@ -250,29 +353,44 @@ def _solve_core(
         w_blk = jax.lax.dynamic_slice(w, (0, c1), (d_row, bs))
         u_blk = jax.lax.dynamic_slice(U, (c1, c1), (bs, bs))
 
-        def col_body(wb, i):
-            col = jax.lax.dynamic_slice(wb, (0, i), (d_row, 1))[:, 0]
-            d = u_blk[i, i]
-            g = col_group[c1 + i]
-            sg = col_sg[c1 + i]
-            s = ss[:, sg] * sq[:, g]
-            z = sz[:, sg] * zq[:, g]
-            q = jnp.clip(jnp.round((col + z) / jnp.maximum(s, eps)), spec.qmin, spec.qmax)
-            wq = s * q - z
-            err = (col - wq) / d
-            u_row = u_blk[i, :] * (blk_ids >= i)
-            wb = wb - err[:, None] * u_row[None, :]
-            return wb, (q, err)
+        if _use_solve_kernel(d_row, bs):
+            # Pallas block solve: per-column scale/zero planes pre-gathered
+            # here (one gather per block instead of two per column), the
+            # 128-column recurrence in ONE kernel (see _solve_block_kernel)
+            idx_g = jax.lax.dynamic_slice(col_group, (c1,), (bs,))
+            idx_sg = jax.lax.dynamic_slice(col_sg, (c1,), (bs,))
+            s_blk = ss[:, idx_sg] * sq[:, idx_g]
+            z_blk = sz[:, idx_sg] * zq[:, idx_g]
+            on_tpu = jax.devices()[0].platform == "tpu"
+            qblk, errs = _solve_block_pallas(
+                w_blk, u_blk, s_blk, z_blk, qmin=spec.qmin, qmax=spec.qmax,
+                eps=eps, interpret=not on_tpu)
+            # NB: solved columns of ``w`` are never read again (the refit
+            # window and the trailing update both look strictly ahead), so
+            # the in-block residual w_blk needs no write-back.
+        else:
+            def col_body(wb, i):
+                col = jax.lax.dynamic_slice(wb, (0, i), (d_row, 1))[:, 0]
+                d = u_blk[i, i]
+                g = col_group[c1 + i]
+                sg = col_sg[c1 + i]
+                s = ss[:, sg] * sq[:, g]
+                z = sz[:, sg] * zq[:, g]
+                q = jnp.clip(jnp.round((col + z) / jnp.maximum(s, eps)), spec.qmin, spec.qmax)
+                wq = s * q - z
+                err = (col - wq) / d
+                u_row = u_blk[i, :] * (blk_ids >= i)
+                wb = wb - err[:, None] * u_row[None, :]
+                return wb, (q, err)
 
-        w_blk, (q_cols, err_cols) = jax.lax.scan(
-            col_body, w_blk, jnp.arange(bs, dtype=jnp.int32)
-        )
-        errs = err_cols.T  # (d_row, bs)
-        qblk = q_cols.T
+            w_blk, (q_cols, err_cols) = jax.lax.scan(
+                col_body, w_blk, jnp.arange(bs, dtype=jnp.int32)
+            )
+            errs = err_cols.T  # (d_row, bs)
+            qblk = q_cols.T
+            w = jax.lax.dynamic_update_slice(w, w_blk, (0, c1))
 
-        # write quantized block back; masked MXU update of trailing columns
-        # (gptq.py:266,270)
-        w = jax.lax.dynamic_update_slice(w, w_blk, (0, c1))
+        # masked MXU update of trailing columns (gptq.py:266,270)
         u_rows = jax.lax.dynamic_slice(U, (c1, 0), (bs, d_col))
         u_rows = u_rows * (col_ids >= c1 + bs)[None, :]
         w = w - jnp.dot(errs, u_rows, preferred_element_type=jnp.float32)

@@ -19,8 +19,11 @@ Functional re-expression of the reference Quantizer orchestrator
 * per-layer artifacts are written immediately after each solve, keeping the
   reference's restartability property (SURVEY.md §5.4).
 
-Activations are staged on host between blocks (the reference's
-``cpu_offload_activations``) so calibration memory is bounded by one block.
+Weights stage one block at a time; calibration activations stay
+device-resident by default (they don't grow with depth) and offload to
+host numpy only when the set exceeds 2 GB — see ``offload_activations``
+(the reference's ``cpu_offload_activations``, round-5: the unconditional
+host staging cost a ~256 MB/layer relay round trip at 8B shapes).
 """
 
 from __future__ import annotations
@@ -197,6 +200,8 @@ def quantize_model(
     scan_batches: Optional[bool] = None,
     verbose: bool = False,
     stage_times: Optional[Dict[str, float]] = None,
+    offload_activations: Optional[bool] = None,
+    offload_weights: Optional[bool] = None,
 ) -> Dict[str, Any]:
     """Run the GPTQ calibration walk; returns params with quantized weights.
 
@@ -217,6 +222,18 @@ def quantize_model(
     propagate / unstage, seconds) — it inserts device syncs at stage
     boundaries, so only enable it to profile (VERDICT r4 #5: the 8B solve
     measured 1.0 Mw/s end-to-end with no breakdown to aim the fix at).
+    offload_activations: stage calibration activations to host numpy
+    between blocks (the reference's cpu_offload_activations). None (auto):
+    offload only when the activation set exceeds 2 GB — the set doesn't
+    grow with depth, so at typical calibration sizes (16 x 1 x 512 x 4096
+    f32 = 128 MB for 8B) keeping it device-resident saves a ~256 MB/layer
+    host<->device round trip on the relay for nothing.
+    offload_weights: return each quantized block to host numpy after
+    propagation (bounds HBM at ~one block of the model — required for
+    checkpoints that do not fit on one chip). None (auto): offload only
+    when the whole stack would exceed 4 GB device-resident. The round-5
+    stage breakdown measured the unconditional offload at ~42 s/layer of
+    pure device->host relay transfer at 8B shapes.
     """
     qcfg = resolve_quant_config(quant_config)
     pattern = re.compile(quantizable_regex)
@@ -271,12 +288,60 @@ def quantize_model(
     # ---- block-0 inputs ----
     # host-staged checkpoints (loader.load_params(host=True)): only the
     # embedding visits the device here; each block is staged in the walk
+    if offload_activations is None:
+        act_bytes = sum(b.shape[0] * S * cfg.hidden_size * 4 for b in batches)
+        offload_activations = act_bytes > 2 * 2 ** 30
+    _stage_act = np.asarray if offload_activations else (lambda a: a)
+    if offload_weights is None:
+        stack_bytes = sum(
+            a.size * a.dtype.itemsize
+            for l in params["layers"]
+            for a in jax.tree_util.tree_leaves(l))
+        offload_weights = stack_bytes > 4 * 2 ** 30
+    _stage_out = np.asarray if offload_weights else (lambda a: a)
+
+    def _stage_in(a):
+        """Upload one block leaf; fp16 host checkpoints upload at fp16
+        (half the relay bytes) and widen to f32 on device — identical
+        values to widening host-side."""
+        x = jnp.asarray(a)
+        return x.astype(jnp.float32) if x.dtype == jnp.float16 else x
+
+    # async artifact writer: the codes/params readback is pure
+    # device->host relay transfer (round-5 breakdown: the dominant stage)
+    # and need not block the next layer's capture/solve dispatch
+    _saver = None
+    _save_futures: List[Any] = []
+    if save_dir is not None:
+        import concurrent.futures
+
+        _saver = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+
+    def _save_async(name, qtype, arrs):
+        """arrs: (qweight, super_scale, super_zero, scale_q, zero_q) device
+        slices; kicked to host asynchronously, written by the saver thread."""
+        for a in arrs:
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+
+        def work():
+            qw, ss_, sz_, sq_, zq_ = [np.asarray(a) for a in arrs]
+            artifacts.save_layer(
+                save_dir, name,
+                artifacts.LayerArtifact(
+                    q_type=qtype, qweight=qw, super_group_scale=ss_,
+                    super_group_zero=sz_, group_scale_quant=sq_,
+                    group_zero_quant=zq_))
+
+        _save_futures.append(_saver.submit(work))
     _embed_keys = ("embed_tokens", "pos_embed", "embed_norm", "embed_norm_bias")
     _staged = {k: jnp.asarray(params[k]) for k in _embed_keys
                if isinstance(params.get(k), np.ndarray)}
     _p_embed = {**params, **_staged} if _staged else params
-    xs: List[np.ndarray] = [
-        np.asarray(llama.embed_forward(_p_embed, jnp.asarray(b), cfg))
+    xs = [
+        _stage_act(llama.embed_forward(_p_embed, jnp.asarray(b), cfg))
         for b in batches
     ]
     del _staged, _p_embed
@@ -291,13 +356,18 @@ def quantize_model(
 
     # ---- sequential block walk ----
     n_layers = cfg.num_hidden_layers
+    _prefetched = None
     for li in range(n_layers):
         t0 = time.perf_counter()
-        # stage this block onto the device (no-op when already there);
-        # it returns to host numpy after propagation so HBM holds at most
-        # one block of the model at a time
+        # stage this block onto the device (no-op when already there) and
+        # kick off the NEXT block's upload so it overlaps this block's
+        # capture/solve; offload_weights returns solved blocks to host
         with _tick("stage_in") as tk:
-            layer = jax.tree_util.tree_map(jnp.asarray, params["layers"][li])
+            layer = (_prefetched if _prefetched is not None else
+                     jax.tree_util.tree_map(_stage_in, params["layers"][li]))
+            _prefetched = (
+                jax.tree_util.tree_map(_stage_in, params["layers"][li + 1])
+                if li + 1 < n_layers else None)
             tk.sync(layer)
         _stage = list(params["layers"])
         _stage[li] = layer
@@ -361,10 +431,10 @@ def quantize_model(
                 cos, sin = rope_for(b)
                 mask = llama.causal_mask(b, S)
                 out = _propagate_step(new_layer, jnp.asarray(x), cos, sin, mask, cfg, li)
-                new_xs.append(np.asarray(out))
+                new_xs.append(_stage_act(out))
             xs = new_xs
             layers = list(params["layers"])
-            layers[li] = jax.tree_util.tree_map(np.asarray, layers[li])
+            layers[li] = jax.tree_util.tree_map(_stage_out, layers[li])
             params = {**params, "layers": layers}
             if verbose:
                 print(
@@ -408,18 +478,13 @@ def quantize_model(
                     new_layer[key] = w_hat_cat[sl].astype(W.dtype)
                     if save_dir is not None:
                         with _tick("artifact"):
-                            artifacts.save_layer(
-                                save_dir,
-                                name,
-                                artifacts.LayerArtifact(
-                                    q_type=qtype,
-                                    qweight=np.asarray(res.qweight[sl]),
-                                    super_group_scale=np.asarray(res.params.super_scale[sl]),
-                                    super_group_zero=np.asarray(res.params.super_zero[sl]),
-                                    group_scale_quant=np.asarray(res.params.scale_q[sl]),
-                                    group_zero_quant=np.asarray(res.params.zero_q[sl]),
-                                ),
-                            )
+                            _save_async(name, qtype, (
+                                res.qweight[sl],
+                                res.params.super_scale[sl],
+                                res.params.super_zero[sl],
+                                res.params.scale_q[sl],
+                                res.params.zero_q[sl],
+                            ))
                 if verbose and bool(res.issue_non_invertible):
                     names = ", ".join(n for _, n, _ in group)
                     print(f"[calibrate] {names}: non-invertible Hessian, identity fallback")
@@ -443,12 +508,12 @@ def quantize_model(
                     cos, sin = rope_for(b)
                     mask = llama.causal_mask(b, S)
                     out = _propagate_step(new_layer, jnp.asarray(x), cos, sin, mask, cfg, li)
-                    new_xs.append(np.asarray(out))
+                    new_xs.append(_stage_act(out))
                 xs = new_xs
 
         with _tick("unstage"):
             layers = list(params["layers"])
-            layers[li] = jax.tree_util.tree_map(np.asarray, layers[li])
+            layers[li] = jax.tree_util.tree_map(_stage_out, layers[li])
             params = {**params, "layers": layers}
 
         if verbose:
@@ -456,6 +521,13 @@ def quantize_model(
                 f"[calibrate] block {li + 1}/{n_layers} done in "
                 f"{time.perf_counter() - t0:.2f}s"
             )
+
+    # ---- flush async artifact writes ----
+    if _saver is not None:
+        with _tick("artifact_flush"):
+            for f in _save_futures:
+                f.result()
+        _saver.shutdown()
 
     # ---- non-block post module: lm_head (quantizer.py:181-214) ----
     if quant_non_block and not cfg.tie_word_embeddings:

@@ -758,6 +758,15 @@ class PagedContinuousBatchingEngine:
         self.cfg = cfg
         self.num_slots = num_slots
         self.max_len = max_len
+        kvd = _kv_dtype(kv_quantized)
+        if (kvd == "int4" and jax.devices()[0].platform == "tpu"
+                and page_size < 128 and max_len % 128 == 0
+                and n_pages is None):
+            # the combined-layout q4 flash-decode kernel needs page % 128
+            # on real TPU (ops/paged_attention.q4_kernel_supported); a
+            # 64-entry page would silently fall back to the full-pool
+            # gather path
+            page_size = 128
         self.page_size = page_size
         self.eos = eos_token_id
         self.key = jax.random.PRNGKey(seed)
@@ -765,7 +774,7 @@ class PagedContinuousBatchingEngine:
         self.sampler = sampling.init_state(num_slots, cfg.vocab_size)
         self.cache = paged.init_paged_cache(cfg, num_slots, max_len, page_size,
                                             n_pages,
-                                            kv_dtype=_kv_dtype(kv_quantized))
+                                            kv_dtype=kvd)
         self.alloc = paged.PageAllocator(self.cache.k_pages[0].shape[0])
         self.slot_pages: List[List[int]] = [[] for _ in range(num_slots)]
         self.tokens = jnp.zeros((num_slots,), jnp.int32)

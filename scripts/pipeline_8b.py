@@ -167,6 +167,13 @@ from gptq_gguf_tpu.serving import model as qmodel, engine
 params, cfg = qmodel.load_gguf_for_serving(%r)
 eng = engine.ContinuousBatchingEngine(params, cfg, num_slots=8, max_len=512)
 rng = np.random.default_rng(0)
+# warmup: compile the prefill bucket + the auto decode-block programs the
+# timed run will use (same prompt bucket, same max_new_tokens); round 4's
+# smoke timed its own compiles and read 85x under the bench
+for _ in range(2):
+    eng.submit(rng.integers(0, cfg.vocab_size, (64,)), 32)
+eng.run_until_done()
+eng.completed.clear()
 for _ in range(8):
     eng.submit(rng.integers(0, cfg.vocab_size, (64,)), 32)
 t0 = time.time()

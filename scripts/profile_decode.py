@@ -11,7 +11,7 @@ passed as jit ARGUMENTS (closure-captured arrays get serialized into the
 program and a ~0.5 GB constant breaks the relay's remote_compile).
 
 Components (B=8, Llama-3-8B shapes, Q4_K + Q6_K lm_head):
-  * engine decode step: wall (k=64 multi_step block, what a server sees)
+  * engine decode step: wall (k=128 multi_step block, what a server sees)
     and device (two-point over _decode_steps_scan k=8 vs 64)
   * fused matmul stack alone (qkv/o/gateup/down x 32 via lax.scan)
   * each projection alone (x 32)
@@ -20,7 +20,7 @@ Components (B=8, Llama-3-8B shapes, Q4_K + Q6_K lm_head):
   * lm_head (Q6_K 4096 -> 128256) alone
   * rms norms + embed + argmax (residual ops)
 
-Writes docs/PROFILE_r04.md and prints the JSON.
+Writes docs/PROFILE_r05.md and prints the JSON.
 """
 
 import functools
@@ -117,7 +117,7 @@ def main():
     emit("matmul_stack_32L", two_point(mk_stack, (x0, layer), 16, 80) * 32)
 
     # --- decode attention alone (dynamic-length flash, fill like bench) ---
-    fill = 128 + 65 + 96  # bench: prompt 128 + warmup block + mid-run
+    fill = 128 + 129 + 192  # bench: prompt 128 + k=128 warmup + mid-run
     max_len = 2048
     k_cache = jax.random.normal(jax.random.PRNGKey(0), (B, 8, max_len, 128),
                                 jnp.bfloat16)
@@ -160,7 +160,10 @@ def main():
          two_point(mk_scatter, (k_cache, newk, lengths), 64, 320) * 64)
 
     # --- lm_head alone ---
-    lm = bench.synth_v2(rng, V, H, T.Q6_K)
+    # pad_dout_v2 matters: unpadded 128256 rows only tile at tile_out=256
+    # and the r4 profile measured THAT (1.13 ms); the engine serves the
+    # 512-padded head (0.73 ms, scripts/lmhead_race.py)
+    lm = qmatmul.pad_dout_v2(bench.synth_v2(rng, V, H, T.Q6_K))
     emit("lm_head_x1", two_point(mk_one, (jnp.float32(0), x0, lm), 4, 20))
 
     # --- residual ops: norms + embed + argmax ---
@@ -186,7 +189,7 @@ def main():
     # --- engine step: wall (k=64 blocks) + device (two-point over k) ---
     prebuilt = bench.build_8b_params(2048)
     eng = bench.bench_engine(prebuilt=prebuilt)
-    emit("engine_step_wall_k64", eng["ms_per_step"])
+    emit("engine_step_wall_k128", eng["ms_per_step"])
 
     params, cfg, _ = prebuilt
     cache = qmodel.init_cache(cfg, B, 2048, dtype=jnp.bfloat16)
@@ -218,13 +221,13 @@ def main():
     print(json.dumps(out))
 
     full = rows["engine_step_device"]
-    with open("docs/PROFILE_r04.md", "w") as f:
-        f.write("# Decode-step profile (round 4)\n\n")
+    with open("docs/PROFILE_r05.md", "w") as f:
+        f.write("# Decode-step profile (round 5)\n\n")
         f.write("Per-component DEVICE time of one B=8 decode step at "
                 "Llama-3-8B shapes (Q4_K weights, Q6_K lm_head), measured "
                 "on the TPU by two-point differencing over scan length "
                 "(cancels this relay's ~25-55 ms fixed per-program cost; "
-                "docs/KERNELS_r04.md). `engine_step_wall_k64` is the wall "
+                "docs/KERNELS_r04.md). `engine_step_wall_k128` is the wall "
                 "time a multi_step server delivers per token step, "
                 "dispatch included; shares are of `engine_step_device`.\n\n")
         f.write("| component | ms/step | share of device step |\n|---|---|---|\n")
@@ -232,7 +235,7 @@ def main():
                  "matmul_gateup_32L", "matmul_down_32L", "attention_32L",
                  "kv_scatter_64x", "lm_head_x1", "resid_embed_argmax",
                  "sum_of_components", "unattributed_gap",
-                 "engine_step_device", "engine_step_wall_k64"]
+                 "engine_step_device", "engine_step_wall_k128"]
         for k in order:
             f.write(f"| {k} | {rows[k]:.2f} | {rows[k] / full * 100:.1f}% |\n")
         f.write("\nEngine detail: " + json.dumps(eng) + "\n")

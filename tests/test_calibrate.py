@@ -156,8 +156,10 @@ def test_quantize_model_host_staged_matches_device(tiny, tmp_path):
     d_dir, h_dir = tmp_path / "dev", tmp_path / "host"
     qd = calibrate.quantize_model(params, cfg, calib, save_dir=d_dir,
                                   quant_non_block=True)
+    # offload_weights=True: the >HBM behavior under test (auto keeps small
+    # stacks device-resident since round 5)
     qh = calibrate.quantize_model(host_params, cfg, calib, save_dir=h_dir,
-                                  quant_non_block=True)
+                                  quant_non_block=True, offload_weights=True)
     # every block weight came back to host numpy
     assert all(isinstance(v, np.ndarray)
                for v in qh["layers"][0].values())
@@ -168,3 +170,23 @@ def test_quantize_model_host_staged_matches_device(tiny, tmp_path):
     a = artifacts.load_layer(d_dir, "lm_head")
     b = artifacts.load_layer(h_dir, "lm_head")
     np.testing.assert_array_equal(np.asarray(a.qweight), np.asarray(b.qweight))
+
+
+def test_offload_activations_equivalent():
+    """Device-resident calibration activations (round-5 default for small
+    sets) must produce identical quantized weights to host-offloaded ones
+    (the pre-r5 behavior, still used above the 2 GB auto threshold)."""
+    cfg = llama.LlamaConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    )
+    params = llama.init_params(cfg, seed=3)
+    calib = [RNG.integers(0, cfg.vocab_size, size=(1, 32)) for _ in range(3)]
+    on = calibrate.quantize_model(dict(params), cfg, calib,
+                                  offload_activations=True)
+    off = calibrate.quantize_model(dict(params), cfg, calib,
+                                   offload_activations=False)
+    for li, (a, b) in enumerate(zip(on["layers"], off["layers"])):
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                          err_msg=f"layer {li} {k}")

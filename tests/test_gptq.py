@@ -172,3 +172,33 @@ def test_objective_parity_with_reference(qtype_name, act_order):
     # which cascades through the error feedback; the objective (above) is the
     # meaningful parity criterion.
     assert agree > (0.90 if act_order else 0.97), agree
+
+
+def test_solve_kernel_matches_scan_path(monkeypatch):
+    """The Pallas column-block solve (round 5, ROADMAP #3) must reproduce
+    the XLA lax.scan path bit-for-bit: same codes, same params, for both
+    dynamic-group (Q4_K) and gs=16 (Q6_K) formats and for act_order."""
+    from gptq_gguf_tpu.ops import gptq as gptq_mod
+    from gptq_gguf_tpu.ops import qmatmul
+
+    rng = np.random.default_rng(23)
+    W = jnp.asarray(rng.normal(size=(512, 512)).astype(np.float32) * 0.1)
+    X = rng.normal(size=(2048, 512)).astype(np.float32)
+    H = jnp.asarray((X.T @ X) / len(X))
+
+    for qtype, cfg in [
+        (T.Q4_K, gptq.GPTQConfig()),
+        (T.Q6_K, gptq.GPTQConfig()),
+        (T.Q4_K, gptq.GPTQConfig(act_order=True, static_groups=True)),
+    ]:
+        monkeypatch.setenv("GG_GPTQ_SOLVE_KERNEL", "off")
+        ref = gptq_mod.gptq_quantize_matrix(W, H, qtype, cfg)
+        monkeypatch.delenv("GG_GPTQ_SOLVE_KERNEL")
+        monkeypatch.setattr(qmatmul, "FORCE_PALLAS_INTERPRET", True)
+        got = gptq_mod.gptq_quantize_matrix(W, H, qtype, cfg)
+        monkeypatch.setattr(qmatmul, "FORCE_PALLAS_INTERPRET", False)
+        np.testing.assert_array_equal(
+            np.asarray(got.qweight), np.asarray(ref.qweight),
+            err_msg=f"{qtype} {cfg.act_order}")
+        for a, b in zip(got.params, ref.params):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
