@@ -307,11 +307,16 @@ def quantize_model(
         x = jnp.asarray(a)
         return x.astype(jnp.float32) if x.dtype == jnp.float16 else x
 
-    # async artifact writer: the codes/params readback is pure
-    # device->host relay transfer (round-5 breakdown: the dominant stage)
-    # and need not block the next layer's capture/solve dispatch
+    # async artifact pipeline: the codes/params readback is pure
+    # device->host relay transfer (round-5 breakdown: the dominant stage).
+    # copy_to_host_async() starts the transfer immediately; the MAIN thread
+    # materializes one layer later (by then the copy has landed under the
+    # next layer's compute) and only the FILE WRITE runs on a worker
+    # thread — all jax calls stay on the main thread (the relay transport
+    # is not thread-safe; a worker-thread device_get deadlocked it).
     _saver = None
     _save_futures: List[Any] = []
+    _save_pending: List[Any] = []
     if save_dir is not None:
         import concurrent.futures
 
@@ -319,23 +324,24 @@ def quantize_model(
 
     def _save_async(name, qtype, arrs):
         """arrs: (qweight, super_scale, super_zero, scale_q, zero_q) device
-        slices; kicked to host asynchronously, written by the saver thread."""
+        slices; transfer kicked off now, drained at the next layer edge."""
         for a in arrs:
             try:
                 a.copy_to_host_async()
             except Exception:
                 pass
+        _save_pending.append((name, qtype, arrs))
 
-        def work():
+    def _drain_saves():
+        while _save_pending:
+            name, qtype, arrs = _save_pending.pop(0)
             qw, ss_, sz_, sq_, zq_ = [np.asarray(a) for a in arrs]
-            artifacts.save_layer(
-                save_dir, name,
-                artifacts.LayerArtifact(
-                    q_type=qtype, qweight=qw, super_group_scale=ss_,
-                    super_group_zero=sz_, group_scale_quant=sq_,
-                    group_zero_quant=zq_))
-
-        _save_futures.append(_saver.submit(work))
+            art = artifacts.LayerArtifact(
+                q_type=qtype, qweight=qw, super_group_scale=ss_,
+                super_group_zero=sz_, group_scale_quant=sq_,
+                group_zero_quant=zq_)
+            _save_futures.append(
+                _saver.submit(artifacts.save_layer, save_dir, name, art))
     _embed_keys = ("embed_tokens", "pos_embed", "embed_norm", "embed_norm_bias")
     _staged = {k: jnp.asarray(params[k]) for k in _embed_keys
                if isinstance(params.get(k), np.ndarray)}
@@ -362,6 +368,9 @@ def quantize_model(
         # stage this block onto the device (no-op when already there) and
         # kick off the NEXT block's upload so it overlaps this block's
         # capture/solve; offload_weights returns solved blocks to host
+        if save_dir is not None:
+            with _tick("artifact"):
+                _drain_saves()  # previous layer's readbacks (overlapped)
         with _tick("stage_in") as tk:
             layer = (_prefetched if _prefetched is not None else
                      jax.tree_util.tree_map(_stage_in, params["layers"][li]))
@@ -525,6 +534,7 @@ def quantize_model(
     # ---- flush async artifact writes ----
     if _saver is not None:
         with _tick("artifact_flush"):
+            _drain_saves()
             for f in _save_futures:
                 f.result()
         _saver.shutdown()
