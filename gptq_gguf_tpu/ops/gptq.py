@@ -110,6 +110,50 @@ def _mask_and_damp(H: jax.Array, W: jax.Array, rel_damp: float):
     return W, H
 
 
+# panel width for the blocked triangular inverse; columns above this size
+# switch from one monolithic triangular_solve to panel back-substitution.
+# Round-5 status: the panels path probes fast standalone (0.11 s at
+# n=14336, scripts/factorize_probe.py) but the calibration walk stalled
+# twice with it live on the relay chip (futex-wait, no progress) while
+# the monolithic path completes reliably — so it ships DISABLED by
+# default until the interaction is understood; enable with
+# GG_GPTQ_TRINV_PANELS_ABOVE=8192.
+_TRINV_PANEL = 512
+_TRINV_BLOCKED_ABOVE = int(os.environ.get(
+    "GG_GPTQ_TRINV_PANELS_ABOVE", 1 << 30))
+
+
+def _trinv_panels(Ur: jax.Array, p: int = _TRINV_PANEL) -> jax.Array:
+    """U = Ur^{-1} for upper-triangular Ur via blocked back-substitution.
+
+    XLA:TPU's monolithic triangular_solve against the identity runs
+    sequential panels internally and measured tens of seconds at n=14336
+    (the GPTQ down-proj factorize — round-5 walk breakdown). Blocked form:
+    for row-panel i (last to first), X[i] = D_i^{-1}(E_i - Ur[i, i+p:] X
+    [i+p:]) — one (p x p) triangular solve plus one wide MXU GEMM per
+    panel, n/p sequential steps instead of n. Same mathematical
+    back-substitution; summation order inside the GEMM differs from the
+    monolithic solve only in float rounding."""
+    n = Ur.shape[0]
+    while n % p:
+        p //= 2
+    npan = n // p
+    X = jnp.zeros((n, n), jnp.float32)
+    for i in reversed(range(npan)):
+        r0 = i * p
+        D = Ur[r0:r0 + p, r0:r0 + p]
+        rhs = jnp.zeros((p, n), jnp.float32)
+        rhs = jax.lax.dynamic_update_slice(rhs, jnp.eye(p, dtype=jnp.float32),
+                                           (0, r0))
+        if i < npan - 1:
+            rhs = rhs - jnp.dot(Ur[r0:r0 + p, r0 + p:], X[r0 + p:, :],
+                                preferred_element_type=jnp.float32)
+        Xi = jax.lax.linalg.triangular_solve(D, rhs, left_side=True,
+                                             lower=False)
+        X = jax.lax.dynamic_update_slice(X, Xi, (r0, 0))
+    return X
+
+
 @jax.jit
 def _factorize_device(H: jax.Array):
     """Upper U with H^{-1} = U^T U via the reversed-Cholesky identity.
@@ -120,12 +164,16 @@ def _factorize_device(H: jax.Array):
     chain (linalg_utils.py:9-13, gptq.py:318-320): same U (unique SPD
     factorization with positive diagonal), one factorization instead of two,
     and no explicit H^{-1} buffer — which keeps XLA:TPU peak memory at O(n^2)
-    where the naive chain OOMs for n=14336.
+    where the naive chain OOMs for n=14336. Large n uses the blocked
+    inverse (_trinv_panels); small n keeps the monolithic solve (bit-stable
+    with rounds 1-4 artifacts).
     """
     d_col = H.shape[0]
     Hr = H[::-1, ::-1]
     Lr = jnp.linalg.cholesky(Hr)
     Ur = Lr[::-1, ::-1]
+    if d_col > _TRINV_BLOCKED_ABOVE:
+        return _trinv_panels(Ur)
     eye = jnp.eye(d_col, dtype=jnp.float32)
     U = jax.lax.linalg.triangular_solve(Ur, eye, left_side=True, lower=False)
     return U

@@ -342,6 +342,29 @@ def quantize_model(
                 group_zero_quant=zq_)
             _save_futures.append(
                 _saver.submit(artifacts.save_layer, save_dir, name, art))
+
+    # async weight offload (round 5): when offload_weights is on, the
+    # solved block's device->host copy starts right after propagation and
+    # materializes ONE LAYER LATER on the main thread — the transfer rides
+    # under the next block's capture/solve instead of serializing ~40 s of
+    # relay D2H per 8B layer (the 12-layer run measured unstage at 479 s).
+    _unstage_pending: List[Any] = []
+
+    def _unstage_async(li_, layer_tree):
+        for a in jax.tree_util.tree_leaves(layer_tree):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        _unstage_pending.append((li_, layer_tree))
+
+    def _drain_unstage(params):
+        while _unstage_pending:
+            li_, tree = _unstage_pending.pop(0)
+            layers = list(params["layers"])
+            layers[li_] = jax.tree_util.tree_map(np.asarray, tree)
+            params = {**params, "layers": layers}
+        return params
     _embed_keys = ("embed_tokens", "pos_embed", "embed_norm", "embed_norm_bias")
     _staged = {k: jnp.asarray(params[k]) for k in _embed_keys
                if isinstance(params.get(k), np.ndarray)}
@@ -521,15 +544,21 @@ def quantize_model(
                 xs = new_xs
 
         with _tick("unstage"):
-            layers = list(params["layers"])
-            layers[li] = jax.tree_util.tree_map(_stage_out, layers[li])
-            params = {**params, "layers": layers}
+            if offload_weights:
+                params = _drain_unstage(params)   # lag-1: previous block
+                _unstage_async(li, params["layers"][li])
+            # else: the solved block stays device-resident
 
         if verbose:
             print(
                 f"[calibrate] block {li + 1}/{n_layers} done in "
                 f"{time.perf_counter() - t0:.2f}s"
             )
+
+    # ---- flush async weight offloads ----
+    if offload_weights:
+        with _tick("unstage"):
+            params = _drain_unstage(params)
 
     # ---- flush async artifact writes ----
     if _saver is not None:

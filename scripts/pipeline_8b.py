@@ -88,24 +88,33 @@ def main():
     ap.add_argument("--calib-tokens", type=int, default=8192)
     ap.add_argument("--out", default="PIPELINE_8B_r05.json")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--skip-synth", action="store_true",
+                    help="reuse an existing workdir/model checkpoint "
+                         "(e.g. re-measuring quantize after a code change)")
     args = ap.parse_args()
 
     wd = Path(args.workdir)
-    if wd.exists():
-        shutil.rmtree(wd)
-    wd.mkdir(parents=True)
     model_dir = wd / "model"
+    if args.skip_synth and not model_dir.exists():
+        sys.exit(f"--skip-synth: no checkpoint at {model_dir}")
+    if not args.skip_synth:
+        if wd.exists():
+            shutil.rmtree(wd)
+        wd.mkdir(parents=True)
     art_dir = wd / "artifacts"
+    if art_dir.exists():
+        shutil.rmtree(art_dir)
     gguf = wd / "model-Q4_K.gguf"
     times = {"layers": args.layers}
     env = dict(os.environ,
                JAX_COMPILATION_CACHE_DIR="/root/repo/.jax_cache")
 
     t0 = time.time()
-    synth_checkpoint(model_dir, args.layers, np.random.default_rng(0))
+    if not args.skip_synth:
+        synth_checkpoint(model_dir, args.layers, np.random.default_rng(0))
     times["synth_checkpoint_s"] = round(time.time() - t0, 1)
-    print(json.dumps({"stage": "synth", "s": times["synth_checkpoint_s"]}),
-          flush=True)
+    print(json.dumps({"stage": "synth", "s": times["synth_checkpoint_s"],
+                      "skipped": args.skip_synth}), flush=True)
 
     def run(stage, cmd):
         t0 = time.time()
