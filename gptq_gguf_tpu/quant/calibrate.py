@@ -349,8 +349,18 @@ def quantize_model(
     # under the next block's capture/solve instead of serializing ~40 s of
     # relay D2H per 8B layer (the 12-layer run measured unstage at 479 s).
     _unstage_pending: List[Any] = []
+    # fp16 checkpoints offload back at fp16: the dequantized block's f32
+    # values round to the checkpoint's own precision (well below K-quant
+    # noise), halving the device->host bytes on the ~15-20 MB/s relay
+    _offload_f16 = any(
+        isinstance(a, np.ndarray) and a.dtype == np.float16
+        for a in jax.tree_util.tree_leaves(params["layers"][0]))
 
     def _unstage_async(li_, layer_tree):
+        if _offload_f16:
+            layer_tree = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float16)
+                if a.dtype == jnp.float32 else a, layer_tree)
         for a in jax.tree_util.tree_leaves(layer_tree):
             try:
                 a.copy_to_host_async()
