@@ -93,13 +93,20 @@ def measure_stream_bw_gbs(sizes_mb=(128, 256, 512), steps_lo=8, steps_hi=72,
     return med
 
 
-def measure_read_bw_gbs(n_mb=512, steps_lo=8, steps_hi=72, trials=5):
+def measure_read_bw_gbs(n_mb=512, steps_lo=8, steps_hi=200, trials=7):
     """Measured read-only HBM bandwidth (f32 reduce, two-point differenced).
 
     Decode is read-dominated, so this — not the axpy 2R+1W stream — is the
     honest SOL denominator (scripts/read_bw_probe.py: 743 GB/s read vs
     267 GB/s axpy on this chip; the fused kernels measure 486-543 GB/s
-    effective, impossible under a 267 GB/s 'ceiling')."""
+    effective, impossible under a 267 GB/s 'ceiling').
+
+    Robustness (round 5): the old 8-vs-72 gap put ~43 ms of device delta
+    against ±10-30 ms of relay dispatch jitter, and min-dt selection then
+    took the luckiest trial — one run read an impossible 1352 GB/s and
+    cratered the scored ratio. Now the gap is ~96 GB of extra reads
+    (~130 ms of signal) and the estimate is the MEDIAN of valid trials,
+    with a physical sanity check against the bf16-read ceiling."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -116,7 +123,7 @@ def measure_read_bw_gbs(n_mb=512, steps_lo=8, steps_hi=72, trials=5):
     x = jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.float32)
     float(run(x, steps_lo))
     float(run(x, steps_hi))
-    best = float("inf")
+    bws = []
     for _ in range(trials):
         t0 = time.time()
         float(run(x, steps_lo))
@@ -125,11 +132,14 @@ def measure_read_bw_gbs(n_mb=512, steps_lo=8, steps_hi=72, trials=5):
         float(run(x, steps_hi))
         t_hi = time.time() - t0
         dt = t_hi - t_lo
-        if dt > 1e-4:
-            best = min(best, dt / (steps_hi - steps_lo))
-    if best == float("inf"):
+        if dt > 1e-3:
+            bw = n_mb / 1024 * (steps_hi - steps_lo) / dt
+            if bw < 1000.0:  # bf16 read ceiling ~956 GB/s; f32 must be below
+                bws.append(bw)
+    if not bws:
         raise RuntimeError("all read-BW trials had non-positive deltas")
-    return n_mb / 1024 / best
+    bws.sort()
+    return bws[len(bws) // 2]
 
 
 def synth_v2(rng, d_out, d_in, qtype=None):
